@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the reference's 4-query battery (BASELINE.md) + the join /
+window / streaming round-trip + the LLM-pipeline operators — the queries
+whose plans we tune for scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_ss_hudi_delta_poc_spark.plans import all_queries
+from spark_ss_hudi_delta_poc_spark.session import get_spark
+
+HEADLINE = [
+    # reference battery (BASELINE.md 4-query battery)
+    "q01_count",
+    "q02_group_count",
+    "q03_distinct_count",
+    "q04_dup_having",
+    # map-stage kernels
+    "q05_ts_roundtrip",
+    "q09_json_roundtrip",
+    # relational
+    "q13_join_revenue",
+    "q14_broadcast_dims",
+    "q15_window_topn",
+    "q17_asof_join",
+    # streaming ingest round-trip (the reference's core loop)
+    "q10_stream_global_agg",
+    "q12_stream_roundtrip",
+    "q19_stream_windowed_agg",
+    # LLM-pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = qs[name]
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

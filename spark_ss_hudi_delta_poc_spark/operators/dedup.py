@@ -1,0 +1,204 @@
+"""Deduplication operator family for training-data pipelines.
+
+All variants share one design: deterministic cross-engine hashing
+(functions/hashing.py) so every result hash-matches the DuckDB oracle, and
+shuffle-minimal plans that survive 100 TB:
+
+- exact:     one shuffle on a 60-bit text hash (never on the full text —
+             group keys stay 8 bytes at any document size);
+- n-gram Jaccard: shingle-explode → self-join on shingle → count — the
+             classic inverted-index plan; optional document-frequency cap
+             drops stop-shingles, which is what bounds the join fanout at
+             scale;
+- MinHash+LSH: K seeded min-hashes → banded bucket hashes → candidates join
+             only within buckets → exact Jaccard verification on candidates
+             (LSH is candidate GENERATION, never the final answer);
+- SimHash:   60 partial-agg bit sums → one fingerprint per doc, single
+             shuffle, constant state per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import shingles
+
+SIMHASH_BITS = 60  # md5_long yields 60-bit values
+MINHASH_K = 12
+MINHASH_BANDS = 4  # rows per band r = K / BANDS = 3
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: group on a 60-bit hash of the text, keep the
+    min id as the canonical representative.
+
+    Returns (text_hash, keep_doc_id, n_copies).  Hash collisions at 60
+    bits are ~2^-60 per pair — the standard at-scale trade; the oracle uses
+    the identical hash so results always agree.
+    """
+    return (
+        docs.select(md5_long(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word n-grams — the inverted-index
+    input shared by the Jaccard and MinHash paths."""
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    ``max_shingle_df`` (off by default for oracle parity) drops shingles
+    that appear in more than N docs before the self-join — at 100 TB this
+    is mandatory: one stop-shingle in 10^6 docs is a 10^12-row join blowup.
+    """
+    sh = shingle_table(docs, n=n)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash): K seeded min-hashes per document.
+
+    Plan: shingle-explode (map) → K hashes per shingle via a literal seed
+    array explode (map) → min per (doc, seed) — one shuffle with map-side
+    partial min; state per group is a single long.
+    """
+    sh = shingle_table(docs, n=n)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    hashed = sh.select("doc_id", seeds, "shingle").select(
+        "doc_id",
+        "seed",
+        md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_band_buckets(signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band, band_hash): hash each band's r minhashes (ordered by
+    seed) into one bucket key."""
+    r = k // bands
+    sig = signatures.withColumn("band", (F.col("seed") / r).cast("int"))
+    concat = (
+        sig.groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("pairs"))
+        .select(
+            "doc_id",
+            "band",
+            md5_long(F.concat_ws(":", F.transform(F.col("pairs"), lambda p: p["minhash"].cast("string")))).alias(
+                "band_hash"
+            ),
+        )
+    )
+    return concat
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidate generation + exact Jaccard verification.
+
+    Candidates = doc pairs sharing any band bucket; verification joins the
+    candidates back to the shingle table (candidate-driven — the exact
+    Jaccard join touches only candidate pairs, not all pairs).
+    Returns (doc_id_a, doc_id_b, jaccard >= threshold).
+    """
+    sigs = minhash_signatures(docs, k=k, n=n)
+    buckets = minhash_band_buckets(sigs, bands=bands, k=k)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sh = shingle_table(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(za), "doc_id_a")
+        .join(F.broadcast(zb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash per document.
+
+    One shuffle on doc_id with 60 partial-aggregated bit sums; fingerprint
+    assembled from sign bits.  Hamming-ball grouping on the fingerprint is
+    then a cheap downstream exact groupBy.
+    """
+    sh = shingle_table(docs, n=n).select("doc_id", md5_long(F.col("shingle")).alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))

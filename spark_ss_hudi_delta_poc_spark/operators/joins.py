@@ -1,0 +1,86 @@
+"""Join operators beyond the reference (which has zero joins — SURVEY.md
+§2.7).  These are the building blocks a real analytics engine needs, each
+written for the plan we'd want at 100 TB.
+
+- fact-fact equi-join: shuffle hash/sort-merge on the key, AQE handles skew;
+- dimension joins: explicit ``F.broadcast`` so a 25-row nation table never
+  causes a shuffle of the 100 TB fact side;
+- as-of join: the union + window trick — ONE shuffle of both inputs by
+  (key, time) instead of a quadratic range join or per-key collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Join a (large) fact table to a (small) dimension, broadcasting the
+    dimension: no shuffle of the fact side, plan survives any fact scale."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    ``key`` and right_ts <= left_ts (inclusive).
+
+    Implementation: tag both sides, union, then ``last(..., ignorenulls)``
+    over a window partitioned by key and ordered by (ts, side) — right rows
+    sort before left rows at equal timestamps so "<=" holds.  This is the
+    scale-correct as-of plan: a single shuffle on the key, linear scan per
+    partition, no range-join blowup.  (DuckDB expresses the same thing as
+    ASOF JOIN; see the oracle in relational_queries.py.)
+    """
+    value_cols = value_cols or []
+    lcols = [F.col(c) for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).select(
+        "_k",
+        "_ts",
+        "_side",
+        "_lrow",
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    out = merged.where(F.col("_side") == 1).select(
+        "_lrow.*", F.col("asof_ts"), *[F.col(f"asof_{c}") for c in value_cols]
+    )
+    return out
+
+
+def money_e4(col: Column) -> Column:
+    """Scale a money-ish double to an exact BIGINT (×10^4, floored).
+
+    Summing doubles is order-dependent; summing BIGINTs is exact.  Both
+    Spark and DuckDB evaluate the identical per-row IEEE expression, so the
+    floored integer is engine-identical and every aggregate hash-matches.
+    """
+    return F.floor(col * F.lit(10000)).cast("long")

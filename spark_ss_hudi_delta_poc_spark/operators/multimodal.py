@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Design (the part that must be REAL at 100 TB):
+- media rows are (id, payload: binary, meta: struct) — payloads never pass
+  through Python row-at-a-time; mapInPandas moves whole Arrow batches;
+- per-batch processing is bounded by maxRecordsPerBatch, so executor
+  memory is payload-size-aware;
+- decode/resize/frame-sample are per-row pure functions → map-only stage,
+  no shuffle, linear scale-out.
+
+The actual codec step is STUBBED (no image/audio libs in this container):
+``decode_image``/``decode_audio`` raise NotImplementedError, and the
+pipeline runs with ``fake_decode`` — a deterministic MD5-derived feature
+extractor whose outputs the DuckDB oracle reproduces exactly, so the whole
+Arrow/mapInPandas plumbing is still oracle-verified end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode — requires PIL/opencv, not shipped here."""
+    raise NotImplementedError("image codecs not available in this environment; use fake_decode")
+
+
+def decode_audio(payload: bytes) -> dict:
+    raise NotImplementedError("audio codecs not available in this environment; use fake_decode")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for decode: derive (byte_len, width, height,
+    mean_px) from md5(payload).  Matches the oracle's SQL arithmetic:
+    h = first 15 hex chars of md5 as int; width = 32 + h % 993;
+    height = 32 + (h // 1024) % 993; mean_px = (h % 256000) / 1000.
+    """
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return len(payload), 32 + h % 993, 32 + (h // 1024) % 993, (h % 256000) / 1000.0
+
+
+def media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stage documents as a media table: (doc_id, payload binary, mime).
+    Stands in for real image/audio bytes; the binary column and everything
+    downstream is the real production shape."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/fake").alias("mime"),
+    )
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow batches).
+
+    Output: (doc_id, byte_len, width, height, mean_px) via fake_decode.
+    Swap ``fake_decode`` for a real codec on a cluster with the libs — the
+    plumbing (schema, batching, partitioning) is identical.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "mean_px": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index, frame payload stubbed as a slice marker.  Demonstrates the
+    explode-per-frame shape (row count multiplies; partitioning unchanged)."""
+    n_frames = (F.length(F.col("payload")) / F.lit(32)).cast("long")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return media.select("doc_id", F.explode(idx).alias("frame_idx"))

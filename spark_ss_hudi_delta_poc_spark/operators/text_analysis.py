@@ -1,0 +1,81 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in pyspark.sql.functions — pure map stages, zero
+shuffle, linear at 100 TB.  Doubles in outputs come only from SINGLE
+divisions of exact integers, which are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import words
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.  The
+# priority order (en > de > es > fr) is the deterministic tie-break.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "que", "de", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+
+def _marker_count(w, lang: str):
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, score): argmax of marker-word counts with fixed
+    priority tie-break; 'und' (undetermined) when no marker hits."""
+    w = words(F.col(text_col))
+    scores = {lang: _marker_count(w, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return docs.select(F.col(id_col), pred.alias("pred_lang"), best.cast("int").alias("score"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + keep/drop flag.
+
+    Features: char count, word count, mean word length, stopword ratio,
+    all from exact integer counts (divisions are single IEEE ops).
+    """
+    w = words(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(w)
+    stop = _marker_count(w, "en")
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_m"),
+        n_words.cast("long").alias("n_words"),
+        (n_chars.cast("double") / n_words.cast("double")).alias("mean_word_len"),
+        (stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+        ((n_words >= 10) & (n_words <= 1000)).alias("keep"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish budget estimate (ceil(chars/4) —
+    the standard ~4-chars-per-token heuristic), as exact integers."""
+    n_chars = F.length(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(words(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.ceil(n_chars.cast("double") / 4.0).cast("long").alias("bpe_est"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit content fingerprint of the normalized text (lower + trim +
+    whitespace collapse) — the cheap exact-dup key for incremental pipelines."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
+    return docs.select(F.col(id_col), md5_long(norm).alias("fingerprint"))

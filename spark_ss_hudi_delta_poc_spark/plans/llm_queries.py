@@ -1,0 +1,347 @@
+"""LLM-training-data-pipeline queries: dedup family, similarity search,
+text analysis, multimodal plumbing — each with a DuckDB oracle that
+reproduces the Spark result EXACTLY (shared md5-based hashing, quantized
+integer vector math; see functions/hashing.py and functions/vector.py).
+
+Oracle SQL mirrors the Spark plans via CTEs; the hyperplane / simhash
+literals are generated from the same Python code both sides, so there is
+one source of truth for the constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text_analysis
+from ..operators.dedup import SIMHASH_BITS
+from ..operators.text_analysis import LANG_MARKERS, LANG_PRIORITY
+from ..tables import load
+from .registry import Query
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+ANN_K = 5
+ANN_QUERY_MAX_ID = 20  # query set = vec_id < 20
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"  # == functions.hashing.md5_long
+
+WS_SH_CTE = """
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM ws WHERE len(w) >= 3
+)"""
+
+QVEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]) * "
+    "list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+)
+
+
+# --- dedup -------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf, "documents"))
+
+
+def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_fingerprints(load(spark, sf, "documents"))
+
+
+def dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
+
+
+# --- similarity search -------------------------------------------------------
+def ann_brute(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+
+
+def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+
+
+# --- text analysis -----------------------------------------------------------
+def text_lang(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.language_id(load(spark, sf, "documents"))
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.quality_score(load(spark, sf, "documents"))
+
+
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.token_counts(load(spark, sf, "documents"))
+
+
+def text_fp(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.fingerprints(load(spark, sf, "documents"))
+
+
+# --- multimodal --------------------------------------------------------------
+def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    return multimodal.extract_media_meta(media)
+
+
+# --- oracle builders ---------------------------------------------------------
+def _minhash_oracle(k: int, bands: int, thr: float) -> str:
+    r = k // bands
+    return f"""
+WITH {WS_SH_CTE},
+seeds AS (SELECT unnest(range({k})) AS seed),
+hashes AS (
+  SELECT doc_id, seed, {H.format(x="seed::VARCHAR || ':' || shingle")} AS h
+  FROM sh CROSS JOIN seeds
+),
+sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // {r} AS INTEGER) AS band,
+         {H.format(x="string_agg(minhash::VARCHAR, ':' ORDER BY seed)")} AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(seed // {r} AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  JOIN sh b ON b.doc_id = c.doc_id_b AND a.shingle = b.shingle
+  GROUP BY c.doc_id_a, c.doc_id_b
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {thr}
+"""
+
+
+def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH {WS_SH_CTE},
+hashed AS (SELECT doc_id, {H.format(x="shingle")} AS h FROM sh),
+sums AS (SELECT doc_id,
+         {sums}
+         FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang in LANG_PRIORITY:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(f"len(list_filter(w, x -> list_contains([{lst}], x))) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in LANG_PRIORITY) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in LANG_PRIORITY:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scores AS (SELECT doc_id, {", ".join(score_cols)} FROM ws)
+SELECT doc_id, {case} AS pred_lang, CAST({best} AS INTEGER) AS score FROM scores
+"""
+
+
+def _lsh_bucket_sql(qv: str) -> str:
+    terms = []
+    for p in range(similarity.LSH_PLANES):
+        plane = similarity.hyperplane(p)
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({qv}::DOUBLE[], {lit}::DOUBLE[]) > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+EN_LIST = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+QUERIES = [
+    Query(
+        "dedup_exact",
+        dedup_exact,
+        f"""
+        SELECT text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (SELECT {H.format(x="text")} AS text_hash, doc_id FROM documents)
+        GROUP BY text_hash
+        """,
+        doc="exact dedup on 60-bit text hash; 8-byte group keys at any scale",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_ngram_jaccard",
+        dedup_ngram,
+        f"""
+        WITH {WS_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, i AS inter, sa.n + sb.n - i AS uni,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+        """,
+        doc="exact word-3-gram Jaccard pairs via shingle inverted-index join",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_minhash_lsh",
+        dedup_minhash,
+        _minhash_oracle(dedup.MINHASH_K, dedup.MINHASH_BANDS, JACCARD_THRESHOLD),
+        doc="MinHash(12)+LSH(4 bands) candidates, exact-Jaccard verified",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_simhash",
+        dedup_simhash,
+        _simhash_oracle(),
+        doc="60-bit SimHash fingerprints (sign-sum of shingle hash bits)",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_embedding_cosine",
+        dedup_cosine,
+        f"""
+        WITH q AS (SELECT vec_id, {QVEC} AS qv FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {COS.format(a="a.qv", b="b.qv")} AS cosine
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+        WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD}
+        """,
+        doc="embedding-cosine near-dup pairs (quantized exact arithmetic)",
+        tags=("llm", "dedup", "embedding"),
+    ),
+    Query(
+        "ann_bruteforce_topk",
+        ann_brute,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        q AS (SELECT vec_id, qv FROM c WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv", b="c.qv")} AS cosine
+          FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="exact cosine top-5 per query vector (broadcast queries, map-only)",
+        tags=("llm", "ann"),
+    ),
+    Query(
+        "ann_lsh_topk",
+        ann_lsh,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cb AS (SELECT vec_id, qv, {_lsh_bucket_sql("qv")} AS bucket FROM c),
+        q AS (SELECT vec_id, qv, bucket FROM cb WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv", b="cb.qv")} AS cosine
+          FROM q JOIN cb ON q.bucket = cb.bucket AND q.vec_id <> cb.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="random-hyperplane LSH bucketed top-5 — the both-sides-large scale path",
+        tags=("llm", "ann"),
+    ),
+    Query(
+        "text_language_id",
+        text_lang,
+        _lang_oracle(),
+        doc="marker-word language heuristic with fixed-priority argmax",
+        tags=("llm", "text"),
+    ),
+    Query(
+        "text_quality_score",
+        text_quality,
+        f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '), x -> list_contains([{EN_LIST}], x))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+               len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS keep
+        FROM documents
+        """,
+        doc="length/stopword quality features + keep flag",
+        tags=("llm", "text"),
+    ),
+    Query(
+        "text_token_counts",
+        text_tokens,
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+        FROM documents
+        """,
+        doc="whitespace token count + ~4-chars/token BPE budget estimate",
+        tags=("llm", "text"),
+    ),
+    Query(
+        "text_fingerprint",
+        text_fp,
+        f"""
+        SELECT doc_id,
+               {H.format(x="regexp_replace(trim(lower(text)), ' +', ' ', 'g')")} AS fingerprint
+        FROM documents
+        """,
+        doc="normalized-text 60-bit content fingerprint",
+        tags=("llm", "text"),
+    ),
+    Query(
+        "multimodal_meta",
+        mm_meta,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(32 + h % 993 AS BIGINT) AS width,
+               CAST(32 + (h // 1024) % 993 AS BIGINT) AS height,
+               CAST(h % 256000 AS DOUBLE) / 1000.0 AS mean_px
+        FROM (SELECT doc_id, text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        """,
+        doc="binary payload + mapInPandas (Arrow) feature extraction; decode "
+        "stubbed deterministically (multimodal.fake_decode)",
+        tags=("llm", "multimodal"),
+    ),
+]

@@ -1,0 +1,173 @@
+"""Relational queries beyond the reference (which has no joins, windows, or
+set ops — SURVEY.md §2.7).  These make the engine a usable analytics system
+and exercise the plans that dominate at 100 TB: shuffle joins with AQE,
+broadcast dimension joins, window functions, rollups, as-of joins.
+
+Money columns are scaled to exact integers per-row (money_e4) before any
+SUM so results are engine-exact (see operators/joins.py:money_e4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, dim_join, money_e4
+from ..tables import load
+from .registry import Query
+
+
+# --- q13: fact-fact shuffle join + aggregation ------------------------------
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("rev_e4").alias("revenue_e4"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --- q14: broadcast dimension join chain ------------------------------------
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select("c_nationkey", money_e4(F.col("c_acctbal")).alias("bal_e4"))
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load(spark, sf, "region").select("r_regionkey", "r_name")
+    dims = dim_join(nation, region, nation.n_regionkey == region.r_regionkey)
+    return (
+        dim_join(cust, dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("bal_e4").alias("acctbal_e4"))
+    )
+
+
+# --- q15: window function top-N per group -----------------------------------
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", money_e4(F.col("o_totalprice")).alias("price_e4"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --- q16: rollup (grouping sets) --------------------------------------------
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(money_e4(F.col("l_quantity"))).alias("qty_e4"),
+        )
+    )
+
+
+# --- q17: as-of join (purchases ← latest prior click per user) --------------
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, key="user_id", left_ts="ts", right_ts="ts")
+    return joined.select("event_id", "user_id", F.col("asof_ts").alias("last_click_ts"))
+
+
+# --- q18: semi/anti set predicates ------------------------------------------
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    with_lines = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    without = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+    return with_lines.agg(F.count(F.lit(1)).alias("n")).select(F.lit("with_lines").alias("kind"), "n").unionByName(
+        without.agg(F.count(F.lit(1)).alias("n")).select(F.lit("without_lines").alias("kind"), "n")
+    )
+
+
+QUERIES = [
+    Query(
+        "q13_join_revenue",
+        q13,
+        """
+        SELECT o_orderpriority,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+        doc="fact-fact equi-join + agg; shuffle join w/ AQE skew handling",
+        tags=("relational", "join"),
+    ),
+    Query(
+        "q14_broadcast_dims",
+        q14,
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_cust,
+               SUM(CAST(FLOOR(c_acctbal * 10000) AS BIGINT)) AS acctbal_e4
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """,
+        doc="broadcast dimension join chain — fact side never shuffles",
+        tags=("relational", "join", "broadcast"),
+    ),
+    Query(
+        "q15_window_topn",
+        q15,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS price_e4,
+               CAST(rn AS INTEGER) AS rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+        """,
+        doc="window row_number top-3 per customer with total tie-break",
+        tags=("relational", "window"),
+    ),
+    Query(
+        "q16_rollup",
+        q16,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS qty_e4
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        doc="ROLLUP grouping sets over returnflag/linestatus",
+        tags=("relational", "agg"),
+    ),
+    Query(
+        "q17_asof_join",
+        q17,
+        """
+        SELECT p.event_id, p.user_id, c.ts AS last_click_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        doc="as-of join via union+window (single shuffle) vs DuckDB ASOF JOIN",
+        tags=("relational", "asof"),
+    ),
+    Query(
+        "q18_semi_anti",
+        q18,
+        """
+        SELECT 'with_lines' AS kind, COUNT(*) AS n FROM orders
+          WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        UNION ALL
+        SELECT 'without_lines' AS kind, COUNT(*) AS n FROM orders
+          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        doc="left-semi / left-anti joins (EXISTS / NOT EXISTS)",
+        tags=("relational", "join"),
+    ),
+]

@@ -1,0 +1,46 @@
+"""Streaming kernels Q10/Q12 (SURVEY.md §2.8) + beyond-reference windowed
+aggregation, each checked against a batch DuckDB oracle — the stream-vs-
+batch equivalence that replaces the reference's manual count reconciliation
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from ..streaming.jobs import stream_global_count, stream_roundtrip_battery, stream_windowed_agg
+from .registry import Query
+
+QUERIES = [
+    Query(
+        "q10_stream_global_agg",
+        stream_global_count,
+        "SELECT COUNT(*) AS cnt FROM events",
+        doc="A5 streaming global aggregate == batch count (4 micro-batches)",
+        tags=("streaming",),
+    ),
+    Query(
+        "q12_stream_roundtrip",
+        stream_roundtrip_battery,
+        """
+        SELECT 'rows' AS metric, COUNT(*) AS n FROM lineitem
+        UNION ALL
+        SELECT 'distinct_partkeys' AS metric, COUNT(DISTINCT l_partkey) AS n FROM lineitem
+        UNION ALL
+        SELECT 'dup_orderkeys' AS metric, COUNT(*) AS n FROM
+          (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+        """,
+        doc="K1 stream→partitioned parquet→read-back; battery equals direct batch",
+        tags=("streaming", "sink"),
+    ),
+    Query(
+        "q19_stream_windowed_agg",
+        stream_windowed_agg,
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_e4
+        FROM events GROUP BY 1, 2
+        """,
+        doc="event-time tumbling window + watermark == batch GROUP BY hour",
+        tags=("streaming", "window"),
+    ),
+]

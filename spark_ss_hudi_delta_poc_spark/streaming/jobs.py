@@ -1,0 +1,124 @@
+"""Streaming jobs — the reference's core loop, re-expressed.
+
+The reference's canonical pipeline (EP1, SURVEY.md §3): file stream →
+enrich → partitioned sink → batch read-back → validation counts.  Here that
+whole loop is a callable that runs hermetically on a staged copy of a
+testdata table using ``trigger(availableNow=True)`` (the modern
+Trigger.Once — S3ToDeltaStreamJob.scala:80) so stream results can be
+hash-compared against batch oracles (kernels Q10/Q12).
+
+Scale note: these run identically on a real cluster — the staging step
+stands in for an S3 prefix, `maxFilesPerTrigger` bounds per-batch work, and
+the sink's exactly-once contract is Structured Streaming's checkpoint +
+`_spark_metadata` commit protocol, same as the reference relies on
+(README.md:115-122).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_SCHEMA, LINEITEM_SCHEMA
+from ..sources.sinks import write_stream
+from ..sources.stream import read_file_stream, stage_as_files
+from ..tables import load
+
+
+def _workdir(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream", f"{tag}-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def stream_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10/A5 — streaming global aggregate (S3ParquetStreamReader.scala:67-73).
+
+    Streams `events` in 4 micro-batches (8 files, maxFilesPerTrigger=2 —
+    the reference's 305-files/100-per-trigger shape) into an unbounded
+    groupBy().count() and returns the final state; must equal the batch
+    COUNT(*).
+    """
+    work = _workdir("q10")
+    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=8)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
+    counted = stream.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+    table = f"q10_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parquet") -> DataFrame:
+    """Q12/K1-K2 — stream lineitem through a partitioned sink, batch-read it
+    back, and run the reference's 4-query validation battery (EP3).  The
+    battery results must be identical to running directly on the source —
+    i.e. the streaming ingest is exactly-once and loss-free.
+    """
+    work = _workdir("q12")
+    staged = stage_as_files(load(spark, sf_dir, "lineitem"), work, n_files=8)
+    stream = read_file_stream(spark, staged, "parquet", LINEITEM_SCHEMA, max_files_per_trigger=2)
+    sink = os.path.join(work, "sink")
+    q = write_stream(
+        stream,
+        fmt,
+        path=sink,
+        checkpoint=os.path.join(work, "ckpt"),
+        partition_by=["l_returnflag"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.format(fmt).load(sink)
+    rows = back.agg(F.count(F.lit(1)).alias("n")).select(F.lit("rows").alias("metric"), "n")
+    partkeys = (
+        back.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("distinct_partkeys").alias("metric"), "n")
+    )
+    dups = (
+        back.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")).select(F.lit("dup_orderkeys").alias("metric"), "n")
+    )
+    return rows.unionByName(partkeys).unionByName(dups)
+
+
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: event-time tumbling-window aggregation with a
+    watermark (the streaming feature the reference lacks — SURVEY.md §2.7).
+
+    1-hour tumbling windows over events.ts, per event_type; watermark 30min
+    bounds state at scale.  Run in complete mode on one availableNow batch
+    so the result equals the batch GROUP BY date_trunc('hour', ts) oracle
+    (append-mode late-drop semantics are covered by a dedicated pytest).
+    """
+    work = _workdir("qwin")
+    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_e4")
+    )
+    table = f"qwin_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,136 @@
+"""Unit tests: enrichment chain, joins, dedup family, similarity, text
+analysis, multimodal — on tiny crafted DataFrames (FIXTURES.md F1/F5 style)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from spark_ss_hudi_delta_poc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from spark_ss_hudi_delta_poc_spark.operators.enrich import enrich
+from spark_ss_hudi_delta_poc_spark.operators.joins import asof_join
+from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+    extract_media_meta,
+    fake_decode,
+    frame_sample_plan,
+    media_table,
+)
+from spark_ss_hudi_delta_poc_spark.operators.similarity import brute_force_topk
+from spark_ss_hudi_delta_poc_spark.operators.text_analysis import language_id, quality_score
+
+
+def test_enrich_chain(spark):
+    df = spark.createDataFrame([("2010-12-01 08:26:00",)], ["InvoiceTimestamp"])
+    out = enrich(df).collect()[0]
+    assert out.EventTimestamp == datetime(2010, 12, 1, 8, 26)
+    assert str(out.Date) == "2010-12-01"
+    assert len(out.UUID) == 36
+    assert out.NormalizedTimestamp is not None
+
+
+def test_enrich_deterministic_only(spark):
+    df = spark.createDataFrame([("2010-12-01 08:26:00",)], ["InvoiceTimestamp"])
+    cols = enrich(df, deterministic_only=True).columns
+    assert "UUID" not in cols and "NormalizedTimestamp" not in cols
+
+
+def test_asof_join_picks_latest_prior(spark):
+    purchases = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 12)), (2, 10, datetime(2024, 1, 1, 9)), (3, 20, datetime(2024, 1, 1, 12))],
+        ["event_id", "user_id", "ts"],
+    )
+    clicks = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 11)), (10, datetime(2024, 1, 1, 10)), (30, datetime(2024, 1, 1, 1))],
+        ["user_id", "ts"],
+    )
+    out = {r.event_id: r.asof_ts for r in asof_join(purchases, clicks, key="user_id").collect()}
+    assert out[1] == datetime(2024, 1, 1, 11)  # latest prior click
+    assert out[2] is None  # no click before 9:00
+    assert out[3] is None  # user 20 has no clicks
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")], ["doc_id", "text"]
+    )
+    rows = {r.keep_doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with no overlap at all in this sentence here"
+    docs = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(p.doc_id_a, p.doc_id_b) for p in pairs} == {(1, 2)}
+    assert all(0.5 <= p.jaccard <= 1.0 for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " w21"), (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert {(p.doc_id_a, p.doc_id_b) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with no overlap at all in this sentence here"
+    docs = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_language_id_markers(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund ist nicht hier"), (3, "zz yy xx")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_flags_short_docs(spark):
+    docs = spark.createDataFrame([(1, "too short"), (2, " ".join(["w"] * 50))], ["doc_id", "text"])
+    out = {r.doc_id: r.keep for r in quality_score(docs).collect()}
+    assert out == {1: False, 2: True}
+
+
+def test_multimodal_meta_matches_fake_decode(spark):
+    docs = spark.createDataFrame([(1, "hello"), (2, "world!")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in extract_media_meta(media_table(docs)).collect()}
+    for doc_id, text in [(1, "hello"), (2, "world!")]:
+        bl, w, h, mp = fake_decode(text.encode())
+        r = out[doc_id]
+        assert (r.byte_len, r.width, r.height, r.mean_px) == (bl, w, h, mp)
+
+
+def test_frame_sample_plan(spark):
+    docs = spark.createDataFrame([(1, "x" * 320)], ["doc_id", "text"])
+    frames = frame_sample_plan(media_table(docs), every_n=3).collect()
+    assert [f.frame_idx for f in frames] == [0, 3, 6, 9]

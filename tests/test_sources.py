@@ -1,0 +1,88 @@
+"""Source/sink tests over FIXTURES.md-style fixtures (F1 retail CSV, F3
+employee JSON, F4 zipcode JSON strings) — the reference's ingestion surface."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spark_ss_hudi_delta_poc_spark.operators.enrich import enrich
+from spark_ss_hudi_delta_poc_spark.schemas import EMPLOYEE_SCHEMA, RETAIL_SCHEMA
+from spark_ss_hudi_delta_poc_spark.sources.batch import read_csv, read_json, read_json_strings
+from spark_ss_hudi_delta_poc_spark.sources.sinks import write_batch
+
+RETAIL_ROWS = [
+    "1,536365,85123A,WHITE HANGING HEART,6,2010-12-01,2.55,17850.0,United Kingdom,2010-12-01 08:26:00",
+    "2,536365,71053,WHITE METAL LANTERN,6,2010-12-01,3.39,17850.0,United Kingdom,2010-12-01 08:26:00",
+    "3,536367,84406B,CREAM CUPID,8,2010-12-01,2.75,,France,2010-12-01 08:34:00",
+]
+RETAIL_HEADER = "srno,InvoiceNo,StockCode,Description,Quantity,InvoiceDate,UnitPrice,CustomerID,Country,InvoiceTimestamp"
+
+
+def test_retail_csv_roundtrip(spark, tmp_path):
+    """S5 CSV read with the retail schema (StockCode stays string —
+    '85123A' must NOT become null) + P1/F1-F5 enrichment + K1-style
+    partitioned parquet write + read-back."""
+    p = os.path.join(tmp_path, "retail.csv")
+    with open(p, "w") as f:
+        f.write(RETAIL_HEADER + "\n" + "\n".join(RETAIL_ROWS) + "\n")
+    df = read_csv(spark, p, schema=RETAIL_SCHEMA)
+    assert df.count() == 3
+    rows = {r.srno: r for r in df.collect()}
+    assert rows[1].StockCode == "85123A"
+    assert rows[3].CustomerID is None
+    enriched = enrich(df)
+    sink = os.path.join(tmp_path, "sink")
+    write_batch(enriched, "parquet", sink, mode="overwrite", partition_by=["Date", "Country"])
+    back = spark.read.parquet(sink)
+    assert back.count() == 3
+    assert back.where(F.col("Country") == "France").count() == 1
+    # partition pruning: only hive dirs for the two countries exist
+    assert any("Country=France" in d for d, _, _ in os.walk(sink) for d in [d])
+
+
+def test_employee_json_partitioned_write(spark, tmp_path):
+    """S6 + K8 (FileReaderNullWriterTest): JSON read w/ explicit all-string
+    schema, repartition(dept), partitioned overwrite, nulls preserved."""
+    p = os.path.join(tmp_path, "emp.json")
+    recs = [
+        {"fname": "a", "lname": "b", "dept": "eng", "phone": None, "city": "x", "state": "y"},
+        {"fname": "c", "lname": "d", "dept": "ops", "phone": "123", "city": "z", "state": None},
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in recs))
+    df = read_json(spark, p, schema=EMPLOYEE_SCHEMA).repartition(F.col("dept"))
+    sink = os.path.join(tmp_path, "delta_sink")  # parquet stand-in (no delta jars)
+    write_batch(df, "parquet", sink, mode="overwrite", partition_by=["dept"])
+    back = spark.read.parquet(sink)
+    assert back.count() == 2
+    assert back.where(F.col("phone").isNull()).count() == 1
+
+
+def test_json_string_schema_inference(spark):
+    """S7/F7 (StringTransformJob): infer schema from heterogeneous JSON
+    strings, apply with from_json, flatten value.* and drop."""
+    data = [
+        (1, '{"Zipcode":704,"ZipCodeType":"STANDARD1","City":"PARC PARQUE1","State":"PR1"}'),
+        (2, '{"Zipcode":705,"ZipCodeType":"STANDARD2","City":"PARC PARQUE2","StateMap":{"State":"PR2"}}'),
+        (3, '{"Zipcode":707,"ZipCodeType":"STANDARD4","CityArr":["PARC PARQUE4","PARQUE4"],"StateMap":{"State":"PR4"}}'),
+    ]
+    df = spark.createDataFrame(data, ["id", "value"])
+    inferred = read_json_strings(spark, df, "value")
+    schema = inferred.schema
+    names = set(schema.fieldNames())
+    assert {"Zipcode", "ZipCodeType", "City", "StateMap", "CityArr"} <= names
+    applied = df.withColumn("parsed", F.from_json("value", schema)).select("id", "parsed.*")
+    got = {r.id: r.Zipcode for r in applied.collect()}
+    assert got == {1: 704, 2: 705, 3: 707}
+
+
+def test_csv_sep_variant(spark, tmp_path):
+    """F6 semicolon-delimited CSV (mutual funds)."""
+    p = os.path.join(tmp_path, "mf.csv")
+    with open(p, "w") as f:
+        f.write("scheme_code;scheme_name;nav\n1;Fund A;10.5\n2;Fund B;11.0\n")
+    df = read_csv(spark, p, sep=";")
+    assert df.count() == 2 and "scheme_name" in df.columns
