@@ -30,6 +30,19 @@ MINHASH_K = 12
 MINHASH_BANDS = 4  # rows per band r = K / BANDS = 3
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow input before a CPU-bound map stage.
+
+    A small/unsplittable parquet file arrives as ONE partition, serializing
+    the (hash-heavy) shingling work onto one core.  Round-robin repartition
+    to the cluster's default parallelism costs one tiny shuffle and buys
+    full fan-out.  At 100 TB inputs already have thousands of splits and
+    this coalesces nothing — it only ever raises parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: group on a 60-bit hash of the text, keep the
     min id as the canonical representative.
@@ -48,7 +61,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct word n-grams — the inverted-index
     input shared by the Jaccard and MinHash paths."""
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    return _spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -97,9 +112,12 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
     """(doc_id, seed, minhash): K seeded min-hashes per document.
 
-    Plan: shingle-explode (map) → K hashes per shingle via a literal seed
-    array explode (map) → min per (doc, seed) — one shuffle with map-side
-    partial min; state per group is a single long.
+    Plan shape matters here: explode shingles ×K seeds into NARROW rows and
+    min-aggregate — the md5 evaluation stays inside whole-stage codegen.
+    (The tempting map-side alternative, array_min(transform(...)) per seed,
+    is 10× slower: higher-order functions are interpreter-fallback in
+    Spark, so every hash eval leaves codegen.)  The shuffle carries only
+    (doc_id, seed, long) with map-side partial min — cheap at any scale.
     """
     sh = shingle_table(docs, n=n)
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
@@ -144,8 +162,14 @@ def minhash_lsh_pairs(
     Jaccard join touches only candidate pairs, not all pairs).
     Returns (doc_id_a, doc_id_b, jaccard >= threshold).
     """
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(docs, k=k, n=n)
-    buckets = minhash_band_buckets(sigs, bands=bands, k=k)
+    # buckets feed both sides of the candidate self-join and sh feeds three
+    # joins below — persist the reused branches so the lazy DAG doesn't
+    # recompute the hash-heavy upstream once per consumer (at production
+    # scale these would be checkpointed tables between pipeline stages).
+    buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -158,7 +182,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    sh = shingle_table(docs, n=n)
+    sh = shingle_table(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
