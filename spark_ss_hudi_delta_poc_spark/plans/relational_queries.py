@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, dim_join, money_e4
+from ..operators.sessionize import sessionize, sessionize_oracle_sql
 from ..tables import load
 from .registry import Query
 
@@ -75,6 +76,11 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     joined = asof_join(purchases, clicks, key="user_id", left_ts="ts", right_ts="ts")
     return joined.select("event_id", "user_id", F.col("asof_ts").alias("last_click_ts"))
+
+
+# --- q20: batch sessionization (gaps-and-islands) ---------------------------
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    return sessionize(load(spark, sf, "events"))
 
 
 # --- q18: semi/anti set predicates ------------------------------------------
@@ -169,5 +175,13 @@ QUERIES = [
         """,
         doc="left-semi / left-anti joins (EXISTS / NOT EXISTS)",
         tags=("relational", "join"),
+    ),
+    Query(
+        "q20_sessionize",
+        q20,
+        sessionize_oracle_sql(),
+        doc="gaps-and-islands sessionization (30-min gap): lag → running "
+        "sum → group — one shuffle on user_id",
+        tags=("relational", "window", "session"),
     ),
 ]

@@ -6,7 +6,12 @@ batch equivalence that replaces the reference's manual count reconciliation
 
 from __future__ import annotations
 
-from ..streaming.jobs import stream_global_count, stream_roundtrip_battery, stream_windowed_agg
+from ..streaming.jobs import (
+    stream_global_count,
+    stream_roundtrip_battery,
+    stream_session_window,
+    stream_windowed_agg,
+)
 from .registry import Query
 
 QUERIES = [
@@ -42,5 +47,33 @@ QUERIES = [
         """,
         doc="event-time tumbling window + watermark == batch GROUP BY hour",
         tags=("streaming", "window"),
+    ),
+    Query(
+        "q21_stream_session_window",
+        stream_session_window,
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end_plus_gap,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        """,
+        doc="streaming session_window (30-min gap) == batch gaps-and-islands "
+        "(session end = last event + gap; new session at gap >= G)",
+        tags=("streaming", "session"),
     ),
 ]

@@ -1,0 +1,191 @@
+"""Notification-driven streaming file source — parity with the reference's
+custom `s3-sqs` source (SURVEY.md §2.9: SqsSource/SqsClient/SqsFileCache,
+~660 LoC), rebuilt on Spark 4's Python DataSource API.
+
+The reference long-polls an SQS queue for SNS-wrapped S3 ObjectCreated
+events, dedups seen files, age-purges stale ones, forms rate-limited
+micro-batches with exactly-once offsets, and deletes consumed messages.
+Here the "queue" is a directory of notification messages (one JSON file
+per message — the local stand-in for SQS; swapping the ``_poll`` method
+for a boto3 long-poll gives the cloud version, the rest is unchanged):
+
+    {"path": "/data/f1.parquet", "eventTime": 1700000000000}
+
+or SNS-wrapped like the reference parses (SqsClient.scala:146-183):
+
+    {"Message": "{\"Records\": [{\"eventName\": \"ObjectCreated:Put\",
+                 \"s3\": {...\"key\": ...}}]}"}
+
+Behaviors ported (file:line cites into /root/reference):
+- dedup of already-seen paths            (SqsFileCache.isNewFile :42-44)
+- age purge vs LATEST seen event time,
+  not wall clock                         (SqsSourceOptions :33-44, cache :78-91)
+- per-batch cap maxFilesPerTrigger       (SqsSourceOptions :25-30)
+- delete consumed messages on commit     (SqsClient.deleteMessageBatch :243-270)
+- malformed messages deleted, not fatal  (SqsClient errorMessages :179-181)
+- exactly-once replay: Spark persists the reader's offsets in the
+  checkpoint and replays (start, end] deterministically
+  (the FileStreamSourceLog role, SqsSource.scala:22-48).
+
+The source streams NOTIFICATION ROWS (path, event_time).  Content ingest
+composes it with foreachBatch: read the listed paths with the real JVM
+reader and append to the sink (see ``notification_ingest``) — same split
+as the reference, where SqsSource hands file lists to a DataSource over
+exactly those files (SqsSource.scala:51-59).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+NOTIFICATION_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("event_time_ms", LongType()),
+    ]
+)
+
+DEFAULT_MAX_FILE_AGE_MS = 7 * 24 * 3600 * 1000  # SqsSourceOptions.scala:33 (7d)
+
+
+def _parse_message(raw: str) -> tuple[str, int] | None:
+    """Extract (path, event_time_ms) from a plain or SNS-wrapped message;
+    None for malformed / non-ObjectCreated (deleted silently, like
+    SqsClient.scala:179-181)."""
+    try:
+        msg = json.loads(raw)
+        if "Message" in msg:  # SNS envelope (messageWrapper=SNS)
+            body = json.loads(msg["Message"])
+            rec = body["Records"][0]
+            if not str(rec.get("eventName", "")).startswith("ObjectCreated"):
+                return None
+            bucket = rec["s3"]["bucket"]["name"]
+            key = rec["s3"]["object"]["key"]
+            ts = int(rec.get("eventTimeMs", 0))
+            return (f"{bucket}/{key}", ts)
+        return (str(msg["path"]), int(msg.get("eventTime", 0)))
+    except (ValueError, KeyError, IndexError, TypeError):
+        return None
+
+
+class NotificationStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.queue_dir = options["queuedir"]
+        self.max_files_per_trigger = int(options.get("maxfilespertrigger", 100))
+        self.max_file_age_ms = int(options.get("maxfileagems", DEFAULT_MAX_FILE_AGE_MS))
+        self.delete_consumed = options.get("deleteconsumed", "true") == "true"
+        # SqsFileCache equivalent: path -> event_time_ms of everything seen
+        self._seen: dict[str, int] = {}
+        self._latest_ms = 0
+
+    def initialOffset(self) -> dict:
+        return {"emitted": 0}
+
+    def _poll(self) -> list[tuple[str, int, str]]:
+        """Drain the queue dir — the local stand-in for an SQS long poll."""
+        out = []
+        for name in sorted(os.listdir(self.queue_dir)):
+            p = os.path.join(self.queue_dir, name)
+            if not name.endswith(".json") or not os.path.isfile(p):
+                continue
+            with open(p) as f:
+                raw = f.read()
+            parsed = _parse_message(raw)
+            if parsed is None:  # malformed → delete, never retry
+                if self.delete_consumed:
+                    os.unlink(p)
+                continue
+            out.append((parsed[0], parsed[1], p))
+        return out
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        emitted = start["emitted"]
+        batch: list[tuple[str, int]] = []
+        consumed_msgs: list[str] = []
+        for path, ts_ms, msg_file in self._poll():
+            if len(batch) >= self.max_files_per_trigger:  # rate limit
+                break
+            self._latest_ms = max(self._latest_ms, ts_ms)
+            if path in self._seen:  # dedup (isNewFile)
+                consumed_msgs.append(msg_file)  # duplicate notification → just delete
+                continue
+            if ts_ms < self._latest_ms - self.max_file_age_ms:  # age purge
+                self._seen[path] = ts_ms
+                consumed_msgs.append(msg_file)
+                continue
+            self._seen[path] = ts_ms
+            batch.append((path, ts_ms))
+            consumed_msgs.append(msg_file)
+        # Delete consumed messages NOW (the SQS deleteMessageBatch step,
+        # SqsClient.scala:243-270).  Safe at read time — unlike raw SQS,
+        # Spark's simple-reader wrapper prefetches each batch and persists
+        # its rows in the streaming checkpoint, so replay after failure
+        # reads from the checkpoint and never re-polls the queue.
+        if self.delete_consumed:
+            for p in consumed_msgs:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+        return iter(batch), {"emitted": emitted + len(batch)}
+
+
+class NotificationFileSource(DataSource):
+    """register with spark.dataSource.register(NotificationFileSource);
+    then spark.readStream.format("notification_files")
+             .option("queueDir", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "notification_files"
+
+    def schema(self):
+        return NOTIFICATION_SCHEMA
+
+    def simpleStreamReader(self, schema) -> NotificationStreamReader:
+        return NotificationStreamReader(self.options)
+
+
+def notification_ingest(
+    spark,
+    queue_dir: str,
+    sink_path: str,
+    checkpoint: str,
+    file_format: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int = 100,
+):
+    """EP2 rebuilt: notification stream → foreachBatch reads the listed
+    files with the JVM reader → append to the sink.  The notification
+    offsets are exactly-once (checkpointed); the content write is
+    idempotent per batch for transactional sinks (Delta) and append-only
+    for plain parquet — the same guarantee split the reference documents
+    (README.md:115-122)."""
+    spark.dataSource.register(NotificationFileSource)
+    notif = (
+        spark.readStream.format("notification_files")
+        .option("queueDir", queue_dir)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load()
+    )
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        paths = [r.path for r in batch_df.select("path").collect()]
+        if not paths:
+            return
+        reader = batch_df.sparkSession.read.format(file_format)
+        if schema is not None:
+            reader = reader.schema(schema)
+        reader.load(paths).write.mode("append").format("parquet").save(sink_path)
+
+    return (
+        notif.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -91,6 +91,38 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
     return rows.unionByName(partkeys).unionByName(dups)
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Beyond-reference: event-time SESSION windows (dynamic-length,
+    gap-merged) per user — `F.session_window`, the built-in stateful
+    session operator.  Complete mode over one availableNow batch makes the
+    result equal batch gaps-and-islands sessionization (session_window
+    starts a new session at gap >= G; window end = last event + G)."""
+    work = _workdir("qsess")
+    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_plus_gap"),
+            "n_events",
+        )
+    )
+    table = f"qsess_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: event-time tumbling-window aggregation with a
     watermark (the streaming feature the reference lacks — SURVEY.md §2.7).

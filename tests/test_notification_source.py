@@ -1,0 +1,98 @@
+"""Notification-driven file source tests (SQS-source parity — SURVEY.md
+§2.9 behaviors: dedup, age purge, SNS unwrap, malformed-message deletion,
+commit-time message deletion, end-to-end foreachBatch ingest)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from spark_ss_hudi_delta_poc_spark.sources.notification import (
+    NotificationFileSource,
+    _parse_message,
+    notification_ingest,
+)
+
+
+def _msg(path: str, event_time: int = 1_700_000_000_000) -> str:
+    return json.dumps({"path": path, "eventTime": event_time})
+
+
+def _sns_msg(bucket: str, key: str, event: str = "ObjectCreated:Put") -> str:
+    inner = {"Records": [{"eventName": event, "eventTimeMs": 1, "s3": {"bucket": {"name": bucket}, "object": {"key": key}}}]}
+    return json.dumps({"Message": json.dumps(inner)})
+
+
+def test_parse_plain_and_sns():
+    assert _parse_message(_msg("/d/f.parquet", 42)) == ("/d/f.parquet", 42)
+    assert _parse_message(_sns_msg("b", "k/f.csv")) == ("b/k/f.csv", 1)
+    assert _parse_message(_sns_msg("b", "k", event="ObjectRemoved:Delete")) is None
+    assert _parse_message("not json") is None
+    assert _parse_message('{"no": "path"}') is None
+
+
+def test_notification_stream_reads_paths(spark, tmp_path):
+    queue = os.path.join(tmp_path, "q")
+    os.makedirs(queue)
+    for i in range(3):
+        with open(os.path.join(queue, f"m{i}.json"), "w") as f:
+            f.write(_msg(f"/data/f{i}.parquet", 1000 + i))
+    # duplicate notification for f0 → must be deduped
+    with open(os.path.join(queue, "m9.json"), "w") as f:
+        f.write(_msg("/data/f0.parquet", 1000))
+    spark.dataSource.register(NotificationFileSource)
+    stream = spark.readStream.format("notification_files").option("queueDir", queue).load()
+    table = "notif_mem"
+    q = stream.writeStream.format("memory").queryName(table).trigger(availableNow=True).start()
+    q.awaitTermination()
+    rows = spark.table(table).collect()
+    assert sorted(r.path for r in rows) == ["/data/f0.parquet", "/data/f1.parquet", "/data/f2.parquet"]
+    # consumed messages deleted on commit (SQS delete parity)
+    assert [f for f in os.listdir(queue) if f.endswith(".json")] == []
+
+
+def test_notification_age_purge(spark, tmp_path):
+    queue = os.path.join(tmp_path, "q2")
+    os.makedirs(queue)
+    now_ms = 1_700_000_000_000
+    with open(os.path.join(queue, "a_new.json"), "w") as f:
+        f.write(_msg("/data/new.parquet", now_ms))
+    with open(os.path.join(queue, "b_old.json"), "w") as f:
+        f.write(_msg("/data/ancient.parquet", now_ms - 10 * 24 * 3600 * 1000))  # 10d older
+    spark.dataSource.register(NotificationFileSource)
+    stream = (
+        spark.readStream.format("notification_files")
+        .option("queueDir", queue)
+        .load()
+    )
+    q = stream.writeStream.format("memory").queryName("notif_age").trigger(availableNow=True).start()
+    q.awaitTermination()
+    paths = [r.path for r in spark.table("notif_age").collect()]
+    assert paths == ["/data/new.parquet"]  # default 7d maxFileAge drops the old one
+
+
+def test_notification_ingest_end_to_end(spark, tmp_path):
+    """EP2: notifications → foreachBatch JVM read → parquet sink."""
+    data_dir = os.path.join(tmp_path, "data")
+    queue = os.path.join(tmp_path, "q3")
+    sink = os.path.join(tmp_path, "sink")
+    os.makedirs(queue)
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.coalesce(2).write.parquet(data_dir)
+    parts = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(parts) == 2
+    for i, p in enumerate(parts):
+        with open(os.path.join(queue, f"m{i}.json"), "w") as f:
+            f.write(_msg(os.path.join(data_dir, p), 1000 + i))
+    # availableNow drains the currently-prefetched batch; with
+    # maxFilesPerTrigger=1 each drain round ingests one file — run rounds
+    # until the queue is empty (cron-style queue draining), sharing the
+    # checkpoint so progress is exactly-once across restarts.
+    for _ in range(2):
+        q = notification_ingest(
+            spark, queue, sink, checkpoint=os.path.join(tmp_path, "ckpt"), max_files_per_trigger=1
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(sink)
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(100))

@@ -86,3 +86,46 @@ def test_csv_sep_variant(spark, tmp_path):
         f.write("scheme_code;scheme_name;nav\n1;Fund A;10.5\n2;Fund B;11.0\n")
     df = read_csv(spark, p, sep=";")
     assert df.count() == 2 and "scheme_name" in df.columns
+
+
+def test_foreach_batch_persist_writer(spark, tmp_path):
+    """K7 (S3ToHudiStreamJob.persist_DF): persist → double write → unpersist
+    in a foreachBatch sink; both sinks see every row exactly once."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.sources.sinks import foreach_batch_persist_writer
+    from spark_ss_hudi_delta_poc_spark.sources.stream import read_file_stream, stage_as_files
+    from spark_ss_hudi_delta_poc_spark.schemas import EVENTS_SCHEMA
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    staged = stage_as_files(load(spark, "/root/testdata/sf0.001", "events"), str(tmp_path), 2)
+    sink_a = os.path.join(tmp_path, "a")
+    sink_b = os.path.join(tmp_path, "b")
+
+    def double_write(batch_df, batch_id):
+        assert batch_df.storageLevel.useMemory  # persisted by the wrapper
+        batch_df.write.mode("append").parquet(sink_a)
+        batch_df.write.mode("append").parquet(sink_b)
+
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_persist_writer(double_write))
+        .option("checkpointLocation", os.path.join(tmp_path, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = load(spark, "/root/testdata/sf0.001", "events").count()
+    assert spark.read.parquet(sink_a).count() == want
+    assert spark.read.parquet(sink_b).count() == want
+
+
+def test_lakehouse_format_probe(spark):
+    """Delta/Hudi/Iceberg jars are not shipped in this environment: the
+    probe must report them unavailable (and parquet available), so sink
+    selection degrades explicitly instead of failing mid-write."""
+    from spark_ss_hudi_delta_poc_spark.sources.batch import format_available
+
+    assert format_available(spark, "parquet")
+    for fmt in ["delta", "hudi", "iceberg"]:
+        assert format_available(spark, fmt) is False

@@ -103,3 +103,42 @@ def test_console_sink_runs(spark):
     q = write_console_stream(stream.groupBy().count(), output_mode="update")
     q.stop()
     assert df is not None
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session is emitted when a
+    later batch's event exceeds the gap (custom stateful operator — the
+    arbitrary-state surface the reference lacks)."""
+    import time as _time
+
+    from spark_ss_hudi_delta_poc_spark.streaming.stateful import sessionize_stream
+
+    b1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 5), 1, "a", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 0), 2, "a", 1.0, "{}"),
+    ]
+    b2 = [(4, datetime(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}")]  # >30min gap → closes user1 session
+    src = os.path.join(tmp_path, "sess_src")
+    os.makedirs(src)
+    for i, batch in enumerate([b1, b2]):
+        d = os.path.join(tmp_path, f"sess_b{i}")
+        spark.createDataFrame(batch, EVENTS_SCHEMA).coalesce(1).write.parquet(d)
+        f = next(os.path.join(d, x) for x in os.listdir(d) if x.endswith(".parquet"))
+        dst = os.path.join(src, f"{chr(97 + i)}_batch.parquet")
+        os.rename(f, dst)
+        t = _time.time() - 120 + i * 60
+        os.utime(dst, (t, t))
+    stream = read_file_stream(spark, src, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sess_mem").collect()
+    closed = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in rows}
+    assert (1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 5), 2) in closed
