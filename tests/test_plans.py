@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the properties that decide whether a
+query survives a 100x scale-up.  These pin what .explain must show:
+broadcasts stay broadcasts, pushdowns reach the scan, prune lists stay
+minimal.  A regression here is a performance bug even when results match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from spark_ss_hudi_delta_poc_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+QS = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QS[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dimension_joins_broadcast(spark):
+    """q14: nation/region dims must broadcast — a shuffle of the fact side
+    on a dim join would be a scale bug."""
+    p = plan_of(spark, "q14_broadcast_dims")
+    assert "BroadcastHashJoin" in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q06: the event_type predicate must be pushed into the parquet scan."""
+    p = plan_of(spark, "q06_filter")
+    assert "EqualTo(event_type,purchase)" in p
+
+
+def test_count_reads_zero_columns(spark):
+    """q01: COUNT(*) must prune to an empty read schema (metadata count)."""
+    p = plan_of(spark, "q01_count")
+    assert "ReadSchema: struct<>" in p
+
+
+def test_join_prunes_columns(spark):
+    """q13: the lineitem scan must read exactly the 3 needed columns."""
+    p = plan_of(spark, "q13_join_revenue")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in p
+
+
+def test_topn_uses_window_group_limit(spark):
+    """q15: rank<=k must trigger WindowGroupLimit (partial top-k before the
+    shuffle) — without it every group's full history shuffles."""
+    p = plan_of(spark, "q15_window_topn")
+    assert "WindowGroupLimit" in p
+
+
+def test_aggregates_are_partial_final(spark):
+    """q02: group-count must be a partial+final HashAggregate pair
+    (map-side combine), not a single post-shuffle aggregate."""
+    p = plan_of(spark, "q02_group_count")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_exact_dedup_single_shuffle_on_hash(spark):
+    """dedup_exact: exactly one exchange, partitioned on the 60-bit hash —
+    never on the full text — with map-side partial aggregation."""
+    p = plan_of(spark, "dedup_exact")
+    assert p.count("+- Exchange") == 1  # once in the plan tree
+    assert "hashpartitioning(text_hash" in p
+    assert "partial_min" in p
+
+
+def test_fingerprint_is_map_only(spark):
+    """text_fingerprint: a pure projection over the scan — zero shuffles."""
+    p = plan_of(spark, "text_fingerprint")
+    assert "Exchange" not in p
