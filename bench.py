@@ -34,6 +34,7 @@ HEADLINE = [
     "q14_broadcast_dims",
     "q15_window_topn",
     "q17_asof_join",
+    "q20_sessionize",
     # streaming ingest round-trip (the reference's core loop)
     "q10_stream_global_agg",
     "q12_stream_roundtrip",
@@ -42,6 +43,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "corpus_pipeline",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_meta",

@@ -108,6 +108,54 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid, probe only the query's list (nprobe=1).
+
+    Centroids here are the first ``n_centroids`` corpus vectors —
+    deterministic so the oracle can reproduce the exact assignment (a
+    production build would k-means them; the plan is identical).  Plan:
+    centroids broadcast → assignment is a map + max_by (no shuffle of the
+    corpus beyond one partial-agg), probe joins on cluster id.  Ties break
+    toward the lowest centroid id, then lowest neighbor id.
+    """
+    cents = F.broadcast(
+        embeddings.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), quantize(vec_col).alias("qv_cent")
+        )
+    )
+
+    def assign(df: DataFrame, out_id: str) -> DataFrame:
+        scored = df.select(F.col(id_col).alias(out_id), quantize(vec_col).alias("qv")).join(
+            cents, F.lit(True)
+        )
+        sim = cosine_q(F.col("qv"), F.col("qv_cent"))
+        return scored.groupBy(out_id, "qv").agg(
+            F.max_by("cid", F.struct(sim.alias("s"), (-F.col("cid")).alias("nc"))).alias("cluster")
+        )
+
+    corpus = assign(embeddings, "neighbor_id")
+    qs = assign(queries, "query_id").select(
+        "query_id", F.col("qv").alias("qv_q"), F.col("cluster")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), ["cluster"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,

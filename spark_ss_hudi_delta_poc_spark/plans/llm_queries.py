@@ -94,10 +94,36 @@ def text_fp(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.fingerprints(load(spark, sf, "documents"))
 
 
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+
+
+# --- composed corpus pipeline ------------------------------------------------
+def corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data shape: quality filter → exact-dedup
+    representative selection → per-source token budget."""
+    docs = load(spark, sf, "documents")
+    keep = text_analysis.quality_score(docs).where(F.col("keep")).select("doc_id")
+    reps = dedup.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    toks = text_analysis.token_counts(docs)
+    kept = docs.join(keep, "doc_id", "left_semi").join(reps, "doc_id", "left_semi")
+    return (
+        kept.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ws_tokens").alias("tokens"))
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
     return multimodal.extract_media_meta(media)
+
+
+def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=10)
 
 
 # --- oracle builders ---------------------------------------------------------
@@ -284,6 +310,60 @@ QUERIES = [
         tags=("llm", "ann"),
     ),
     Query(
+        "ann_ivf_topk",
+        ann_ivf,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cents AS (SELECT vec_id AS cid, qv AS qvc FROM c WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, qv, cid AS cluster FROM (
+            SELECT c.vec_id, c.qv, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                        ORDER BY {COS.format(a="c.qv", b="cents.qvc")} DESC, cents.cid ASC) AS rn
+            FROM c CROSS JOIN cents
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, qv AS qv_q, cluster
+              FROM assigned WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv_q", b="a.qv")} AS cosine
+          FROM q JOIN assigned a ON q.cluster = a.cluster AND q.query_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="IVF ANN (nprobe=1, deterministic centroids): inverted-list probe "
+        "— the partitioned-index scale path",
+        tags=("llm", "ann"),
+    ),
+    Query(
+        "corpus_pipeline",
+        corpus_pipeline,
+        f"""
+        WITH keep AS (
+          SELECT doc_id FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+        ),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM (SELECT {H.format(x="text")} AS text_hash, doc_id FROM documents)
+          GROUP BY text_hash
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM keep)
+          AND doc_id IN (SELECT doc_id FROM reps)
+        GROUP BY source
+        """,
+        doc="composed pipeline: quality filter → dedup representatives → "
+        "per-source token budget",
+        tags=("llm", "pipeline"),
+    ),
+    Query(
         "text_language_id",
         text_lang,
         _lang_oracle(),
@@ -342,6 +422,19 @@ QUERIES = [
         """,
         doc="binary payload + mapInPandas (Arrow) feature extraction; decode "
         "stubbed deterministically (multimodal.fake_decode)",
+        tags=("llm", "multimodal"),
+    ),
+    Query(
+        "multimodal_frames",
+        mm_frames,
+        """
+        SELECT doc_id, CAST(unnest(range(0,
+                 CASE WHEN octet_length(encode(text)) // 32 - 1 > 0
+                      THEN octet_length(encode(text)) // 32 - 1 ELSE 0 END + 1,
+                 10)) AS BIGINT) AS frame_idx
+        FROM documents
+        """,
+        doc="video frame-sampling plumbing: explode per sampled frame index",
         tags=("llm", "multimodal"),
     ),
 ]

@@ -7,6 +7,7 @@ batch equivalence that replaces the reference's manual count reconciliation
 from __future__ import annotations
 
 from ..streaming.jobs import (
+    stream_dedup,
     stream_global_count,
     stream_roundtrip_battery,
     stream_session_window,
@@ -75,5 +76,13 @@ QUERIES = [
         doc="streaming session_window (30-min gap) == batch gaps-and-islands "
         "(session end = last event + gap; new session at gap >= G)",
         tags=("streaming", "session"),
+    ),
+    Query(
+        "q22_stream_dedup",
+        stream_dedup,
+        "SELECT event_id FROM events",
+        doc="streaming dropDuplicates over a doubled input stream == the "
+        "original key set (incremental exact dedup)",
+        tags=("streaming", "dedup"),
     ),
 ]

@@ -91,6 +91,34 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
     return rows.unionByName(partkeys).unionByName(dups)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: STREAMING deduplication — dropDuplicates on the
+    event key across micro-batches (state = one entry per key; a watermark
+    would bound it in production).  The staged input duplicates every event
+    across two files in different micro-batches; the deduped append output
+    must equal the original table exactly.  This is the streaming half of
+    the LLM dedup family: the same exact-dedup contract, incremental.
+    """
+    work = _workdir("qdedup")
+    ev = load(spark, sf_dir, "events")
+    staged = os.path.join(work, "staged")
+    ev.repartition(2).write.mode("overwrite").parquet(staged)
+    ev.repartition(2).write.mode("append").parquet(staged)  # full duplicate copy
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    deduped = stream.dropDuplicates(["event_id"])
+    counted = deduped.select("event_id")
+    table = f"qdedup_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Beyond-reference: event-time SESSION windows (dynamic-length,
     gap-merged) per user — `F.session_window`, the built-in stateful
