@@ -57,6 +57,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    # Warm the JVM/codegen/scheduler once so the first timed query measures
+    # the query, not session startup (the reference's timed battery likewise
+    # runs inside an already-warm session — S3ParquetBatchReader.scala:38).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = qs[name]

@@ -110,42 +110,39 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash): K seeded min-hashes per document.
+    """(doc_id, m0..m{k-1}): K seeded min-hashes per document, wide form.
 
-    Plan shape matters here: explode shingles ×K seeds into NARROW rows and
-    min-aggregate — the md5 evaluation stays inside whole-stage codegen.
-    (The tempting map-side alternative, array_min(transform(...)) per seed,
-    is 10× slower: higher-order functions are interpreter-fallback in
-    Spark, so every hash eval leaves codegen.)  The shuffle carries only
-    (doc_id, seed, long) with map-side partial min — cheap at any scale.
+    Plan shape matters: explode shingles ONCE (not ×K seeds), evaluate all
+    K seeded hashes as columns of one codegen'd projection, then K `min`
+    aggregates in a single shuffle with map-side partials.  Row count
+    through the shuffle = |shingles|, each row ~8·K bytes.  (Two rejected
+    shapes: explode ×K multiplies shuffle rows by K; per-seed
+    array_min(transform(...)) leaves whole-stage codegen — higher-order
+    lambdas are interpreter-fallback — and measures ~10× slower.)
     """
     sh = shingle_table(docs, n=n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    hashed = sh.select("doc_id", seeds, "shingle").select(
+    hashed = sh.select(
         "doc_id",
-        "seed",
-        md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        *[
+            md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)
+        ],
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    return hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
 
 
 def minhash_band_buckets(signatures: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, band, band_hash): hash each band's r minhashes (ordered by
-    seed) into one bucket key."""
+    """(doc_id, band, band_hash): hash each band's r consecutive minhashes
+    (seed order) into one bucket key — a pure projection + 4-row explode
+    over the wide signature row."""
     r = k // bands
-    sig = signatures.withColumn("band", (F.col("seed") / r).cast("int"))
-    concat = (
-        sig.groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("pairs"))
-        .select(
-            "doc_id",
-            "band",
-            md5_long(F.concat_ws(":", F.transform(F.col("pairs"), lambda p: p["minhash"].cast("string")))).alias(
-                "band_hash"
-            ),
-        )
+    band_structs = []
+    for b in range(bands):
+        concat = F.concat_ws(":", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
+        band_structs.append(F.struct(F.lit(b).alias("band"), md5_long(concat).alias("band_hash")))
+    return signatures.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
-    return concat
 
 
 def minhash_lsh_pairs(
