@@ -1,0 +1,248 @@
+"""Scalar-function batteries and additional relational shapes: string
+functions, safe math, pricing summary (TPC-H Q1 shape), correlated
+subquery, set operations, pivot, approximate distinct.
+
+Determinism notes:
+- math battery sticks to correctly-rounded IEEE ops (abs, floor, ceil,
+  sqrt, exact-int arithmetic) — transcendentals (ln/exp/pow) are libm-
+  dependent and can differ in the last bit across engines, so they are
+  exercised in pytest with tolerance instead of hash-matched here;
+- averages are computed as single divisions of exact integer sums;
+- approx_count_distinct is HLL-implementation-specific → no oracle
+  (rows-only check), with a pytest asserting relative error vs exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import money_e4
+from ..tables import load
+from .registry import Query
+
+
+# --- q23: pricing summary (TPC-H Q1 shape) ----------------------------------
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money_e4(F.col("l_quantity"))).alias("sum_qty_e4"),
+            F.sum(money_e4(F.col("l_extendedprice"))).alias("sum_base_e4"),
+            F.sum(money_e4(disc_price)).alias("sum_disc_e4"),
+            F.sum(money_e4(charge)).alias("sum_charge_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.col("sum_qty_e4").cast("double") / F.col("count_order").cast("double"),
+        )
+    )
+
+
+# --- q24: correlated subquery (orders above customer average) ---------------
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", money_e4(F.col("o_totalprice")).alias("price_e4")
+    )
+    cust_avg = orders.groupBy("o_custkey").agg(
+        (F.sum("price_e4").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_e4")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .where(F.col("price_e4").cast("double") > F.col("avg_e4"))
+        .select("o_orderkey", "o_custkey", "price_e4")
+    )
+
+
+# --- q25: set operations -----------------------------------------------------
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    both = buyers.intersect(clickers).select(F.lit("both").alias("kind"), "user_id")
+    only_buy = buyers.exceptAll(clickers).select(F.lit("buy_only").alias("kind"), "user_id")
+    union_all = buyers.union(clickers).distinct().select(F.lit("either").alias("kind"), "user_id")
+    return both.unionByName(only_buy).unionByName(union_all)
+
+
+# --- q26: pivot (conditional aggregation) -----------------------------------
+EVENT_TYPES = ["purchase", "click", "view", "signup", "error"]
+
+
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# --- q27: approximate distinct (HLL) — capability, rows-only check ----------
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_partkeys"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+# --- q29: string-function battery -------------------------------------------
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 20)).alias("head_upper"),
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.length("text").cast("long").alias("len"),
+        F.trim(F.concat(F.lit("  "), F.substring("text", 1, 5), F.lit("  "))).alias("trimmed"),
+        F.regexp_replace(F.substring("text", 1, 30), "a", "@").alias("replaced"),
+        F.regexp_extract("text", "^(\\w+)", 1).alias("first_word"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_pad"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.concat_ws("|", "lang", "source").alias("joined"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.translate(F.col("lang"), "aeiou", "AEIOU").alias("lang_tr"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+        F.split(F.col("source"), "c").getItem(1).alias("src_n"),
+    )
+
+
+# --- q30: math battery (correctly-rounded ops only) -------------------------
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    v_e4 = F.floor(F.col("value") * 10000).cast("long")
+    return ev.select(
+        "event_id",
+        F.abs(v_e4 - 1000000).alias("abs_v"),
+        F.floor(F.col("value")).cast("long").alias("floor_v"),
+        F.ceil(F.col("value")).cast("long").alias("ceil_v"),
+        F.sqrt(v_e4.cast("double")).alias("sqrt_v"),
+        (v_e4 % 97).alias("mod_v"),
+        F.signum(F.col("value") - 100).cast("int").alias("sign_v"),
+        F.greatest(v_e4, F.lit(500000)).alias("gr_v"),
+        F.least(v_e4, F.lit(500000)).alias("ls_v"),
+        F.round(F.col("value")).cast("long").alias("round_v"),
+    )
+
+
+QUERIES = [
+    Query(
+        "q23_pricing_summary",
+        q23,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS sum_qty_e4,
+               SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS sum_base_e4,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS sum_charge_e4,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        doc="TPC-H Q1-shaped pricing summary: multi-agg groupBy, exact scaling",
+        tags=("relational", "agg"),
+    ),
+    Query(
+        "q24_above_cust_avg",
+        q24,
+        """
+        WITH o AS (SELECT o_orderkey, o_custkey,
+                          CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS price_e4
+                   FROM orders),
+        avgs AS (SELECT o_custkey,
+                        CAST(SUM(price_e4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_e4
+                 FROM o GROUP BY o_custkey)
+        SELECT o.o_orderkey, o.o_custkey, o.price_e4
+        FROM o JOIN avgs USING (o_custkey)
+        WHERE CAST(o.price_e4 AS DOUBLE) > avgs.avg_e4
+        """,
+        doc="correlated-subquery shape: rows above their group average",
+        tags=("relational", "subquery"),
+    ),
+    Query(
+        "q25_set_ops",
+        q25,
+        """
+        WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        SELECT 'both' AS kind, user_id FROM (SELECT user_id FROM b INTERSECT SELECT user_id FROM c)
+        UNION ALL
+        SELECT 'buy_only' AS kind, user_id FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM c)
+        UNION ALL
+        SELECT 'either' AS kind, user_id FROM (SELECT user_id FROM b UNION SELECT user_id FROM c)
+        """,
+        doc="INTERSECT / EXCEPT / UNION set operations",
+        tags=("relational", "setop"),
+    ),
+    Query(
+        "q26_pivot",
+        q26,
+        """
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+               COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+        FROM events GROUP BY user_id
+        """,
+        doc="pivot on event_type (explicit value list → stable schema)",
+        tags=("relational", "pivot"),
+    ),
+    Query(
+        "q27_approx_distinct",
+        q27,
+        None,  # HLL sketch values are implementation-specific; pytest bounds the error
+        doc="approx_count_distinct (HLL) — the at-scale distinct estimator",
+        tags=("relational", "approx"),
+    ),
+    Query(
+        "q29_string_battery",
+        q29,
+        """
+        SELECT doc_id,
+               upper(substr(text, 1, 20)) AS head_upper,
+               lower(substr(text, 1, 20)) AS head_lower,
+               CAST(length(text) AS BIGINT) AS len,
+               trim('  ' || substr(text, 1, 5) || '  ') AS trimmed,
+               regexp_replace(substr(text, 1, 30), 'a', '@', 'g') AS replaced,
+               COALESCE(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
+               lpad(lang, 5, '_') AS lang_pad,
+               reverse(lang) AS lang_rev,
+               translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+               concat_ws('|', lang, source) AS joined,
+               CAST(COALESCE(strpos(text, 'data'), 0) AS BIGINT) AS data_pos,
+               repeat(lang, 2) AS lang2,
+               string_split(source, 'c')[2] AS src_n
+        FROM documents
+        """,
+        doc="string-function battery (upper/lower/trim/regexp/pad/translate/...)",
+        tags=("functions", "string"),
+    ),
+    Query(
+        "q30_math_battery",
+        q30,
+        """
+        SELECT event_id,
+               abs(CAST(FLOOR(value * 10000) AS BIGINT) - 1000000) AS abs_v,
+               CAST(FLOOR(value) AS BIGINT) AS floor_v,
+               CAST(CEIL(value) AS BIGINT) AS ceil_v,
+               sqrt(CAST(CAST(FLOOR(value * 10000) AS BIGINT) AS DOUBLE)) AS sqrt_v,
+               CAST(FLOOR(value * 10000) AS BIGINT) % 97 AS mod_v,
+               CAST(sign(value - 100) AS INTEGER) AS sign_v,
+               greatest(CAST(FLOOR(value * 10000) AS BIGINT), 500000) AS gr_v,
+               least(CAST(FLOOR(value * 10000) AS BIGINT), 500000) AS ls_v,
+               CAST(round(value) AS BIGINT) AS round_v
+        FROM events
+        """,
+        doc="math battery restricted to correctly-rounded IEEE ops",
+        tags=("functions", "math"),
+    ),
+]

@@ -31,10 +31,16 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     """Assemble the full registry (import here to avoid cycles)."""
-    from . import llm_queries, reference_queries, relational_queries, streaming_queries
+    from . import (
+        function_queries,
+        llm_queries,
+        reference_queries,
+        relational_queries,
+        streaming_queries,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (reference_queries, relational_queries, llm_queries, streaming_queries):
+    for mod in (reference_queries, relational_queries, function_queries, llm_queries, streaming_queries):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

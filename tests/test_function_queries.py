@@ -1,0 +1,46 @@
+"""Tests for the capability queries that can't be oracle-hash-matched:
+HLL approximate distinct (implementation-specific sketch) and
+transcendental math (libm last-bit differences across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ss_hudi_delta_poc_spark.plans import all_queries
+from spark_ss_hudi_delta_poc_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_error_bound(spark):
+    """approx_count_distinct must land within 5% of the exact count
+    (default rsd is 5%)."""
+    row = all_queries()["q27_approx_distinct"].fn(spark, SF).collect()[0]
+    exact = load(spark, SF, "lineitem").select("l_partkey").distinct().count()
+    assert abs(row.approx_partkeys - exact) / exact < 0.05
+
+
+def test_transcendentals_close_to_duckdb(spark, duck):
+    """ln/exp/pow are exercised with tolerance, not hash equality: libm
+    implementations may differ in the final ulp across engines."""
+    got = {
+        r.event_id: (r.ln_v, r.exp_v, r.pow_v)
+        for r in load(spark, SF, "events")
+        .select(
+            "event_id",
+            F.log(F.col("value") + 1).alias("ln_v"),
+            F.exp(F.col("value") / 1000).alias("exp_v"),
+            F.pow(F.col("value"), 1.5).alias("pow_v"),
+        )
+        .collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            "SELECT event_id, ln(value + 1), exp(value / 1000), pow(value, 1.5) FROM events"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for g, w in zip(got[k], want[k]):
+            assert abs(g - w) <= 1e-12 * max(1.0, abs(w)), (k, g, w)
