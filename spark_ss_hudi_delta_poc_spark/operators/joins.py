@@ -76,6 +76,32 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    The classic hot-key fix when AQE's skew splitting isn't enough: the
+    LEFT (large, skewed) side gets a random salt in [0, N); the RIGHT side
+    is exploded ×N so every (key, salt) pair exists.  The shuffle then
+    spreads each hot key over N partitions.  Right-side row count grows ×N
+    — use only when right is much smaller than the skew damage.
+
+    Result is exactly the plain join's result (tested), with `_salt`
+    dropped.
+    """
+    salt = F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    l = left.withColumn("_salt", salt)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])).alias("_salt")
+    r = right.select("*", salts)
+    out = l.join(r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def money_e4(col: Column) -> Column:
     """Scale a money-ish double to an exact BIGINT (×10^4, floored).
 

@@ -1,0 +1,72 @@
+"""Table-maintenance operators — the lakehouse housekeeping a streaming
+ingest pipeline needs (the reference gets these from Hudi/Delta services;
+on plain parquet we implement them as explicit jobs):
+
+- ``upsert_snapshot``: copy-on-write upsert (Hudi K4 semantics: latest
+  record per key wins by a precombine ordering column) producing a new
+  snapshot — full-outer-join-free: union + window rank keeps it to one
+  shuffle on the key;
+- ``compact``: small-file compaction of a (partitioned) table — streaming
+  sinks produce one file per trigger per partition; at 100 TB file-count
+  explosion kills scan planning, so compaction is a scheduled job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    precombine_col: str,
+) -> DataFrame:
+    """Latest-wins upsert: rows from ``updates`` replace same-key rows in
+    ``current``; among duplicates the highest ``precombine_col`` (then the
+    update side) wins — exactly Hudi's recordkey/precombine contract
+    (S3SQSToHudiStreamJob.scala:95-113).
+
+    Plan: tag + union + row_number over (key ORDER BY precombine DESC,
+    side DESC) → filter rank 1.  One shuffle on the key; no join.
+    """
+    cur = current.withColumn("_side", F.lit(0))
+    upd = updates.withColumn("_side", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(precombine_col).desc(), F.col("_side").desc()
+    )
+    return (
+        cur.unionByName(upd)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_side")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_files_per_partition: int = 1,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Rewrite a parquet table with ``target_files_per_partition`` files
+    (per hive partition when partitioned).  Writes to a staging directory
+    then swaps, so readers never see a half-compacted table."""
+    df = spark.read.parquet(table_path)
+    staging = table_path.rstrip("/") + "._compacting"
+    writer = df.repartition(target_files_per_partition, *(partition_by or [])) if partition_by else df.coalesce(
+        target_files_per_partition
+    )
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    backup = table_path.rstrip("/") + "._old"
+    os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    import shutil
+
+    shutil.rmtree(backup)

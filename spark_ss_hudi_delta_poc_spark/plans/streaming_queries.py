@@ -11,6 +11,7 @@ from ..streaming.jobs import (
     stream_global_count,
     stream_roundtrip_battery,
     stream_session_window,
+    stream_stream_join,
     stream_windowed_agg,
 )
 from .registry import Query
@@ -76,6 +77,21 @@ QUERIES = [
         doc="streaming session_window (30-min gap) == batch gaps-and-islands "
         "(session end = last event + gap; new session at gap >= G)",
         tags=("streaming", "session"),
+    ),
+    Query(
+        "q31_stream_stream_join",
+        stream_stream_join,
+        """
+        SELECT p.event_id AS purchase_id, p.user_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        """,
+        doc="stream-stream interval join (watermark-bounded state) == batch "
+        "interval join",
+        tags=("streaming", "join"),
     ),
     Query(
         "q22_stream_dedup",

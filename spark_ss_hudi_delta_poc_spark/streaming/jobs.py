@@ -91,6 +91,45 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
     return rows.unionByName(partkeys).unionByName(dups)
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: STREAM-STREAM inner join with an event-time range
+    condition — purchases joined to same-user clicks in the preceding 30
+    minutes.  Watermarks on both sides bound the join state (state holds
+    only rows younger than watermark + range).  One availableNow batch
+    makes the append output equal the batch interval join the oracle runs.
+    """
+    work = _workdir("qssj")
+    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    purchases = (
+        read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts"))
+        .withWatermark("pts", "1 hour")
+    )
+    clicks = (
+        read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"
+        ),
+    ).select("purchase_id", "user_id", F.col("cts").alias("click_ts"))
+    table = f"qssj_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: STREAMING deduplication — dropDuplicates on the
     event key across micro-batches (state = one entry per key; a watermark

@@ -1,0 +1,96 @@
+"""Scale-strategy operators: salted join equivalence, bucketed co-located
+join (shuffle-free), upsert snapshot, small-file compaction."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from spark_ss_hudi_delta_poc_spark.operators.joins import salted_join
+from spark_ss_hudi_delta_poc_spark.operators.maintenance import compact, upsert_snapshot
+from spark_ss_hudi_delta_poc_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes hot keys but must not change the result."""
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy("o_orderpriority").count()
+    salted = salted_join(li, orders, "l_orderkey", salt_buckets=8).groupBy("o_orderpriority").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key join WITHOUT an exchange — the
+    co-located join strategy for repeated large-table joins at scale."""
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(tmp_path, "li_b"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_b")
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("path", os.path.join(tmp_path, "ord_b"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("ord_b")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "+- Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == load(spark, SF, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_upsert_snapshot_latest_wins(spark):
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["id", "val", "ver"]
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 20), (4, "d", 20), (5, "e", 5)], ["id", "val", "ver"]
+    )
+    out = {r.id: (r.val, r.ver) for r in upsert_snapshot(cur, upd, ["id"], "ver").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 20), 3: ("c", 10), 4: ("d", 20), 5: ("e", 5)}
+
+
+def test_upsert_precombine_on_tie(spark):
+    """Same key in both sides with equal precombine → the update wins
+    (Hudi combine-before-upsert contract)."""
+    cur = spark.createDataFrame([(1, "old", 10)], ["id", "val", "ver"])
+    upd = spark.createDataFrame([(1, "new", 10)], ["id", "val", "ver"])
+    out = upsert_snapshot(cur, upd, ["id"], "ver").collect()
+    assert [(r.id, r.val) for r in out] == [(1, "new")]
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    path = os.path.join(tmp_path, "tbl")
+    df = load(spark, SF, "events")
+    df.repartition(16).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 16
+    want = spark.read.parquet(path).count()
+    compact(spark, path, target_files_per_partition=2)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == 2
+    assert spark.read.parquet(path).count() == want
