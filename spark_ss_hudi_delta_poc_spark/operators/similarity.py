@@ -156,6 +156,42 @@ def ivf_topk(
     )
 
 
+def label_centroid_sums(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Per-label centroid computation via ``applyInPandas`` (grouped-map
+    Pandas): each label group arrives as one Arrow batch; numpy sums the
+    quantized components per dimension.  Output is exploded to scalars
+    (label, dim, comp_sum) so results stay engine-hashable; centroid =
+    comp_sum / count downstream.
+
+    This is the grouped-map pattern for custom per-group numeric kernels
+    (k-means steps, per-group model fits) — shuffle on the group key, then
+    vectorized Python per group."""
+    import numpy as np
+    import pandas as pd
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]) * 1000.0
+        ).astype(np.int64)
+        sums = mat.sum(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf[label_col].iloc[0],
+                "dim": np.arange(dim, dtype=np.int32),
+                "comp_sum": sums,
+                "n_vecs": len(pdf),
+            }
+        )
+
+    out_schema = "label int, dim int, comp_sum long, n_vecs long"
+    return embeddings.groupBy(label_col).applyInPandas(per_label, schema=out_schema)
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -79,3 +79,39 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     whitespace collapse) — the cheap exact-dup key for incremental pipelines."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
     return docs.select(F.col(id_col), md5_long(norm).alias("fingerprint"))
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash scheme): hash every
+    char k-gram, slide a w-gram window, keep each window's MIN hash, emit
+    the distinct set per doc.  Guarantees any shared substring of length
+    >= k+w-1 produces a shared fingerprint — the partial-overlap detector
+    exact hashing can't provide.
+
+    Plan: posexplode positions (map) → substring+hash (codegen map) → one
+    ROWS-frame window min (single shuffle on doc_id) → distinct.  Output
+    size ~len/w per doc.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.col(text_col))
+    positions = F.when(
+        F.length(norm) >= k, F.sequence(F.lit(1), F.length(norm) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), norm.alias("_norm"), F.explode(positions).alias("pos")
+    ).select("doc_id", "pos", md5_long(F.substring(F.col("_norm"), F.col("pos"), k)).alias("h"))
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return grams.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()

@@ -94,6 +94,14 @@ def text_fp(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.fingerprints(load(spark, sf, "documents"))
 
 
+def text_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.winnow_fingerprints(load(spark, sf, "documents"))
+
+
+def emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.label_centroid_sums(load(spark, sf, "embeddings"))
+
+
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
@@ -408,6 +416,43 @@ QUERIES = [
         """,
         doc="normalized-text 60-bit content fingerprint",
         tags=("llm", "text"),
+    ),
+    Query(
+        "text_winnow_fingerprint",
+        text_winnow,
+        f"""
+        WITH grams AS (
+          SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                 {H.format(x="substr(lower(text), pos, 8)")} AS h
+          FROM documents, unnest(range(1, length(lower(text)) - 6)) AS t(pos)
+          WHERE length(text) >= 8
+        ),
+        winnowed AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM grams
+        )
+        SELECT DISTINCT doc_id, fp FROM winnowed
+        """,
+        doc="winnowing rolling-hash fingerprints (k=8 char-grams, w=4): any "
+        "shared substring >= k+w-1 chars yields a shared fingerprint",
+        tags=("llm", "text", "dedup"),
+    ),
+    Query(
+        "embedding_label_centroids",
+        emb_centroids,
+        f"""
+        SELECT CAST(label AS INTEGER) AS label,
+               CAST(i - 1 AS INTEGER) AS dim,
+               SUM(qv[i]) AS comp_sum,
+               COUNT(*) AS n_vecs
+        FROM (SELECT label, {QVEC} AS qv FROM embeddings), unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+        """,
+        doc="per-label centroid sums via applyInPandas (grouped-map Arrow "
+        "kernel) — the custom per-group numeric-kernel pattern",
+        tags=("llm", "embedding", "pandas"),
     ),
     Query(
         "multimodal_meta",

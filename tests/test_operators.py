@@ -134,3 +134,47 @@ def test_frame_sample_plan(spark):
     docs = spark.createDataFrame([(1, "x" * 320)], ["doc_id", "text"])
     frames = frame_sample_plan(media_table(docs), every_n=3).collect()
     assert [f.frame_idx for f in frames] == [0, 3, 6, 9]
+
+
+def test_winnow_detects_partial_overlap(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 11 chars at k=8, w=4) share at least one fingerprint; disjoint
+    texts share none."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import winnow_fingerprints
+
+    shared = "the identical middle segment here"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix one"),
+            (2, "other start " + shared + " other end"),
+            (3, "zzz qqq completely unrelated body vvv www"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # overlap detected
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_label_centroid_sums_match_exact(spark):
+    """applyInPandas centroid sums equal the exact per-dim integer sums."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import label_centroid_sums
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = label_centroid_sums(emb).collect()
+    rows = emb.select("label", "embedding").collect()
+    import math
+
+    want = {}
+    counts = {}
+    for r in rows:
+        counts[r.label] = counts.get(r.label, 0) + 1
+        for d, x in enumerate(r.embedding):
+            want[(r.label, d)] = want.get((r.label, d), 0) + math.floor(float(x) * 1000)
+    for r in out:
+        assert r.comp_sum == want[(r.label, r.dim)], (r.label, r.dim)
+        assert r.n_vecs == counts[r.label]

@@ -129,3 +129,73 @@ def test_lakehouse_format_probe(spark):
     assert format_available(spark, "parquet")
     for fmt in ["delta", "hudi", "iceberg"]:
         assert format_available(spark, fmt) is False
+
+
+def test_csv_file_stream(spark, tmp_path):
+    """S1 — the reference's canonical source: CSV file stream with schema,
+    header, and maxFilesPerTrigger (S3ToParquetStreamJob.scala:54-60)."""
+    from spark_ss_hudi_delta_poc_spark.sources.stream import read_file_stream
+
+    src = os.path.join(tmp_path, "csv_src")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"f{i}.csv"), "w") as f:
+            f.write(RETAIL_HEADER + "\n" + RETAIL_ROWS[i] + "\n")
+    stream = read_file_stream(
+        spark, src, "csv", RETAIL_SCHEMA, max_files_per_trigger=1, header=True
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csv_stream_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("csv_stream_mem").collect()
+    assert len(rows) == 3
+    assert {r.StockCode for r in rows} == {"85123A", "71053", "84406B"}
+
+
+def test_gzipped_json_stream(spark, tmp_path):
+    """S2 — .json.gz streaming read (the CloudTrail batches are gzipped:
+    application.conf:11); Spark decompresses transparently."""
+    import gzip
+
+    from spark_ss_hudi_delta_poc_spark.schemas import EMPLOYEE_SCHEMA
+    from spark_ss_hudi_delta_poc_spark.sources.stream import read_file_stream
+
+    src = os.path.join(tmp_path, "gz_src")
+    os.makedirs(src)
+    recs = [{"fname": f"n{i}", "lname": "l", "dept": "d", "phone": None, "city": "c", "state": "s"} for i in range(4)]
+    with gzip.open(os.path.join(src, "a.json.gz"), "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in recs))
+    stream = read_file_stream(spark, src, "json", EMPLOYEE_SCHEMA)
+    q = stream.writeStream.format("memory").queryName("gz_mem").trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert spark.table("gz_mem").count() == 4
+
+
+def test_text_read_and_json_write(spark, tmp_path):
+    """S8 text read (StringTransformJob.scala:33) + K9 batch JSON write
+    (StringTransformJob.scala:57) round-trip."""
+    from spark_ss_hudi_delta_poc_spark.sources.batch import read_text
+
+    p = os.path.join(tmp_path, "lines.txt")
+    with open(p, "w") as f:
+        f.write("alpha\nbeta\ngamma\n")
+    df = read_text(spark, p)
+    assert df.count() == 3 and df.columns == ["value"]
+    out = os.path.join(tmp_path, "json_out")
+    write_batch(df, "json", out, mode="overwrite")
+    back = spark.read.json(out)
+    assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_registered_python_uuid_udf(spark):
+    """U1 API fidelity: spark.udf.register a Python uuid UDF
+    (S3ToParquetStreamJob.scala:39,85) — native uuid() stays the hot path."""
+    from spark_ss_hudi_delta_poc_spark.operators.enrich import register_uuid_udf
+
+    register_uuid_udf(spark)
+    row = spark.sql("SELECT py_uuid() AS u, uuid() AS native").collect()[0]
+    assert len(row.u) == 36 and len(row.native) == 36 and row.u != row.native
