@@ -25,22 +25,11 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long
 from ..functions.text import shingles
 
+from .partitioning import spread as _spread
+
 SIMHASH_BITS = 60  # md5_long yields 60-bit values
 MINHASH_K = 12
 MINHASH_BANDS = 4  # rows per band r = K / BANDS = 3
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Rebalance a narrow input before a CPU-bound map stage.
-
-    A small/unsplittable parquet file arrives as ONE partition, serializing
-    the (hash-heavy) shingling work onto one core.  Round-robin repartition
-    to the cluster's default parallelism costs one tiny shuffle and buys
-    full fan-out.  At 100 TB inputs already have thousands of splits and
-    this coalesces nothing — it only ever raises parallelism.
-    """
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -94,7 +94,11 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
+    from .partitioning import spread
+
+    # decode is the CPU-heavy stage: fan the (possibly single-file) input
+    # out across workers before entering Python
+    return spread(media).mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
