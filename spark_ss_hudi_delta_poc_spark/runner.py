@@ -1,0 +1,137 @@
+"""Job runner — one config-driven entry point replacing the reference's
+per-class mains selected via spark-submit --class (README.md:54,61-84).
+
+    python -m spark_ss_hudi_delta_poc_spark.runner <job> [--env local|cloud]
+        [--source PATH] [--sink PATH] [--checkpoint PATH]
+        [--variant flatten|raw_string|raw_struct] [--format parquet|delta|...]
+
+Jobs mirror the reference job classes:
+  stream_retail        S3To{Parquet,Delta,...}StreamJob: CSV stream → enrich
+                       → partitioned sink
+  stream_cloudtrail    S3CloudTrail*Writer: nested JSON stream → variant →
+                       4-col partitioned sink
+  notification_ingest  S3SQSTo*StreamJob: queue-driven ingest
+  batch_reader         S3*BatchReader: the timed 4-query validation battery
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from .config import resolve
+from .operators.enrich import enrich
+from .schemas import RETAIL_SCHEMA
+from .session import get_spark
+from .sources.sinks import write_stream
+from .sources.stream import read_file_stream
+
+
+def job_stream_retail(spark, cfg) -> None:
+    stream = read_file_stream(
+        spark,
+        cfg["source"],
+        cfg["source_format"],
+        RETAIL_SCHEMA,
+        max_files_per_trigger=cfg["max_files_per_trigger"],
+        header=cfg["header"],
+    )
+    enriched = enrich(stream)
+    q = write_stream(
+        enriched,
+        cfg["sink_format"],
+        path=cfg["sink"],
+        checkpoint=cfg["checkpoint"],
+        partition_by=cfg["partition_by"],
+        trigger_available_now=cfg["trigger"] == "available_now",
+        processing_time=cfg["trigger"].split(":", 1)[1] if cfg["trigger"].startswith("processing_time") else None,
+    )
+    q.awaitTermination()
+
+
+def job_stream_cloudtrail(spark, cfg) -> None:
+    from .streaming.cloudtrail import stream_cloudtrail
+
+    q = stream_cloudtrail(
+        spark,
+        cfg["source"],
+        cfg["sink"],
+        checkpoint=cfg["checkpoint"],
+        variant=cfg.get("variant", "flatten"),
+        max_files_per_trigger=cfg["max_files_per_trigger"],
+    )
+    q.awaitTermination()
+
+
+def job_notification_ingest(spark, cfg) -> None:
+    from .sources.notification import notification_ingest
+
+    q = notification_ingest(
+        spark,
+        queue_dir=cfg["source"],
+        sink_path=cfg["sink"],
+        checkpoint=cfg["checkpoint"],
+        file_format=cfg["source_format"],
+        max_files_per_trigger=cfg["max_files_per_trigger"],
+    )
+    q.awaitTermination()
+
+
+def job_batch_reader(spark, cfg) -> dict:
+    """EP3 — the timed validation battery (S3ParquetBatchReader.scala:38-67),
+    emitted as JSON instead of stdout prints."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(cfg["sink_format"]).load(cfg["source"])
+    out: dict[str, float | int] = {}
+    t0 = time.time()
+    out["count"] = df.count()
+    key = cfg.get("group_key") or df.columns[1]
+    out["group_count"] = df.groupBy(key).count().count()
+    out["distinct_count"] = df.select(key).distinct().count()
+    dup_key = cfg.get("dup_key") or df.columns[0]
+    out["duplicates"] = (
+        df.groupBy(dup_key).count().where(F.col("count") > 1).count()
+    )
+    out["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return out
+
+
+JOBS = {
+    "stream_retail": job_stream_retail,
+    "stream_cloudtrail": job_stream_cloudtrail,
+    "notification_ingest": job_notification_ingest,
+    "batch_reader": job_batch_reader,
+}
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("job", choices=sorted(JOBS))
+    ap.add_argument("--env", default="local")
+    ap.add_argument("--source")
+    ap.add_argument("--sink")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--variant")
+    ap.add_argument("--format", dest="sink_format")
+    args = ap.parse_args(argv)
+    cfg = resolve(
+        args.env,
+        source=args.source,
+        sink=args.sink,
+        checkpoint=args.checkpoint,
+        variant=args.variant,
+        sink_format=args.sink_format,
+    )
+    cfg.setdefault("source", os.path.join(cfg["source_root"], args.job))
+    cfg.setdefault("sink", os.path.join(cfg["sink_root"], args.job))
+    cfg.setdefault("checkpoint", os.path.join(cfg["checkpoint_root"], args.job))
+    spark = get_spark(app_name=f"normv2-{args.job}", profile=cfg["profile"])
+    JOBS[args.job](spark, cfg)
+
+
+if __name__ == "__main__":
+    main()

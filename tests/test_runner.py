@@ -1,0 +1,55 @@
+"""Config resolution + end-to-end job-runner tests (the reference's
+spark-submit --class workflow, README.md:54-84, as one CLI)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from spark_ss_hudi_delta_poc_spark.config import resolve
+from spark_ss_hudi_delta_poc_spark.runner import JOBS, job_batch_reader, job_stream_retail
+
+from test_sources import RETAIL_HEADER, RETAIL_ROWS
+
+
+def test_config_layering(monkeypatch):
+    cfg = resolve("local")
+    assert cfg["profile"] == "local" and cfg["source_format"] == "csv"
+    monkeypatch.setenv("NORMV2_MAX_FILES_PER_TRIGGER", "7")
+    monkeypatch.setenv("NORMV2_PARTITION_BY", "a,b")
+    cfg = resolve("local", sink_format="delta")
+    assert cfg["max_files_per_trigger"] == 7  # env var layer
+    assert cfg["partition_by"] == ["a", "b"]
+    assert cfg["sink_format"] == "delta"  # explicit override wins
+    cfg2 = resolve("cloud")
+    assert cfg2["profile"] == "cluster"
+
+
+def test_runner_stream_retail_then_batch_reader(spark, tmp_path, capsys):
+    """EP1 end-to-end through the runner: CSV stream → enrich → partitioned
+    sink, then the EP3 validation battery over the written table."""
+    src = os.path.join(tmp_path, "in")
+    os.makedirs(src)
+    for i, row in enumerate(RETAIL_ROWS):
+        with open(os.path.join(src, f"f{i}.csv"), "w") as f:
+            f.write(RETAIL_HEADER + "\n" + row + "\n")
+    cfg = resolve(
+        "local",
+        source=src,
+        sink=os.path.join(tmp_path, "out"),
+        checkpoint=os.path.join(tmp_path, "ck"),
+    )
+    job_stream_retail(spark, cfg)
+    back = spark.read.parquet(cfg["sink"])
+    assert back.count() == 3
+    assert "Date=2010-12-01" in "".join(d for d, _, _ in os.walk(cfg["sink"]))
+    reader_cfg = dict(cfg, source=cfg["sink"], group_key="StockCode", dup_key="srno")
+    out = job_batch_reader(spark, reader_cfg)
+    assert out["count"] == 3 and out["duplicates"] == 0
+    assert out["group_count"] == out["distinct_count"] == 3
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["count"] == 3
+
+
+def test_all_jobs_registered():
+    assert set(JOBS) == {"stream_retail", "stream_cloudtrail", "notification_ingest", "batch_reader"}
