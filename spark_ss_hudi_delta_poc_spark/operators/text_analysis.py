@@ -81,6 +81,61 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(F.col(id_col), md5_long(norm).alias("fingerprint"))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``chunk_tokens``-word windows every ``stride`` words — the standard
+    prep for fixed-context training/embedding.  Output:
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Map-only (explode of per-row window starts + slice) — no shuffle, and
+    chunk boundaries depend only on the row, so it parallelizes per split
+    at any scale.  The final partial window is kept (standard practice —
+    dropping it loses tail text).
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)), F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), w.alias("_w"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("_w"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+# PII scrubbing patterns: email, then URL, then standalone long digit runs.
+# Order matters (emails contain dots; URLs contain digits) and is identical
+# in the oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, clean_text, n_redactions): regex-scrub emails/URLs/long
+    digit runs — the minimal PII pass every training corpus needs.
+    Pure regexp_replace chain: map-only, codegen, linear."""
+    clean = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    n_red = (
+        F.size(F.split(clean, "<EMAIL>|<URL>|<NUM>")) - 1
+    )
+    return docs.select(F.col(id_col), clean.alias("clean_text"), n_red.cast("int").alias("n_redactions"))
+
+
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (k-grams per window)
 

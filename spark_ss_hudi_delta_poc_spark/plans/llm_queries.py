@@ -102,6 +102,14 @@ def emb_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.label_centroid_sums(load(spark, sf, "embeddings"))
 
 
+def text_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.chunk_documents(load(spark, sf, "documents"))
+
+
+def text_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.scrub_pii(load(spark, sf, "documents"))
+
+
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
@@ -416,6 +424,46 @@ QUERIES = [
         """,
         doc="normalized-text 60-bit content fingerprint",
         tags=("llm", "text"),
+    ),
+    Query(
+        "text_chunking",
+        text_chunks,
+        """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          len(string_split(text, ' ')) AS n FROM documents),
+        st AS (SELECT doc_id, w,
+                      unnest(range(1, greatest(n - 1, 1) + 1, 24)) AS start FROM w)
+        SELECT doc_id,
+               CAST((start - 1) // 24 AS INTEGER) AS chunk_idx,
+               array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text,
+               CAST(len(list_slice(w, start, start + 31)) AS BIGINT) AS n_tokens
+        FROM st
+        """,
+        doc="context-window chunking: 32-token windows, stride 24 (overlap 8) "
+        "— map-only training-window prep",
+        tags=("llm", "text", "chunking"),
+    ),
+    Query(
+        "text_scrub_pii",
+        text_scrub,
+        r"""
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\s]+', '<URL>', 'g'),
+                   '\b\d{7,}\b', '<NUM>', 'g') AS clean_text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CAST(len(string_split_regex(clean_text, '<EMAIL>|<URL>|<NUM>')) - 1 AS INTEGER)
+                 AS n_redactions
+        FROM c
+        """,
+        doc="PII scrub: email/URL/long-number regex redaction + count",
+        tags=("llm", "text", "pii"),
     ),
     Query(
         "text_winnow_fingerprint",

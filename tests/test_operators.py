@@ -178,3 +178,33 @@ def test_label_centroid_sums_match_exact(spark):
     for r in out:
         assert r.comp_sum == want[(r.label, r.dim)], (r.label, r.dim)
         assert r.n_vecs == counts[r.label]
+
+
+def test_chunk_documents_windows(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(50))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = sorted(chunk_documents(docs, chunk_tokens=32, stride=24).collect(), key=lambda r: r.chunk_idx)
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    assert chunks[0].chunk_text.startswith("w0 ") and chunks[0].n_tokens == 32
+    assert chunks[1].chunk_text.startswith("w24 ")  # stride-24 overlap of 8
+    assert chunks[2].n_tokens == 2  # partial tail window kept (w48 w49)
+
+
+def test_scrub_pii_redacts(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or https://foo.bar/x?y=1 ok"),
+            (2, "call 5551234567 now"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[1].clean_text == "contact me at <EMAIL> or <URL> ok"
+    assert out[1].n_redactions == 2
+    assert out[2].clean_text == "call <NUM> now" and out[2].n_redactions == 1
+    assert out[3].n_redactions == 0
