@@ -83,6 +83,24 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(load(spark, sf, "events"))
 
 
+# --- q32: copy-on-write upsert (Hudi K4 semantics, engine-side) --------------
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.maintenance import upsert_snapshot
+
+    ev = load(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    updates = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "ts",
+            F.lit("updated").alias("event_type"),
+            (F.col("value") * 2).alias("value"),
+        )
+    )
+    out = upsert_snapshot(ev, updates, ["event_id"], "ts")
+    return out.select("event_id", "event_type", money_e4(F.col("value")).alias("val_e4"))
+
+
 # --- q18: semi/anti set predicates ------------------------------------------
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
@@ -175,6 +193,24 @@ QUERIES = [
         """,
         doc="left-semi / left-anti joins (EXISTS / NOT EXISTS)",
         tags=("relational", "join"),
+    ),
+    Query(
+        "q32_upsert_snapshot",
+        q32,
+        """
+        WITH cur AS (SELECT event_id, ts, event_type, value, 0 AS side FROM events),
+        upd AS (SELECT event_id, ts, 'updated' AS event_type, value * 2 AS value, 1 AS side
+                FROM events WHERE event_id % 10 = 0),
+        u AS (SELECT * FROM cur UNION ALL SELECT * FROM upd),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                          ORDER BY ts DESC, side DESC) AS rn FROM u)
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS val_e4
+        FROM r WHERE rn = 1
+        """,
+        doc="copy-on-write upsert (recordkey=event_id, precombine=ts, update "
+        "wins ties) — Hudi K4 semantics as a one-shuffle engine op",
+        tags=("relational", "upsert"),
     ),
     Query(
         "q20_sessionize",

@@ -35,6 +35,23 @@ def _workdir(tag: str) -> str:
     return d
 
 
+# Staging is deterministic per (sf_dir, table, n_files, fmt): memoize it so
+# the six streaming queries that replay the same table as a file stream
+# don't re-write it once each (matters for the per-round gate + bench).
+_STAGING_CACHE: dict[tuple, str] = {}
+
+
+def stage_table(spark: SparkSession, sf_dir: str, table: str, n_files: int, fmt: str = "parquet") -> str:
+    key = (sf_dir, table, n_files, fmt)
+    cached = _STAGING_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = _workdir(f"stage-{table}")
+    path = stage_as_files(load(spark, sf_dir, table), work, n_files=n_files, fmt=fmt)
+    _STAGING_CACHE[key] = path
+    return path
+
+
 def stream_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10/A5 — streaming global aggregate (S3ParquetStreamReader.scala:67-73).
 
@@ -43,8 +60,7 @@ def stream_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy().count() and returns the final state; must equal the batch
     COUNT(*).
     """
-    work = _workdir("q10")
-    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=8)
+    staged = stage_table(spark, sf_dir, "events", n_files=8)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
     counted = stream.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
     table = f"q10_mem_{_uuid.uuid4().hex[:8]}"
@@ -64,10 +80,16 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
     back, and run the reference's 4-query validation battery (EP3).  The
     battery results must be identical to running directly on the source —
     i.e. the streaming ingest is exactly-once and loss-free.
+
+    Staging format is CSV — the reference's actual input shape (S1: CSV
+    files in, partitioned parquet out), so the oracle-checked path
+    exercises CSV schema application + header handling too.
     """
     work = _workdir("q12")
-    staged = stage_as_files(load(spark, sf_dir, "lineitem"), work, n_files=8)
-    stream = read_file_stream(spark, staged, "parquet", LINEITEM_SCHEMA, max_files_per_trigger=2)
+    staged = stage_table(spark, sf_dir, "lineitem", n_files=8, fmt="csv")
+    stream = read_file_stream(
+        spark, staged, "csv", LINEITEM_SCHEMA, max_files_per_trigger=2, header=True
+    )
     sink = os.path.join(work, "sink")
     q = write_stream(
         stream,
@@ -98,8 +120,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only rows younger than watermark + range).  One availableNow batch
     makes the append output equal the batch interval join the oracle runs.
     """
-    work = _workdir("qssj")
-    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    staged = stage_table(spark, sf_dir, "events", n_files=1)
     purchases = (
         read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
         .where(F.col("event_type") == "purchase")
@@ -164,8 +185,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
     session operator.  Complete mode over one availableNow batch makes the
     result equal batch gaps-and-islands sessionization (session_window
     starts a new session at gap >= G; window end = last event + G)."""
-    work = _workdir("qsess")
-    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    staged = stage_table(spark, sf_dir, "events", n_files=1)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
     agg = (
         stream.withWatermark("ts", "30 minutes")
@@ -199,8 +219,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result equals the batch GROUP BY date_trunc('hour', ts) oracle
     (append-mode late-drop semantics are covered by a dedicated pytest).
     """
-    work = _workdir("qwin")
-    staged = stage_as_files(load(spark, sf_dir, "events"), work, n_files=1)
+    staged = stage_table(spark, sf_dir, "events", n_files=1)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
     agg = (
         stream.withWatermark("ts", "30 minutes")

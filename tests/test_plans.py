@@ -77,3 +77,19 @@ def test_fingerprint_is_map_only(spark):
     """text_fingerprint: a pure projection over the scan — zero shuffles."""
     p = plan_of(spark, "text_fingerprint")
     assert "Exchange" not in p
+
+
+def test_asof_join_single_shuffle(spark):
+    """q17: the as-of join must be ONE exchange on the key (union+window),
+    never a range-join / nested-loop blowup."""
+    p = plan_of(spark, "q17_asof_join")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("+- Exchange") <= 2  # union sides share the window shuffle
+
+
+def test_sessionize_single_shuffle(spark):
+    """q20: gaps-and-islands = one shuffle on user_id; both window passes
+    and the final aggregation reuse that partitioning."""
+    p = plan_of(spark, "q20_sessionize")
+    assert p.count("hashpartitioning(user_id") >= 1
+    assert p.count("+- Exchange") == 1
