@@ -194,6 +194,56 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    where cluster_id = min doc_id in the component.  This is the step that
+    turns pairwise similarity into an actionable keep-list (keep one doc
+    per cluster).
+
+    Iterative min-label propagation — the standard large-graph CC plan
+    (alternating small joins, state = one label per node, converges in
+    O(graph diameter) rounds; near-dup graphs are almost all tiny stars,
+    so 2-3 rounds in practice).  Each round: label'(v) = min(label(v),
+    min over neighbors u of label(u)).  Driver loop exits on fixpoint.
+    """
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iterations):
+        labels = labels.persist()
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        if changed == 0:
+            old.unpersist()
+            break
+        old.unpersist()
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash per document.
 

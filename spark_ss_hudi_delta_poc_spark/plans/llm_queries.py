@@ -66,6 +66,11 @@ def dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
 
 
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
+    return dedup.dedup_clusters(pairs)
+
+
 # --- similarity search -------------------------------------------------------
 def ann_brute(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
@@ -272,6 +277,39 @@ QUERIES = [
         _simhash_oracle(),
         doc="60-bit SimHash fingerprints (sign-sum of shingle hash bits)",
         tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_clusters",
+        dedup_clusters_q,
+        f"""
+        WITH RECURSIVE {WS_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_id_a, doc_id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_id_a
+          JOIN sizes sb ON sb.doc_id = doc_id_b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+        """,
+        doc="connected-components clustering of near-dup pairs (iterative "
+        "min-label propagation) → keep-list cluster ids",
+        tags=("llm", "dedup", "graph"),
     ),
     Query(
         "dedup_embedding_cosine",

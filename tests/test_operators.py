@@ -208,3 +208,15 @@ def test_scrub_pii_redacts(spark):
     assert out[1].n_redactions == 2
     assert out[2].clean_text == "call <NUM> now" and out[2].n_redactions == 1
     assert out[3].n_redactions == 0
+
+
+def test_dedup_clusters_chain_and_star(spark):
+    """CC must merge chains (1-2, 2-3) and stars into one cluster with the
+    min id as label, and keep disjoint components apart."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (21, 22)], ["doc_id_a", "doc_id_b"]
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 22: 20}
