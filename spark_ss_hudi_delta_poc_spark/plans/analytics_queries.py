@@ -1,0 +1,237 @@
+"""Analytics breadth: multi-way joins (TPC-H Q3/Q5 shapes), time-series
+resampling with gap fill, moving averages, and the ranking-function
+battery.  All money values integer-scaled (money_e4) for engine-exact
+aggregation; every window has a total order (unique key tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import dim_join, money_e4
+from ..tables import load
+from .registry import Query
+
+
+# --- q33: TPC-H Q3 shape — segment revenue top-10 ----------------------------
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4")
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+    )
+    return joined.orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+# --- q34: TPC-H Q5 shape — 5-way join, revenue per nation --------------------
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    region = load(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4"),
+    )
+    nations_in_region = dim_join(nation, region, nation.n_regionkey == region.r_regionkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nations_in_region), cust.c_nationkey == nations_in_region.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("revenue_e4"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --- q35: moving aggregates over event time ----------------------------------
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") * 10000).cast("long").alias("v_e4")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("v_e4").over(w).alias("moving_sum_e4"),
+        F.count(F.lit(1)).over(w).cast("long").alias("moving_n"),
+        F.sum("v_e4").over(wcum).alias("running_sum_e4"),
+    )
+
+
+# --- q36: hourly resample with gap fill --------------------------------------
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("v_e4")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
+    )
+    # dense hour spine via sequence-explode (gap fill with zeros): the
+    # spine is tiny (one row per hour) and broadcast to the join
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        F.coalesce(F.col("v_e4"), F.lit(0)).alias("v_e4"),
+    )
+
+
+# --- q37: ranking battery ----------------------------------------------------
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", money_e4(F.col("o_totalprice")).alias("p_e4")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("p_e4").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --- q38: lag/lead/first/last battery ---------------------------------------
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") * 10000).cast("long").alias("v_e4")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("v_e4", 1).over(w).alias("prev_v"),
+        F.lead("v_e4", 1).over(w).alias("next_v"),
+        F.first("v_e4").over(wf).alias("first_v"),
+        F.last("v_e4").over(wf).alias("last_v"),
+        (F.col("v_e4") - F.lag("v_e4", 1).over(w)).alias("delta_v"),
+    )
+
+
+QUERIES = [
+    Query(
+        "q33_segment_topn",
+        q33,
+        """
+        SELECT o_orderkey, o_orderdate,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue_e4 DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+        doc="TPC-H Q3 shape: 3-way join, grouped revenue, total-ordered top-10",
+        tags=("analytics", "join"),
+    ),
+    Query(
+        "q34_region_revenue",
+        q34,
+        """
+        SELECT n_name,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """,
+        doc="TPC-H Q5 shape: 5-way join with broadcast dims + local-supplier predicate",
+        tags=("analytics", "join"),
+    ),
+    Query(
+        "q35_moving_agg",
+        q35,
+        """
+        SELECT event_id, user_id,
+               SUM(v_e4) OVER w4 AS moving_sum_e4,
+               CAST(COUNT(*) OVER w4 AS BIGINT) AS moving_n,
+               SUM(v_e4) OVER wc AS running_sum_e4
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4 FROM events)
+        WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+               wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        """,
+        doc="moving window + running cumulative aggregates per user",
+        tags=("analytics", "window", "timeseries"),
+    ),
+    Query(
+        "q36_resample_gapfill",
+        q36,
+        """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
+                 SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS v_e4
+          FROM events GROUP BY 1
+        ),
+        bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                          date_trunc('hour', MAX(ts)) AS hi FROM events),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+        SELECT spine.h, COALESCE(cnt, 0) AS cnt, COALESCE(v_e4, 0) AS v_e4
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        """,
+        doc="hourly resample with dense spine + zero gap-fill",
+        tags=("analytics", "timeseries"),
+    ),
+    Query(
+        "q37_rank_battery",
+        q37,
+        """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM (SELECT o_orderkey, o_orderpriority,
+                     CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS p_e4 FROM orders)
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY p_e4 ASC, o_orderkey ASC)
+        """,
+        doc="rank/dense_rank/percent_rank/cume_dist/ntile battery (total order)",
+        tags=("analytics", "window"),
+    ),
+    Query(
+        "q38_lag_lead",
+        q38,
+        """
+        SELECT event_id, user_id,
+               lag(v_e4, 1) OVER w AS prev_v,
+               lead(v_e4, 1) OVER w AS next_v,
+               first_value(v_e4) OVER wf AS first_v,
+               last_value(v_e4) OVER wf AS last_v,
+               v_e4 - lag(v_e4, 1) OVER w AS delta_v
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4 FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        doc="lag/lead/first/last/delta navigation battery per user",
+        tags=("analytics", "window"),
+    ),
+]

@@ -32,6 +32,7 @@ class Query:
 def all_queries() -> dict[str, Query]:
     """Assemble the full registry (import here to avoid cycles)."""
     from . import (
+        analytics_queries,
         function_queries,
         llm_queries,
         reference_queries,
@@ -40,7 +41,14 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (reference_queries, relational_queries, function_queries, llm_queries, streaming_queries):
+    for mod in (
+        reference_queries,
+        relational_queries,
+        analytics_queries,
+        function_queries,
+        llm_queries,
+        streaming_queries,
+    ):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")
