@@ -9,11 +9,19 @@ oracle_sql()  — matching DuckDB SQL for every SQL-expressible query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_ss_hudi_delta_poc_spark.plans import all_queries
+# the driver may import this file by path with an arbitrary cwd — make the
+# package resolvable regardless
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from spark_ss_hudi_delta_poc_spark.plans import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -101,6 +101,33 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
 
 
+RESIZE_TARGET = 224
+
+
+def resize_plan(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: compute aspect-preserving
+    target dimensions from the (fake-)decoded size.  The scale arithmetic
+    is the real thing; only the pixel resample itself is stubbed (the
+    payload passes through untouched).  Output:
+    (doc_id, width, height, new_width, new_height, scale)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, w, h, _ = fake_decode(bytes(p))
+                scale = target / max(w, h)
+                rows.append((int(doc_id), w, h, int(w * scale), int(h * scale), scale))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "new_width", "new_height", "scale"]
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema="doc_id long, width long, height long, new_width long, new_height long, scale double",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index, frame payload stubbed as a slice marker.  Demonstrates the

@@ -147,6 +147,11 @@ def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=10)
 
 
+def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    return multimodal.resize_plan(media)
+
+
 # --- oracle builders ---------------------------------------------------------
 def _minhash_oracle(k: int, bands: int, thr: float) -> str:
     r = k // bands
@@ -553,6 +558,26 @@ QUERIES = [
         """,
         doc="binary payload + mapInPandas (Arrow) feature extraction; decode "
         "stubbed deterministically (multimodal.fake_decode)",
+        tags=("llm", "multimodal"),
+    ),
+    Query(
+        "multimodal_resize",
+        mm_resize,
+        """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(32 + h % 993 AS BIGINT) AS width,
+                 CAST(32 + (h // 1024) % 993 AS BIGINT) AS height
+          FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        )
+        SELECT doc_id, width, height,
+               CAST(FLOOR(width * (224.0 / greatest(width, height))) AS BIGINT) AS new_width,
+               CAST(FLOOR(height * (224.0 / greatest(width, height))) AS BIGINT) AS new_height,
+               224.0 / greatest(width, height) AS scale
+        FROM d
+        """,
+        doc="aspect-preserving resize plumbing (mapInPandas; resample stubbed, "
+        "scale arithmetic real)",
         tags=("llm", "multimodal"),
     ),
     Query(
