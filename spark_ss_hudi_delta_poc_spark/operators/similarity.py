@@ -77,8 +77,6 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    from .partitioning import spread
-
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.float64)
@@ -101,7 +99,10 @@ def brute_force_topk(
                 out_c.extend(cand_c[order])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    corpus = spread(embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")))
+    # no forced repartition: the numpy matmul is microseconds per block, so
+    # per-partition Python round-trips dominate — use the input's natural
+    # splits (plentiful at real corpus sizes)
+    corpus = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
     local = corpus.mapInPandas(per_partition, schema="query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return local.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
@@ -241,8 +242,6 @@ def cosine_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    from .partitioning import spread
-
     rows = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
     ids = np.array([r.id for r in rows], dtype=np.int64)
     mat = np.array([r.q for r in rows], dtype=np.float64)
@@ -261,5 +260,5 @@ def cosine_neardup_pairs(
                 {"id_a": a_ids[ai], "id_b": ids[bi], "cosine": cos[ai, bi]}
             )
 
-    quantized = spread(embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")))
+    quantized = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
     return quantized.mapInPandas(per_batch, schema="id_a long, id_b long, cosine double")
