@@ -194,6 +194,56 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_id_a, doc_id_b, hamming <= max_hamming).
+
+    Candidate generation by pigeonhole banding: split the 60-bit
+    fingerprint into max_hamming+1 bands — any pair within the Hamming
+    ball must agree on at least one whole band, so an equi-join per band
+    finds all candidates without an all-pairs scan.  Verification is one
+    codegen'd bit_count(a XOR b).  Same candidates-then-verify shape as
+    MinHash-LSH, but for the bit-fingerprint metric.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    fp = simhash_fingerprints(docs, n=n, bits=bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = fp.select(
+        "doc_id", F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_id_a", "doc_id_b", ham.cast("int").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     where cluster_id = min doc_id in the component.  This is the step that

@@ -66,6 +66,10 @@ def dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
 
 
+def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(load(spark, sf, "documents"))
+
+
 def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
     return dedup.dedup_clusters(pairs)
@@ -190,7 +194,8 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {thr}
 """
 
 
-def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+def _simhash_cte(bits: int = SIMHASH_BITS) -> str:
+    """Shared CTE chain ending in fp(doc_id, simhash)."""
     sums = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
     )
@@ -200,9 +205,37 @@ WITH {WS_SH_CTE},
 hashed AS (SELECT doc_id, {H.format(x="shingle")} AS h FROM sh),
 sums AS (SELECT doc_id,
          {sums}
-         FROM hashed GROUP BY doc_id)
-SELECT doc_id, {fp} AS simhash FROM sums
+         FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS simhash FROM sums)
 """
+
+
+def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    return _simhash_cte(bits) + "SELECT doc_id, simhash FROM fp"
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    return (
+        _simhash_cte(bits)
+        + f""",
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {width})) & {mask} AS band_val
+  FROM fp, (SELECT unnest(range({n_bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+    )
 
 
 def _lang_oracle() -> str:
@@ -281,6 +314,14 @@ QUERIES = [
         dedup_simhash,
         _simhash_oracle(),
         doc="60-bit SimHash fingerprints (sign-sum of shingle hash bits)",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_simhash_pairs",
+        dedup_simhash_pairs_q,
+        _simhash_pairs_oracle(),
+        doc="SimHash Hamming-ball pairs (<=3 bits): pigeonhole band join "
+        "candidates + bit_count(xor) verify",
         tags=("llm", "dedup"),
     ),
     Query(
