@@ -100,11 +100,27 @@ def job_batch_reader(spark, cfg) -> dict:
     return out
 
 
+def job_query(spark, cfg) -> None:
+    """Run any registry query by name against a testdata scale-factor dir
+    and print the result as JSON lines — the ad-hoc query surface."""
+    from .plans import all_queries
+
+    name = cfg["query_name"]
+    sf_dir = cfg.get("sf_dir") or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    qs = all_queries()
+    if name not in qs:
+        raise SystemExit(f"unknown query {name!r}; known: {', '.join(sorted(qs))}")
+    df = qs[name].fn(spark, sf_dir)
+    for row in df.toJSON().collect():
+        print(row)
+
+
 JOBS = {
     "stream_retail": job_stream_retail,
     "stream_cloudtrail": job_stream_cloudtrail,
     "notification_ingest": job_notification_ingest,
     "batch_reader": job_batch_reader,
+    "query": job_query,
 }
 
 
@@ -117,6 +133,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--checkpoint")
     ap.add_argument("--variant")
     ap.add_argument("--format", dest="sink_format")
+    ap.add_argument("--name", dest="query_name", help="registry query name (job: query)")
+    ap.add_argument("--sf-dir", dest="sf_dir", help="testdata dir (job: query)")
     args = ap.parse_args(argv)
     cfg = resolve(
         args.env,
@@ -125,6 +143,8 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint=args.checkpoint,
         variant=args.variant,
         sink_format=args.sink_format,
+        query_name=args.query_name,
+        sf_dir=args.sf_dir,
     )
     cfg.setdefault("source", os.path.join(cfg["source_root"], args.job))
     cfg.setdefault("sink", os.path.join(cfg["sink_root"], args.job))

@@ -52,4 +52,45 @@ def test_runner_stream_retail_then_batch_reader(spark, tmp_path, capsys):
 
 
 def test_all_jobs_registered():
-    assert set(JOBS) == {"stream_retail", "stream_cloudtrail", "notification_ingest", "batch_reader"}
+    assert set(JOBS) == {
+        "stream_retail",
+        "stream_cloudtrail",
+        "notification_ingest",
+        "batch_reader",
+        "query",
+    }
+
+
+def test_spark_sql_entry_point(spark):
+    """spark.sql over registered views must agree with the DataFrame API —
+    the SQL surface of the engine (tables.register_temp_views)."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.tables import load, register_temp_views
+
+    register_temp_views(spark, "/root/testdata/sf0.001")
+    sql_out = spark.sql(
+        """
+        SELECT o_orderpriority,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """
+    ).collect()
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    df_out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")).alias("revenue_e4"))
+        .collect()
+    )
+    assert sorted(map(tuple, sql_out)) == sorted(map(tuple, df_out))
+
+
+def test_runner_query_job(spark, capsys):
+    from spark_ss_hudi_delta_poc_spark.runner import job_query
+
+    job_query(spark, {"query_name": "q01_count", "sf_dir": "/root/testdata/sf0.001"})
+    out = capsys.readouterr().out.strip()
+    assert '"cnt"' in out
