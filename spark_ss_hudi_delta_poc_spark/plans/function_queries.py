@@ -131,7 +131,102 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q39: conditional-function battery --------------------------------------
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    v_e4 = F.floor(F.col("value") * 10000).cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ok")).alias("cond_a"),
+        F.when(v_e4 > 1000000, "high").when(v_e4 > 100000, "mid").otherwise("low").alias("band"),
+        F.ifnull(F.nullif(v_e4, F.lit(0)), F.lit(-1)).alias("nz"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.isnull(F.nullif(F.col("event_type"), F.col("event_type"))).alias("always_true"),
+    )
+
+
+# --- q40: array-function battery ---------------------------------------------
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n"),
+        F.array_contains(w, "data").alias("has_data"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.element_at(F.sort_array(w), 1).alias("first_sorted"),
+        F.element_at(F.sort_array(w, asc=False), 1).alias("last_sorted"),
+        F.concat_ws(",", F.slice(F.sort_array(w), 1, 3)).alias("top3"),
+        F.element_at(F.reverse(w), 1).alias("last_word"),
+    )
+
+
+# --- q41: deterministic hash sampling / split assignment ---------------------
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    d = load(spark, sf, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
 QUERIES = [
+    Query(
+        "q39_conditional_battery",
+        q39,
+        """
+        SELECT event_id,
+               COALESCE(NULLIF(event_type, 'error'), 'ok') AS cond_a,
+               CASE WHEN CAST(FLOOR(value * 10000) AS BIGINT) > 1000000 THEN 'high'
+                    WHEN CAST(FLOOR(value * 10000) AS BIGINT) > 100000 THEN 'mid'
+                    ELSE 'low' END AS band,
+               IFNULL(NULLIF(CAST(FLOOR(value * 10000) AS BIGINT), 0), -1) AS nz,
+               event_type = 'purchase' AS is_purchase,
+               NULLIF(event_type, event_type) IS NULL AS always_true
+        FROM events
+        """,
+        doc="coalesce/nullif/ifnull/case/boolean conditional battery",
+        tags=("functions", "conditional"),
+    ),
+    Query(
+        "q40_array_battery",
+        q40,
+        """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n,
+               list_contains(w, 'data') AS has_data,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+               list_sort(w)[1] AS first_sorted,
+               list_reverse_sort(w)[1] AS last_sorted,
+               array_to_string(list_slice(list_sort(w), 1, 3), ',') AS top3,
+               list_reverse(w)[1] AS last_word
+        FROM w
+        """,
+        doc="array battery: size/contains/distinct/sort/slice/reverse",
+        tags=("functions", "array"),
+    ),
+    Query(
+        "q41_hash_split",
+        q41,
+        """
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM (SELECT source, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+              FROM documents)
+        GROUP BY source, split
+        """,
+        doc="deterministic hash-bucket train/val/test split — reproducible "
+        "sampling for corpus subsets",
+        tags=("llm", "sampling"),
+    ),
     Query(
         "q23_pricing_summary",
         q23,
