@@ -123,10 +123,45 @@ JOBS = {
     "query": job_query,
 }
 
+# Drop-in aliases: every `spark-submit --class` name from the reference
+# (README.md:61-84) maps to (job, config overrides), so a reference user
+# can keep their launch scripts verbatim.  Lakehouse sink formats require
+# the matching runtime jars (sources/batch.py:format_available).
+REFERENCE_CLASS_ALIASES: dict[str, tuple[str, dict]] = {
+    "S3ToParquetStreamJob": ("stream_retail", {"sink_format": "parquet"}),
+    "S3ToDeltaStreamJob": ("stream_retail", {"sink_format": "delta"}),
+    "S3ToHudiStreamJob": ("stream_retail", {"sink_format": "hudi", "hudi_mode": "upsert"}),
+    "S3ToHudiOptStreamJob": ("stream_retail", {"sink_format": "hudi", "hudi_mode": "bulk_insert"}),
+    "S3ToIcebergStreamJob": ("stream_retail", {"sink_format": "iceberg"}),
+    "S3SQSToParquetStreamJob": ("notification_ingest", {"sink_format": "parquet"}),
+    "S3SQSToHudiStreamJob": ("notification_ingest", {"sink_format": "hudi", "hudi_mode": "upsert"}),
+    "S3CloudTrailDeltaWriterWithExplodeCT": ("stream_cloudtrail", {"variant": "flatten"}),
+    "S3CloudTrailDeltaWriterWithNonExplodeCT": ("stream_cloudtrail", {"variant": "raw_string"}),
+    "S3CloudTrailDeltaWriterWithExplodeInRawCT": ("stream_cloudtrail", {"variant": "raw_struct"}),
+    "S3CloudTrailIcebergWriter": ("stream_cloudtrail", {"variant": "flatten", "sink_format": "iceberg"}),
+    "S3ParquetBatchReader": ("batch_reader", {"sink_format": "parquet"}),
+    "S3DeltaBatchReader": ("batch_reader", {"sink_format": "delta"}),
+    "S3HudiBatchReader": ("batch_reader", {"sink_format": "hudi"}),
+    "S3IcebergBatchReader": ("batch_reader", {"sink_format": "iceberg"}),
+    "DiskBasedTransformJob": ("batch_reader", {"sink_format": "csv"}),
+}
+
+
+def resolve_job(name: str) -> tuple[str, dict]:
+    """Accept either a native job name or a reference class name."""
+    if name in JOBS:
+        return name, {}
+    if name in REFERENCE_CLASS_ALIASES:
+        return REFERENCE_CLASS_ALIASES[name]
+    raise SystemExit(
+        f"unknown job {name!r}; native: {sorted(JOBS)}; "
+        f"reference classes: {sorted(REFERENCE_CLASS_ALIASES)}"
+    )
+
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("job", choices=sorted(JOBS))
+    ap.add_argument("job", help="job name or reference class name")
     ap.add_argument("--env", default="local")
     ap.add_argument("--source")
     ap.add_argument("--sink")
@@ -136,21 +171,24 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--name", dest="query_name", help="registry query name (job: query)")
     ap.add_argument("--sf-dir", dest="sf_dir", help="testdata dir (job: query)")
     args = ap.parse_args(argv)
-    cfg = resolve(
-        args.env,
-        source=args.source,
-        sink=args.sink,
-        checkpoint=args.checkpoint,
-        variant=args.variant,
-        sink_format=args.sink_format,
-        query_name=args.query_name,
-        sf_dir=args.sf_dir,
-    )
-    cfg.setdefault("source", os.path.join(cfg["source_root"], args.job))
-    cfg.setdefault("sink", os.path.join(cfg["sink_root"], args.job))
-    cfg.setdefault("checkpoint", os.path.join(cfg["checkpoint_root"], args.job))
-    spark = get_spark(app_name=f"normv2-{args.job}", profile=cfg["profile"])
-    JOBS[args.job](spark, cfg)
+    job, alias_overrides = resolve_job(args.job)
+    cli = {
+        "source": args.source,
+        "sink": args.sink,
+        "checkpoint": args.checkpoint,
+        "variant": args.variant,
+        "sink_format": args.sink_format,
+        "query_name": args.query_name,
+        "sf_dir": args.sf_dir,
+    }
+    merged = dict(alias_overrides)
+    merged.update({k: v for k, v in cli.items() if v is not None})  # CLI wins
+    cfg = resolve(args.env, **merged)
+    cfg.setdefault("source", os.path.join(cfg["source_root"], job))
+    cfg.setdefault("sink", os.path.join(cfg["sink_root"], job))
+    cfg.setdefault("checkpoint", os.path.join(cfg["checkpoint_root"], job))
+    spark = get_spark(app_name=f"normv2-{job}", profile=cfg["profile"])
+    JOBS[job](spark, cfg)
 
 
 if __name__ == "__main__":

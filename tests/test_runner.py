@@ -94,3 +94,16 @@ def test_runner_query_job(spark, capsys):
     job_query(spark, {"query_name": "q01_count", "sf_dir": "/root/testdata/sf0.001"})
     out = capsys.readouterr().out.strip()
     assert '"cnt"' in out
+
+
+def test_reference_class_aliases():
+    from spark_ss_hudi_delta_poc_spark.runner import REFERENCE_CLASS_ALIASES, resolve_job
+
+    job, over = resolve_job("S3ToParquetStreamJob")
+    assert job == "stream_retail" and over["sink_format"] == "parquet"
+    job, over = resolve_job("S3CloudTrailDeltaWriterWithNonExplodeCT")
+    assert job == "stream_cloudtrail" and over["variant"] == "raw_string"
+    job, over = resolve_job("S3ToHudiOptStreamJob")
+    assert over["hudi_mode"] == "bulk_insert"
+    assert resolve_job("batch_reader") == ("batch_reader", {})
+    assert len(REFERENCE_CLASS_ALIASES) == 16
