@@ -182,3 +182,39 @@ def test_sink_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "tag"}
     assert merged.count() == 8
     assert merged.where(F.col("tag").isNull()).count() == 5
+
+
+def test_progress_collector_listener(spark, tmp_path):
+    """StreamingQueryListener metrics: per-batch rows and durations are
+    collected for a 4-batch availableNow run."""
+    import json as _json
+
+    from spark_ss_hudi_delta_poc_spark.streaming.monitor import ProgressCollector
+
+    jsonl = os.path.join(tmp_path, "progress.jsonl")
+    collector = ProgressCollector(jsonl_path=jsonl)
+    spark.streams.addListener(collector)
+    try:
+        staged = stage_as_files(load(spark, SF, "events"), str(tmp_path), n_files=4)
+        stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+        q = write_stream(
+            stream, "parquet",
+            path=os.path.join(tmp_path, "sink"),
+            checkpoint=os.path.join(tmp_path, "ck"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+        import time as _time
+
+        deadline = _time.time() + 20  # listener delivery is async
+        want = load(spark, SF, "events").count()
+        while _time.time() < deadline and collector.total_rows() < want:
+            _time.sleep(0.2)
+        assert collector.total_rows() == want
+        batches = [r for r in collector.progress if r["num_input_rows"] > 0]
+        assert len(batches) == 4  # maxFilesPerTrigger=1 over 4 files
+        with open(jsonl) as f:
+            lines = [_json.loads(line) for line in f]
+        assert sum(r["num_input_rows"] for r in lines) == want
+    finally:
+        spark.streams.removeListener(collector)
