@@ -131,6 +131,13 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q42: single-pass table profiling ----------------------------------------
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import profile
+
+    return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+
 # --- q39: conditional-function battery --------------------------------------
 def q39(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -176,6 +183,41 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q42_profile_table",
+        q42,
+        """
+        SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(CAST(FLOOR(o_orderkey * 10000) AS BIGINT)) AS VARCHAR) AS min_val,
+               CAST(MAX(CAST(FLOOR(o_orderkey * 10000) AS BIGINT)) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(CAST(FLOOR(o_custkey * 10000) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(FLOOR(o_custkey * 10000) AS BIGINT)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS VARCHAR)
+        FROM orders
+        """,
+        doc="single-pass per-column profiling (rows/nulls/distincts/min/max) "
+        "— one scan for all columns, unpivoted",
+        tags=("functions", "profiling"),
+    ),
     Query(
         "q39_conditional_battery",
         q39,
