@@ -136,6 +136,51 @@ def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return docs.select(F.col(id_col), clean.alias("clean_text"), n_red.cast("int").alias("n_redactions"))
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by a rational tf-idf score.
+
+    score = (tf / doc_len) * (N / df) — term frequency normalized by doc
+    length, weighted by inverse document frequency.  The rational form
+    (two exact-integer divisions, one multiply) replaces log-idf so the
+    score is bit-identical across engines (libm log is not).
+
+    Plan: explode words → (doc, word) counts [1 shuffle] → df per word
+    [broadcastable agg] → score + windowed top-k [reuses the doc
+    partitioning].  Ties break (score desc, word asc).
+    """
+    from pyspark.sql import Window
+
+    from .partitioning import spread
+
+    w = F.explode(words(F.col(text_col))).alias("word")
+    terms = spread(docs).select(F.col(id_col).alias("doc_id"), w)
+    tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (
+        tf.join(F.broadcast(doc_len), "doc_id")
+        .join(F.broadcast(df_counts), "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("tf").cast("double") / F.col("len").cast("double"))
+                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return scored.select("doc_id", "word", "score", F.row_number().over(rank_w).alias("rank")).where(
+        F.col("rank") <= top_k
+    )
+
+
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (k-grams per window)
 

@@ -115,6 +115,10 @@ def text_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.chunk_documents(load(spark, sf, "documents"))
 
 
+def text_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.tfidf_keywords(load(spark, sf, "documents"))
+
+
 def text_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.scrub_pii(load(spark, sf, "documents"))
 
@@ -508,6 +512,31 @@ QUERIES = [
         """,
         doc="normalized-text 60-bit content fingerprint",
         tags=("llm", "text"),
+    ),
+    Query(
+        "text_tfidf_keywords",
+        text_keywords,
+        """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms GROUP BY doc_id, word),
+        dl AS (SELECT doc_id, COUNT(*) AS len FROM terms GROUP BY doc_id),
+        dfc AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word,
+                 (CAST(tf AS DOUBLE) / CAST(len AS DOUBLE))
+                   * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+          FROM tf JOIN dl USING (doc_id) JOIN dfc USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, score, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, word ASC) AS rn FROM scored)
+        WHERE rn <= 5
+        """,
+        doc="tf-idf keyword extraction (rational idf — engine-exact, no log)",
+        tags=("llm", "text", "keywords"),
     ),
     Query(
         "text_chunking",
