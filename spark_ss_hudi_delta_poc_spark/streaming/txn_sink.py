@@ -1,0 +1,69 @@
+"""Idempotent manifest-committed table sink — exactly-once foreachBatch
+writes WITHOUT a lakehouse format.
+
+The reference documents a real failure (README.md:115-122): Hudi
+duplicates rows when a killed job replays a batch whose record keys were
+regenerated.  Parquet/Delta stay clean because their sinks are
+batch-id-transactional.  This module gives ANY foreachBatch pipeline the
+same guarantee on plain parquet:
+
+- data for micro-batch N lands under ``<table>/batch=N/``;
+- a commit marker ``<table>/_commits/N`` is written AFTER the data
+  (atomic create);
+- a replayed batch N sees its marker and SKIPS the write;
+- readers take only committed batch dirs → a consistent snapshot even
+  mid-write.
+
+This is the minimal transaction log (the core of what `_delta_log` does
+for Delta), shuffle-free and scale-independent: commit state is one empty
+marker file per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _commits_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_commits")
+
+
+def committed_batches(table_path: str) -> set[int]:
+    d = _commits_dir(table_path)
+    if not os.path.isdir(d):
+        return set()
+    return {int(f) for f in os.listdir(d) if f.isdigit()}
+
+
+def write_batch_idempotent(batch_df: DataFrame, batch_id: int, table_path: str) -> bool:
+    """foreachBatch body: write batch ``batch_id`` exactly once.
+    Returns True if written, False if skipped as already committed."""
+    if batch_id in committed_batches(table_path):
+        return False
+    target = os.path.join(table_path, f"batch={batch_id}")
+    batch_df.write.mode("overwrite").parquet(target)  # overwrite: retry-safe
+    os.makedirs(_commits_dir(table_path), exist_ok=True)
+    marker = os.path.join(_commits_dir(table_path), str(batch_id))
+    with open(marker, "w") as f:
+        f.write("")
+    return True
+
+
+def read_committed(spark: SparkSession, table_path: str) -> DataFrame:
+    """Consistent snapshot: only batch dirs with commit markers."""
+    batches = sorted(committed_batches(table_path))
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {table_path}")
+    paths = [os.path.join(table_path, f"batch={b}") for b in batches]
+    return spark.read.parquet(*paths)
+
+
+def idempotent_sink(table_path: str):
+    """writeStream.foreachBatch(idempotent_sink(path))"""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(batch_df, batch_id, table_path)
+
+    return _sink
