@@ -101,6 +101,42 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(_extract, schema=MEDIA_META_SCHEMA)
 
 
+def fake_decode_audio(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic audio-decode stand-in: (sample_rate, n_samples,
+    duration_sec) derived from md5(payload).  sample_rate in {8k, 16k,
+    22.05k, 44.1k}; n_samples = byte_len * 256 + h % 256; duration is a
+    single exact division — all reproducible in SQL."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    rates = (8000, 16000, 22050, 44100)
+    sr = rates[h % 4]
+    n_samples = len(payload) * 256 + h % 256
+    return sr, n_samples, n_samples / sr
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction (Arrow batches): (doc_id,
+    sample_rate, n_samples, duration_sec).  Swap fake_decode_audio for a
+    real codec on a cluster with the libs."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_audio(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "duration_sec": [f[2] for f in feats],
+                }
+            )
+
+    from .partitioning import spread
+
+    return spread(media).mapInPandas(
+        _extract, schema="doc_id long, sample_rate long, n_samples long, duration_sec double"
+    )
+
+
 RESIZE_TARGET = 224
 
 

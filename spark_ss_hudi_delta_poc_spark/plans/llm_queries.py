@@ -160,6 +160,25 @@ def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.resize_plan(media)
 
 
+def mm_audio(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    return multimodal.extract_audio_meta(media)
+
+
+def dedup_kept_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup removal: cluster ngram-Jaccard pairs, keep only
+    cluster representatives (min id) + all unclustered docs; report the
+    kept corpus per language."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = dedup.dedup_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
 # --- oracle builders ---------------------------------------------------------
 def _minhash_oracle(k: int, bands: int, thr: float) -> str:
     r = k // bands
@@ -649,6 +668,61 @@ QUERIES = [
         doc="aspect-preserving resize plumbing (mapInPandas; resample stubbed, "
         "scale arithmetic real)",
         tags=("llm", "multimodal"),
+    ),
+    Query(
+        "multimodal_audio_meta",
+        mm_audio,
+        """
+        SELECT doc_id,
+               CAST(CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+               CAST(octet_length(encode(text)) * 256 + h % 256 AS BIGINT) AS n_samples,
+               CAST(octet_length(encode(text)) * 256 + h % 256 AS DOUBLE)
+                 / CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                              WHEN 2 THEN 22050 ELSE 44100 END AS duration_sec
+        FROM (SELECT doc_id, text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        """,
+        doc="audio-modality metadata via mapInPandas (sample rate / samples / "
+        "duration; codec stubbed deterministically)",
+        tags=("llm", "multimodal", "audio"),
+    ),
+    Query(
+        "dedup_kept_corpus",
+        dedup_kept_corpus,
+        f"""
+        WITH RECURSIVE {WS_SH_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_id_a, doc_id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_id_a
+          JOIN sizes sb ON sb.doc_id = doc_id_b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src
+        ),
+        dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        GROUP BY lang
+        """,
+        doc="end-to-end near-dup removal: clusters → keep representatives → "
+        "kept corpus stats per language",
+        tags=("llm", "dedup", "pipeline"),
     ),
     Query(
         "multimodal_frames",

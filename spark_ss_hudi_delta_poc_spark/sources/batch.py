@@ -11,11 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-# Lakehouse formats are optional in this environment (no delta/hudi/iceberg
-# jars baked in); format support is probed lazily and callers can skip.
-OPTIONAL_FORMATS = {"delta", "hudi", "iceberg"}
-
-
 def read_csv(
     spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True, sep: str = ","
 ) -> DataFrame:
