@@ -138,6 +138,20 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q43: deterministic collect/array aggregation ----------------------------
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- q39: conditional-function battery --------------------------------------
 def q39(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -183,6 +197,19 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q43_collect_arrays",
+        q43,
+        """
+        SELECT user_id,
+               list_sort(list(event_id)) AS event_ids,
+               list_sort(list(DISTINCT event_type)) AS types,
+               COUNT(*) AS n
+        FROM events WHERE user_id < 20 GROUP BY user_id
+        """,
+        doc="deterministic collect_list/collect_set aggregation (sorted arrays)",
+        tags=("functions", "array", "agg"),
+    ),
     Query(
         "q42_profile_table",
         q42,
