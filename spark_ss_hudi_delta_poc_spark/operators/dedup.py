@@ -285,7 +285,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .count()
         )
         old = labels
-        labels = new_labels
+        # truncate lineage: without this each round's plan nests the
+        # previous one, and deep components make analysis itself the
+        # bottleneck (production CC checkpoints the same way)
+        labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             old.unpersist()
             break
