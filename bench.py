@@ -32,6 +32,8 @@ HEADLINE = [
     # relational
     "q13_join_revenue",
     "q14_broadcast_dims",
+    "q23_pricing_summary",
+    "q33_segment_topn",
     "q15_window_topn",
     "q17_asof_join",
     "q20_sessionize",
