@@ -11,6 +11,7 @@ from ..streaming.jobs import (
     stream_global_count,
     stream_roundtrip_battery,
     stream_session_window,
+    stream_static_join,
     stream_stream_join,
     stream_windowed_agg,
 )
@@ -91,6 +92,24 @@ QUERIES = [
         """,
         doc="stream-stream interval join (watermark-bounded state) == batch "
         "interval join",
+        tags=("streaming", "join"),
+    ),
+    Query(
+        "q44_stream_static_join",
+        stream_static_join,
+        """
+        WITH dim AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN user_id % 3 = 0 THEN 'a'
+                      WHEN user_id % 3 = 1 THEN 'b' ELSE 'c' END AS segment
+          FROM events
+        )
+        SELECT segment, COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_e4
+        FROM events JOIN dim USING (user_id)
+        GROUP BY segment
+        """,
+        doc="stream-static broadcast join (per-batch dim enrichment) == batch join",
         tags=("streaming", "join"),
     ),
     Query(

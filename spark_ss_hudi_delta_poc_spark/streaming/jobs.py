@@ -113,6 +113,38 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
     return rows.unionByName(partkeys).unionByName(dups)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: STREAM-STATIC join — each micro-batch joins
+    against a bounded dimension (re-read per batch, so dim updates are
+    picked up).  The dim here is a per-user segment derived from the
+    user id; the stream aggregates revenue per segment.  Broadcast join
+    per batch — the streaming-enrichment workhorse.
+    """
+    staged = stage_table(spark, sf_dir, "events", n_files=2)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    user_dim = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 3 == 0, "a").when(F.col("user_id") % 3 == 1, "b").otherwise("c"))
+    )
+    joined = stream.join(F.broadcast(user_dim), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+    )
+    table = f"qssd_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: STREAM-STREAM inner join with an event-time range
     condition — purchases joined to same-user clicks in the preceding 30

@@ -51,9 +51,15 @@ def write_batch_idempotent(batch_df: DataFrame, batch_id: int, table_path: str) 
     return True
 
 
-def read_committed(spark: SparkSession, table_path: str) -> DataFrame:
-    """Consistent snapshot: only batch dirs with commit markers."""
+def read_committed(spark: SparkSession, table_path: str, as_of_batch: int | None = None) -> DataFrame:
+    """Consistent snapshot: only batch dirs with commit markers.
+
+    ``as_of_batch`` gives time travel — the table as it stood after that
+    micro-batch committed (markers are monotonic, so the prefix IS the
+    historical snapshot)."""
     batches = sorted(committed_batches(table_path))
+    if as_of_batch is not None:
+        batches = [b for b in batches if b <= as_of_batch]
     if not batches:
         raise FileNotFoundError(f"no committed batches under {table_path}")
     paths = [os.path.join(table_path, f"batch={b}") for b in batches]

@@ -94,3 +94,23 @@ def test_compact_reduces_files(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert n_after == 2
     assert spark.read.parquet(path).count() == want
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental backfill: overwrite ONLY the partitions present in the
+    new data (partitionOverwriteMode=dynamic), other partitions untouched."""
+    path = os.path.join(tmp_path, "dpo")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")], ["id", "day"]
+    )
+    base.write.partitionBy("day").parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix = spark.createDataFrame([(9, "2024-01-01")], ["id", "day"])
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(path)
+    # partition values are type-inferred (string → date) on read-back
+    got = {(r.id, str(r.day)) for r in back.collect()}
+    assert got == {(9, "2024-01-01"), (3, "2024-01-02")}  # day-02 survived

@@ -68,3 +68,13 @@ def test_streaming_restart_with_idempotent_sink(spark, tmp_path):
     got = read_committed(spark, table)
     assert got.count() == want
     assert got.agg(F.countDistinct("event_id")).collect()[0][0] == want
+
+
+def test_time_travel_as_of_batch(spark, tmp_path):
+    table = os.path.join(tmp_path, "tt")
+    write_batch_idempotent(spark.range(3).selectExpr("id"), 0, table)
+    write_batch_idempotent(spark.range(3, 7).selectExpr("id"), 1, table)
+    write_batch_idempotent(spark.range(7, 8).selectExpr("id"), 2, table)
+    assert read_committed(spark, table).count() == 8
+    assert read_committed(spark, table, as_of_batch=1).count() == 7
+    assert read_committed(spark, table, as_of_batch=0).count() == 3
