@@ -63,13 +63,21 @@ def main() -> None:
     # the query, not session startup (the reference's timed battery likewise
     # runs inside an already-warm session — S3ParquetBatchReader.scala:38).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = qs[name]
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        n = 0
+        # min-of-N: this box is shared and single runs vary ±2x; the min is
+        # the standard noise-resistant estimator of a query's true cost
+        for _ in range(runs):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
+                "aggregation": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
