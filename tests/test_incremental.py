@@ -43,3 +43,29 @@ def test_incremental_streaming_ingest_two_runs(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.text for r in spark.read.parquet(corpus).collect())
     assert got == ["a", "b", "c"]
+
+
+def test_ingest_increment_neardup(spark, tmp_path):
+    """Near-dup incremental ingest: batch 2 docs that are near-dups of
+    batch 1 survivors (or of each other) are dropped; novel docs land and
+    extend the persistent LSH index."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import ingest_increment_neardup
+
+    corpus = os.path.join(tmp_path, "c2")
+    index = os.path.join(tmp_path, "idx")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # jaccard ~0.8 vs base
+    far = "completely different words with no overlap at all in this sentence here"
+    other = "spark engines shuffle partitions across executors while planning adaptive queries"
+
+    b1 = spark.createDataFrame([(1, base), (2, far)], DOC_SCHEMA)
+    assert ingest_increment_neardup(spark, b1, corpus, index) == 2
+    # batch 2: near-dup of history (near), exact-new (other), in-batch
+    # near-dup pair (5/6: keep min id 5)
+    b2 = spark.createDataFrame(
+        [(4, near), (5, other), (6, other.replace("queries", "plans"))], DOC_SCHEMA
+    )
+    n = ingest_increment_neardup(spark, b2, corpus, index)
+    assert n == 1
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 5]
