@@ -138,6 +138,28 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q45: fixed-width histogram ----------------------------------------------
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    bucket = F.least(F.floor(F.col("value") / 20).cast("int"), F.lit(9))
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- q46: edit-distance battery ----------------------------------------------
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    head = F.substring("text", 1, 8)
+    return d.select(
+        "doc_id",
+        F.levenshtein(head, F.col("lang")).alias("lev_head_lang"),
+        F.levenshtein(F.col("lang"), F.col("source")).alias("lev_lang_src"),
+        F.levenshtein(head, F.lit("the fast")).alias("lev_head_ref"),
+    )
+
+
 # --- q43: deterministic collect/array aggregation ----------------------------
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -197,6 +219,29 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q45_histogram",
+        q45,
+        """
+        SELECT CAST(least(FLOOR(value / 20), 9) AS INTEGER) AS bucket, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+        """,
+        doc="fixed-width value histogram (10 clamped buckets)",
+        tags=("functions", "histogram"),
+    ),
+    Query(
+        "q46_edit_distance",
+        q46,
+        """
+        SELECT doc_id,
+               CAST(levenshtein(substr(text, 1, 8), lang) AS INTEGER) AS lev_head_lang,
+               CAST(levenshtein(lang, source) AS INTEGER) AS lev_lang_src,
+               CAST(levenshtein(substr(text, 1, 8), 'the fast') AS INTEGER) AS lev_head_ref
+        FROM documents
+        """,
+        doc="levenshtein edit-distance battery (string similarity family)",
+        tags=("functions", "string", "similarity"),
+    ),
     Query(
         "q43_collect_arrays",
         q43,
