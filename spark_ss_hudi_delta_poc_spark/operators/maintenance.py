@@ -46,6 +46,37 @@ def upsert_snapshot(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots: (key..., change) where
+    change ∈ {added, removed, changed}.  Unchanged rows are not emitted.
+
+    Plan: full outer join on the key comparing a 60-bit hash of the
+    compared columns — one shuffle on the key, 8-byte comparison payload
+    regardless of row width (never ships both full rows to the driver or
+    compares column-by-column downstream)."""
+    from ..functions.hashing import md5_long
+
+    compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        payload = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])
+        return df.select(*key_cols, md5_long(payload).alias(alias))
+
+    o = hashed(old, "h_old")
+    n = hashed(new, "h_new")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+    )
+    return joined.select(*key_cols, change.alias("change")).where(F.col("change").isNotNull())
+
+
 def compact(
     spark: SparkSession,
     table_path: str,

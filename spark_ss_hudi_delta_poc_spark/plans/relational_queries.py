@@ -101,6 +101,43 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", money_e4(F.col("value")).alias("val_e4"))
 
 
+# --- q47: data-quality rule suite -------------------------------------------
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity + domain checks as one unioned report —
+    the validation suite a pipeline runs before publishing a snapshot."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    orphan_lines = li.join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+    orphan_orders = orders.join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti")
+    bad_qty = li.where((F.col("l_quantity") <= 0) | F.col("l_quantity").isNull())
+    bad_disc = li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    checks = [
+        ("orphan_lineitems", orphan_lines),
+        ("orphan_orders", orphan_orders),
+        ("nonpositive_quantity", bad_qty),
+        ("discount_out_of_range", bad_disc),
+    ]
+    out = None
+    for rule, df in checks:
+        row = df.agg(F.count(F.lit(1)).alias("violations")).select(F.lit(rule).alias("rule"), "violations")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- q48: snapshot diff (CDC) -------------------------------------------------
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.maintenance import snapshot_diff, upsert_snapshot
+
+    ev = load(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    updates = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "ts", F.lit("updated").alias("event_type"), (F.col("value") * 2).alias("value")
+    )
+    new = upsert_snapshot(ev, updates, ["event_id"], "ts")
+    diff = snapshot_diff(ev, new, ["event_id"], ["event_type", "value"])
+    return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --- q18: semi/anti set predicates ------------------------------------------
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
@@ -193,6 +230,53 @@ QUERIES = [
         """,
         doc="left-semi / left-anti joins (EXISTS / NOT EXISTS)",
         tags=("relational", "join"),
+    ),
+    Query(
+        "q47_quality_rules",
+        q47,
+        """
+        SELECT 'orphan_lineitems' AS rule, COUNT(*) AS violations FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orphan_orders', COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'nonpositive_quantity', COUNT(*) FROM lineitem
+          WHERE l_quantity <= 0 OR l_quantity IS NULL
+        UNION ALL
+        SELECT 'discount_out_of_range', COUNT(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 1
+        """,
+        doc="data-quality rule suite: referential integrity + domain checks",
+        tags=("relational", "quality"),
+    ),
+    Query(
+        "q48_snapshot_diff",
+        q48,
+        """
+        WITH cur AS (SELECT event_id, ts, event_type, value, 0 AS side FROM events),
+        upd AS (SELECT event_id, ts, 'updated' AS event_type, value * 2 AS value, 1 AS side
+                FROM events WHERE event_id % 10 = 0),
+        newsnap AS (
+          SELECT event_id, event_type, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                        ORDER BY ts DESC, side DESC) AS rn
+            FROM (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+          ) WHERE rn = 1
+        ),
+        diff AS (
+          SELECT o.event_id,
+                 CASE WHEN o.event_id IS NULL THEN 'added'
+                      WHEN n.event_id IS NULL THEN 'removed'
+                      WHEN o.event_type != n.event_type OR o.value != n.value THEN 'changed'
+                 END AS change
+          FROM events o FULL OUTER JOIN newsnap n ON o.event_id = n.event_id
+        )
+        SELECT change, COUNT(*) AS n FROM diff WHERE change IS NOT NULL GROUP BY change
+        """,
+        doc="snapshot diff (CDC): full-outer hash compare on 8-byte payloads "
+        "→ added/removed/changed",
+        tags=("relational", "cdc"),
     ),
     Query(
         "q32_upsert_snapshot",

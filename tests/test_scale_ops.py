@@ -114,3 +114,12 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     # partition values are type-inferred (string → date) on read-back
     got = {(r.id, str(r.day)) for r in back.collect()}
     assert got == {(9, "2024-01-01"), (3, "2024-01-02")}  # day-02 survived
+
+
+def test_snapshot_diff_detects_all_change_types(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    new = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["id", "v"])
+    got = {r.id: r.change for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # id 1 unchanged → absent
