@@ -62,6 +62,13 @@ def get_spark(
         builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     conf = dict(_COMMON_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if profile != "local":
+        # Spill-aware sizing for the 100 TB case: 256 MB input splits keep
+        # per-task working sets well inside executor memory; AQE coalesces
+        # the deliberately-high shuffle partition count down to ~advisory
+        # size at runtime, so small stages don't pay for the big default.
+        conf.setdefault("spark.sql.files.maxPartitionBytes", "268435456")
+        conf.setdefault("spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
