@@ -125,7 +125,123 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q49: TPC-H Q4 shape — EXISTS with date-range filter ---------------------
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1996-03-01")).select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- q50: TPC-H Q6 shape — pure-filter revenue forecast ----------------------
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money_e4(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- q51: TPC-H Q10 shape — returned-item top customers ----------------------
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+    )
+    return out.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+# --- q52: TPC-H Q12 shape — priority counts by category ----------------------
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_priority"),
+            F.sum(1 - high).alias("low_priority"),
+        )
+    )
+
+
 QUERIES = [
+    Query(
+        "q49_exists_daterange",
+        q49,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-03-01')
+        GROUP BY o_orderpriority
+        """,
+        doc="TPC-H Q4 shape: EXISTS semi-join with date-range predicates",
+        tags=("analytics", "join"),
+    ),
+    Query(
+        "q50_filter_revenue",
+        q50,
+        """
+        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT)) AS revenue_e4,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        doc="TPC-H Q6 shape: pure-filter aggregate (pushdown-friendly scan)",
+        tags=("analytics", "filter"),
+    ),
+    Query(
+        "q51_returned_top_customers",
+        q51,
+        """
+        SELECT c_custkey, c_name,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue_e4 DESC, c_custkey ASC
+        LIMIT 20
+        """,
+        doc="TPC-H Q10 shape: returned-item revenue, total-ordered top-20",
+        tags=("analytics", "join"),
+    ),
+    Query(
+        "q52_priority_shipmode",
+        q52,
+        """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+        """,
+        doc="TPC-H Q12 shape: conditional counts per category over a join",
+        tags=("analytics", "join"),
+    ),
     Query(
         "q33_segment_topn",
         q33,
