@@ -185,7 +185,68 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q53: exact per-group median (order statistics without approx) -----------
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders").select(
+        "o_orderpriority", money_e4(F.col("o_totalprice")).alias("p_e4")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("p_e4").asc())
+    ranked = orders.select(
+        "o_orderpriority",
+        "p_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    # lower median: element at ceil(n/2) — exact, deterministic, one sort
+    return ranked.where(F.col("rn") == F.ceil(F.col("n") / 2)).select(
+        "o_orderpriority", F.col("p_e4").alias("median_e4"), "n"
+    )
+
+
+# --- q54: per-group mode (most frequent value, deterministic tie-break) ------
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type").asc())
+    return counts.select("user_id", "event_type", "c", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") == 1
+    ).select("user_id", F.col("event_type").alias("mode_type"), F.col("c").alias("mode_count"))
+
+
 QUERIES = [
+    Query(
+        "q53_exact_median",
+        q53,
+        """
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 10000) AS BIGINT) AS p_e4,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(FLOOR(o_totalprice * 10000) AS BIGINT) ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        )
+        SELECT o_orderpriority, p_e4 AS median_e4, n
+        FROM r WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) / 2) AS BIGINT)
+        """,
+        doc="exact per-group lower median via one sort + row_number (no "
+        "approximate sketch, engine-deterministic)",
+        tags=("analytics", "orderstat"),
+    ),
+    Query(
+        "q54_group_mode",
+        q54,
+        """
+        WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+                   GROUP BY user_id, event_type)
+        SELECT user_id, event_type AS mode_type, c AS mode_count
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY c DESC, event_type ASC) AS rn FROM c)
+        WHERE rn = 1
+        """,
+        doc="per-group mode with alphabetical tie-break",
+        tags=("analytics", "orderstat"),
+    ),
     Query(
         "q49_exists_daterange",
         q49,
