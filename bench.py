@@ -34,6 +34,8 @@ HEADLINE = [
     "q14_broadcast_dims",
     "q23_pricing_summary",
     "q33_segment_topn",
+    "q34_region_revenue",
+    "q51_returned_top_customers",
     "q15_window_topn",
     "q17_asof_join",
     "q20_sessionize",

@@ -93,3 +93,29 @@ def test_sessionize_single_shuffle(spark):
     p = plan_of(spark, "q20_sessionize")
     assert p.count("hashpartitioning(user_id") >= 1
     assert p.count("+- Exchange") == 1
+
+
+# Deliberate exceptions to the no-cross-join rule, each with its scale
+# justification — anything NOT listed here that plans one is a bug.
+CROSS_JOIN_EXEMPT = {
+    # scoring every vector against the centroid set IS a cross product;
+    # the broadcast side is n_centroids (16) rows, so the nested-loop is
+    # 16 comparisons per row — a map stage in disguise.
+    "ann_ivf_topk",
+}
+
+
+def test_no_cartesian_anywhere(spark):
+    """Global plan audit: no batch query in the registry may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — the two shapes that
+    never survive a scale-up — unless explicitly exempted with a
+    justification above.  (Streaming queries execute in fn() and are
+    covered by their own oracle runs.)"""
+    offenders = []
+    for name, q in sorted(QS.items()):
+        if "streaming" in q.tags or name in CROSS_JOIN_EXEMPT:
+            continue
+        p = plan_of(spark, name)
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            offenders.append(name)
+    assert offenders == []
