@@ -28,6 +28,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with the same
     ``key`` and right_ts <= left_ts (inclusive).
@@ -73,6 +74,17 @@ def asof_join(
     out = merged.where(F.col("_side") == 1).select(
         "_lrow.*", F.col("asof_ts"), *[F.col(f"asof_{c}") for c in value_cols]
     )
+    if tolerance_seconds is not None:
+        # staleness bound (market-data style): a match older than the
+        # tolerance is as good as no match — null it out, one projection
+        fresh = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("asof_ts"))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *[c for c in out.columns if c != "asof_ts" and not c.startswith("asof_")],
+            F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+            *[F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in value_cols],
+        )
     return out
 
 

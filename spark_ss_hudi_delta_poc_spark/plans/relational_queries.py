@@ -101,6 +101,17 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", money_e4(F.col("value")).alias("val_e4"))
 
 
+# --- q55: as-of join with staleness tolerance --------------------------------
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", tolerance_seconds=2 * 3600
+    )
+    return joined.select("event_id", "user_id", F.col("asof_ts").alias("recent_click_ts"))
+
+
 # --- q47: data-quality rule suite -------------------------------------------
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity + domain checks as one unioned report —
@@ -230,6 +241,19 @@ QUERIES = [
         """,
         doc="left-semi / left-anti joins (EXISTS / NOT EXISTS)",
         tags=("relational", "join"),
+    ),
+    Query(
+        "q55_asof_tolerance",
+        q55,
+        """
+        SELECT p.event_id, p.user_id,
+               CASE WHEN p.ts - c.ts <= INTERVAL 2 HOUR THEN c.ts END AS recent_click_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        doc="as-of join with 2h staleness tolerance (stale match → null)",
+        tags=("relational", "asof"),
     ),
     Query(
         "q47_quality_rules",
