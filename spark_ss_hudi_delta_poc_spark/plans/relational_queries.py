@@ -78,6 +78,15 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("event_id", "user_id", F.col("asof_ts").alias("last_click_ts"))
 
 
+# --- q56: CUBE grouping sets -------------------------------------------------
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(money_e4(F.col("l_extendedprice"))).alias("price_e4"),
+    )
+
+
 # --- q20: batch sessionization (gaps-and-islands) ---------------------------
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(load(spark, sf, "events"))
@@ -319,6 +328,18 @@ QUERIES = [
         doc="copy-on-write upsert (recordkey=event_id, precombine=ts, update "
         "wins ties) — Hudi K4 semantics as a one-shuffle engine op",
         tags=("relational", "upsert"),
+    ),
+    Query(
+        "q56_cube",
+        q56,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS price_e4
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        doc="CUBE grouping sets (all subtotal combinations)",
+        tags=("relational", "agg"),
     ),
     Query(
         "q20_sessionize",
