@@ -185,6 +185,52 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q57: funnel analysis (ordered-step conversion) --------------------------
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """signup → click → purchase funnel: per user take the FIRST time of
+    each step, count users completing each prefix in order.  One shuffle
+    (groupBy user) + a broadcastable three-row summary."""
+    ev = load(spark, sf, "events")
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.sum(s1.cast("int")).alias("step1_signup"),
+        F.sum(s2.cast("int")).alias("step2_click_after"),
+        F.sum(s3.cast("int")).alias("step3_purchase_after"),
+    )
+
+
+# --- q58: hourly cohort retention --------------------------------------------
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Of users active in hour H, how many were also active in H+1 —
+    the adjacent-period retention join on 8-byte (user, hour) keys."""
+    ev = load(spark, sf, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    nxt = active.select("user_id", (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"))
+    retained = active.join(nxt, ["user_id", "h"], "left_semi")
+    return (
+        active.groupBy("h").agg(F.count(F.lit(1)).alias("active_users"))
+        .join(
+            retained.groupBy("h").agg(F.count(F.lit(1)).alias("retained_next_hour")),
+            "h",
+            "left",
+        )
+        .select("h", "active_users", F.coalesce("retained_next_hour", F.lit(0)).alias("retained_next_hour"))
+    )
+
+
 # --- q53: exact per-group median (order statistics without approx) -----------
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders").select(
@@ -214,6 +260,50 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q57_funnel",
+        q57,
+        """
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+          GROUP BY user_id
+        )
+        SELECT
+          SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS step1_signup,
+          SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                        AND t_click > t_signup THEN 1 ELSE 0 END) AS step2_click_after,
+          SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                        AND t_click > t_signup AND t_purchase IS NOT NULL
+                        AND t_purchase > t_click THEN 1 ELSE 0 END) AS step3_purchase_after
+        FROM firsts
+        """,
+        doc="ordered-step funnel conversion (signup → click → purchase)",
+        tags=("analytics", "funnel"),
+    ),
+    Query(
+        "q58_hourly_retention",
+        q58,
+        """
+        WITH active AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        retained AS (
+          SELECT a.h, COUNT(*) AS retained_next_hour
+          FROM active a
+          WHERE EXISTS (SELECT 1 FROM active n
+                        WHERE n.user_id = a.user_id AND n.h = a.h + INTERVAL 1 HOUR)
+          GROUP BY a.h
+        )
+        SELECT active.h, COUNT(*) AS active_users,
+               COALESCE(ANY_VALUE(retained.retained_next_hour), 0) AS retained_next_hour
+        FROM active LEFT JOIN retained ON active.h = retained.h
+        GROUP BY active.h
+        """,
+        doc="adjacent-hour cohort retention (semi-join on user+hour keys)",
+        tags=("analytics", "retention"),
+    ),
     Query(
         "q53_exact_median",
         q53,
