@@ -119,6 +119,19 @@ def text_keywords(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.tfidf_keywords(load(spark, sf, "documents"))
 
 
+def corpus_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 trigrams by document frequency — the corpus n-gram frequency
+    table used for stop-shingle caps and contamination checks."""
+    from pyspark.sql import Window
+
+    sh = dedup.shingle_table(load(spark, sf, "documents"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("shingle").asc())
+    return df_counts.select("shingle", "df", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= 20
+    )
+
+
 def text_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.scrub_pii(load(spark, sf, "documents"))
 
@@ -531,6 +544,20 @@ QUERIES = [
         """,
         doc="normalized-text 60-bit content fingerprint",
         tags=("llm", "text"),
+    ),
+    Query(
+        "corpus_ngram_stats",
+        corpus_ngram_stats,
+        f"""
+        WITH {WS_SH_CTE},
+        dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        SELECT shingle, df, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, shingle ASC) AS rn FROM dfs)
+        WHERE rn <= 20
+        """,
+        doc="top-20 trigram document frequencies (stop-shingle / "
+        "contamination analysis table)",
+        tags=("llm", "text", "stats"),
     ),
     Query(
         "text_tfidf_keywords",
