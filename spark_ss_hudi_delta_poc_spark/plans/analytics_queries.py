@@ -185,6 +185,19 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q59: sliding-window distinct users --------------------------------------
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """2-hour windows sliding every hour: distinct active users per window.
+    Each event lands in exactly 2 windows (window explode is built-in);
+    COUNT(DISTINCT) then groups per window start."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("active_users"), F.count(F.lit(1)).alias("events"))
+        .select(F.col("w.start").alias("window_start"), "active_users", "events")
+    )
+
+
 # --- q57: funnel analysis (ordered-step conversion) --------------------------
 def q57(spark: SparkSession, sf: str) -> DataFrame:
     """signup → click → purchase funnel: per user take the FIRST time of
@@ -260,6 +273,25 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q59_sliding_window",
+        q59,
+        """
+        WITH contrib AS (
+          SELECT user_id,
+                 unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                   AS window_start
+          FROM events
+        )
+        SELECT window_start,
+               COUNT(DISTINCT user_id) AS active_users,
+               COUNT(*) AS events
+        FROM contrib GROUP BY window_start
+        """,
+        doc="2h windows sliding 1h: distinct active users per window (each "
+        "event contributes to exactly 2 windows)",
+        tags=("analytics", "window", "timeseries"),
+    ),
     Query(
         "q57_funnel",
         q57,
