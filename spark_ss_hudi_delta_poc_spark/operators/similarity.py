@@ -43,20 +43,6 @@ def hyperplane(plane: int, dim: int = DIM) -> list[int]:
     return out
 
 
-def _bucket_col(qvec_col: str) -> F.Column:
-    """LSH bucket id: sign bit per hyperplane over the quantized vector."""
-    bucket = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
-        hp = F.array(*[F.lit(v).cast("long") for v in hyperplane(p)])
-        dot = F.aggregate(
-            F.zip_with(F.col(qvec_col), hp, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
-
-
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -122,18 +108,49 @@ def lsh_topk(
     Same schema as brute_force_topk; recall < 1 by design (the judge sees
     which).  At scale the bucket join replaces the full cross product —
     candidate count drops by ~2^planes for balanced buckets.
+
+    Execution mirrors brute_force_topk's block pattern: queries (with
+    their buckets) broadcast as numpy matrices; each corpus partition
+    computes its rows' buckets with one H @ V sign matmul, scores only
+    bucket-matching query pairs, keeps local top-k.  All arithmetic on
+    exact quantized integers → bit-identical to the SQL oracle.
     """
-    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv_c"))
-    corpus = corpus.withColumn("bucket", _bucket_col("qv_c"))
-    qs = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv_q"))
-    qs = qs.withColumn("bucket", _bucket_col("qv_q"))
-    scored = (
-        corpus.join(F.broadcast(qs), ["bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    hmat = np.array([hyperplane(p) for p in range(LSH_PLANES)], dtype=np.float64)
+    pow2 = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+
+    def buckets_of(mat: "np.ndarray") -> "np.ndarray":
+        return (((hmat @ mat.T) > 0).astype(np.int64).T @ pow2)
+
+    q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q for r in q_rows], dtype=np.float64)
+    q_nsq = (q_mat * q_mat).sum(axis=1)
+    q_buckets = buckets_of(q_mat)
+
+    def per_partition(batches):
+        for pdf in batches:
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
+            c_nsq = (c * c).sum(axis=1)
+            c_buckets = buckets_of(c)
+            cos = (q_mat @ c.T) / np.sqrt(q_nsq[:, None] * c_nsq[None, :])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                mask = (c_buckets == q_buckets[qi]) & (c_ids != q_ids[qi])
+                cand_n, cand_c = c_ids[mask], cos[qi][mask]
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    local = corpus.mapInPandas(per_partition, schema="query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
+    return local.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
         F.col("rank") <= k
     )
 
