@@ -100,6 +100,52 @@ def job_batch_reader(spark, cfg) -> dict:
     return out
 
 
+def job_corpus_build(spark, cfg) -> dict:
+    """End-to-end training-corpus build: documents → quality filter →
+    exact dedup → near-dup cluster removal → PII scrub → context-window
+    chunks, written partitioned by language, with a stats JSON line.
+
+    The full LLM-data pipeline as one job — every stage is the
+    oracle-checked operator, composed."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup, text_analysis
+    from .tables import load
+
+    sf_dir = cfg.get("sf_dir") or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    docs = load(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    keep_quality = text_analysis.quality_score(docs).where(F.col("keep")).select("doc_id")
+    docs_q = docs.join(keep_quality, "doc_id", "left_semi")
+
+    reps = dedup.exact_dedup(docs_q).select(F.col("keep_doc_id").alias("doc_id"))
+    docs_e = docs_q.join(reps, "doc_id", "left_semi")
+
+    pairs = dedup.ngram_jaccard_pairs(docs_e, threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs)
+    drop_near = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    docs_n = docs_e.join(drop_near, "doc_id", "left_anti")
+
+    scrubbed = docs_n.join(text_analysis.scrub_pii(docs_n), "doc_id").select(
+        "doc_id", F.col("clean_text").alias("text"), "lang", "source"
+    )
+    chunks = text_analysis.chunk_documents(scrubbed).join(
+        scrubbed.select("doc_id", "lang"), "doc_id"
+    )
+    chunks.write.mode("overwrite").partitionBy("lang").parquet(cfg["sink"])
+
+    out = {
+        "input_docs": n_input,
+        "after_quality": docs_q.count(),
+        "after_exact_dedup": docs_e.count(),
+        "after_near_dedup": docs_n.count(),
+        "chunks": spark.read.parquet(cfg["sink"]).count(),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def job_query(spark, cfg) -> None:
     """Run any registry query by name against a testdata scale-factor dir
     and print the result as JSON lines — the ad-hoc query surface."""
@@ -121,6 +167,7 @@ JOBS = {
     "notification_ingest": job_notification_ingest,
     "batch_reader": job_batch_reader,
     "query": job_query,
+    "corpus_build": job_corpus_build,
 }
 
 # Drop-in aliases: every `spark-submit --class` name from the reference

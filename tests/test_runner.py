@@ -58,6 +58,7 @@ def test_all_jobs_registered():
         "notification_ingest",
         "batch_reader",
         "query",
+        "corpus_build",
     }
 
 
@@ -107,3 +108,20 @@ def test_reference_class_aliases():
     assert over["hudi_mode"] == "bulk_insert"
     assert resolve_job("batch_reader") == ("batch_reader", {})
     assert len(REFERENCE_CLASS_ALIASES) == 16
+
+
+def test_corpus_build_job(spark, tmp_path, capsys):
+    """End-to-end corpus build over sf0.001: every pipeline stage reduces
+    or preserves doc count; chunk output is partitioned by language."""
+    import os as _os
+
+    from spark_ss_hudi_delta_poc_spark.runner import job_corpus_build
+
+    sink = _os.path.join(tmp_path, "corpus")
+    out = job_corpus_build(spark, {"sf_dir": "/root/testdata/sf0.001", "sink": sink})
+    assert out["input_docs"] == 500
+    assert 0 < out["after_near_dedup"] <= out["after_exact_dedup"] <= out["after_quality"] <= 500
+    assert out["chunks"] > out["after_near_dedup"]  # multiple chunks per doc
+    assert any(d.startswith("lang=") for d in _os.listdir(sink) if not d.startswith("_"))
+    back = spark.read.parquet(sink)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens", "lang"} <= set(back.columns)
