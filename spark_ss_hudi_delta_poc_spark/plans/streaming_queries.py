@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..streaming.jobs import (
     stream_dedup,
     stream_global_count,
+    stream_materialized_latest,
     stream_roundtrip_battery,
     stream_session_window,
     stream_static_join,
@@ -111,6 +112,24 @@ QUERIES = [
         """,
         doc="stream-static broadcast join (per-batch dim enrichment) == batch join",
         tags=("streaming", "join"),
+    ),
+    Query(
+        "q60_stream_materialized_latest",
+        stream_materialized_latest,
+        """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_type,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY epoch(date_trunc('second', ts)) * 4294967296 + event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        doc="streaming materialized latest-state-per-key view (foreachBatch "
+        "upserts, batching-independent total order) == batch argmax",
+        tags=("streaming", "upsert"),
     ),
     Query(
         "q22_stream_dedup",

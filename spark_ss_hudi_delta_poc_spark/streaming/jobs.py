@@ -242,6 +242,61 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
     return spark.table(table)
 
 
+def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: a continuously-maintained LATEST-STATE-PER-KEY
+    table — each micro-batch upserts into a snapshot (foreachBatch +
+    upsert_snapshot), the streaming materialized-view pattern.
+
+    Precombine is a single total-order key (unix_seconds * 2^32 +
+    event_id) so the winner per user is batching-independent: the final
+    table equals the batch argmax regardless of how files split into
+    micro-batches.  Output: (user_id, last_event_id, last_type, v_e4).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.maintenance import upsert_snapshot
+
+    work = _workdir("qmatview")
+    staged = stage_table(spark, sf_dir, "events", n_files=4)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
+    state_dir = os.path.join(work, "state")
+    ver = (F.unix_timestamp(F.date_trunc("second", F.col("ts"))) * F.lit(2**32) + F.col("event_id")).alias("ver")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        incoming = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
+            ver,
+        )
+        # in-batch latest per user first (deterministic total order)
+        w = Window.partitionBy("user_id").orderBy(F.col("ver").desc())
+        incoming = incoming.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        if os.path.isdir(state_dir):
+            current = s.read.parquet(state_dir)
+            merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
+        else:
+            merged = incoming
+        staging = state_dir + "._new"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(state_dir):
+            import shutil
+
+            shutil.rmtree(state_dir)
+        os.rename(staging, state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).drop("ver")
+
+
 def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: event-time tumbling-window aggregation with a
     watermark (the streaming feature the reference lacks — SURVEY.md §2.7).
