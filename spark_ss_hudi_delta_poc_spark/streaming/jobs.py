@@ -30,7 +30,22 @@ from ..tables import load
 
 
 def _workdir(tag: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream", f"{tag}-{_uuid.uuid4().hex[:8]}")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
+    # best-effort GC of staging left by PREVIOUS processes (>6h old) so
+    # repeated runs don't accumulate temp copies of the staged tables
+    try:
+        import shutil
+        import time as _time
+
+        cutoff = _time.time() - 6 * 3600
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(root, f"{tag}-{_uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
     return d
 
