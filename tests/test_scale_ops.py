@@ -123,3 +123,41 @@ def test_snapshot_diff_detects_all_change_types(spark):
     new = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["id", "v"])
     got = {r.id: r.change for r in snapshot_diff(old, new, ["id"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}  # id 1 unchanged → absent
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """Compaction preserves hive partitioning and reduces files per
+    partition to the target."""
+    path = os.path.join(tmp_path, "ptbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], ["id", "part"]
+    )
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    want = spark.read.parquet(path).count()
+    compact(spark, path, target_files_per_partition=1, partition_by=["part"])
+    for p in ["part=a", "part=b"]:
+        files = [f for f in os.listdir(os.path.join(path, p)) if f.endswith(".parquet")]
+        assert len(files) == 1, p
+    assert spark.read.parquet(path).count() == want
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    """Left salted join keeps unmatched left rows exactly once."""
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (99, "z")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], ["k", "rv"])
+    out = salted_join(left, right, "k", salt_buckets=4, how="left").collect()
+    got = {(r.k, r.lv, r.rv) for r in out}
+    assert got == {(1, "x", "r1"), (2, "y", "r2"), (99, "z", None)}
+
+
+def test_profile_operator_values(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "b", 3.5), (3, "b", None)], ["id", "s", "v"]
+    )
+    rows = {r.column: r for r in profile(df).collect()}
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 1
+    assert rows["v"].n_nulls == 1
+    assert rows["v"].min_val == "25000" and rows["v"].max_val == "35000"  # e4-scaled
+    assert rows["id"].n_rows == 3
