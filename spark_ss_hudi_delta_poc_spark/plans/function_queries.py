@@ -138,6 +138,23 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q61: date-arithmetic battery --------------------------------------------
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.date_add(d, 30).alias("plus30"),
+        F.date_sub(d, 7).alias("minus7"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).cast("int").alias("days_to_2025"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus2mo"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("woy"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )
+
+
 # --- q45: fixed-width histogram ----------------------------------------------
 def q45(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -219,6 +236,25 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q61_date_arith",
+        q61,
+        """
+        SELECT event_id,
+               CAST(ts AS DATE) + 30 AS plus30,
+               CAST(ts AS DATE) - 7 AS minus7,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2025-01-01') AS INTEGER) AS days_to_2025,
+               last_day(CAST(ts AS DATE)) AS month_end,
+               CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+               CAST(weekofyear(CAST(ts AS DATE)) AS INTEGER) AS woy,
+               CAST(quarter(CAST(ts AS DATE)) AS INTEGER) AS qtr
+        FROM events
+        """,
+        doc="date arithmetic battery (add/sub/diff/last_day/add_months/"
+        "dayofweek/weekofyear/quarter)",
+        tags=("functions", "date"),
+    ),
     Query(
         "q45_histogram",
         q45,
