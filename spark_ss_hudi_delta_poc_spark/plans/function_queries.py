@@ -138,6 +138,17 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q62: regexp-extract-all battery -----------------------------------------
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("\\b\\w{4}\\b"), 0).alias("four_letter_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("a\\w+"), 0)).cast("long").alias("n_a_words"),
+        F.regexp_count(F.col("text"), F.lit(" ")).cast("long").alias("n_spaces"),
+    )
+
+
 # --- q61: date-arithmetic battery --------------------------------------------
 def q61(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -236,6 +247,19 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q62_regexp_extract_all",
+        q62,
+        r"""
+        SELECT doc_id,
+               regexp_extract_all(text, '\b\w{4}\b') AS four_letter_words,
+               CAST(len(regexp_extract_all(text, 'a\w+')) AS BIGINT) AS n_a_words,
+               CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
+        FROM documents
+        """,
+        doc="regexp_extract_all / regexp_count battery (array results)",
+        tags=("functions", "string", "regexp"),
+    ),
     Query(
         "q61_date_arith",
         q61,
