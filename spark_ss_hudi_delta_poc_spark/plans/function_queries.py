@@ -138,6 +138,24 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q63: unpivot (wide → long) ----------------------------------------------
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 10000).cast("long").alias("quantity"),
+        F.floor(F.col("l_extendedprice") * 10000).cast("long").alias("extendedprice"),
+        F.floor(F.col("l_discount") * 10000).cast("long").alias("discount"),
+        F.floor(F.col("l_tax") * 10000).cast("long").alias("tax"),
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="value_e4",
+    )
+
+
 # --- q62: regexp-extract-all battery -----------------------------------------
 def q62(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
@@ -247,6 +265,25 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q63_unpivot",
+        q63,
+        """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS value_e4 FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(FLOOR(l_discount * 10000) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax',
+               CAST(FLOOR(l_tax * 10000) AS BIGINT) FROM lineitem
+        """,
+        doc="unpivot/melt wide measures to long form (4 rows out per input)",
+        tags=("functions", "reshape"),
+    ),
     Query(
         "q62_regexp_extract_all",
         q62,
