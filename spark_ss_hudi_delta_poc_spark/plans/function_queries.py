@@ -138,6 +138,17 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q64: conditional distinct aggregation -----------------------------------
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("buyers"),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("clickers"),
+        F.countDistinct("user_id").alias("all_users"),
+        F.count(F.when(F.col("value") > 100, 1)).alias("high_value_events"),
+    )
+
+
 # --- q63: unpivot (wide → long) ----------------------------------------------
 def q63(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").select(
@@ -265,6 +276,19 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q64_conditional_distinct",
+        q64,
+        """
+        SELECT COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS buyers,
+               COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers,
+               COUNT(DISTINCT user_id) AS all_users,
+               COUNT(CASE WHEN value > 100 THEN 1 END) AS high_value_events
+        FROM events
+        """,
+        doc="conditional distinct counts (segmented reach metrics)",
+        tags=("functions", "agg"),
+    ),
     Query(
         "q63_unpivot",
         q63,
