@@ -138,6 +138,19 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return profile(load(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
 
 
+# --- q65: ordered string aggregation -----------------------------------------
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.where(F.col("user_id") < 15)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- q64: conditional distinct aggregation -----------------------------------
 def q64(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -276,6 +289,18 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "q65_string_agg",
+        q65,
+        """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+               COUNT(*) AS n
+        FROM events WHERE user_id < 15 GROUP BY user_id
+        """,
+        doc="ordered string aggregation (sorted distinct concat per group)",
+        tags=("functions", "agg", "string"),
+    ),
     Query(
         "q64_conditional_distinct",
         q64,

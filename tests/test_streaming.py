@@ -218,3 +218,9 @@ def test_progress_collector_listener(spark, tmp_path):
         assert sum(r["num_input_rows"] for r in lines) == want
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_progress_collector_empty():
+    from spark_ss_hudi_delta_poc_spark.streaming.monitor import ProgressCollector
+
+    assert ProgressCollector().total_rows() == 0

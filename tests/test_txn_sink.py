@@ -78,3 +78,10 @@ def test_time_travel_as_of_batch(spark, tmp_path):
     assert read_committed(spark, table).count() == 8
     assert read_committed(spark, table, as_of_batch=1).count() == 7
     assert read_committed(spark, table, as_of_batch=0).count() == 3
+
+
+def test_read_committed_empty_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_committed(spark, os.path.join(tmp_path, "nope"))
