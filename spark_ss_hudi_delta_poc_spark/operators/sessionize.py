@@ -59,8 +59,8 @@ def sessionize_oracle_sql(
     ),
     numbered AS (
       SELECT {user_col}, {ts_col},
-             SUM(is_new) OVER (PARTITION BY {user_col} ORDER BY {ts_col} ASC
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(SUM(is_new) OVER (PARTITION BY {user_col} ORDER BY {ts_col} ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT {user_col}, session_idx,

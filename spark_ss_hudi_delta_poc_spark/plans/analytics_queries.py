@@ -305,12 +305,12 @@ QUERIES = [
           GROUP BY user_id
         )
         SELECT
-          SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS step1_signup,
-          SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
-                        AND t_click > t_signup THEN 1 ELSE 0 END) AS step2_click_after,
-          SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+          CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step1_signup,
+          CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                        AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS step2_click_after,
+          CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                         AND t_click > t_signup AND t_purchase IS NOT NULL
-                        AND t_purchase > t_click THEN 1 ELSE 0 END) AS step3_purchase_after
+                        AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase_after
         FROM firsts
         """,
         doc="ordered-step funnel conversion (signup → click → purchase)",
@@ -387,7 +387,7 @@ QUERIES = [
         "q50_filter_revenue",
         q50,
         """
-        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT)) AS revenue_e4,
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -400,7 +400,7 @@ QUERIES = [
         q51,
         """
         SELECT c_custkey, c_name,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -417,8 +417,8 @@ QUERIES = [
         q52,
         """
         SELECT l_linestatus,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_linestatus
         """,
@@ -430,7 +430,7 @@ QUERIES = [
         q33,
         """
         SELECT o_orderkey, o_orderdate,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -447,7 +447,7 @@ QUERIES = [
         q34,
         """
         SELECT n_name,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n_lines
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -466,9 +466,9 @@ QUERIES = [
         q35,
         """
         SELECT event_id, user_id,
-               SUM(v_e4) OVER w4 AS moving_sum_e4,
+               CAST(SUM(v_e4) OVER w4 AS BIGINT) AS moving_sum_e4,
                CAST(COUNT(*) OVER w4 AS BIGINT) AS moving_n,
-               SUM(v_e4) OVER wc AS running_sum_e4
+               CAST(SUM(v_e4) OVER wc AS BIGINT) AS running_sum_e4
         FROM (SELECT event_id, user_id, ts,
                      CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4 FROM events)
         WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -485,7 +485,7 @@ QUERIES = [
         """
         WITH hourly AS (
           SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt,
-                 SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS v_e4
+                 CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS v_e4
           FROM events GROUP BY 1
         ),
         bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,

@@ -185,7 +185,10 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.regexp_extract_all(F.col("text"), F.lit("\\b\\w{4}\\b"), 0).alias("four_letter_words"),
+        # flat string, not array: driver canonicalizer breaks on list cells
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit("\\b\\w{4}\\b"), 0), "|"
+        ).alias("four_letter_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("a\\w+"), 0)).cast("long").alias("n_a_words"),
         F.regexp_count(F.col("text"), F.lit(" ")).cast("long").alias("n_spaces"),
     )
@@ -233,12 +236,16 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 # --- q43: deterministic collect/array aggregation ----------------------------
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
+    # array columns are joined to flat '|' strings: the driver's pandas
+    # canonicalizer cannot sort/hash list-typed cells (round-1 ERR rows)
     return (
         ev.where(F.col("user_id") < 20)
         .groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
-            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("event_id").cast("string"))), "|"
+            ).alias("event_ids"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), "|").alias("types"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -338,7 +345,7 @@ QUERIES = [
         q62,
         r"""
         SELECT doc_id,
-               regexp_extract_all(text, '\b\w{4}\b') AS four_letter_words,
+               array_to_string(regexp_extract_all(text, '\b\w{4}\b'), '|') AS four_letter_words,
                CAST(len(regexp_extract_all(text, 'a\w+')) AS BIGINT) AS n_a_words,
                CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
         FROM documents
@@ -393,8 +400,8 @@ QUERIES = [
         q43,
         """
         SELECT user_id,
-               list_sort(list(event_id)) AS event_ids,
-               list_sort(list(DISTINCT event_type)) AS types,
+               array_to_string(list_sort(list(CAST(event_id AS VARCHAR))), '|') AS event_ids,
+               array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
                COUNT(*) AS n
         FROM events WHERE user_id < 20 GROUP BY user_id
         """,
@@ -406,27 +413,27 @@ QUERIES = [
         q42,
         """
         SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                COUNT(DISTINCT o_orderkey) AS n_distinct,
                CAST(MIN(CAST(FLOOR(o_orderkey * 10000) AS BIGINT)) AS VARCHAR) AS min_val,
                CAST(MAX(CAST(FLOOR(o_orderkey * 10000) AS BIGINT)) AS VARCHAR) AS max_val
         FROM orders
         UNION ALL
         SELECT 'o_custkey', COUNT(*),
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_custkey),
                CAST(MIN(CAST(FLOOR(o_custkey * 10000) AS BIGINT)) AS VARCHAR),
                CAST(MAX(CAST(FLOOR(o_custkey * 10000) AS BIGINT)) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus', COUNT(*),
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_orderstatus),
                MIN(o_orderstatus), MAX(o_orderstatus)
         FROM orders
         UNION ALL
         SELECT 'o_totalprice', COUNT(*),
-               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT o_totalprice),
                CAST(MIN(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS VARCHAR),
                CAST(MAX(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS VARCHAR)
@@ -477,7 +484,7 @@ QUERIES = [
         """
         SELECT source,
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-               COUNT(*) AS n_docs, SUM(n_chars) AS chars
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM (SELECT source, n_chars,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
               FROM documents)
@@ -492,12 +499,12 @@ QUERIES = [
         q23,
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS sum_qty_e4,
-               SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS sum_base_e4,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS sum_charge_e4,
+               CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
                COUNT(*) AS count_order,
-               CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+               CAST(CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -541,11 +548,11 @@ QUERIES = [
         q26,
         """
         SELECT user_id,
-               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-               COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-               COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-               COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-               COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT), 0) AS purchase,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT), 0) AS click,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT), 0) AS view,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT), 0) AS signup,
+               COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT), 0) AS error
         FROM events GROUP BY user_id
         """,
         doc="pivot on event_type (explicit value list → stable schema)",

@@ -489,7 +489,7 @@ QUERIES = [
           GROUP BY text_hash
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens
         FROM documents
         WHERE doc_id IN (SELECT doc_id FROM keep)
           AND doc_id IN (SELECT doc_id FROM reps)
@@ -652,7 +652,7 @@ QUERIES = [
         f"""
         SELECT CAST(label AS INTEGER) AS label,
                CAST(i - 1 AS INTEGER) AS dim,
-               SUM(qv[i]) AS comp_sum,
+               CAST(SUM(qv[i]) AS BIGINT) AS comp_sum,
                COUNT(*) AS n_vecs
         FROM (SELECT label, {QVEC} AS qv FROM embeddings), unnest(range(1, 65)) AS t(i)
         GROUP BY label, i
@@ -743,7 +743,7 @@ QUERIES = [
           FROM reach GROUP BY src
         ),
         dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         GROUP BY lang
         """,

@@ -175,7 +175,7 @@ QUERIES = [
         q13,
         """
         SELECT o_orderpriority,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                COUNT(*) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -188,7 +188,7 @@ QUERIES = [
         q14,
         """
         SELECT r_name, n_name, COUNT(*) AS n_cust,
-               SUM(CAST(FLOOR(c_acctbal * 10000) AS BIGINT)) AS acctbal_e4
+               CAST(SUM(CAST(FLOOR(c_acctbal * 10000) AS BIGINT)) AS BIGINT) AS acctbal_e4
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -219,7 +219,7 @@ QUERIES = [
         q16,
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS qty_e4
+               CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_e4
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
@@ -334,7 +334,7 @@ QUERIES = [
         q56,
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-               SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS price_e4
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS price_e4
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         """,

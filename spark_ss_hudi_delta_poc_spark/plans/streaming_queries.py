@@ -46,7 +46,7 @@ QUERIES = [
         """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_e4
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         FROM events GROUP BY 1, 2
         """,
         doc="event-time tumbling window + watermark == batch GROUP BY hour",
@@ -106,7 +106,7 @@ QUERIES = [
           FROM events
         )
         SELECT segment, COUNT(*) AS cnt,
-               SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_e4
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
         FROM events JOIN dim USING (user_id)
         GROUP BY segment
         """,

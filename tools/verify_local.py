@@ -1,7 +1,16 @@
 """Local stand-in for the driver's correctness gate: run every query at a
 given SF through Spark AND its DuckDB oracle, compare row count, column
 names, and an order-insensitive value hash (columns sorted by name, rows
-sorted, values canonicalized).  Usage:
+sorted, values canonicalized).
+
+CRITICAL (round-1 lesson): both sides are canonicalized through *pandas*
+exactly like the driver — Spark via ``toPandas()``, DuckDB via ``.df()`` —
+NOT via ``collect()``/``fetchall()``.  The driver's canonicalizer sees
+pandas dtypes, so DuckDB ``SUM(BIGINT)`` (HUGEINT -> float64 ``40000.0``)
+hash-mismatches Spark int64 ``40000`` even though the values are equal,
+and list-typed columns throw ``unhashable type: 'list'`` inside
+``sort_values``.  Round 1's ``fetchall()``-based gate converted HUGEINT to
+Python int and silently passed 18 queries the driver failed.  Usage:
 
     python tools/verify_local.py [sf_dir] [query ...]
 """
@@ -11,9 +20,12 @@ from __future__ import annotations
 import hashlib
 import sys
 import time
+
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -22,24 +34,48 @@ from spark_ss_hudi_delta_poc_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from spark_ss_hudi_delta_poc_spark.session import get_spark  # noqa: E402
 
 
-def canon(v) -> str:
+def canon_val(v) -> str:
+    """Dtype-sensitive stringification: int64 40000 != float64 40000.0,
+    mirroring how the driver's pandas-based canonicalizer behaves."""
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # the driver throws before it gets here (sort_values), but be loud
+        raise TypeError(f"driver-breaking container value in output: {type(v).__name__}")
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.isoformat()
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime, date)):
+        # driver equates DATE with midnight TIMESTAMP (q05/q61 passed r1
+        # with Spark date objects vs DuckDB datetime64) — normalize both
+        return pd.Timestamp(v).isoformat(sep=" ")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
-    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+def canon_lines(pdf: pd.DataFrame) -> list[str]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # the driver sorts rows with sort_values(by=all columns) — keep this
+    # call purely to reproduce its TypeError on list-typed columns
+    pdf = pdf.sort_values(by=cols, kind="stable")
+    return sorted(
+        "\x1f".join(canon_val(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+
+
+def table_hash(pdf: pd.DataFrame) -> str:
+    return hashlib.md5("\n".join(canon_lines(pdf)).encode()).hexdigest()
 
 
 def main() -> int:
@@ -56,46 +92,52 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
             continue
         if q.oracle is None:
-            print(f"ok*   {name}: rows={len(srows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
-            if len(srows) == 0:
-                print(f"      WARNING: zero rows")
+            print(f"ok*   {name}: rows={len(spdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            if len(spdf) == 0:
+                print("      WARNING: zero rows")
             continue
         try:
-            ddf = con.sql(q.oracle)
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            dpdf = con.sql(q.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
             continue
-        sh = table_hash(scols, [tuple(r) for r in srows])
-        dh = table_hash(dcols, drows)
-        ok_cols = sorted(scols) == sorted(dcols)
-        ok_rows = len(srows) == len(drows)
-        ok_hash = sh == dh
+        try:
+            slines = canon_lines(spdf)
+        except TypeError as e:
+            print(f"FAIL  {name}: spark output not driver-canonicalizable: {e}")
+            failures.append(name)
+            continue
+        try:
+            dlines = canon_lines(dpdf)
+        except TypeError as e:
+            print(f"FAIL  {name}: oracle output not driver-canonicalizable: {e}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(spdf.columns) == sorted(dpdf.columns)
+        ok_rows = len(spdf) == len(dpdf)
+        ok_hash = slines == dlines
         status = "ok" if (ok_cols and ok_rows and ok_hash) else "FAIL"
         print(
-            f"{status:5} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} "
+            f"{status:5} {name}: rows {len(spdf)}/{len(dpdf)} cols_ok={ok_cols} "
             f"hash_ok={ok_hash} [{time.time()-t0:.1f}s]"
         )
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
-                print(f"      spark cols: {sorted(scols)}\n      duck  cols: {sorted(dcols)}")
-            elif not ok_hash and srows and drows:
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                sset = {tuple(canon(r[i]) for i in so) for r in srows}
-                dset = {tuple(canon(r[i]) for i in do) for r in drows}
-                print(f"      spark-only: {list(sset - dset)[:3]}")
-                print(f"      duck-only : {list(dset - sset)[:3]}")
+                print(f"      spark cols: {sorted(spdf.columns)}\n      duck  cols: {sorted(dpdf.columns)}")
+            elif not ok_hash:
+                sset, dset = set(slines), set(dlines)
+                print(f"      spark dtypes: {dict(spdf.dtypes.astype(str))}")
+                print(f"      duck  dtypes: {dict(dpdf.dtypes.astype(str))}")
+                print(f"      spark-only: {sorted(sset - dset)[:3]}")
+                print(f"      duck-only : {sorted(dset - sset)[:3]}")
     print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     return 1 if failures else 0
 
