@@ -1,19 +1,27 @@
 """Integration: every registry query hash-matches its DuckDB oracle at
-sf0.001 — the in-repo version of the driver's correctness gate."""
+sf0.001 — the in-repo version of the driver's correctness gate.
+
+Round-2 lesson: this test MUST canonicalize through the same pandas path
+as the driver (Spark ``toPandas()``, DuckDB ``.df()`` + ``canon_lines``
+from tools/verify_local.py).  The previous ``collect()``/``fetchall()``
+comparison coerced DuckDB HUGEINT to Python int and never exercised
+``sort_values`` on list cells, silently passing 18 queries the driver
+failed in round 1.
+"""
 
 from __future__ import annotations
 
-import pytest
-
 import os
 import sys
+
+import pytest
 
 from spark_ss_hudi_delta_poc_spark.plans import all_queries
 
 from conftest import SF_SMOKE
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-from verify_local import table_hash  # noqa: E402
+from verify_local import canon_lines  # noqa: E402
 
 QS = all_queries()
 
@@ -21,14 +29,12 @@ QS = all_queries()
 @pytest.mark.parametrize("name", sorted(QS))
 def test_query_matches_oracle(spark, duck, name):
     q = QS[name]
-    sdf = q.fn(spark, SF_SMOKE)
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = q.fn(spark, SF_SMOKE).toPandas()
     if q.oracle is None:
-        assert len(srows) >= 0
+        # rows-only check, mirroring the driver's weaker gate
+        assert len(spdf) >= 0
         return
-    ddf = duck.sql(q.oracle)
-    dcols = [d[0] for d in ddf.description]
-    drows = ddf.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols)
-    assert len(srows) == len(drows)
-    assert table_hash(sdf.columns, srows) == table_hash(dcols, drows)
+    dpdf = duck.sql(q.oracle).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns)
+    assert len(spdf) == len(dpdf)
+    assert canon_lines(spdf) == canon_lines(dpdf)
