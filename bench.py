@@ -46,7 +46,10 @@ HEADLINE = [
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_pipeline",
     "text_quality_score",

@@ -186,8 +186,13 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         # flat string, not array: driver canonicalizer breaks on list cells
-        F.array_join(
-            F.regexp_extract_all(F.col("text"), F.lit("\\b\\w{4}\\b"), 0), "|"
+        # COALESCE on both sides: DuckDB array_to_string([]) yields NULL
+        # while Spark array_join([]) yields '' (judge-found at sf0.01)
+        F.coalesce(
+            F.array_join(
+                F.regexp_extract_all(F.col("text"), F.lit("\\b\\w{4}\\b"), 0), "|"
+            ),
+            F.lit(""),
         ).alias("four_letter_words"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit("a\\w+"), 0)).cast("long").alias("n_a_words"),
         F.regexp_count(F.col("text"), F.lit(" ")).cast("long").alias("n_spaces"),
@@ -345,7 +350,7 @@ QUERIES = [
         q62,
         r"""
         SELECT doc_id,
-               array_to_string(regexp_extract_all(text, '\b\w{4}\b'), '|') AS four_letter_words,
+               COALESCE(array_to_string(regexp_extract_all(text, '\b\w{4}\b'), '|'), '') AS four_letter_words,
                CAST(len(regexp_extract_all(text, 'a\w+')) AS BIGINT) AS n_a_words,
                CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
         FROM documents

@@ -66,6 +66,10 @@ def dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
 
 
+def dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
+
+
 def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(load(spark, sf, "documents"))
 
@@ -405,6 +409,21 @@ QUERIES = [
         """,
         doc="embedding-cosine near-dup pairs (quantized exact arithmetic)",
         tags=("llm", "dedup", "embedding"),
+    ),
+    Query(
+        "dedup_embedding_lsh",
+        dedup_cosine_lsh,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cb AS (SELECT vec_id, qv, {_lsh_bucket_sql("qv")} AS bucket FROM c)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {COS.format(a="a.qv", b="b.qv")} AS cosine
+        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD}
+        """,
+        doc="embedding near-dup via hyperplane-LSH bucket equi-join + exact "
+        "in-bucket cosine — the sub-quadratic scale path (recall < 1)",
+        tags=("llm", "dedup", "embedding", "lsh"),
     ),
     Query(
         "ann_bruteforce_topk",

@@ -66,8 +66,8 @@ QUERIES = [
         ),
         numbered AS (
           SELECT user_id, ts,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-                                   ROWS UNBOUNDED PRECEDING) AS sid
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
           FROM flagged
         )
         SELECT user_id,

@@ -97,12 +97,34 @@ def test_sessionize_single_shuffle(spark):
 
 # Deliberate exceptions to the no-cross-join rule, each with its scale
 # justification — anything NOT listed here that plans one is a bug.
-CROSS_JOIN_EXEMPT = {
-    # scoring every vector against the centroid set IS a cross product;
-    # the broadcast side is n_centroids (16) rows, so the nested-loop is
-    # 16 comparisons per row — a map stage in disguise.
-    "ann_ivf_topk",
-}
+# (Round 3: ann_ivf_topk's centroid BroadcastNestedLoopJoin replaced by a
+# closure-embedded map-side argmax — the set is now empty.)
+CROSS_JOIN_EXEMPT: set[str] = set()
+
+
+def test_cosine_neardup_is_distributed(spark):
+    """dedup_embedding_cosine: the exact all-pairs must be the block-tiled
+    applyInPandas plan — a grouped shuffle on the tile key, NOT a
+    driver-collected closure matrix (the round-1/2 scale-killer)."""
+    p = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(pa" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lsh_neardup_is_bucket_equijoin(spark):
+    """dedup_embedding_lsh: candidates must come from a bucket equi-join
+    (SortMergeJoin/ShuffledHashJoin on bucket), never a full cross score."""
+    p = plan_of(spark, "dedup_embedding_lsh")
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ann_ivf_no_nested_loop(spark):
+    """ann_ivf_topk: centroid assignment is map-side (mapInPandas closure);
+    the probe is a hash equi-join on cluster — no nested-loop anywhere."""
+    p = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
 def test_no_cartesian_anywhere(spark):
