@@ -21,11 +21,15 @@ Behaviors ported (file:line cites into /root/reference):
 - age purge vs LATEST seen event time,
   not wall clock                         (SqsSourceOptions :33-44, cache :78-91)
 - per-batch cap maxFilesPerTrigger       (SqsSourceOptions :25-30)
-- delete consumed messages on commit     (SqsClient.deleteMessageBatch :243-270)
+- delete consumed messages ONLY on commit (SqsClient.deleteMessageBatch
+  :243-270 — the reference deletes after processing, never at receive)
 - malformed messages deleted, not fatal  (SqsClient errorMessages :179-181)
-- exactly-once replay: Spark persists the reader's offsets in the
-  checkpoint and replays (start, end] deterministically
-  (the FileStreamSourceLog role, SqsSource.scala:22-48).
+- exactly-once replay: row-producing messages are retained on the queue
+  (the SQS visibility-timeout role) and each emitted offset range is
+  journaled to a disk manifest BEFORE read() returns, so
+  ``readBetweenOffsets`` can replay any WAL'd-but-uncommitted range after
+  a crash, and a crash before the offset WAL reuses the orphan manifest
+  verbatim (the FileStreamSourceLog role, SqsSource.scala:22-48).
 
 The source streams NOTIFICATION ROWS (path, event_time).  Content ingest
 composes it with foreachBatch: read the listed paths with the real JVM
@@ -74,29 +78,83 @@ def _parse_message(raw: str) -> tuple[str, int] | None:
 
 
 class NotificationStreamReader(SimpleDataSourceStreamReader):
+    """Exactly-once protocol (round-3 fix — the previous version deleted
+    queue messages at read() time on the false premise that the simple-
+    reader wrapper checkpoints prefetched rows; it only caches them in
+    driver memory, so a crash between the offset WAL and commit lost
+    data):
+
+    - read(start) journals each non-empty batch to an atomic manifest
+      (state dir) BEFORE returning, and RETAINS the row-producing message
+      files — the SQS visibility-timeout analogue.
+    - commit(end) deletes message files + manifests for every range whose
+      end <= committed end — SqsClient.deleteMessageBatch semantics
+      (delete after processing, SqsClient.scala:243-270).
+    - readBetweenOffsets(start, end) replays WAL'd-but-uncommitted ranges
+      from their manifests after a restart.
+    - a crash AFTER the manifest write but BEFORE the offset WAL leaves
+      an orphan manifest whose start equals the next read()'s start —
+      read() reuses it verbatim, so the same rows are emitted either way.
+    - __init__ rebuilds the in-flight set / seen-path cache from retained
+      manifests, so a restarted reader neither re-polls in-flight
+      messages nor double-emits their rows.
+    """
+
     def __init__(self, options: dict):
         self.queue_dir = options["queuedir"]
         self.max_files_per_trigger = int(options.get("maxfilespertrigger", 100))
         self.max_file_age_ms = int(options.get("maxfileagems", DEFAULT_MAX_FILE_AGE_MS))
         self.delete_consumed = options.get("deleteconsumed", "true") == "true"
+        self.state_dir = options.get("statedir") or os.path.join(self.queue_dir, ".state")
+        os.makedirs(self.state_dir, exist_ok=True)
         # SqsFileCache equivalent: path -> event_time_ms of everything seen
         self._seen: dict[str, int] = {}
         self._latest_ms = 0
+        # message files emitted in an uncommitted range — invisible to
+        # _poll, deleted at commit (the SQS in-flight/visibility state)
+        self._inflight: set[str] = set()
+        for m in self._manifests():
+            for path, ts_ms in m["rows"]:
+                self._seen[path] = ts_ms
+                self._latest_ms = max(self._latest_ms, ts_ms)
+            self._inflight.update(m["messages"])
 
     def initialOffset(self) -> dict:
         return {"emitted": 0}
 
+    # --- manifest journal ----------------------------------------------------
+    def _manifest_file(self, start: int, end: int) -> str:
+        return os.path.join(self.state_dir, f"range-{start:012d}-{end:012d}.json")
+
+    def _manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.state_dir)):
+            if name.startswith("range-") and name.endswith(".json"):
+                with open(os.path.join(self.state_dir, name)) as f:
+                    m = json.load(f)
+                m["_file"] = os.path.join(self.state_dir, name)
+                out.append(m)
+        return out
+
+    def _write_manifest(self, start: int, end: int, rows, messages) -> None:
+        tmp = self._manifest_file(start, end) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"start": start, "end": end, "rows": rows, "messages": messages}, f)
+        os.replace(tmp, self._manifest_file(start, end))  # atomic publish
+
     def _poll(self) -> list[tuple[str, int, str]]:
-        """Drain the queue dir — the local stand-in for an SQS long poll."""
+        """Drain the queue dir — the local stand-in for an SQS long poll.
+        In-flight (emitted, uncommitted) messages are skipped, mirroring
+        SQS visibility timeout."""
         out = []
         for name in sorted(os.listdir(self.queue_dir)):
             p = os.path.join(self.queue_dir, name)
-            if not name.endswith(".json") or not os.path.isfile(p):
+            if not name.endswith(".json") or not os.path.isfile(p) or p in self._inflight:
                 continue
             with open(p) as f:
                 raw = f.read()
             parsed = _parse_message(raw)
-            if parsed is None:  # malformed → delete, never retry
+            if parsed is None:  # malformed → delete, never retry (no data lost)
                 if self.delete_consumed:
                     os.unlink(p)
                 continue
@@ -105,34 +163,71 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         emitted = start["emitted"]
+        # crash recovery: a manifest whose start == this offset means a
+        # previous read() journaled a batch but died before the engine
+        # WAL'd the end offset — re-emit it verbatim (idempotent restart)
+        for m in self._manifests():
+            if m["start"] == emitted:
+                return iter(tuple(r) for r in m["rows"]), {"emitted": m["end"]}
         batch: list[tuple[str, int]] = []
-        consumed_msgs: list[str] = []
+        row_msgs: list[str] = []
+        dead_msgs: list[str] = []
         for path, ts_ms, msg_file in self._poll():
             if len(batch) >= self.max_files_per_trigger:  # rate limit
                 break
             self._latest_ms = max(self._latest_ms, ts_ms)
             if path in self._seen:  # dedup (isNewFile)
-                consumed_msgs.append(msg_file)  # duplicate notification → just delete
+                dead_msgs.append(msg_file)  # duplicate notification → no data
                 continue
             if ts_ms < self._latest_ms - self.max_file_age_ms:  # age purge
                 self._seen[path] = ts_ms
-                consumed_msgs.append(msg_file)
+                dead_msgs.append(msg_file)
                 continue
             self._seen[path] = ts_ms
             batch.append((path, ts_ms))
-            consumed_msgs.append(msg_file)
-        # Delete consumed messages NOW (the SQS deleteMessageBatch step,
-        # SqsClient.scala:243-270).  Safe at read time — unlike raw SQS,
-        # Spark's simple-reader wrapper prefetches each batch and persists
-        # its rows in the streaming checkpoint, so replay after failure
-        # reads from the checkpoint and never re-polls the queue.
+            row_msgs.append(msg_file)
+        # rowless messages (duplicates / age-purged) carry no data — delete
+        # immediately, like the reference's error-message path; messages
+        # that PRODUCED rows are retained until commit(end)
         if self.delete_consumed:
-            for p in consumed_msgs:
+            for p in dead_msgs:
                 try:
                     os.unlink(p)
                 except FileNotFoundError:
                     pass
-        return iter(batch), {"emitted": emitted + len(batch)}
+        if not batch:
+            return iter([]), {"emitted": emitted}
+        end = emitted + len(batch)
+        self._write_manifest(emitted, end, batch, row_msgs)  # journal BEFORE returning
+        self._inflight.update(row_msgs)
+        return iter(batch), {"emitted": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        """Replay a WAL'd-but-uncommitted range from its manifest after a
+        restart (the wrapper's failure-recovery path)."""
+        s, e = start["emitted"], end["emitted"]
+        rows: list[tuple] = []
+        for m in self._manifests():
+            if m["start"] >= s and m["end"] <= e:
+                rows.extend(tuple(r) for r in m["rows"])
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        """Delete consumed messages for every fully-committed range — the
+        reference's post-processing deleteMessageBatch (SqsClient.scala:
+        243-270)."""
+        e = end["emitted"]
+        for m in self._manifests():
+            if m["end"] > e:
+                continue
+            if self.delete_consumed:
+                for p in m["messages"]:
+                    try:
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+            self._inflight.difference_update(m["messages"])
+            os.unlink(m["_file"])
 
 
 class NotificationFileSource(DataSource):

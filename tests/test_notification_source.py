@@ -47,8 +47,18 @@ def test_notification_stream_reads_paths(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table(table).collect()
     assert sorted(r.path for r in rows) == ["/data/f0.parquet", "/data/f1.parquet", "/data/f2.parquet"]
-    # consumed messages deleted on commit (SQS delete parity)
-    assert [f for f in os.listdir(queue) if f.endswith(".json")] == []
+    # Row-producing messages are RETAINED until the engine commits the
+    # batch (SQS visibility-timeout parity — delete happens only after
+    # processing, SqsClient.scala:243-270).  Spark delivers source-commit
+    # when the next batch is constructed, so after this single-batch run
+    # the in-flight messages must still be on the queue; deletion-on-
+    # commit is covered by the crash-recovery tests below.  The duplicate
+    # notification (m9) produced no rows and is deleted eagerly.
+    assert sorted(f for f in os.listdir(queue) if f.endswith(".json")) == [
+        "m0.json",
+        "m1.json",
+        "m2.json",
+    ]
 
 
 def test_notification_age_purge(spark, tmp_path):
@@ -69,6 +79,57 @@ def test_notification_age_purge(spark, tmp_path):
     q.awaitTermination()
     paths = [r.path for r in spark.table("notif_age").collect()]
     assert paths == ["/data/new.parquet"]  # default 7d maxFileAge drops the old one
+
+
+def test_crash_between_wal_and_commit_replays_without_loss(tmp_path):
+    """The round-2 data-loss hole: a crash after the offset WAL but before
+    commit must be recoverable.  Messages stay on the queue until commit;
+    a fresh reader replays the WAL'd range from its manifest
+    (readBetweenOffsets), then commit deletes the messages."""
+    from spark_ss_hudi_delta_poc_spark.sources.notification import NotificationStreamReader
+
+    queue = os.path.join(tmp_path, "q")
+    os.makedirs(queue)
+    for i in range(2):
+        with open(os.path.join(queue, f"m{i}.json"), "w") as f:
+            f.write(_msg(f"/data/f{i}.parquet", 1000 + i))
+    r1 = NotificationStreamReader({"queuedir": queue})
+    it, end = r1.read({"emitted": 0})
+    rows = list(it)
+    assert len(rows) == 2 and end == {"emitted": 2}
+    # messages must still be on the queue — NOT deleted at read() time
+    assert sorted(f for f in os.listdir(queue) if f.endswith(".json")) == ["m0.json", "m1.json"]
+    del r1  # crash: driver dies after the engine WAL'd the end offset
+    r2 = NotificationStreamReader({"queuedir": queue})
+    replayed = list(r2.readBetweenOffsets({"emitted": 0}, {"emitted": 2}))
+    assert sorted(replayed) == sorted(rows)  # no loss
+    # the restarted reader must not re-emit the in-flight messages as new
+    it3, end3 = r2.read({"emitted": 2})
+    assert list(it3) == [] and end3 == {"emitted": 2}
+    r2.commit({"emitted": 2})
+    assert [f for f in os.listdir(queue) if f.endswith(".json")] == []
+
+
+def test_crash_before_wal_reuses_orphan_manifest(tmp_path):
+    """Crash after read() journaled its manifest but before the engine
+    WAL'd the offset: the next read() at the same start must re-emit the
+    identical batch (idempotent), not lose or duplicate it."""
+    from spark_ss_hudi_delta_poc_spark.sources.notification import NotificationStreamReader
+
+    queue = os.path.join(tmp_path, "q")
+    os.makedirs(queue)
+    for i in range(3):
+        with open(os.path.join(queue, f"m{i}.json"), "w") as f:
+            f.write(_msg(f"/data/f{i}.parquet", 1000 + i))
+    r1 = NotificationStreamReader({"queuedir": queue})
+    it, end = r1.read({"emitted": 0})
+    rows = list(it)
+    del r1  # crash before the offset ever reached the WAL
+    r2 = NotificationStreamReader({"queuedir": queue})
+    it2, end2 = r2.read({"emitted": 0})  # engine restarts from initialOffset
+    assert list(it2) == rows and end2 == end
+    r2.commit(end2)
+    assert [f for f in os.listdir(queue) if f.endswith(".json")] == []
 
 
 def test_notification_ingest_end_to_end(spark, tmp_path):
@@ -96,3 +157,6 @@ def test_notification_ingest_end_to_end(spark, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == 100
     assert back.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(100))
+    # round 2's batch construction committed round 1's batch → round 1's
+    # message was deleted; round 2's own message is still in-flight
+    assert len([f for f in os.listdir(queue) if f.endswith(".json")]) == 1
