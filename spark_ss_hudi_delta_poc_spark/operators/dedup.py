@@ -30,6 +30,11 @@ from .partitioning import spread as _spread
 SIMHASH_BITS = 60  # md5_long yields 60-bit values
 MINHASH_K = 12
 MINHASH_BANDS = 4  # rows per band r = K / BANDS = 3
+# Default document-frequency cap for the shingle self-join: a shingle in
+# >100 docs is boilerplate, not near-dup evidence, and bounds the join
+# fan-out at 100^2 pairs per shingle regardless of corpus size.  ON by
+# default since round 3 (the oracle applies the identical cap).
+MAX_SHINGLE_DF = 100
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,14 +64,17 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle self-join.
 
-    ``max_shingle_df`` (off by default for oracle parity) drops shingles
-    that appear in more than N docs before the self-join — at 100 TB this
-    is mandatory: one stop-shingle in 10^6 docs is a 10^12-row join blowup.
-    """
+    ``max_shingle_df`` (default ``MAX_SHINGLE_DF``) drops shingles that
+    appear in more than N docs before the self-join — at 100 TB this is
+    mandatory: one stop-shingle in 10^6 docs is a 10^12-row join blowup.
+    Jaccard is then computed over the CAPPED shingle sets on both sides
+    (sizes come from the filtered table), and the DuckDB oracle applies
+    the identical cap, so results agree at every SF.  Pass ``None`` to
+    disable (exact textbook Jaccard)."""
     sh = shingle_table(docs, n=n)
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)

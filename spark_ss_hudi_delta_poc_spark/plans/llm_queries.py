@@ -37,6 +37,23 @@ sh AS (
   FROM ws WHERE len(w) >= 3
 )"""
 
+# ngram-jaccard shared fragments: shingles filtered by the SAME df cap the
+# Spark operator applies by default (dedup.MAX_SHINGLE_DF), then sizes and
+# intersections over the capped table — keep the three embedding oracles
+# (pairs / clusters / kept-corpus) in lockstep
+NGRAM_PAIR_CTES = f"""
+shf AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
 QVEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 COS = (
     "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
@@ -326,12 +343,7 @@ QUERIES = [
         dedup_ngram,
         f"""
         WITH {WS_SH_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        )
+        {NGRAM_PAIR_CTES}
         SELECT doc_id_a, doc_id_b, i AS inter, sa.n + sb.n - i AS uni,
                CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
         FROM inter
@@ -369,12 +381,7 @@ QUERIES = [
         dedup_clusters_q,
         f"""
         WITH RECURSIVE {WS_SH_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ),
+        {NGRAM_PAIR_CTES},
         pairs AS (
           SELECT doc_id_a, doc_id_b FROM inter
           JOIN sizes sa ON sa.doc_id = doc_id_a
@@ -737,12 +744,7 @@ QUERIES = [
         dedup_kept_corpus,
         f"""
         WITH RECURSIVE {WS_SH_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ),
+        {NGRAM_PAIR_CTES},
         pairs AS (
           SELECT doc_id_a, doc_id_b FROM inter
           JOIN sizes sa ON sa.doc_id = doc_id_a

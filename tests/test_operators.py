@@ -73,6 +73,62 @@ def test_ngram_jaccard_detects_near_dup(spark):
     assert all(0.5 <= p.jaccard <= 1.0 for p in pairs)
 
 
+def test_ngram_jaccard_shingle_df_cap_matches_oracle(spark):
+    """When the df cap bites (a stop-shingle present in > cap docs), the
+    capped Jaccard must agree with a DuckDB oracle applying the IDENTICAL
+    cap — sizes and intersections both over the filtered shingle table.
+    (The sf* test tables have max df 25, under the default cap of 100, so
+    the registry parity rows never exercise this branch — this test does.)
+    """
+    import duckdb
+
+    boiler = "this document is provided as is without any warranty"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}"),
+        (3, f"one two three four five six {boiler}"),
+        (4, f"seven eight nine ten eleven twelve {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cap = 2
+    got = {
+        (p.doc_id_a, p.doc_id_b, p.inter, p.uni)
+        for p in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=cap).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.sql(
+            f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+          FROM ws WHERE len(w) >= 3
+        ),
+        shf AS (
+          SELECT doc_id, shingle FROM sh
+          WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {cap})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a, b, i, sa.n + sb.n - i AS uni FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+        """
+        ).fetchall()
+    }
+    assert got == want
+    # the boilerplate shingles were dropped: docs 3/4 share ONLY boilerplate
+    assert not any(a == 3 and b == 4 for a, b, *_ in got)
+
+
 def test_minhash_lsh_finds_planted_dup(spark):
     base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
     docs = spark.createDataFrame(
