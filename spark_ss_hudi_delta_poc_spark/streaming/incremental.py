@@ -14,6 +14,27 @@ parquet prefix (at 100 TB you'd bucket it by hash so the anti-join is
 co-located and incremental compaction keeps file counts bounded —
 `operators/maintenance.compact`).  foreachBatch makes it streaming-native;
 `ingest_increment` is the batch core, usable standalone.
+
+Atomicity (round-3 fix — the previous version did two independent
+`mode("append")` writes, so a crash between the corpus append and the
+seen append left rows whose hashes were unknown to history, and the
+replayed batch re-ingested them as duplicates): every increment now uses
+the txn_sink marker protocol across ALL its tables at once —
+
+- each output stages under ``<table>/inc=<token>/`` (overwrite mode, so a
+  replayed increment re-stages the same dirs instead of appending);
+- ONE marker ``<seen|index>/_commits/<token>`` is created only after every
+  table of the increment is fully written (atomic file create);
+- a replayed increment whose marker exists returns 0 without writing;
+- history reads (the anti-join / LSH-probe side) take only committed
+  increments, so a half-staged crash can never leak into dedup decisions.
+
+``<token>`` is the streaming micro-batch id when driven by foreachBatch,
+else a content digest (row count + bit_xor of the 60-bit text hashes) —
+deterministic across replays of the same batch.  The ``inc=<token>``
+partition-style layout keeps plain ``spark.read.parquet(corpus)`` working
+(the increment id surfaces as a partition column, the standard
+ingest-increment partitioning of production corpora).
 """
 
 from __future__ import annotations
@@ -26,6 +47,45 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long
 
 
+def _commits_dir(txn_root: str) -> str:
+    return os.path.join(txn_root, "_commits")
+
+
+def _committed_tokens(txn_root: str) -> list[str]:
+    d = _commits_dir(txn_root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.listdir(d))
+
+
+def _write_marker(txn_root: str, token: str) -> None:
+    """Single atomic commit point for every table of one increment."""
+    os.makedirs(_commits_dir(txn_root), exist_ok=True)
+    with open(os.path.join(_commits_dir(txn_root), token), "w"):
+        pass
+
+
+def _committed_paths(table_path: str, tokens: list[str]) -> list[str]:
+    """Existing staged dirs among committed tokens (an empty increment
+    commits a marker but stages no dir)."""
+    out = []
+    for t in tokens:
+        p = os.path.join(table_path, f"inc={t}")
+        if os.path.isdir(p):
+            out.append(p)
+    return out
+
+
+def _content_token(hashed: DataFrame, hash_col: str = "_h") -> str:
+    """Deterministic increment id from batch content: row count + bit_xor
+    of the 60-bit text hashes (order-independent).  Collision odds are the
+    same ~2^-60 class as the exact-dedup hash itself."""
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("c"), F.expr(f"bit_xor({hash_col})").alias("x")
+    ).collect()[0]
+    return f"{row.c}x{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def ingest_increment(
     spark: SparkSession,
     batch: DataFrame,
@@ -33,10 +93,16 @@ def ingest_increment(
     seen_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    increment_id: int | str | None = None,
 ) -> int:
-    """Dedup `batch` against history and itself, append survivors.
-    Returns the number of newly ingested rows."""
+    """Dedup `batch` against history and itself, append survivors
+    atomically (marker-committed — see module docstring).  Returns the
+    number of newly ingested rows; 0 for an already-committed replay."""
     hashed = batch.withColumn("_h", md5_long(F.col(text_col)))
+    token = str(increment_id) if increment_id is not None else _content_token(hashed)
+    committed = _committed_tokens(seen_path)
+    if token in committed:
+        return 0  # replayed increment: fully committed, nothing to do
     # in-batch exact dedup first (keep min id per hash), then anti vs history
     keepers = (
         hashed.groupBy("_h")
@@ -46,17 +112,24 @@ def ingest_increment(
     firsts = hashed.join(
         keepers, (F.col("_h") == F.col("_kh")) & (F.col(id_col) == F.col("_keep"))
     ).drop("_kh", "_keep")
-    if os.path.isdir(seen_path):
-        seen = spark.read.parquet(seen_path).select(F.col("h").alias("_seen_h"))
+    seen_dirs = _committed_paths(seen_path, committed)
+    if seen_dirs:
+        seen = spark.read.parquet(*seen_dirs).select(F.col("h").alias("_seen_h"))
         fresh = firsts.join(seen, firsts["_h"] == seen["_seen_h"], "left_anti")
     else:
         fresh = firsts
     fresh = fresh.persist()
     n = fresh.count()
     if n:
-        fresh.drop("_h").write.mode("append").parquet(corpus_path)
-        fresh.select(F.col("_h").alias("h")).write.mode("append").parquet(seen_path)
+        # stage both tables under the SAME token, overwrite-mode (replay-safe)
+        fresh.drop("_h").write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"inc={token}")
+        )
+        fresh.select(F.col("_h").alias("h")).write.mode("overwrite").parquet(
+            os.path.join(seen_path, f"inc={token}")
+        )
     fresh.unpersist()
+    _write_marker(seen_path, token)  # single commit point for the pair
     return n
 
 
@@ -68,10 +141,12 @@ def ingest_increment_neardup(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    increment_id: int | str | None = None,
 ) -> int:
     """Incremental NEAR-duplicate ingest: drop batch docs that are
     near-dups (Jaccard >= threshold) of anything already ingested, then
-    append survivors and extend the persistent LSH index.
+    append survivors and extend the persistent LSH index — all tables of
+    the increment committed by one marker (see module docstring).
 
     The index is two parquet tables under ``index_path`` — exactly what a
     production LSH index materializes:
@@ -80,14 +155,20 @@ def ingest_increment_neardup(
     New-batch candidates probe history buckets (equi-join on 8-byte keys),
     exact Jaccard verifies against history shingles only for candidates.
     In-batch near-dups are resolved first (keep min doc_id per pair).
-    Returns the number of ingested docs.
+    Returns the number of ingested docs; 0 for a committed replay.
     """
-    from pyspark.sql import functions as F
-
     from ..operators import dedup
 
     buckets_path = os.path.join(index_path, "buckets")
     shingles_path = os.path.join(index_path, "shingles")
+
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        token = _content_token(batch.select(md5_long(F.col(text_col)).alias("_h")))
+    committed = _committed_tokens(index_path)
+    if token in committed:
+        return 0
 
     # resolve in-batch near-dups: drop the higher id of each pair
     in_batch_pairs = dedup.ngram_jaccard_pairs(batch, threshold=threshold)
@@ -98,9 +179,11 @@ def ingest_increment_neardup(
     new_buckets = dedup.minhash_band_buckets(sigs).persist()
     new_shingles = dedup.shingle_table(batch_kept).persist()
 
-    if os.path.isdir(buckets_path):
-        hist_buckets = spark.read.parquet(buckets_path)
-        hist_shingles = spark.read.parquet(shingles_path)
+    hist_bucket_dirs = _committed_paths(buckets_path, committed)
+    hist_shingle_dirs = _committed_paths(shingles_path, committed)
+    if hist_bucket_dirs:
+        hist_buckets = spark.read.parquet(*hist_bucket_dirs)
+        hist_shingles = spark.read.parquet(*hist_shingle_dirs)
         cand = (
             new_buckets.alias("n")
             .join(
@@ -137,13 +220,18 @@ def ingest_increment_neardup(
     survivors = survivors.persist()
     n = survivors.count()
     if n:
-        survivors.write.mode("append").parquet(corpus_path)
         surv_ids = survivors.select(id_col)
-        new_buckets.join(surv_ids, "doc_id", "left_semi").write.mode("append").parquet(buckets_path)
-        new_shingles.join(surv_ids, "doc_id", "left_semi").write.mode("append").parquet(shingles_path)
+        survivors.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
+        new_buckets.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(buckets_path, f"inc={token}")
+        )
+        new_shingles.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(shingles_path, f"inc={token}")
+        )
     survivors.unpersist()
     new_buckets.unpersist()
     new_shingles.unpersist()
+    _write_marker(index_path, token)  # single commit point for all three
     return n
 
 
@@ -158,13 +246,22 @@ def incremental_dedup_ingest(
     id_col: str = "doc_id",
 ):
     """Streaming wrapper: file stream → foreachBatch(ingest_increment).
-    Restart-safe: a replayed batch re-runs the anti-join, so already-seen
-    hashes are dropped and the corpus stays duplicate-free (idempotent by
-    construction, not by sink transaction)."""
+    Restart-safe two ways: a replayed batch whose marker exists is a
+    no-op, and a batch that crashed mid-stage re-stages the same
+    ``inc=<batch_id>`` dirs (overwrite) before committing — so the corpus
+    stays duplicate-free under any kill point."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_increment(batch_df.sparkSession, batch_df, corpus_path, seen_path, text_col, id_col)
+        ingest_increment(
+            batch_df.sparkSession,
+            batch_df,
+            corpus_path,
+            seen_path,
+            text_col,
+            id_col,
+            increment_id=batch_id,
+        )
 
     return (
         stream.writeStream.foreachBatch(_ingest)

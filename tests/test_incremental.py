@@ -45,6 +45,68 @@ def test_incremental_streaming_ingest_two_runs(spark, tmp_path):
     assert got == ["a", "b", "c"]
 
 
+def test_crash_between_appends_no_duplicates(spark, tmp_path, monkeypatch):
+    """The round-2 atomicity hole: a crash between the corpus append and
+    the seen-hash append must not duplicate rows when the batch replays.
+    Inject the crash by failing the seen-table write; the increment has
+    no commit marker, so the replay re-stages the SAME inc dir
+    (overwrite) and commits — corpus stays duplicate-free."""
+    import pytest
+
+    import pyspark.sql.readwriter as rw
+
+    corpus = os.path.join(tmp_path, "corpus")
+    seen = os.path.join(tmp_path, "seen")
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], DOC_SCHEMA)
+
+    orig = rw.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if str(path).startswith(seen):
+            raise RuntimeError("injected crash between the two appends")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment(spark, b1, corpus, seen)
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig)
+    # corpus data was staged but the increment never committed
+    assert not os.path.isdir(os.path.join(seen, "_commits")) or not os.listdir(
+        os.path.join(seen, "_commits")
+    )
+    # replay the same batch: must ingest exactly once, no duplicates
+    assert ingest_increment(spark, b1, corpus, seen) == 2
+    got = sorted((r.doc_id, r.text) for r in spark.read.parquet(corpus).select("doc_id", "text").collect())
+    assert got == [(1, "alpha"), (2, "beta")]
+    # and a second full replay after commit is a marker-hit no-op
+    assert ingest_increment(spark, b1, corpus, seen) == 0
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2]
+
+
+def test_crash_before_marker_no_duplicates(spark, tmp_path, monkeypatch):
+    """Kill window 2: both tables staged, marker never written.  Replay
+    overwrites the same staged dirs and commits — still exactly once."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+
+    corpus = os.path.join(tmp_path, "corpus")
+    seen = os.path.join(tmp_path, "seen")
+    b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], DOC_SCHEMA)
+
+    def boom(txn_root, token):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment(spark, b1, corpus, seen)
+    monkeypatch.undo()
+    assert ingest_increment(spark, b1, corpus, seen) == 2
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2]
+
+
 def test_ingest_increment_neardup(spark, tmp_path):
     """Near-dup incremental ingest: batch 2 docs that are near-dups of
     batch 1 survivors (or of each other) are dropped; novel docs land and
