@@ -6,15 +6,25 @@ with three output variants:
 - "flatten":    explode(Records) → unix_timestamp(eventTime) → record.*
                 flattened to top level (ExplodeCT, :148-158)
 - "raw_string": explode → to_json(record) AS rawmsg (NonExplodeCT, :154)
-- "raw_struct": explode → flatten → re-pack struct(record.*) AS rawmsg
-                (ExplodeInRawCT, :162)
+- "raw_struct": explode → rawmsg = struct(record.*), record dropped
+                (ExplodeInRawCT, :162-166)
 
-plus the constant/derived partition columns (index='cloudtrail',
-subtype='falcon', date, bu) and the 4-column partitioned Append sink
-(:168-176).  All transforms are built-ins: explode is the only
-row-multiplying op, everything else is a codegen'd projection — the whole
-pipeline is a shuffle-free map at any scale, and the 4-col hive partitioning
-gives the sink partition pruning for free.
+All three variants share the reference's enrichment set
+(S3CloudTrailDeltaWriterWithExplodeCT.scala:148-161):
+  ddi_eventtimestamp      = record.eventTime (raw string)
+  subtype                 = record.eventSource   ← PARTITION column
+  ddi_awsreg              = record.awsRegion
+  date                    = parsed timestamp cast to DATE
+  ddi_normalizedTimestamp = current_timestamp() as string (audit col,
+                            excluded from deterministic comparisons)
+  index                   = lit('cloudtrail'),  bu = lit('falcon')
+and the 4-column partitioned Append sink partitionBy(index, date,
+subtype, bu) (:168-176).  Partitioning by eventSource means each AWS
+service lands in its own partition — the reference's actual pruning key —
+while bu is a constant tenant tag.  All transforms are built-ins: explode
+is the only row-multiplying op, everything else is a codegen'd projection
+— the whole pipeline is a shuffle-free map at any scale, and the 4-col
+hive partitioning gives the sink partition pruning for free.
 """
 
 from __future__ import annotations
@@ -35,21 +45,27 @@ def transform_cloudtrail(df: DataFrame, variant: str = "flatten") -> DataFrame:
         raise ValueError(f"variant must be one of {VARIANTS}")
     rec = df.select(F.explode("Records").alias("record"))
     ts = F.unix_timestamp(F.col("record.eventTime"), EVENT_TIME_FMT).cast("timestamp")
-    base = rec.select(ts.alias("timestamp"), "record")
+    # shared enrichment head (ExplodeCT.scala:148-154): raw event-time
+    # string, eventSource as the subtype partition key, awsRegion
+    head = [
+        ts.alias("timestamp"),
+        F.col("record.eventTime").alias("ddi_eventtimestamp"),
+        F.col("record.eventSource").alias("subtype"),
+        F.col("record.awsRegion").alias("ddi_awsreg"),
+    ]
     if variant == "flatten":
-        out = base.select("timestamp", "record.*")
+        out = rec.select(*head, "record.*")
     elif variant == "raw_string":
-        out = base.select("timestamp", F.to_json("record").alias("rawmsg"))
-    else:  # raw_struct: flatten then re-pack (ExplodeInRawCT.scala:162)
-        flat = base.select("timestamp", "record.*")
-        out = flat.select("timestamp", F.struct(*[c for c in flat.columns if c != "timestamp"]).alias("rawmsg"))
-    # constant + derived partition columns, then drop the work column — the
-    # reference's drop("timestamp") (ExplodeCT.scala:169, ExplodeInRawCT:170)
+        out = rec.select(*head, F.to_json("record").alias("rawmsg"))
+    else:  # raw_struct: record re-packed whole (ExplodeInRawCT.scala:162)
+        out = rec.select(*head, F.struct("record.*").alias("rawmsg"))
+    # derived + constant partition columns, then drop the work column — the
+    # reference's drop("timestamp") (ExplodeCT.scala:167-176)
     return (
-        out.withColumn("index", F.lit("cloudtrail"))
-        .withColumn("subtype", F.lit("falcon"))
-        .withColumn("date", F.col("timestamp").cast("date").cast("string"))
-        .withColumn("bu", F.coalesce(F.col("timestamp").cast("date").cast("string"), F.lit("unknown")))
+        out.withColumn("date", F.col("timestamp").cast("date"))
+        .withColumn("ddi_normalizedTimestamp", F.current_timestamp().cast("string"))
+        .withColumn("index", F.lit("cloudtrail"))
+        .withColumn("bu", F.lit("falcon"))
         .drop("timestamp")
     )
 

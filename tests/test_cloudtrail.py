@@ -53,6 +53,8 @@ def _write_files(tmp_path, n_files: int = 2, recs_per_file: int = 5) -> str:
 
 
 def test_transform_flatten_batch(spark, tmp_path):
+    import datetime
+
     src = _write_files(tmp_path)
     df = spark.read.schema(CLOUDTRAIL_SCHEMA).json(src)
     out = transform_cloudtrail(df, "flatten")
@@ -60,10 +62,39 @@ def test_transform_flatten_batch(spark, tmp_path):
     assert len(rows) == 10  # explode: 1 row per record
     cols = set(out.columns)
     assert {"eventTime", "eventID", "userIdentity", "index", "subtype", "date", "bu"} <= cols
-    assert all(r["index"] == "cloudtrail" and r.subtype == "falcon" for r in rows)
-    assert {r.date for r in rows} == {"2024-03-01", "2024-03-02"}
+    # reference semantics (ExplodeCT.scala:148-161): subtype is the
+    # record's eventSource, bu is the constant tenant tag 'falcon'
+    assert all(r["index"] == "cloudtrail" and r.bu == "falcon" for r in rows)
+    assert all(r.subtype == "s3.amazonaws.com" for r in rows)
+    assert {r.date for r in rows} == {datetime.date(2024, 3, 1), datetime.date(2024, 3, 2)}
     # nested access survived the flatten
     assert rows[0].userIdentity.sessionContext.attributes.mfaAuthenticated == "false"
+
+
+def test_flatten_layout_matches_reference_column_set(spark, tmp_path):
+    """Layout parity with S3CloudTrailDeltaWriterWithExplodeCT.scala: the
+    enrichment columns (ddi_*, subtype=eventSource), the flattened record
+    fields, the derived/constant partition columns, and NO timestamp work
+    column."""
+    src = _write_files(tmp_path)
+    df = spark.read.schema(CLOUDTRAIL_SCHEMA).json(src)
+    out = transform_cloudtrail(df, "flatten")
+    record_fields = [f.name for f in CLOUDTRAIL_SCHEMA["Records"].dataType.elementType.fields]
+    expected = (
+        ["ddi_eventtimestamp", "subtype", "ddi_awsreg"]
+        + record_fields
+        + ["date", "ddi_normalizedTimestamp", "index", "bu"]
+    )
+    assert out.columns == expected  # exact order, exact set
+    assert "timestamp" not in out.columns  # dropped like the reference
+    types = dict(out.dtypes)
+    assert types["date"] == "date"
+    assert types["ddi_eventtimestamp"] == "string"
+    assert types["ddi_normalizedTimestamp"] == "string"
+    r = out.select("ddi_awsreg", "ddi_eventtimestamp", "eventSource", "subtype").first()
+    assert r.ddi_awsreg == "us-east-1"
+    assert r.subtype == r.eventSource  # alias of the same record field
+    assert r.ddi_eventtimestamp.endswith("Z")  # raw string, unparsed
 
 
 def test_transform_raw_variants_roundtrip(spark, tmp_path):
@@ -88,8 +119,14 @@ def test_stream_cloudtrail_partitioned_sink(spark, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(sink)
     assert back.count() == 10
-    # 4-col hive partitioning exists on disk → partition pruning works
+    # 4-col hive partitioning exists on disk → partition pruning works;
+    # subtype level is the eventSource, bu level the constant tag
     assert os.path.isdir(os.path.join(sink, "index=cloudtrail"))
+    assert os.path.isdir(
+        os.path.join(
+            sink, "index=cloudtrail", "date=2024-03-01", "subtype=s3.amazonaws.com", "bu=falcon"
+        )
+    )
     pruned = back.where((F.col("date") == "2024-03-01") & (F.col("index") == "cloudtrail"))
     assert pruned.count() == 5
 
