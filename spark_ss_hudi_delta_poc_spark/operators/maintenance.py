@@ -46,6 +46,19 @@ def upsert_snapshot(
     )
 
 
+def bulk_insert_snapshot(current: DataFrame, updates: DataFrame) -> DataFrame:
+    """Hudi ``bulk_insert`` semantics (the reference's tuned fast path,
+    S3ToHudiOptStreamJob.scala:78-101): a raw append with NO key
+    deduplication and no precombine — same-key rows from both sides
+    coexist in the result.  This is exactly why the reference documents
+    replayed-batch duplication under Hudi (README.md:115-122): bulk_insert
+    trades the upsert's key lookup for raw write throughput.  Contrast
+    ``upsert_snapshot`` (operation=upsert: latest per key wins).
+
+    Plan: unionByName — a pure metadata concat, zero shuffle."""
+    return current.unionByName(updates)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -85,7 +98,14 @@ def compact(
 ) -> None:
     """Rewrite a parquet table with ``target_files_per_partition`` files
     (per hive partition when partitioned).  Writes to a staging directory
-    then swaps, so readers never see a half-compacted table."""
+    then swaps, so readers never see a half-compacted table.
+
+    The swap is two renames (POSIX has no atomic directory exchange), so
+    a crash between them leaves the table at ``._old`` — healed here on
+    the next invocation before doing any work."""
+    backup = table_path.rstrip("/") + "._old"
+    if os.path.isdir(backup) and not os.path.isdir(table_path):
+        os.rename(backup, table_path)  # crash between the two renames: heal
     df = spark.read.parquet(table_path)
     staging = table_path.rstrip("/") + "._compacting"
     writer = df.repartition(target_files_per_partition, *(partition_by or [])) if partition_by else df.coalesce(
@@ -95,7 +115,6 @@ def compact(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
-    backup = table_path.rstrip("/") + "._old"
     os.rename(table_path, backup)
     os.rename(staging, table_path)
     import shutil

@@ -39,15 +39,30 @@ def committed_batches(table_path: str) -> set[int]:
 
 def write_batch_idempotent(batch_df: DataFrame, batch_id: int, table_path: str) -> bool:
     """foreachBatch body: write batch ``batch_id`` exactly once.
-    Returns True if written, False if skipped as already committed."""
+    Returns True if written, False if skipped as already committed —
+    including when another writer won the commit race (see below)."""
     if batch_id in committed_batches(table_path):
         return False
     target = os.path.join(table_path, f"batch={batch_id}")
     batch_df.write.mode("overwrite").parquet(target)  # overwrite: retry-safe
+    return try_commit(table_path, batch_id)
+
+
+def try_commit(table_path: str, batch_id: int) -> bool:
+    """Optimistic concurrency control, Delta-style in miniature: the
+    commit IS the atomic creation of the marker file (O_CREAT|O_EXCL —
+    the same mutual exclusion `_delta_log` gets from atomic
+    put-if-absent of the next log entry).  Exactly one of N racing
+    writers of the same batch id succeeds; losers return False and must
+    treat the winner's data as the committed truth (their staged data
+    was for the same batch id, so the snapshot is equivalent)."""
     os.makedirs(_commits_dir(table_path), exist_ok=True)
     marker = os.path.join(_commits_dir(table_path), str(batch_id))
-    with open(marker, "w") as f:
-        f.write("")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False  # lost the optimistic-commit race
+    os.close(fd)
     return True
 
 

@@ -83,6 +83,39 @@ def test_upsert_precombine_on_tie(spark):
     assert [(r.id, r.val) for r in out] == [(1, "new")]
 
 
+def test_bulk_insert_vs_upsert_semantics(spark):
+    """The Hudi operation-type contract the reference tunes between
+    (S3ToHudiOptStreamJob.scala:78-101 bulk_insert vs upsert): bulk_insert
+    is a raw append — same-key rows coexist, which is exactly the
+    replayed-batch duplication the reference documents (README.md:
+    115-122); upsert dedups by key with latest-precombine-wins."""
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import bulk_insert_snapshot
+
+    cur = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], ["id", "val", "ver"])
+    upd = spark.createDataFrame([(2, "b2", 20), (3, "c", 20)], ["id", "val", "ver"])
+    bulk = bulk_insert_snapshot(cur, upd)
+    assert bulk.count() == 4  # key 2 duplicated — bulk_insert does not dedup
+    assert bulk.where(F.col("id") == 2).count() == 2
+    ups = upsert_snapshot(cur, upd, ["id"], "ver")
+    assert ups.count() == 3  # key 2 resolved latest-wins
+    assert [(r.val, r.ver) for r in ups.where(F.col("id") == 2).collect()] == [("b2", 20)]
+
+
+def test_compact_heals_interrupted_swap(spark, tmp_path):
+    """Crash between compact's two renames leaves the table at ._old; the
+    next compact must heal (restore) before compacting."""
+    path = os.path.join(tmp_path, "heal")
+    spark.range(100).repartition(8).write.parquet(path)
+    want = spark.read.parquet(path).count()
+    # simulate the crash window: table renamed away, staging never moved in
+    os.rename(path, path + "._old")
+    compact(spark, path, target_files_per_partition=1)
+    assert spark.read.parquet(path).count() == want
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_files == 1
+    assert not os.path.isdir(path + "._old")
+
+
 def test_compact_reduces_files(spark, tmp_path):
     path = os.path.join(tmp_path, "tbl")
     df = load(spark, SF, "events")

@@ -80,6 +80,25 @@ def test_time_travel_as_of_batch(spark, tmp_path):
     assert read_committed(spark, table, as_of_batch=0).count() == 3
 
 
+def test_optimistic_commit_single_winner(spark, tmp_path):
+    """Delta-style optimistic concurrency: two writers race to commit the
+    same batch id; the marker create is atomic (O_CREAT|O_EXCL), so
+    exactly one wins and the loser sees False — never a double commit."""
+    from spark_ss_hudi_delta_poc_spark.streaming.txn_sink import try_commit
+
+    table = os.path.join(tmp_path, "occ")
+    # both writers stage their data for batch 0 (identical batch, as in a
+    # speculative/zombie-driver race)
+    spark.range(4).selectExpr("id").write.mode("overwrite").parquet(os.path.join(table, "batch=0"))
+    assert try_commit(table, 0) is True
+    assert try_commit(table, 0) is False  # loser detects the conflict
+    assert committed_batches(table) == {0}
+    assert read_committed(spark, table).count() == 4
+    # and through the full write path: a zombie writer replaying batch 0
+    # after the winner committed is a no-op
+    assert write_batch_idempotent(spark.range(4).selectExpr("id"), 0, table) is False
+
+
 def test_read_committed_empty_raises(spark, tmp_path):
     import pytest as _pytest
 
