@@ -5,9 +5,18 @@ custom `s3-sqs` source (SURVEY.md §2.9: SqsSource/SqsClient/SqsFileCache,
 The reference long-polls an SQS queue for SNS-wrapped S3 ObjectCreated
 events, dedups seen files, age-purges stale ones, forms rate-limited
 micro-batches with exactly-once offsets, and deletes consumed messages.
-Here the "queue" is a directory of notification messages (one JSON file
-per message — the local stand-in for SQS; swapping the ``_poll`` method
-for a boto3 long-poll gives the cloud version, the rest is unchanged):
+Two interchangeable queue backends (option-selected):
+
+- ``queueDir``: a directory of notification messages, one JSON file per
+  message — the jar-free local stand-in (message token = file path);
+- ``queueUrl``: a REAL SQS queue via boto3 (message token = receipt
+  handle) with the reference client's behaviors — long poll
+  (WaitTimeSeconds, SqsClient.scala:100-104), visibility timeout hiding
+  in-flight messages (:104), bounded prefetch backpressure (3× the
+  trigger cap, :73-74), and batch delete with per-entry retry
+  (:243-270).  Tested against moto's SQS mock.
+
+Message bodies, either backend:
 
     {"path": "/data/f1.parquet", "eventTime": 1700000000000}
 
@@ -77,6 +86,138 @@ def _parse_message(raw: str) -> tuple[str, int] | None:
         return None
 
 
+class _DirQueueClient:
+    """Local queue stand-in: a directory with one JSON message file each.
+    Message token == identity key == the file path (stable across
+    restarts, so in-flight state survives a reader rebuild)."""
+
+    stable_tokens = True
+
+    def __init__(self, queue_dir: str):
+        self.queue_dir = queue_dir
+
+    def poll(self, max_messages: int, skip: set) -> list[tuple[str, str, str]]:
+        out: list[tuple[str, str, str]] = []
+        for name in sorted(os.listdir(self.queue_dir)):
+            if len(out) >= max_messages:
+                break
+            p = os.path.join(self.queue_dir, name)
+            if not name.endswith(".json") or not os.path.isfile(p) or p in skip:
+                continue
+            with open(p) as f:
+                out.append((p, p, f.read()))
+        return out
+
+    def delete(self, tokens) -> None:
+        for t in tokens:
+            try:
+                os.unlink(t)
+            except FileNotFoundError:
+                pass
+
+
+class _SqsQueueClient:
+    """Real SQS via boto3 — the reference's network client
+    (SqsClient.scala:64-277) reduced to the behaviors the reader needs:
+
+    - long poll with ``WaitTimeSeconds``            (:100-104)
+    - visibility timeout hides in-flight messages   (:104)
+    - receive loop bounded by the caller's prefetch
+      cap — backpressure, never an unbounded drain  (:73-74)
+    - batch delete (chunks of 10) with per-entry
+      retry on transient failures                   (:243-270)
+
+    token = receipt handle (what delete needs, NOT stable across
+    redelivery/restart — stale-handle deletes are tolerated: the message
+    reappears after its visibility timeout and the seen-path dedup
+    deletes it as a rowless duplicate); key = MessageId (stable identity
+    for in-flight tracking within a run).  The boto3 client is built
+    lazily and dropped from pickles: the reader is constructed inside
+    Spark's Python worker process, and a live botocore session must
+    never ride a pickle."""
+
+    stable_tokens = False
+
+    def __init__(
+        self,
+        queue_url: str,
+        *,
+        region: str | None = None,
+        endpoint_url: str | None = None,
+        wait_time_s: int = 1,
+        visibility_timeout_s: int = 600,
+        client=None,
+    ):
+        self.queue_url = queue_url
+        self.region = region
+        self.endpoint_url = endpoint_url
+        self.wait_time_s = wait_time_s
+        self.visibility_timeout_s = visibility_timeout_s
+        self._client = client
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_client"] = None
+        return state
+
+    @property
+    def client(self):
+        if self._client is None:
+            import boto3
+
+            kwargs: dict = {"region_name": self.region or "us-east-1"}
+            if self.endpoint_url:
+                # test/localstack mode — endpoint overrides the AWS chain,
+                # and mock servers accept any static credential
+                kwargs.update(
+                    endpoint_url=self.endpoint_url,
+                    aws_access_key_id="testing",
+                    aws_secret_access_key="testing",
+                )
+            self._client = boto3.client("sqs", **kwargs)
+        return self._client
+
+    def poll(self, max_messages: int, skip: set) -> list[tuple[str, str, str]]:
+        out: list[tuple[str, str, str]] = []
+        while len(out) < max_messages:
+            resp = self.client.receive_message(
+                QueueUrl=self.queue_url,
+                MaxNumberOfMessages=min(10, max_messages - len(out)),
+                WaitTimeSeconds=self.wait_time_s,
+                VisibilityTimeout=self.visibility_timeout_s,
+            )
+            msgs = resp.get("Messages", [])
+            if not msgs:
+                break  # long poll timed out — queue drained for now
+            for m in msgs:
+                if m["MessageId"] in skip:
+                    continue  # in-flight redelivery (visibility expired)
+                out.append((m["ReceiptHandle"], m["MessageId"], m["Body"]))
+        return out
+
+    def delete(self, tokens) -> None:
+        pending = list(tokens)
+        for i in range(0, len(pending), 10):  # SQS batch-delete cap is 10
+            entries = [
+                {"Id": str(j), "ReceiptHandle": rh}
+                for j, rh in enumerate(pending[i : i + 10])
+            ]
+            try:
+                resp = self.client.delete_message_batch(
+                    QueueUrl=self.queue_url, Entries=entries
+                )
+            except Exception:
+                continue  # transient — redelivery is dedup-deleted later
+            for failed in resp.get("Failed", []):
+                if failed.get("SenderFault"):
+                    continue  # stale handle — nothing to retry
+                rh = pending[i + int(failed["Id"])]
+                try:  # per-entry retry, SqsClient.scala:243-270
+                    self.client.delete_message(QueueUrl=self.queue_url, ReceiptHandle=rh)
+                except Exception:
+                    pass
+
+
 class NotificationStreamReader(SimpleDataSourceStreamReader):
     """Exactly-once protocol (round-3 fix — the previous version deleted
     queue messages at read() time on the false premise that the simple-
@@ -85,9 +226,9 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
     data):
 
     - read(start) journals each non-empty batch to an atomic manifest
-      (state dir) BEFORE returning, and RETAINS the row-producing message
-      files — the SQS visibility-timeout analogue.
-    - commit(end) deletes message files + manifests for every range whose
+      (state dir) BEFORE returning, and RETAINS the row-producing
+      messages — the SQS visibility-timeout analogue.
+    - commit(end) deletes messages + manifests for every range whose
       end <= committed end — SqsClient.deleteMessageBatch semantics
       (delete after processing, SqsClient.scala:243-270).
     - readBetweenOffsets(start, end) replays WAL'd-but-uncommitted ranges
@@ -97,27 +238,44 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
       read() reuses it verbatim, so the same rows are emitted either way.
     - __init__ rebuilds the in-flight set / seen-path cache from retained
       manifests, so a restarted reader neither re-polls in-flight
-      messages nor double-emits their rows.
+      messages nor double-emits their rows (in-flight keys are reusable
+      only for the stable-token dir backend; for SQS the visibility
+      timeout plays that role and stale tokens are tolerated).
     """
 
     def __init__(self, options: dict):
-        self.queue_dir = options["queuedir"]
+        if options.get("queueurl"):
+            self.queue = _SqsQueueClient(
+                options["queueurl"],
+                region=options.get("region"),
+                endpoint_url=options.get("endpointurl"),
+                wait_time_s=int(options.get("waittimeseconds", 1)),
+                visibility_timeout_s=int(options.get("visibilitytimeout", 600)),
+            )
+            if not options.get("statedir"):
+                raise ValueError("queueUrl mode requires a stateDir option")
+            self.state_dir = options["statedir"]
+        else:
+            self.queue = _DirQueueClient(options["queuedir"])
+            self.state_dir = options.get("statedir") or os.path.join(
+                options["queuedir"], ".state"
+            )
         self.max_files_per_trigger = int(options.get("maxfilespertrigger", 100))
         self.max_file_age_ms = int(options.get("maxfileagems", DEFAULT_MAX_FILE_AGE_MS))
         self.delete_consumed = options.get("deleteconsumed", "true") == "true"
-        self.state_dir = options.get("statedir") or os.path.join(self.queue_dir, ".state")
         os.makedirs(self.state_dir, exist_ok=True)
         # SqsFileCache equivalent: path -> event_time_ms of everything seen
         self._seen: dict[str, int] = {}
         self._latest_ms = 0
-        # message files emitted in an uncommitted range — invisible to
-        # _poll, deleted at commit (the SQS in-flight/visibility state)
+        # message keys emitted in an uncommitted range — invisible to
+        # poll, their tokens deleted at commit (SQS in-flight state)
         self._inflight: set[str] = set()
         for m in self._manifests():
             for path, ts_ms in m["rows"]:
                 self._seen[path] = ts_ms
                 self._latest_ms = max(self._latest_ms, ts_ms)
-            self._inflight.update(m["messages"])
+            if self.queue.stable_tokens:
+                self._inflight.update(key for _tok, key in m["messages"])
 
     def initialOffset(self) -> dict:
         return {"emitted": 0}
@@ -142,25 +300,6 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
             json.dump({"start": start, "end": end, "rows": rows, "messages": messages}, f)
         os.replace(tmp, self._manifest_file(start, end))  # atomic publish
 
-    def _poll(self) -> list[tuple[str, int, str]]:
-        """Drain the queue dir — the local stand-in for an SQS long poll.
-        In-flight (emitted, uncommitted) messages are skipped, mirroring
-        SQS visibility timeout."""
-        out = []
-        for name in sorted(os.listdir(self.queue_dir)):
-            p = os.path.join(self.queue_dir, name)
-            if not name.endswith(".json") or not os.path.isfile(p) or p in self._inflight:
-                continue
-            with open(p) as f:
-                raw = f.read()
-            parsed = _parse_message(raw)
-            if parsed is None:  # malformed → delete, never retry (no data lost)
-                if self.delete_consumed:
-                    os.unlink(p)
-                continue
-            out.append((parsed[0], parsed[1], p))
-        return out
-
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         emitted = start["emitted"]
         # crash recovery: a manifest whose start == this offset means a
@@ -170,36 +309,42 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
             if m["start"] == emitted:
                 return iter(tuple(r) for r in m["rows"]), {"emitted": m["end"]}
         batch: list[tuple[str, int]] = []
-        row_msgs: list[str] = []
-        dead_msgs: list[str] = []
-        for path, ts_ms, msg_file in self._poll():
+        row_msgs: list[tuple[str, str]] = []  # (token, key)
+        dead_tokens: list[str] = []
+        # bounded prefetch: never pull more than 3× the trigger cap off the
+        # queue in one poll — the reference's backpressure bound
+        # (SqsClient.scala:73-74)
+        polled = self.queue.poll(3 * self.max_files_per_trigger, self._inflight)
+        for token, key, raw in polled:
+            parsed = _parse_message(raw)
+            if parsed is None:  # malformed → delete, never retry (no data lost)
+                dead_tokens.append(token)
+                continue
+            path, ts_ms = parsed
             if len(batch) >= self.max_files_per_trigger:  # rate limit
                 break
             self._latest_ms = max(self._latest_ms, ts_ms)
             if path in self._seen:  # dedup (isNewFile)
-                dead_msgs.append(msg_file)  # duplicate notification → no data
+                dead_tokens.append(token)  # duplicate notification → no data
                 continue
             if ts_ms < self._latest_ms - self.max_file_age_ms:  # age purge
                 self._seen[path] = ts_ms
-                dead_msgs.append(msg_file)
+                dead_tokens.append(token)
                 continue
             self._seen[path] = ts_ms
             batch.append((path, ts_ms))
-            row_msgs.append(msg_file)
-        # rowless messages (duplicates / age-purged) carry no data — delete
-        # immediately, like the reference's error-message path; messages
-        # that PRODUCED rows are retained until commit(end)
-        if self.delete_consumed:
-            for p in dead_msgs:
-                try:
-                    os.unlink(p)
-                except FileNotFoundError:
-                    pass
+            row_msgs.append((token, key))
+        # rowless messages (malformed / duplicates / age-purged) carry no
+        # data — delete immediately, like the reference's error-message
+        # path (SqsClient.scala:179-181); messages that PRODUCED rows are
+        # retained until commit(end)
+        if self.delete_consumed and dead_tokens:
+            self.queue.delete(dead_tokens)
         if not batch:
             return iter([]), {"emitted": emitted}
         end = emitted + len(batch)
         self._write_manifest(emitted, end, batch, row_msgs)  # journal BEFORE returning
-        self._inflight.update(row_msgs)
+        self._inflight.update(key for _tok, key in row_msgs)
         return iter(batch), {"emitted": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
@@ -220,13 +365,11 @@ class NotificationStreamReader(SimpleDataSourceStreamReader):
         for m in self._manifests():
             if m["end"] > e:
                 continue
+            tokens = [tok for tok, _key in m["messages"]]
+            keys = [key for _tok, key in m["messages"]]
             if self.delete_consumed:
-                for p in m["messages"]:
-                    try:
-                        os.unlink(p)
-                    except FileNotFoundError:
-                        pass
-            self._inflight.difference_update(m["messages"])
+                self.queue.delete(tokens)
+            self._inflight.difference_update(keys)
             os.unlink(m["_file"])
 
 
@@ -254,20 +397,27 @@ def notification_ingest(
     file_format: str = "parquet",
     schema=None,
     max_files_per_trigger: int = 100,
+    **source_options: str,
 ):
     """EP2 rebuilt: notification stream → foreachBatch reads the listed
     files with the JVM reader → append to the sink.  The notification
     offsets are exactly-once (checkpointed); the content write is
     idempotent per batch for transactional sinks (Delta) and append-only
     for plain parquet — the same guarantee split the reference documents
-    (README.md:115-122)."""
+    (README.md:115-122).
+
+    ``queue_dir=None`` with ``queueUrl=...``/``stateDir=...`` in
+    ``source_options`` runs against a real SQS queue instead of the
+    local directory stand-in."""
     spark.dataSource.register(NotificationFileSource)
-    notif = (
-        spark.readStream.format("notification_files")
-        .option("queueDir", queue_dir)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load()
+    reader = spark.readStream.format("notification_files").option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
+    if queue_dir is not None:
+        reader = reader.option("queueDir", queue_dir)
+    for k, v in source_options.items():
+        reader = reader.option(k, str(v))
+    notif = reader.load()
 
     def _ingest(batch_df, batch_id: int) -> None:
         paths = [r.path for r in batch_df.select("path").collect()]

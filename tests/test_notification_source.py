@@ -132,6 +132,136 @@ def test_crash_before_wal_reuses_orphan_manifest(tmp_path):
     assert [f for f in os.listdir(queue) if f.endswith(".json")] == []
 
 
+def _sqs_setup():
+    """Create a moto-mocked SQS queue; returns (client, queue_url)."""
+    import boto3
+
+    client = boto3.client("sqs", region_name="us-east-1")
+    url = client.create_queue(QueueName="notifications")["QueueUrl"]
+    return client, url
+
+
+def test_sqs_client_poll_bounded_and_batch_delete():
+    """_SqsQueueClient behaviors vs the reference SqsClient: bounded
+    prefetch (backpressure), long-poll drain, batch delete in chunks of
+    10 (SqsClient.scala:73-74, 243-270)."""
+    from moto import mock_aws
+
+    from spark_ss_hudi_delta_poc_spark.sources.notification import _SqsQueueClient
+
+    with mock_aws():
+        raw, url = _sqs_setup()
+        for i in range(25):
+            raw.send_message(QueueUrl=url, MessageBody=_msg(f"/d/f{i}.parquet", i))
+        q = _SqsQueueClient(url, wait_time_s=0)
+        got = q.poll(max_messages=7, skip=set())
+        assert len(got) == 7  # bounded: never drains past the cap
+        more = q.poll(max_messages=100, skip=set())
+        assert len(more) == 18  # the rest (first 7 hidden by visibility)
+        # batch delete >10 exercises the chunking path
+        q.delete([tok for tok, _k, _b in got + more])
+        attrs = raw.get_queue_attributes(
+            QueueUrl=url,
+            AttributeNames=["ApproximateNumberOfMessages", "ApproximateNumberOfMessagesNotVisible"],
+        )["Attributes"]
+        assert attrs["ApproximateNumberOfMessages"] == "0"
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+
+
+def test_sqs_reader_protocol_exactly_once():
+    """Full reader protocol on the SQS backend (direct calls — moto's
+    in-process mock is invisible to Spark's worker, so the Spark-driven
+    path is covered by the moto-server e2e test below): dedup deletes
+    rowless duplicates eagerly, row messages retained until commit,
+    crash replay via manifests, commit deletes by receipt handle."""
+    import tempfile
+
+    from moto import mock_aws
+
+    from spark_ss_hudi_delta_poc_spark.sources.notification import NotificationStreamReader
+
+    with mock_aws(), tempfile.TemporaryDirectory() as state:
+        raw, url = _sqs_setup()
+        for i in range(3):
+            raw.send_message(QueueUrl=url, MessageBody=_msg(f"/data/f{i}.parquet", 1000 + i))
+        raw.send_message(QueueUrl=url, MessageBody=_msg("/data/f0.parquet", 1000))  # dup
+        raw.send_message(QueueUrl=url, MessageBody="not json")  # malformed
+        opts = {"queueurl": url, "statedir": state, "waittimeseconds": "0"}
+        r1 = NotificationStreamReader(opts)
+        it, end = r1.read({"emitted": 0})
+        rows = sorted(it)
+        assert [p for p, _t in rows] == [f"/data/f{i}.parquet" for i in range(3)]
+        assert end == {"emitted": 3}
+        # dup + malformed deleted eagerly; 3 row messages retained in-flight
+        attrs = raw.get_queue_attributes(
+            QueueUrl=url,
+            AttributeNames=["ApproximateNumberOfMessages", "ApproximateNumberOfMessagesNotVisible"],
+        )["Attributes"]
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "3"
+        del r1  # crash after the engine WAL'd the offset, before commit
+        r2 = NotificationStreamReader(opts)
+        assert sorted(r2.readBetweenOffsets({"emitted": 0}, {"emitted": 3})) == rows
+        it3, end3 = r2.read({"emitted": 3})  # nothing new, nothing re-emitted
+        assert list(it3) == [] and end3 == {"emitted": 3}
+        r2.commit({"emitted": 3})
+        attrs = raw.get_queue_attributes(
+            QueueUrl=url,
+            AttributeNames=["ApproximateNumberOfMessages", "ApproximateNumberOfMessagesNotVisible"],
+        )["Attributes"]
+        assert attrs["ApproximateNumberOfMessages"] == "0"
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+
+
+def test_sqs_end_to_end_spark_stream(spark, tmp_path):
+    """Spark streaming query against a REAL (mock-server) SQS endpoint:
+    the reader and its boto3 client are constructed inside Spark's Python
+    worker process, reaching moto over HTTP — the full cloud topology of
+    the reference's s3-sqs source, minus AWS."""
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        raw = boto3.client(
+            "sqs",
+            region_name="us-east-1",
+            endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+        )
+        url = raw.create_queue(QueueName="e2e-notifications")["QueueUrl"]
+        for i in range(3):
+            raw.send_message(QueueUrl=url, MessageBody=_msg(f"/data/f{i}.parquet", 1000 + i))
+        raw.send_message(QueueUrl=url, MessageBody=_msg("/data/f0.parquet", 1000))  # dup
+        spark.dataSource.register(NotificationFileSource)
+        stream = (
+            spark.readStream.format("notification_files")
+            .option("queueUrl", url)
+            .option("endpointUrl", endpoint)
+            .option("stateDir", os.path.join(tmp_path, "state"))
+            .option("waitTimeSeconds", "0")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("notif_sqs_mem")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("notif_sqs_mem").collect()
+        assert sorted(r.path for r in rows) == [
+            "/data/f0.parquet",
+            "/data/f1.parquet",
+            "/data/f2.parquet",
+        ]
+    finally:
+        server.stop()
+
+
 def test_notification_ingest_end_to_end(spark, tmp_path):
     """EP2: notifications → foreachBatch JVM read → parquet sink."""
     data_dir = os.path.join(tmp_path, "data")
