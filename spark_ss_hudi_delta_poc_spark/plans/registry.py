@@ -29,8 +29,78 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# The external correctness driver verifies the FIRST 50 registry entries
+# against their oracles; the rest ride on the in-repo gate
+# (tools/verify_local.py, all SFs).  Rounds 1-2 burned that budget on the
+# relational/function set (now twice driver-green), while the novel half
+# — dedup / similarity / text / multimodal / streaming and q24-q30 —
+# never got a driver row.  Order the never-checked queries first, plus a
+# guard set of the trickiest previously-green ones (q62's NULL-vs-empty
+# fix stays under the driver; flagship join; datetime/asof/window
+# batteries), so the driver's 50 now covers the highest-risk surface.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-checked: relational/function stragglers
+    "q24_above_cust_avg",
+    "q25_set_ops",
+    "q26_pivot",
+    "q27_approx_distinct",
+    "q29_string_battery",
+    "q30_math_battery",
+    # never driver-checked: LLM-pipeline dedup/similarity
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_kept_corpus",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_label_centroids",
+    # never driver-checked: text analysis / corpus ops
+    "corpus_pipeline",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_ngram_stats",
+    "text_tfidf_keywords",
+    "text_chunking",
+    "text_scrub_pii",
+    "text_winnow_fingerprint",
+    # never driver-checked: multimodal plumbing
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_audio_meta",
+    "multimodal_frames",
+    # never driver-checked: streaming surface
+    "q10_stream_global_agg",
+    "q12_stream_roundtrip",
+    "q19_stream_windowed_agg",
+    "q21_stream_session_window",
+    "q31_stream_stream_join",
+    "q44_stream_static_join",
+    "q60_stream_materialized_latest",
+    "q22_stream_dedup",
+    # guard set: twice-green but highest-regression-risk
+    "q62_regexp_extract_all",
+    "q13_join_revenue",
+    "q23_pricing_summary",
+    "q20_sessionize",
+    "q11_datetime_battery",
+    "q17_asof_join",
+    "q32_upsert_snapshot",
+    "q43_collect_arrays",
+    "q58_hourly_retention",
+)
+
+
 def all_queries() -> dict[str, Query]:
-    """Assemble the full registry (import here to avoid cycles)."""
+    """Assemble the full registry (import here to avoid cycles),
+    DRIVER_PRIORITY entries first."""
     from . import (
         analytics_queries,
         function_queries,
@@ -53,4 +123,9 @@ def all_queries() -> dict[str, Query]:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
-    return out
+    missing = [n for n in DRIVER_PRIORITY if n not in out]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY names not in registry: {missing}")
+    ordered = {n: out[n] for n in DRIVER_PRIORITY}
+    ordered.update((n, q) for n, q in out.items() if n not in ordered)
+    return ordered
