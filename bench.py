@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "corpus_pipeline",
+    "curation_contamination",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_meta",

@@ -1,0 +1,195 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination detection, deterministic sampling, and repetition-based
+quality filtering.
+
+Beyond-reference surface (the reference stops at ingest/enrich; these are
+the ops a 100 TB pretraining pipeline runs right after it).  Design rules
+shared with the dedup family:
+
+- deterministic cross-engine hashing (functions/hashing.md5_long) so every
+  sample / score hash-matches the DuckDB oracle at any SF;
+- contamination is the classic inverted-index shape: shingle-explode both
+  corpora, equi-join on the n-gram, aggregate per (train, eval) pair.  The
+  eval side of a contamination check is always tiny relative to the
+  training corpus (benchmarks are MBs, corpora are TBs), so the eval
+  n-gram table is broadcast — the train side never shuffles at all;
+- sampling is map-only (hash-threshold Bernoulli) or single-shuffle
+  (exact-k per stratum via one window) — never a driver-side RNG, so the
+  sample is reproducible run-to-run and engine-to-engine;
+- repetition scoring is a pure map stage over per-row arrays: zero
+  shuffle, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import shingles, words
+
+CONTAMINATION_NGRAM = 3
+CONTAMINATION_THRESHOLD = 0.05
+# doc_id % EVAL_MODULUS == 0 plays the held-out benchmark set in the
+# registry query — any (train, eval) DataFrame pair works in the API
+EVAL_MODULUS = 97
+
+
+def contamination_pairs(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = CONTAMINATION_NGRAM,
+    threshold: float = CONTAMINATION_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set contamination: for each training doc, the fraction of its
+    distinct word ``n``-grams that also occur in an eval doc.
+
+    Returns (doc_id, eval_doc_id, overlap, train_ngrams, contamination)
+    for every pair at or above ``threshold``.  Plan: both sides explode to
+    distinct n-grams; the eval n-gram table is broadcast (eval sets are
+    small by construction), so the training corpus is scanned once with no
+    shuffle on the raw text — the per-(train, eval) count aggregation
+    shuffles only (doc_id, eval_doc_id, 1) rows that actually overlap.
+    """
+    tr = train_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("train_ngrams"))
+    overlap = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    score = F.col("overlap").cast("double") / F.col("train_ngrams").cast("double")
+    return (
+        overlap.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            "overlap",
+            "train_ngrams",
+            score.alias("contamination"),
+        )
+        .where(F.col("contamination") >= threshold)
+    )
+
+
+def sample_bernoulli(
+    docs: DataFrame,
+    fraction: float,
+    salt: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose salted 60-bit id
+    hash falls under ``fraction`` of the hash space.  Map-only (no
+    shuffle, no RNG state) — the only reproducible way to sample a corpus
+    that is re-sharded between runs.  Change ``salt`` to draw an
+    independent sample."""
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return docs.where(h % 1_000_000 < int(fraction * 1_000_000))
+
+
+def sample_stratified_k(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    salt: str = "s0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``k`` docs per stratum, chosen by salted-hash order — the
+    distributed, deterministic stand-in for per-group reservoir sampling.
+    One shuffle (the window partition on the stratum); rank by (hash, id)
+    so ties are impossible and the pick is engine-independent."""
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# GPT-2-style pre-tokenizer, RE2-safe subset (no lookahead — DuckDB's RE2
+# can't do it): a word, a number run, or a punctuation run, each with an
+# optional leading space.  What BPE merges operate on.
+PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def pretoken_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_pretokens, n_distinct_pretokens): counts over the real
+    BPE pre-tokenization regex — the accurate token budget, vs
+    text_analysis.token_counts' chars/4 estimate.  Map-only."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_pretokens"),
+    )
+
+
+def source_mixture(docs: DataFrame, strata_col: str = "source") -> DataFrame:
+    """Temperature-based sampling mixture over sources (alpha = 0.5, the
+    sqrt-smoothed weighting used to upsample rare sources in pretraining
+    mixes): w_s = sqrt(n_s) / sum(sqrt(n_s)).
+
+    Returns (source, n_docs, weight, expected_epoch_docs).  The sqrt is
+    quantized to an integer (floor(sqrt(n)*1e6)) before the global sum so
+    the normalizer is an exact BIGINT — float summation order can never
+    flip the hash; each output double is then a single IEEE division or
+    multiplication.  The global window runs on the already-aggregated
+    per-source table (|sources| rows), so it is free at any corpus size.
+    """
+    c = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast("long")
+    w = Window.partitionBy(F.lit(1))
+    c = (
+        c.withColumn("_q", q)
+        .withColumn("_tq", F.sum("_q").over(w))
+        .withColumn("_tn", F.sum("n_docs").over(w))
+    )
+    weight = F.col("_q").cast("double") / F.col("_tq").cast("double")
+    return c.select(
+        F.col(strata_col),
+        "n_docs",
+        weight.alias("weight"),
+        F.floor(weight * F.col("_tn").cast("double")).cast("long").alias("expected_epoch_docs"),
+    )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    n: int = 3,
+    max_dup_ngram_ratio: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition features + keep/drop flag (the standard
+    boilerplate/spam filter): fraction of repeated words and fraction of
+    repeated word ``n``-grams.  All counts are exact integers computed
+    per-row with built-in array functions — no shuffle, and each double is
+    a single IEEE division so it hash-matches the oracle."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    n_uniq_words = F.size(F.array_distinct(w))
+    # total (non-distinct) n-gram count vs distinct: the duplicated mass
+    total_grams = F.greatest(n_words - (n - 1), F.lit(0))
+    uniq_grams = F.size(shingles(F.col(text_col), n))
+    dup_word_ratio = (n_words - n_uniq_words).cast("double") / n_words.cast("double")
+    dup_gram_ratio = F.when(
+        total_grams > 0,
+        (total_grams - uniq_grams).cast("double") / total_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        dup_word_ratio.alias("dup_word_ratio"),
+        dup_gram_ratio.alias("dup_ngram_ratio"),
+        (dup_gram_ratio <= max_dup_ngram_ratio).alias("keep"),
+    )

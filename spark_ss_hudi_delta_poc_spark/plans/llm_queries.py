@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text_analysis
+from ..operators import curation, dedup, multimodal, similarity, text_analysis
 from ..operators.dedup import SIMHASH_BITS
 from ..operators.text_analysis import LANG_MARKERS, LANG_PRIORITY
 from ..tables import load
@@ -176,6 +176,38 @@ def corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ws_tokens").alias("tokens"))
     )
+
+
+# --- corpus curation ---------------------------------------------------------
+SAMPLE_FRACTION = 0.25
+SAMPLE_K_PER_STRATUM = 10
+
+
+def curation_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % curation.EVAL_MODULUS != 0)
+    ev = docs.where(F.col("doc_id") % curation.EVAL_MODULUS == 0)
+    return curation.contamination_pairs(train, ev)
+
+
+def curation_sample_bernoulli_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.sample_bernoulli(load(spark, sf, "documents"), SAMPLE_FRACTION)
+
+
+def curation_sample_stratified_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.sample_stratified_k(load(spark, sf, "documents"), SAMPLE_K_PER_STRATUM)
+
+
+def curation_repetition_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.repetition_scores(load(spark, sf, "documents"))
+
+
+def curation_pretokens_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.pretoken_counts(load(spark, sf, "documents"))
+
+
+def curation_source_mixture_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.source_mixture(load(spark, sf, "documents"))
 
 
 # --- multimodal --------------------------------------------------------------
@@ -771,6 +803,126 @@ QUERIES = [
         doc="end-to-end near-dup removal: clusters → keep representatives → "
         "kept corpus stats per language",
         tags=("llm", "dedup", "pipeline"),
+    ),
+    Query(
+        "curation_contamination",
+        curation_contamination_q,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+          FROM ws WHERE len(w) >= 3
+        ),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} <> 0),
+        ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} = 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM tr GROUP BY doc_id),
+        ov AS (
+          SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
+          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id, ev.eval_doc_id
+        )
+        SELECT ov.doc_id, ov.eval_doc_id, ov.overlap, s.train_ngrams,
+               CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE) AS contamination
+        FROM ov JOIN sizes s ON s.doc_id = ov.doc_id
+        WHERE CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE)
+              >= {curation.CONTAMINATION_THRESHOLD}
+        """,
+        doc="benchmark-contamination check: 3-gram overlap of training docs "
+        "vs the held-out eval split (doc_id % 97 == 0), broadcast eval index",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_sample_bernoulli",
+        curation_sample_bernoulli_q,
+        f"""
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < {int(SAMPLE_FRACTION * 1000000)}
+        """,
+        doc="deterministic hash-threshold Bernoulli sample (map-only, "
+        "reproducible across runs/engines; salt selects the draw)",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_sample_stratified",
+        curation_sample_stratified_q,
+        f"""
+        WITH ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                     doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, text, lang, source, n_chars
+        FROM ranked WHERE rk <= {SAMPLE_K_PER_STRATUM}
+        """,
+        doc="exact-k-per-stratum deterministic sample (salted-hash order, "
+        "one window shuffle — the distributed reservoir stand-in)",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_repetition",
+        curation_repetition_q,
+        """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 len(w) AS n_words,
+                 len(list_distinct(w)) AS n_uniq,
+                 CASE WHEN len(w) - 2 > 0 THEN len(w) - 2 ELSE 0 END AS total_grams,
+                 CASE WHEN len(w) >= 3
+                      THEN len(list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                      ELSE 0 END AS uniq_grams
+          FROM ws
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_words - n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio,
+               CASE WHEN total_grams > 0
+                    THEN CAST(total_grams - uniq_grams AS DOUBLE) / CAST(total_grams AS DOUBLE)
+                    ELSE 0.0 END AS dup_ngram_ratio,
+               (CASE WHEN total_grams > 0
+                     THEN CAST(total_grams - uniq_grams AS DOUBLE) / CAST(total_grams AS DOUBLE)
+                     ELSE 0.0 END) <= 0.3 AS keep
+        FROM feat
+        """,
+        doc="within-document repetition features (dup word / dup 3-gram "
+        "ratios) + keep flag — map-only boilerplate filter",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_pretokens",
+        curation_pretokens_q,
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_pretokens,
+               CAST(len(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS n_distinct_pretokens
+        FROM documents
+        """,
+        doc="BPE pre-tokenizer (RE2-safe GPT-2-style regex) token counts — "
+        "the accurate token budget per document, map-only",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_source_mixture",
+        curation_source_mixture_q,
+        """
+        WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        q AS (SELECT source, n_docs,
+                     CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS qs
+              FROM c)
+        SELECT source, n_docs,
+               CAST(qs AS DOUBLE) / CAST(SUM(qs) OVER () AS DOUBLE) AS weight,
+               CAST(FLOOR(CAST(qs AS DOUBLE) / CAST(SUM(qs) OVER () AS DOUBLE)
+                    * CAST(SUM(n_docs) OVER () AS DOUBLE)) AS BIGINT) AS expected_epoch_docs
+        FROM q
+        """,
+        doc="temperature (alpha=0.5) source-mixture weights: quantized-sqrt "
+        "upsampling of rare sources, exact-integer normalizer",
+        tags=("llm", "curation"),
     ),
     Query(
         "multimodal_frames",

@@ -71,6 +71,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_chunking",
     "text_scrub_pii",
     "text_winnow_fingerprint",
+    # never driver-checked: corpus curation (round-3 additions)
+    "curation_contamination",
+    "curation_sample_bernoulli",
+    "curation_sample_stratified",
+    "curation_repetition",
+    "curation_pretokens",
+    "curation_source_mixture",
     # never driver-checked: multimodal plumbing
     "multimodal_meta",
     "multimodal_resize",
@@ -85,16 +92,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q44_stream_static_join",
     "q60_stream_materialized_latest",
     "q22_stream_dedup",
-    # guard set: twice-green but highest-regression-risk
+    # guard set: twice-green but highest-regression-risk (q62's NULL/empty
+    # fix, the flagship join, the pricing-summary agg battery)
     "q62_regexp_extract_all",
     "q13_join_revenue",
     "q23_pricing_summary",
-    "q20_sessionize",
-    "q11_datetime_battery",
-    "q17_asof_join",
-    "q32_upsert_snapshot",
-    "q43_collect_arrays",
-    "q58_hourly_retention",
 )
 
 

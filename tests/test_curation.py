@@ -1,0 +1,106 @@
+"""Corpus-curation operator tests: contamination detection, deterministic
+sampling, repetition scoring (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ss_hudi_delta_poc_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_detects_planted_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear here only today"),
+        ],
+    )
+    ev = _docs(spark, [(100, "quick brown fox jumps high")])
+    out = curation.contamination_pairs(train, ev, n=3, threshold=0.1).collect()
+    assert [(r.doc_id, r.eval_doc_id) for r in out] == [(1, 100)]
+    r = out[0]
+    # train doc 1 has 7 distinct 3-grams; "quick brown fox" and
+    # "brown fox jumps" also occur in the eval doc
+    assert r.overlap == 2 and r.train_ngrams == 7
+    assert abs(r.contamination - 2 / 7) < 1e-12
+
+
+def test_contamination_below_threshold_dropped(spark):
+    train = _docs(spark, [(1, "a b c d e f g h i j k l m n o p")])
+    ev = _docs(spark, [(100, "a b c")])  # 1/14 grams
+    assert curation.contamination_pairs(train, ev, n=3, threshold=0.5).count() == 0
+
+
+def test_sample_bernoulli_deterministic_and_salted(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    s1 = sorted(r.doc_id for r in curation.sample_bernoulli(docs, 0.3).collect())
+    s2 = sorted(r.doc_id for r in curation.sample_bernoulli(docs, 0.3).collect())
+    assert s1 == s2  # reproducible
+    assert 30 <= len(s1) <= 90  # ~60 expected, loose band
+    other = sorted(r.doc_id for r in curation.sample_bernoulli(docs, 0.3, salt="s1").collect())
+    assert other != s1  # independent draw per salt
+    # monotone: a smaller fraction is a subset of a larger one (same salt)
+    small = sorted(r.doc_id for r in curation.sample_bernoulli(docs, 0.1).collect())
+    assert set(small) <= set(s1)
+
+
+def test_sample_stratified_exact_k(spark):
+    rows = [(i, f"doc {i}", "src_a" if i % 2 == 0 else "src_b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.sample_stratified_k(docs, k=7)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src_a": 7, "src_b": 7}
+    # deterministic pick
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in curation.sample_stratified_k(docs, k=7).collect())
+    assert a == b
+    assert out.columns == docs.columns  # helper column dropped
+
+
+def test_repetition_scores_flags_spam(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word in this sentence is unique today"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.repetition_scores(docs).collect()}
+    assert not out[1].keep and out[2].keep
+    assert out[2].dup_word_ratio == 0.0 and out[2].dup_ngram_ratio == 0.0
+    # doc 1: 8 words, 2 unique -> dup_word_ratio 6/8; 6 total 3-grams,
+    # 2 distinct ("buy now buy", "now buy now") -> dup_ngram_ratio 4/6
+    assert abs(out[1].dup_word_ratio - 6 / 8) < 1e-12
+    assert abs(out[1].dup_ngram_ratio - 4 / 6) < 1e-12
+
+
+def test_pretoken_counts(spark):
+    docs = _docs(spark, [(1, "Hello, world! 42 times"), (2, "aaa aaa aaa")])
+    out = {r.doc_id: r for r in curation.pretoken_counts(docs).collect()}
+    # "Hello" "," " world" "!" " 42" " times" -> 6 pretokens, all distinct
+    assert out[1].n_pretokens == 6 and out[1].n_distinct_pretokens == 6
+    # "aaa" " aaa" " aaa" -> 3 pretokens, 2 distinct
+    assert out[2].n_pretokens == 3 and out[2].n_distinct_pretokens == 2
+
+
+def test_source_mixture_upsamples_rare(spark):
+    rows = [(i, "t", "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in curation.source_mixture(docs).collect()}
+    assert out["big"].n_docs == 90 and out["small"].n_docs == 10
+    # sqrt smoothing: small source gets ~3x its proportional share
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-9
+    assert out["small"].weight > 0.10 and out["big"].weight < 0.90
+    assert out["big"].expected_epoch_docs + out["small"].expected_epoch_docs <= 100
+
+
+def test_short_doc_edge_cases(spark):
+    docs = _docs(spark, [(1, "one"), (2, "two words")])
+    out = {r.doc_id: r for r in curation.repetition_scores(docs).collect()}
+    assert out[1].dup_ngram_ratio == 0.0 and out[2].dup_ngram_ratio == 0.0
+    assert out[1].keep and out[2].keep

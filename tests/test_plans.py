@@ -127,6 +127,22 @@ def test_ann_ivf_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_contamination_broadcasts_eval_index(spark):
+    """curation_contamination: the eval-side n-gram table must broadcast
+    (eval sets are tiny vs the corpus) so the training scan never
+    shuffles raw text; the pair count is the only wide aggregation."""
+    p = plan_of(spark, "curation_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sampling_is_map_only(spark):
+    """curation_sample_bernoulli: hash-threshold sampling must not shuffle
+    — filter over the scan, nothing else."""
+    p = plan_of(spark, "curation_sample_bernoulli")
+    assert "Exchange" not in p
+
+
 def test_no_cartesian_anywhere(spark):
     """Global plan audit: no batch query in the registry may plan a
     CartesianProduct or BroadcastNestedLoopJoin — the two shapes that
