@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 from ..functions.text import shingles, words
+from .partitioning import spread as _spread
 
 CONTAMINATION_NGRAM = 3
 CONTAMINATION_THRESHOLD = 0.05
@@ -53,15 +54,30 @@ def contamination_pairs(
     shuffle on the raw text — the per-(train, eval) count aggregation
     shuffles only (doc_id, eval_doc_id, 1) rows that actually overlap.
     """
-    tr = train_docs.select(
+    # spread: single-file inputs plan as one partition, serializing the
+    # CPU-heavy shingle stage on one core (operators/partitioning.py);
+    # both the gram explode and the size branch derive from the spread DF
+    train_s = _spread(train_docs)
+    tr = train_s.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("gram"),
     )
-    ev = eval_docs.select(
+    ev = _spread(eval_docs).select(
         F.col(id_col).alias("eval_doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("gram"),
     )
-    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("train_ngrams"))
+    # per-doc distinct-gram count map-side (array size) — NOT a second
+    # explode+groupBy over the corpus, which would double the heavy stage.
+    # coalesce makes the expression provably non-null: without it Catalyst
+    # synthesizes isnotnull(<whole interpreted shingle expr>) from the
+    # join condition and pushes it below the spread exchange, re-running
+    # the HOF on the unsplit scan partition (observed 3 s single-core)
+    sizes = train_s.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(shingles(F.col(text_col), n)).cast("long"), F.lit(0)).alias(
+            "train_ngrams"
+        ),
+    )
     overlap = (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("doc_id", "eval_doc_id")
