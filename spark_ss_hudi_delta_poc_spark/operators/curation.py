@@ -179,6 +179,51 @@ def source_mixture(docs: DataFrame, strata_col: str = "source") -> DataFrame:
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 1024,
+    n_buckets: int = 8,
+    salt: str = "p0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk context packing: lay documents end-to-end in a
+    deterministic mixed order and cut fixed ``budget``-token training
+    sequences — the standard pretraining packing step.  A document is
+    assigned to the sequence containing its start offset (documents may
+    straddle a chunk boundary; that straddle fraction is the usual
+    packing loss).
+
+    Returns (doc_id, bucket, seq_idx, start_offset, n_tokens).
+    ``n_buckets`` independent packing streams (keyed by doc_id) bound the
+    window-state per partition, so the only shuffle is the bucket window
+    and each stream packs in parallel; within a stream the order is
+    (salted hash, doc_id) — deterministic shuffling of the corpus, which
+    is also what makes the result engine-independent.
+    """
+    tok = F.size(words(F.col(text_col))).cast("long")
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        tok.alias("n_tokens"),
+        h.alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_ok").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "bucket",
+        F.floor(start / F.lit(budget)).cast("long").alias("seq_idx"),
+        start.alias("start_offset"),
+        "n_tokens",
+    )
+
+
 def repetition_scores(
     docs: DataFrame,
     n: int = 3,

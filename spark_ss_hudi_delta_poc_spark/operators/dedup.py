@@ -77,8 +77,17 @@ def ngram_jaccard_pairs(
     disable (exact textbook Jaccard)."""
     sh = shingle_table(docs, n=n)
     if max_shingle_df is not None:
-        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
+        # drop stop-shingles via broadcast ANTI-join against the FREQUENT
+        # set (df > cap): zipfian text makes that set tiny (heavy hitters
+        # only) while the rare set is nearly every distinct shingle — the
+        # previous rare-side semi-join shuffled the whole shingle table
+        # against an |all-shingles|-sized build side
+        frequent = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+        )
+        sh = sh.join(F.broadcast(frequent.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -210,6 +210,10 @@ def curation_source_mixture_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.source_mixture(load(spark, sf, "documents"))
 
 
+def curation_pack_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.pack_sequences(load(spark, sf, "documents"))
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
@@ -922,6 +926,29 @@ QUERIES = [
         """,
         doc="temperature (alpha=0.5) source-mixture weights: quantized-sqrt "
         "upsampling of rare sources, exact-integer normalizer",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_pack_sequences",
+        curation_pack_q,
+        """
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS bucket,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5('p0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY ok, doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+          FROM t
+        )
+        SELECT doc_id, bucket, start_offset // 1024 AS seq_idx, start_offset, n_tokens
+        FROM c
+        """,
+        doc="concat-then-chunk context packing into 1024-token sequences: "
+        "deterministic salted-hash order, 8 parallel packing streams",
         tags=("llm", "curation"),
     ),
     Query(

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_repetition",
     "curation_pretokens",
     "curation_source_mixture",
+    "curation_pack_sequences",
     # never driver-checked: multimodal plumbing
     "multimodal_meta",
     "multimodal_resize",
@@ -93,10 +94,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q60_stream_materialized_latest",
     "q22_stream_dedup",
     # guard set: twice-green but highest-regression-risk (q62's NULL/empty
-    # fix, the flagship join, the pricing-summary agg battery)
+    # fix, the flagship join)
     "q62_regexp_extract_all",
     "q13_join_revenue",
-    "q23_pricing_summary",
 )
 
 

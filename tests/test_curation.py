@@ -99,6 +99,35 @@ def test_source_mixture_upsamples_rare(spark):
     assert out["big"].expected_epoch_docs + out["small"].expected_epoch_docs <= 100
 
 
+def test_pack_sequences_cumsum_and_straddle(spark):
+    # one bucket (n_buckets=1) so the packing order is fully observable
+    docs = _docs(spark, [(i, " ".join(["w"] * 40)) for i in range(10)])  # 40 tokens each
+    out = sorted(
+        curation.pack_sequences(docs, budget=100, n_buckets=1).collect(),
+        key=lambda r: r.start_offset,
+    )
+    assert [r.n_tokens for r in out] == [40] * 10
+    assert [r.start_offset for r in out] == [40 * i for i in range(10)]
+    # starts at 0,40,80,... -> seq 0,0,0 then 120//100=1, etc.; doc at 80
+    # straddles the 100 boundary but belongs to the seq containing its start
+    assert [r.seq_idx for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # deterministic across runs
+    again = sorted(
+        curation.pack_sequences(docs, budget=100, n_buckets=1).collect(),
+        key=lambda r: r.start_offset,
+    )
+    assert [r.doc_id for r in again] == [r.doc_id for r in out]
+
+
+def test_pack_sequences_buckets_are_independent(spark):
+    docs = _docs(spark, [(i, "a b c") for i in range(16)])
+    out = curation.pack_sequences(docs, budget=6, n_buckets=4).collect()
+    assert {r.bucket for r in out} == {0, 1, 2, 3}
+    for b in range(4):
+        offs = sorted(r.start_offset for r in out if r.bucket == b)
+        assert offs == [0, 3, 6, 9]  # each bucket packs from offset 0
+
+
 def test_short_doc_edge_cases(spark):
     docs = _docs(spark, [(1, "one"), (2, "two words")])
     out = {r.doc_id: r for r in curation.repetition_scores(docs).collect()}
