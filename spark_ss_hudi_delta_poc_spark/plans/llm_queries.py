@@ -54,6 +54,37 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )"""
 
+# full near-dup clustering chain (shingles → capped pairs → undirected
+# edges → transitive closure → min-label components); shared by the
+# cluster / kept-corpus / keep-best oracles.  Callers prepend
+# `WITH RECURSIVE ` and append their own final CTEs/SELECT.
+CLUSTER_CTES = """{},
+{},
+pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {}
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+
+
+def _cluster_ctes() -> str:
+    return CLUSTER_CTES.format(WS_SH_CTE, NGRAM_PAIR_CTES, JACCARD_THRESHOLD)
+
+
 QVEC = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 COS = (
     "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
@@ -94,6 +125,35 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
     return dedup.dedup_clusters(pairs)
+
+
+def dedup_keep_best_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: cluster near-dups, keep the
+    highest-quality doc per cluster (n_words desc, doc_id tie-break) —
+    the production dedup policy (min-id keeps an arbitrary copy; this
+    keeps the best one)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+
+    docs = load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = dedup.dedup_clusters(pairs)
+    quality = docs.select("doc_id", F.size(words(F.col("text"))).cast("long").alias("n_words"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
+    cw = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cw).cast("long"))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_words",
+            "cluster_size",
+        )
+    )
 
 
 # --- similarity search -------------------------------------------------------
@@ -416,25 +476,8 @@ QUERIES = [
         "dedup_clusters",
         dedup_clusters_q,
         f"""
-        WITH RECURSIVE {WS_SH_CTE},
-        {NGRAM_PAIR_CTES},
-        pairs AS (
-          SELECT doc_id_a, doc_id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_id_a
-          JOIN sizes sb ON sb.doc_id = doc_id_b
-          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
-        ),
-        edges AS (
-          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-          UNION SELECT doc_id_b, doc_id_a FROM pairs
-        ),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        )
-        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-        FROM reach GROUP BY src
+        WITH RECURSIVE {_cluster_ctes()}
+        SELECT doc_id, cluster_id FROM clusters
         """,
         doc="connected-components clustering of near-dup pairs (iterative "
         "min-label propagation) → keep-list cluster ids",
@@ -779,26 +822,7 @@ QUERIES = [
         "dedup_kept_corpus",
         dedup_kept_corpus,
         f"""
-        WITH RECURSIVE {WS_SH_CTE},
-        {NGRAM_PAIR_CTES},
-        pairs AS (
-          SELECT doc_id_a, doc_id_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_id_a
-          JOIN sizes sb ON sb.doc_id = doc_id_b
-          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
-        ),
-        edges AS (
-          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-          UNION SELECT doc_id_b, doc_id_a FROM pairs
-        ),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ),
-        clusters AS (
-          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-          FROM reach GROUP BY src
-        ),
+        WITH RECURSIVE {_cluster_ctes()},
         dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -806,6 +830,30 @@ QUERIES = [
         """,
         doc="end-to-end near-dup removal: clusters → keep representatives → "
         "kept corpus stats per language",
+        tags=("llm", "dedup", "pipeline"),
+    ),
+    Query(
+        "dedup_keep_best",
+        dedup_keep_best_q,
+        f"""
+        WITH RECURSIVE {_cluster_ctes()},
+        quality AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents
+        ),
+        ranked AS (
+          SELECT c.cluster_id, c.doc_id, q.n_words,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.n_words DESC, c.doc_id ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS csize
+          FROM clusters c JOIN quality q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_doc_id, n_words,
+               CAST(csize AS BIGINT) AS cluster_size
+        FROM ranked WHERE rk = 1
+        """,
+        doc="quality-aware canonical selection: per near-dup cluster keep "
+        "the longest doc (n_words desc, id tie-break), not the min id",
         tags=("llm", "dedup", "pipeline"),
     ),
     Query(

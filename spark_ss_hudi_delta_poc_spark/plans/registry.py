@@ -56,6 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_kept_corpus",
+    "dedup_keep_best",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -93,10 +94,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q44_stream_static_join",
     "q60_stream_materialized_latest",
     "q22_stream_dedup",
-    # guard set: twice-green but highest-regression-risk (q62's NULL/empty
-    # fix, the flagship join)
+    # guard: the one twice-green query with a this-round oracle fix (the
+    # flagship q13 is separately smoke-checked by entry() every round)
     "q62_regexp_extract_all",
-    "q13_join_revenue",
 )
 
 
