@@ -118,6 +118,18 @@ def dedup_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD)
 
 
+def dedup_embedding_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space near-dup clustering: exact cosine pairs → connected
+    components (vec_id, cluster_id) — the same keep-list step the text
+    side gets from dedup_clusters, over the modality-agnostic pair graph."""
+    pairs = similarity.cosine_neardup_pairs(
+        load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD
+    ).select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"))
+    return dedup.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(load(spark, sf, "documents"))
 
@@ -495,6 +507,32 @@ QUERIES = [
         """,
         doc="embedding-cosine near-dup pairs (quantized exact arithmetic)",
         tags=("llm", "dedup", "embedding"),
+    ),
+    Query(
+        "dedup_embedding_clusters",
+        dedup_embedding_clusters_q,
+        f"""
+        WITH RECURSIVE q AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cp AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM q a JOIN q b ON a.vec_id < b.vec_id
+          WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cp
+          UNION SELECT id_b, id_a FROM cp
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+        """,
+        doc="embedding-space near-dup clustering: exact cosine pair graph "
+        "→ connected components keep-list",
+        tags=("llm", "dedup", "embedding", "graph"),
     ),
     Query(
         "dedup_embedding_lsh",

@@ -43,7 +43,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q24_above_cust_avg",
     "q25_set_ops",
     "q26_pivot",
-    "q27_approx_distinct",
+    # q27_approx_distinct is rows-only (no oracle) — a driver row adds
+    # almost no signal, so it yields its window slot to oracle-backed ops
     "q29_string_battery",
     "q30_math_battery",
     # never driver-checked: LLM-pipeline dedup/similarity
@@ -55,6 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
     "dedup_kept_corpus",
     "dedup_keep_best",
     "ann_bruteforce_topk",

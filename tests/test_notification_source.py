@@ -212,6 +212,44 @@ def test_sqs_reader_protocol_exactly_once():
         assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
 
 
+def test_sqs_restart_redelivery_dedup_deleted():
+    """After a crash, retained receipt handles are stale and the messages
+    reappear once their visibility timeout lapses.  The restarted reader
+    must treat redeliveries as rowless duplicates (seen-path dedup from
+    the rebuilt manifests) and delete them — never double-emit."""
+    import tempfile
+
+    from moto import mock_aws
+
+    from spark_ss_hudi_delta_poc_spark.sources.notification import NotificationStreamReader
+
+    with mock_aws(), tempfile.TemporaryDirectory() as state:
+        raw, url = _sqs_setup()
+        for i in range(2):
+            raw.send_message(QueueUrl=url, MessageBody=_msg(f"/data/f{i}.parquet", 1000 + i))
+        # visibilitytimeout=0: in-flight messages become visible again
+        # immediately — the worst-case redelivery schedule
+        opts = {"queueurl": url, "statedir": state, "waittimeseconds": "0", "visibilitytimeout": "0"}
+        r1 = NotificationStreamReader(opts)
+        it, end = r1.read({"emitted": 0})
+        assert len(list(it)) == 2 and end == {"emitted": 2}
+        del r1  # crash; receipt handles in the manifest are now stale
+        r2 = NotificationStreamReader(opts)
+        # the WAL'd range replays from its manifest, not the queue
+        assert len(list(r2.readBetweenOffsets({"emitted": 0}, {"emitted": 2}))) == 2
+        # next read() re-receives the redelivered messages, recognizes
+        # both paths as seen, deletes them as rowless duplicates
+        it2, end2 = r2.read({"emitted": 2})
+        assert list(it2) == [] and end2 == {"emitted": 2}
+        attrs = raw.get_queue_attributes(
+            QueueUrl=url,
+            AttributeNames=["ApproximateNumberOfMessages", "ApproximateNumberOfMessagesNotVisible"],
+        )["Attributes"]
+        assert attrs["ApproximateNumberOfMessages"] == "0"
+        assert attrs["ApproximateNumberOfMessagesNotVisible"] == "0"
+        r2.commit({"emitted": 2})  # stale-handle deletes tolerated
+
+
 def test_sqs_end_to_end_spark_stream(spark, tmp_path):
     """Spark streaming query against a REAL (mock-server) SQS endpoint:
     the reader and its boto3 client are constructed inside Spark's Python
