@@ -1,0 +1,110 @@
+"""Scale-stress probe: replicate the largest driver SF K× into /tmp and
+measure how the LLM-pipeline operators scale with corpus size.
+
+A plan that is accidentally O(N^2) — a missed broadcast, an uncapped
+self-join, driver-side state — shows up here as a time ratio far above K
+long before a cluster run would. Each replica's text gets a distinct
+suffix token so near-dup pair density stays realistic (pure duplication
+would both trivialize exact dedup and quadratically inflate the pair
+ops). Embedding vectors are reused as-is (ANN/LSH cost depends on row
+count, not values).
+
+    python tools/scale_probe.py [K] [base_sf_dir]
+
+Prints one JSON line per op: {"op": ..., "base_s": ..., "scaled_s": ...,
+"ratio": ...} plus a summary verdict line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_ss_hudi_delta_poc_spark.plans import all_queries  # noqa: E402
+from spark_ss_hudi_delta_poc_spark.session import get_spark  # noqa: E402
+from spark_ss_hudi_delta_poc_spark.tables import load  # noqa: E402
+
+# ops whose scaling behavior carries 100 TB risk; exact all-pairs cosine
+# (dedup_embedding_cosine) is excluded by design — its compute is
+# inherently quadratic and its scale path is dedup_embedding_lsh
+PROBE_OPS = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_pretokens",
+    "curation_sample_bernoulli",
+    "text_quality_score",
+    "text_fingerprint",
+    "corpus_pipeline",
+]
+
+
+def replicate(spark, base: str, out: str, k: int) -> None:
+    reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("rep")
+    docs = load(spark, base, "documents")
+    (
+        docs.select("*", reps)
+        .select(
+            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
+    )
+    emb = load(spark, base, "embeddings")
+    (
+        emb.select("*", reps)
+        .select(
+            (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "embeddings.parquet"))
+    )
+
+
+def time_op(qs, name: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t = time.time()
+        qs[name].fn(SPARK, sf_dir).count()
+        best = min(best, time.time() - t)
+    return best
+
+
+if __name__ == "__main__":
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = f"/tmp/spark_graft_scale/x{k}"
+    SPARK = get_spark(app_name="scale-probe")
+    SPARK.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(os.path.join(out, "documents.parquet")):
+        shutil.rmtree(out, ignore_errors=True)
+        replicate(SPARK, base, out, k)
+    qs = all_queries()
+    worst = 0.0
+    for op in PROBE_OPS:
+        b = time_op(qs, op, base)
+        s = time_op(qs, op, out)
+        ratio = s / b if b > 0 else float("inf")
+        worst = max(worst, ratio)
+        print(json.dumps({"op": op, "base_s": round(b, 2), "scaled_s": round(s, 2), "ratio": round(ratio, 1)}), flush=True)
+    print(json.dumps({"k": k, "worst_ratio": round(worst, 1), "verdict": "linear-ish" if worst <= 3 * k else "CHECK"}))
