@@ -11,9 +11,11 @@ from ..streaming.jobs import (
     stream_global_count,
     stream_materialized_latest,
     stream_roundtrip_battery,
+    stream_running_topk,
     stream_session_window,
     stream_static_join,
     stream_stream_join,
+    stream_ttl_dedup,
     stream_windowed_agg,
 )
 from .registry import Query
@@ -138,5 +140,33 @@ QUERIES = [
         doc="streaming dropDuplicates over a doubled input stream == the "
         "original key set (incremental exact dedup)",
         tags=("streaming", "dedup"),
+    ),
+    Query(
+        "q66_stream_ttl_dedup",
+        stream_ttl_dedup,
+        "SELECT event_id FROM events",
+        doc="TTL-bounded streaming dedup (dropDuplicatesWithinWatermark) over "
+        "a doubled input stream == the original key set; seen-key state "
+        "expires at the watermark, bounding memory by arrival rate × TTL",
+        tags=("streaming", "dedup", "stateful"),
+    ),
+    Query(
+        "q67_stream_topk",
+        stream_running_topk,
+        """
+        SELECT event_type, item, cnt FROM (
+          SELECT event_type,
+                 CAST(user_id AS VARCHAR) AS item,
+                 COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY COUNT(*) DESC,
+                                             CAST(user_id AS VARCHAR) ASC) AS rn
+          FROM events GROUP BY event_type, user_id
+        ) WHERE rn <= 10
+        """,
+        doc="streaming heavy hitters: per-event_type running top-10 user_ids "
+        "(custom stateful op, exact mode; SpaceSaving-capped at scale) == "
+        "batch GROUP BY + ROW_NUMBER",
+        tags=("streaming", "stateful", "topk"),
     ),
 ]

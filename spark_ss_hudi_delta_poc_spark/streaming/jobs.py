@@ -342,3 +342,69 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: exact streaming dedup with TTL-BOUNDED state —
+    Spark's built-in ``dropDuplicatesWithinWatermark``: a seen-key entry
+    is kept only until the event-time watermark passes its timestamp +
+    delay, so state is bounded by (arrival rate × TTL) instead of growing
+    with corpus size like plain ``dropDuplicates``.
+
+    Same doubled-input contract as stream_dedup: every event appears in
+    two different micro-batches and must be emitted exactly once.  The
+    delay here exceeds the table's event-time span so no entry can expire
+    mid-run and the append output equals the original key set exactly; in
+    production the delay IS the dedup TTL.  (The processing-time-TTL
+    variant — stateful.ttl_dedup_stream — cannot run under availableNow:
+    ProcessingTimeTimeout makes shouldRunAnotherBatch always-true, so the
+    run never terminates; it is exercised by a drain-and-stop pytest
+    instead.)
+    """
+    work = _workdir("qttldedup")
+    ev = load(spark, sf_dir, "events")
+    staged = os.path.join(work, "staged")
+    ev.repartition(2).write.mode("overwrite").parquet(staged)
+    ev.repartition(2).write.mode("append").parquet(staged)  # full duplicate copy
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    table = f"qttldedup_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def stream_running_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Beyond-reference: streaming heavy hitters — per event_type, the
+    running top-k user_ids by event count (stateful.running_topk_stream,
+    exact mode).  The stream replays in 4 micro-batches so per-group
+    state genuinely merges across batches; every batch re-emits that
+    group's current top-k tagged with a monotone seq, and finalize_topk
+    keeps the latest emission per group, which must equal the batch
+    GROUP BY / ROW_NUMBER oracle regardless of how files were batched.
+    """
+    from .stateful import finalize_topk, running_topk_stream
+
+    staged = stage_table(spark, sf_dir, "events", n_files=4)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    emissions = running_topk_stream(stream, group_col="event_type", item_col="user_id", k=k)
+    table = f"qtopk_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        emissions.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return finalize_topk(spark.table(table), group_col="event_type")

@@ -7,6 +7,20 @@ last ts, count) — constant state per key, Arrow-batched user groups, the
 shape that scales to millions of keys.  Sessions are emitted when CLOSED:
 by a gap-exceeding event in a later batch, or by state timeout after the
 stream idles past the gap.
+
+``ttl_dedup_stream`` is exact streaming dedup whose per-key state EXPIRES
+after a processing-time TTL — the "remember seen hashes for N days" crawl
+-ingest contract.  Plain ``dropDuplicates`` state grows forever and its
+watermark variant needs event time; TTL bounds state by wall clock, which
+is what an always-on corpus ingest actually wants.
+
+``running_topk_stream`` maintains per-group running top-k item counts
+(streaming heavy hitters).  Exact by default (state = one (item, count)
+pair per distinct item per group); pass ``capacity`` to switch to the
+SpaceSaving sketch [Metwally et al., ICDT 2005]: state is capped at
+``capacity`` counters per group and any item's count error is bounded by
+N/capacity — the 100 TB mode, where exact per-item state would be its own
+shuffle-sized table.
 """
 
 from __future__ import annotations
@@ -16,10 +30,13 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -105,4 +122,180 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def _ttl_dedup_fn(ttl_ms: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL elapsed with no new sighting: forget the key.  A later
+            # re-occurrence is treated as first-seen again (re-emitted) —
+            # the bounded-memory trade-off this operator exists to make.
+            state.remove()
+            return
+        for _ in pdfs:  # drain; only presence matters
+            pass
+        first_seen = not state.exists
+        if first_seen:
+            state.update((1,))
+        # refresh the clock on every sighting (sliding TTL)
+        state.setTimeoutDuration(ttl_ms)
+        if first_seen:
+            yield pd.DataFrame({"k": [key[0]]})
+
+    return fn
+
+
+def ttl_dedup_stream(
+    stream: DataFrame, key_col: str = "event_id", ttl_minutes: float = 7 * 24 * 60
+) -> DataFrame:
+    """Streaming exact dedup with TTL-bounded state: emit each key the
+    first time it is seen; remember it for ``ttl_minutes`` of processing
+    time (refreshed on every sighting); forget it afterwards.
+
+    State is one marker row per live key, partitioned by key hash — at
+    cluster scale each executor holds only its shard of the seen-set and
+    expired keys are physically dropped by the state store, so memory is
+    bounded by the key arrival rate times the TTL, not by corpus size.
+
+    Run this under a processingTime trigger on an always-on stream.  It
+    CANNOT run under trigger(availableNow=True): ProcessingTimeTimeout
+    makes FlatMapGroupsWithState report shouldRunAnotherBatch=true
+    forever (pending wall-clock timers), so the run never drains.  For a
+    finite replay with the equivalent event-time contract, use the
+    built-in dropDuplicatesWithinWatermark (jobs.stream_ttl_dedup).
+    """
+    key_field = stream.schema[key_col]
+    out_schema = StructType([StructField(key_col, key_field.dataType)])
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def fn(key, pdfs, state):
+        for out in _ttl_dedup_fn(int(ttl_minutes * 60 * 1000))(key, pdfs, state):
+            yield out.rename(columns={"k": key_col})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def spacesaving_merge(
+    counters: dict[str, int], batch_counts: dict[str, int], capacity: int | None
+) -> dict[str, int]:
+    """Merge a batch's item counts into the running counter table.
+
+    With ``capacity=None`` this is exact.  Otherwise the table never
+    exceeds ``capacity`` entries: a new item arriving at a full table
+    evicts the current minimum counter m and starts at m + its batch
+    count (SpaceSaving's overestimate-by-at-most-m guarantee, so any
+    item's true count is within N/capacity of its counter).
+    """
+    for item, c in batch_counts.items():
+        c = int(c)
+        if item in counters:
+            counters[item] += c
+        elif capacity is None or len(counters) < capacity:
+            counters[item] = c
+        else:
+            victim = min(counters, key=lambda x: (counters[x], x))
+            floor_count = counters.pop(victim)
+            counters[item] = floor_count + c
+    return counters
+
+
+def _topk_fn(k: int, capacity: int | None):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts, seq = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, seq = {}, 0
+        n_new = 0
+        for pdf in pdfs:
+            vc = pdf["item"].value_counts()
+            n_new += int(vc.sum())
+            counters = spacesaving_merge(
+                counters, {str(i): int(c) for i, c in vc.items()}, capacity
+            )
+        seq += n_new
+        state.update((list(counters.keys()), [int(v) for v in counters.values()], seq))
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(top),
+                "item": [t[0] for t in top],
+                "cnt": [t[1] for t in top],
+                "seq": [seq] * len(top),
+            }
+        )
+
+    return fn
+
+
+def running_topk_stream(
+    stream: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Streaming heavy hitters: per ``group_col``, the running top-``k``
+    most frequent ``item_col`` values, re-emitted after every micro-batch
+    that touches the group.
+
+    Each emission carries ``seq`` = total items processed for the group so
+    far; the LAST emission per group (max seq) is the current view — see
+    ``finalize_topk``.  Exact when ``capacity`` is None; SpaceSaving-
+    approximate (error ≤ N/capacity) when capped.  State shuffles once on
+    the group key and is Arrow-batched per group — the same plan shape at
+    32 threads and 1000 executors.
+    """
+    prepared = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    out_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("item", StringType()),
+            StructField("cnt", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("seq", LongType()),
+        ]
+    )
+    return prepared.groupBy("grp").applyInPandasWithState(
+        _topk_fn(k, capacity),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_topk(emissions: DataFrame, group_col: str) -> DataFrame:
+    """Reduce a run's accumulated top-k emissions to the latest view per
+    group (max seq), with the group column renamed back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp")
+    return (
+        emissions.withColumn("_max_seq", F.max("seq").over(w))
+        .where(F.col("seq") == F.col("_max_seq"))
+        .select(F.col("grp").alias(group_col), "item", "cnt")
     )
