@@ -112,12 +112,14 @@ def all_queries() -> dict[str, Query]:
         reference_queries,
         relational_queries,
         streaming_queries,
+        tpch_queries,
     )
 
     out: dict[str, Query] = {}
     for mod in (
         reference_queries,
         relational_queries,
+        tpch_queries,
         analytics_queries,
         function_queries,
         llm_queries,
