@@ -254,3 +254,92 @@ def repetition_scores(
         dup_gram_ratio.alias("dup_ngram_ratio"),
         (dup_gram_ratio <= max_dup_ngram_ratio).alias("keep"),
     )
+
+
+# Gopher quality-filter constants [Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", app. A1.1]
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality filter: per-doc counts plus one
+    boolean per rule and the final keep flag.
+
+    Every ratio rule is evaluated by INTEGER cross-multiplication
+    (10 * n_bullet_lines < 9 * n_lines, not n_bullet/n_lines < 0.9) so
+    no IEEE division can flip a boundary row between engines.  Map-only:
+    no shuffle, linear at 100 TB; the line/word scans are per-row array
+    ops (interpreter-evaluated HOFs — acceptable here because each is a
+    single pass over the doc, the same work a codegen'd kernel would do).
+
+    Rules (thresholds per the paper): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' or '...') < 0.1;
+    <90% of lines starting with a bullet; <30% of lines ending in an
+    ellipsis; >80% of words containing an alphabetic char; at least 2
+    distinct stopwords from an 8-word set.
+    """
+    t = F.col(text_col)
+    words_arr = F.split(F.trim(t), r"\s+")
+    lines_arr = F.split(t, "\n")
+    n_words = F.size(words_arr).cast("long")
+    n_lines = F.size(lines_arr).cast("long")
+    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(lines_arr, lambda x: x.rlike(r"^\s*([-*•]|\d+\.)\s"))
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines_arr, lambda x: x.rlike(r"\.\.\.\s*$"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words_arr, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop_types = sum(
+        F.when(F.lower(t).rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in GOPHER_STOPWORDS
+    ).cast("long")
+
+    feats = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        nonspace.alias("n_nonspace_chars"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_ellipsis_lines.alias("n_ellipsis_lines"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_types.alias("n_stop_types"),
+    )
+    r_word_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    r_mean_word_len = (F.col("n_nonspace_chars") >= 3 * F.col("n_words")) & (
+        F.col("n_nonspace_chars") <= 10 * F.col("n_words")
+    )
+    r_symbol_ratio = 10 * F.col("n_symbols") < F.col("n_words")
+    r_bullet_ratio = 10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")
+    r_ellipsis_ratio = 10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")
+    r_alpha_ratio = 10 * F.col("n_alpha_words") > 8 * F.col("n_words")
+    r_stopwords = F.col("n_stop_types") >= 2
+    return feats.select(
+        "*",
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_ratio.alias("r_bullet_ratio"),
+        r_ellipsis_ratio.alias("r_ellipsis_ratio"),
+        r_alpha_ratio.alias("r_alpha_ratio"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_bullet_ratio
+            & r_ellipsis_ratio
+            & r_alpha_ratio
+            & r_stopwords
+        ).alias("keep"),
+    )

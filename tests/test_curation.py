@@ -133,3 +133,51 @@ def test_short_doc_edge_cases(spark):
     out = {r.doc_id: r for r in curation.repetition_scores(docs).collect()}
     assert out[1].dup_ngram_ratio == 0.0 and out[2].dup_ngram_ratio == 0.0
     assert out[1].keep and out[2].keep
+
+
+def test_gopher_rules_flags_synthetic_docs(spark):
+    """Each rule trips on a purpose-built document and the clean doc
+    passes everything (the testdata corpus has no bullets/ellipses, so
+    these paths are only exercised here)."""
+    good_words = ("the quick brown fox jumps over the lazy dog and that have with be of to " * 5).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good_words),                                   # passes all
+            (2, "short text with the and of"),                 # < 50 words
+            (3, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # 100% bullets
+            (4, ("keep going... " * 60).strip()),              # ellipsis lines + symbols
+            (5, ("#tag " * 60).strip() + " the and"),          # symbol ratio
+            (6, ("12345 67890 " * 30).strip() + " the and"),   # no alpha words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.gopher_rules(docs).collect()}
+    assert rows[1].keep
+    assert not rows[2].r_word_count and not rows[2].keep
+    assert not rows[3].r_bullet_ratio and rows[3].n_bullet_lines == 10
+    assert not rows[4].r_ellipsis_ratio or not rows[4].r_symbol_ratio
+    assert not rows[5].r_symbol_ratio and rows[5].n_symbols == 60
+    assert not rows[6].r_alpha_ratio
+    # counts sanity on the clean doc
+    assert rows[1].n_words == 80 and rows[1].n_lines == 1
+    assert rows[1].n_stop_types == 8
+
+
+def test_gopher_rules_integer_boundaries(spark):
+    """Boundary cases evaluate by integer comparison: exactly 50 words
+    passes the word-count rule; exactly 10% symbols fails the < rule."""
+    fifty = " ".join(["the", "and"] * 25)  # 50 words, stopwords present
+    docs = spark.createDataFrame([(1, fifty)], "doc_id long, text string")
+    r = curation.gopher_rules(docs).collect()[0]
+    assert r.n_words == 50 and r.r_word_count
+    # 5 symbols, 50 words → 10*5 == 50 → NOT < → rule fails exactly at 10%
+    with_syms = fifty + " " + "# # # # #"
+    docs2 = spark.createDataFrame([(1, with_syms)], "doc_id long, text string")
+    r2 = curation.gopher_rules(docs2).collect()[0]
+    assert r2.n_words == 55 and r2.n_symbols == 5
+    assert r2.r_symbol_ratio  # 50 < 55 passes
+    more = fifty + " " + "# # # # # #"  # 6 symbols / 56 words → 60 >= 56 fails
+    r3 = curation.gopher_rules(
+        spark.createDataFrame([(1, more)], "doc_id long, text string")
+    ).collect()[0]
+    assert not r3.r_symbol_ratio
