@@ -39,10 +39,14 @@ HEADLINE = [
     "q15_window_topn",
     "q17_asof_join",
     "q20_sessionize",
+    # TPC-H-shaped multi-join analytics
+    "q68_volume_shipping",
+    "q70_waiting_suppliers",
     # streaming ingest round-trip (the reference's core loop)
     "q10_stream_global_agg",
     "q12_stream_roundtrip",
     "q19_stream_windowed_agg",
+    "q67_stream_topk",
     # LLM-pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -53,6 +57,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "corpus_pipeline",
     "curation_contamination",
+    "curation_gopher_rules",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_meta",
