@@ -343,3 +343,54 @@ def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             & r_stopwords
         ).alias("keep"),
     )
+
+
+def c4_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style cleaning heuristics [Raffel et al. 2020, §2.2], adapted to
+    document-level integer rules (C4 filters line-by-line; here lines are
+    counted and the doc is judged, which is the batch-friendly form —
+    per-line filtering is ``text_chunking``'s job):
+
+    - r_sentences: at least 3 sentence terminators ([.!?]);
+    - r_terminal_lines: at least half the lines end in terminal
+      punctuation (., !, ?, or a closing quote);
+    - r_short_lines: at most half the lines have fewer than 5 words;
+    - r_blocklist: no "lorem ipsum" / "javascript" (case-insensitive)
+      and no '{' (code fragment tell).
+
+    All ratios are integer cross-multiplied; map-only, zero shuffle.
+    """
+    t = F.col(text_col)
+    lines_arr = F.split(t, "\n")
+    n_lines = F.size(lines_arr).cast("long")
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), 0)).cast("long")
+    n_terminal_lines = F.size(
+        F.filter(lines_arr, lambda x: x.rlike(r'[.!?"]\s*$'))
+    ).cast("long")
+    n_short_lines = F.size(
+        F.filter(lines_arr, lambda x: F.size(F.split(F.trim(x), r"\s+")) < 5)
+    ).cast("long")
+    lower = F.lower(t)
+    has_block = (
+        lower.contains("lorem ipsum") | lower.contains("javascript") | t.contains("{")
+    )
+    feats = docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_sentences.alias("n_sentences"),
+        n_terminal_lines.alias("n_terminal_lines"),
+        n_short_lines.alias("n_short_lines"),
+        has_block.alias("has_blocklisted"),
+    )
+    r_sentences = F.col("n_sentences") >= 3
+    r_terminal = 2 * F.col("n_terminal_lines") >= F.col("n_lines")
+    r_short = 2 * F.col("n_short_lines") <= F.col("n_lines")
+    r_block = ~F.col("has_blocklisted")
+    return feats.select(
+        "*",
+        r_sentences.alias("r_sentences"),
+        r_terminal.alias("r_terminal_lines"),
+        r_short.alias("r_short_lines"),
+        r_block.alias("r_blocklist"),
+        (r_sentences & r_terminal & r_short & r_block).alias("keep"),
+    )

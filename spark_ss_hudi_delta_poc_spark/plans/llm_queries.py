@@ -290,6 +290,10 @@ def curation_gopher_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.gopher_rules(load(spark, sf, "documents"))
 
 
+def curation_c4_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.c4_rules(load(spark, sf, "documents"))
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
@@ -1089,6 +1093,37 @@ QUERIES = [
         doc="Gopher quality-filter battery (word count, mean word length, "
         "symbol/bullet/ellipsis ratios, alpha fraction, stopword types) — "
         "every ratio compared by integer cross-multiplication; map-only",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_c4_rules",
+        curation_c4_q,
+        r"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                      x -> regexp_matches(x, '[.!?"]\s*$'))) AS BIGINT) AS n_terminal_lines,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                      x -> len(string_split_regex(trim(x), '\s+')) < 5)) AS BIGINT) AS n_short_lines,
+                 (contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), 'javascript')
+                   OR contains(text, '{')) AS has_blocklisted
+          FROM documents
+        )
+        SELECT *,
+               n_sentences >= 3 AS r_sentences,
+               2 * n_terminal_lines >= n_lines AS r_terminal_lines,
+               2 * n_short_lines <= n_lines AS r_short_lines,
+               NOT has_blocklisted AS r_blocklist,
+               (n_sentences >= 3) AND (2 * n_terminal_lines >= n_lines)
+               AND (2 * n_short_lines <= n_lines) AND NOT has_blocklisted AS keep
+        FROM feat
+        """,
+        doc="C4 cleaning heuristics at doc level (sentence count, terminal-"
+        "punctuation and short-line ratios, lorem/js/brace blocklist) — "
+        "integer cross-multiplied thresholds; map-only",
         tags=("llm", "curation"),
     ),
     Query(

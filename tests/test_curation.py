@@ -181,3 +181,22 @@ def test_gopher_rules_integer_boundaries(spark):
         spark.createDataFrame([(1, more)], "doc_id long, text string")
     ).collect()[0]
     assert not r3.r_symbol_ratio
+
+
+def test_c4_rules_flags_synthetic_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a good sentence here.\nAnother full line of text here.\nAnd one more complete sentence!"),
+            (2, "no terminal punctuation at all\nstill none here whatsoever today"),
+            (3, "Lorem ipsum dolor sit amet. Yes. Fine.\nOk then good sir."),
+            (4, "function() { return 1; }. Yes. Good.\nFine complete sentence here."),
+            (5, "Short. Ok. Hm.\na b\nc d"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curation.c4_rules(docs).collect()}
+    assert rows[1].keep and rows[1].n_sentences == 3
+    assert not rows[2].r_sentences and not rows[2].r_terminal_lines
+    assert rows[3].has_blocklisted and not rows[3].keep
+    assert rows[4].has_blocklisted and not rows[4].keep
+    assert not rows[5].r_short_lines and not rows[5].keep  # 2 of 3 lines short

@@ -53,32 +53,65 @@ PROBE_OPS = [
 ]
 
 
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def replicate(spark, base: str, out: str, k: int) -> None:
-    reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("rep")
+    """Replicate K-fold with CONTENT-DISTINCT, statistically identical
+    replicas.  Naive duplication is the wrong workload model for pair
+    ops (near-dup pairs grow K² when every replica shares its shingles
+    and vectors with K-1 twins — a first probe run measured 18-26×
+    "superlinear" time at K=10 that was entirely this artifact).  A real
+    10× corpus has 10× NEW content, so:
+
+    - text: per-replica Caesar rotation of the alphabet (translate) —
+      every shingle/hash changes, while lengths, word counts, and the
+      within-replica near-dup structure are preserved;
+    - embeddings: per-replica deterministic sign-flip pattern over
+      dimensions — cross-replica cosines collapse to ~0, within-replica
+      geometry (norms, pair cosines) is exactly preserved.
+    """
     docs = load(spark, base, "documents")
-    (
-        docs.select("*", reps)
-        .select(
-            (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
+    doc_reps = []
+    for i in range(k):
+        rot = ALPHA[i % 26 :] + ALPHA[: i % 26]
+        doc_reps.append(
+            docs.select(
+                (F.col("doc_id") * k + F.lit(i)).alias("doc_id"),
+                F.translate(F.col("text"), ALPHA, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "documents.parquet"))
-    )
+    union_docs = doc_reps[0]
+    for d in doc_reps[1:]:
+        union_docs = union_docs.unionByName(d)
+    union_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
     emb = load(spark, base, "embeddings")
-    (
-        emb.select("*", reps)
-        .select(
-            (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
-            "embedding",
-            "label",
+    emb_reps = []
+    for i in range(k):
+        rep = F.lit(i)
+        flipped = F.zip_with(
+            F.col("embedding"),
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+                lambda d, r=rep: 1 - 2 * (F.xxhash64(r, d) % 2 != 0).cast("int"),
+            ),
+            lambda x, s: x * s.cast("float"),
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "embeddings.parquet"))
-    )
+        emb_reps.append(
+            emb.select(
+                (F.col("vec_id") * k + F.lit(i)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    union_emb = emb_reps[0]
+    for e in emb_reps[1:]:
+        union_emb = union_emb.unionByName(e)
+    union_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
 
 
 def time_op(qs, name: str, sf_dir: str, runs: int = 2) -> float:
