@@ -17,3 +17,54 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism)
+
+
+def zvalue(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleave of the low ``bits`` of two non-negative
+    integer columns into one BIGINT: bit i of a lands at position 2i,
+    bit i of b at 2i+1.
+
+    Pure bit arithmetic (shift/mask/or) — whole-stage-codegen'd JVM-side,
+    and expressible identically in any SQL engine, so z-values are
+    oracle-checkable.  2*bits must be < 63.
+    """
+    from pyspark.sql import functions as F
+
+    if 2 * bits >= 63:
+        raise ValueError("2*bits must fit a signed BIGINT")
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def zvalue_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """The identical z-value as ANSI SQL (DuckDB-compatible) — one ORed
+    chain of shift/mask terms, for oracle parity with :func:`zvalue`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout(df: DataFrame, col_a: str, col_b: str, n_files: int = 0, bits: int = 16) -> DataFrame:
+    """Cluster rows for two-dimensional data skipping: range-partition by
+    the Morton z-value of (col_a, col_b), then sort within partitions.
+
+    Each output file then covers a compact rectangle in (a, b) space, so
+    its parquet min/max stats are tight on BOTH columns and a reader
+    filtering on EITHER column skips most files — the effect Delta's
+    OPTIMIZE ZORDER BY achieves, as a plain engine op.  One range
+    exchange (sampled boundaries) + local sort; no global sort barrier.
+    """
+    from pyspark.sql import functions as F
+
+    z = zvalue(F.col(col_a), F.col(col_b), bits).alias("_z")
+    with_z = df.withColumn("_z", z)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    return with_z.repartitionByRange(n, "_z").sortWithinPartitions("_z").drop("_z")

@@ -272,6 +272,35 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", F.col("event_type").alias("mode_type"), F.col("c").alias("mode_count"))
 
 
+# --- q74: z-order layout z-values -------------------------------------------
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton z-values for (l_partkey, l_suppkey) on a 1% orderkey slice
+    — the clustering key zorder_layout range-partitions by.  The bit
+    interleave runs entirely in whole-stage codegen; the layout op
+    itself (one range exchange + local sort) is covered by plan/cluster
+    tests in tests/test_scale_ops.py."""
+    from ..operators.partitioning import zvalue
+
+    li = load(spark, sf, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zvalue(F.col("l_partkey"), F.col("l_suppkey")).alias("zvalue"),
+    )
+
+
+def _q74_sql() -> str:
+    from ..operators.partitioning import zvalue_sql
+
+    return f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {zvalue_sql('l_partkey', 'l_suppkey')} AS zvalue
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        """
+
+
 QUERIES = [
     Query(
         "q59_sliding_window",
@@ -532,5 +561,13 @@ QUERIES = [
         """,
         doc="lag/lead/first/last/delta navigation battery per user",
         tags=("analytics", "window"),
+    ),
+    Query(
+        "q74_zorder_values",
+        q74,
+        _q74_sql(),
+        doc="Morton z-order interleave of (partkey, suppkey) — the "
+        "clustering key for 2-D data skipping; pure codegen bit ops",
+        tags=("analytics", "layout"),
     ),
 ]

@@ -407,4 +407,4 @@ def stream_running_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
         .start()
     )
     q.awaitTermination()
-    return finalize_topk(spark.table(table), group_col="event_type")
+    return finalize_topk(spark.table(table), group_col="event_type", k=k)

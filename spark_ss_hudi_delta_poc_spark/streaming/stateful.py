@@ -233,6 +233,7 @@ def _topk_fn(k: int, capacity: int | None):
         yield pd.DataFrame(
             {
                 "grp": [key[0]] * len(top),
+                "salt": [key[1]] * len(top),
                 "item": [t[0] for t in top],
                 "cnt": [t[1] for t in top],
                 "seq": [seq] * len(top),
@@ -248,25 +249,33 @@ def running_topk_stream(
     item_col: str,
     k: int = 10,
     capacity: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Streaming heavy hitters: per ``group_col``, the running top-``k``
     most frequent ``item_col`` values, re-emitted after every micro-batch
     that touches the group.
 
-    Each emission carries ``seq`` = total items processed for the group so
-    far; the LAST emission per group (max seq) is the current view — see
-    ``finalize_topk``.  Exact when ``capacity`` is None; SpaceSaving-
-    approximate (error ≤ N/capacity) when capped.  State shuffles once on
-    the group key and is Arrow-batched per group — the same plan shape at
-    32 threads and 1000 executors.
+    The state key is (group, item-hash % salt_buckets), NOT the bare
+    group: business groups are often few (q67 has 5 event types), which
+    would cap the stateful stage's parallelism at the group count no
+    matter how many executors exist.  Salting by item hash keeps each
+    item's counts in exactly ONE state row, so per-bucket counts are
+    exact, and any globally-top-k item is top-k within its bucket —
+    ``finalize_topk`` merges buckets and re-ranks without approximation.
+
+    Each emission carries ``seq`` = items processed so far for that
+    (group, bucket); the LAST emission per bucket (max seq) is current.
+    Exact when ``capacity`` is None; SpaceSaving-approximate per bucket
+    (error ≤ N_bucket/capacity) when capped.
     """
     prepared = stream.select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(item_col).cast("string").alias("item"),
-    )
+    ).withColumn("salt", F.pmod(F.xxhash64("item"), F.lit(salt_buckets)).cast("int"))
     out_schema = StructType(
         [
             StructField("grp", StringType()),
+            StructField("salt", IntegerType()),
             StructField("item", StringType()),
             StructField("cnt", LongType()),
             StructField("seq", LongType()),
@@ -279,7 +288,7 @@ def running_topk_stream(
             StructField("seq", LongType()),
         ]
     )
-    return prepared.groupBy("grp").applyInPandasWithState(
+    return prepared.groupBy("grp", "salt").applyInPandasWithState(
         _topk_fn(k, capacity),
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -288,14 +297,20 @@ def running_topk_stream(
     )
 
 
-def finalize_topk(emissions: DataFrame, group_col: str) -> DataFrame:
-    """Reduce a run's accumulated top-k emissions to the latest view per
-    group (max seq), with the group column renamed back."""
+def finalize_topk(emissions: DataFrame, group_col: str, k: int = 10) -> DataFrame:
+    """Reduce a run's accumulated emissions to the current top-k per
+    group: latest emission per (group, salt bucket), buckets unioned,
+    re-ranked by (count desc, item asc)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("grp")
-    return (
+    w = Window.partitionBy("grp", "salt")
+    latest = (
         emissions.withColumn("_max_seq", F.max("seq").over(w))
         .where(F.col("seq") == F.col("_max_seq"))
+    )
+    rank_w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("item").asc())
+    return (
+        latest.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") <= k)
         .select(F.col("grp").alias(group_col), "item", "cnt")
     )

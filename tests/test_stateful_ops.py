@@ -136,7 +136,7 @@ def test_running_topk_stream_exact_equals_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    final = finalize_topk(spark.table(table), group_col="grp")
+    final = finalize_topk(spark.table(table), group_col="grp", k=2)
     got = sorted((r.grp, r.item, r.cnt) for r in final.collect())
     # g1 totals: y=6, x=3, z=1 → top-2 y,x ; g2 totals: p=1, q=1 → tie → item asc
     assert got == [("g1", "x", 3), ("g1", "y", 6), ("g2", "p", 1), ("g2", "q", 1)]
@@ -161,7 +161,7 @@ def test_running_topk_spacesaving_mode_keeps_heavy_hitter(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    final = finalize_topk(spark.table(table), group_col="grp").collect()
+    final = finalize_topk(spark.table(table), group_col="grp", k=1).collect()
     assert len(final) == 1
     row = final[0]
     assert row.item == "hot"
