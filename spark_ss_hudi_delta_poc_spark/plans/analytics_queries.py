@@ -301,6 +301,27 @@ def _q74_sql() -> str:
         """
 
 
+# --- q75: explicit grouping sets --------------------------------------------
+Q75_SQL = """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 10000) AS BIGINT)) AS BIGINT) AS price_e4
+        FROM {table}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+
+
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (subtotal lattice chosen by hand, not the
+    rollup/cube closures of q16/q56) with grouping() null-vs-subtotal
+    markers — one Expand + one hash aggregate, no extra shuffles."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders_q75")
+    return spark.sql(Q75_SQL.format(table="orders_q75"))
+
+
 QUERIES = [
     Query(
         "q59_sliding_window",
@@ -569,5 +590,13 @@ QUERIES = [
         doc="Morton z-order interleave of (partkey, suppkey) — the "
         "clustering key for 2-D data skipping; pure codegen bit ops",
         tags=("analytics", "layout"),
+    ),
+    Query(
+        "q75_grouping_sets",
+        q75,
+        Q75_SQL.format(table="orders"),
+        doc="explicit GROUPING SETS with grouping() markers — hand-picked "
+        "subtotal lattice, single Expand+HashAggregate",
+        tags=("analytics", "agg"),
     ),
 ]

@@ -99,7 +99,12 @@ def test_sessionize_single_shuffle(spark):
 # justification — anything NOT listed here that plans one is a bug.
 # (Round 3: ann_ivf_topk's centroid BroadcastNestedLoopJoin replaced by a
 # closure-embedded map-side argmax — the set is now empty.)
-CROSS_JOIN_EXEMPT: set[str] = set()
+# q71 cross-joins a ONE-ROW global aggregate (the scalar-subquery
+# execution shape: SUM/COUNT reduced to a single broadcast row, then a
+# BroadcastNestedLoopJoin whose build side is 1 row).  That is constant
+# work per probe row at any scale — the audit targets unbounded nested
+# loops, not scalar broadcasts.
+CROSS_JOIN_EXEMPT: set[str] = {"q71_global_sales_opp"}
 
 
 def test_cosine_neardup_is_distributed(spark):

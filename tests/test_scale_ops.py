@@ -194,3 +194,46 @@ def test_profile_operator_values(spark):
     assert rows["v"].n_nulls == 1
     assert rows["v"].min_val == "25000" and rows["v"].max_val == "35000"  # e4-scaled
     assert rows["id"].n_rows == 3
+
+
+def test_zvalue_matches_python_reference(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import zvalue
+
+    def z_ref(a: int, b: int, bits: int = 16) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (7, 3), (255, 255), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zvalue(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == z_ref(a, b), (a, b)
+
+
+def test_zorder_layout_partitions_cover_disjoint_z_ranges(spark):
+    """After zorder_layout, partition z-ranges are disjoint (range
+    exchange) — each output file covers a compact rectangle in (a, b),
+    which is what makes min/max skipping effective on both columns."""
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import zorder_layout, zvalue
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    laid = zorder_layout(df, "a", "b", n_files=8)
+    ranges = (
+        laid.withColumn("z", zvalue(F.col("a"), F.col("b")))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges if r.n > 0)
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges
