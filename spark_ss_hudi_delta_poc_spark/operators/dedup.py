@@ -60,28 +60,25 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    n: int = 3,
-    max_shingle_df: int | None = MAX_SHINGLE_DF,
+def _shingle_pair_overlaps(
+    docs: DataFrame, n: int, max_shingle_df: int | None
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+    """(doc_id_a, doc_id_b, inter, na, nb) for every doc pair sharing at
+    least one (df-capped) shingle — the inverted-index join every exact
+    set-similarity measure starts from.
 
-    ``max_shingle_df`` (default ``MAX_SHINGLE_DF``) drops shingles that
-    appear in more than N docs before the self-join — at 100 TB this is
-    mandatory: one stop-shingle in 10^6 docs is a 10^12-row join blowup.
-    Jaccard is then computed over the CAPPED shingle sets on both sides
-    (sizes come from the filtered table), and the DuckDB oracle applies
-    the identical cap, so results agree at every SF.  Pass ``None`` to
-    disable (exact textbook Jaccard)."""
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    before the self-join — at 100 TB this is mandatory: one stop-shingle
+    in 10^6 docs is a 10^12-row join blowup.  The drop is a broadcast
+    ANTI-join against the FREQUENT set (df > cap): zipfian text makes
+    that set tiny (heavy hitters only), while the rare set is nearly
+    every distinct shingle — a rare-side semi-join would shuffle the
+    whole shingle table against an |all-shingles|-sized build side.
+    Set sizes na/nb come from the CAPPED table so both the engine and
+    the DuckDB oracle measure the same sets.
+    """
     sh = shingle_table(docs, n=n)
     if max_shingle_df is not None:
-        # drop stop-shingles via broadcast ANTI-join against the FREQUENT
-        # set (df > cap): zipfian text makes that set tiny (heavy hitters
-        # only) while the rare set is nearly every distinct shingle — the
-        # previous rare-side semi-join shuffled the whole shingle table
-        # against an |all-shingles|-sized build side
         frequent = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -98,9 +95,20 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    return inter.join(F.broadcast(sa), "doc_id_a").join(F.broadcast(sb), "doc_id_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join (see
+    :func:`_shingle_pair_overlaps` for the df-cap scale argument).
+    Pass ``max_shingle_df=None`` for exact textbook Jaccard."""
     out = (
-        inter.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
+        _shingle_pair_overlaps(docs, n, max_shingle_df)
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -113,6 +121,34 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment of the smaller shingle set
+    in the larger, C = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses doc-inside-doc duplication (a page quoted whole
+    inside a 10× longer page has J ≈ 0.1 but C = 1.0) — the dominant
+    boilerplate/quotation pattern in crawled corpora.  Same single
+    inverted-index join as Jaccard; only the final measure differs.
+    """
+    return (
+        _shingle_pair_overlaps(docs, n, max_shingle_df)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "inter",
+            "na",
+            "nb",
+            (F.col("inter").cast("double") / F.least("na", "nb").cast("double")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:

@@ -102,6 +102,10 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
 
 
+def dedup_containment_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_containment_pairs(load(spark, sf, "documents"), threshold=0.8)
+
+
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
 
@@ -468,6 +472,24 @@ QUERIES = [
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
         """,
         doc="exact word-3-gram Jaccard pairs via shingle inverted-index join",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_containment",
+        dedup_containment_q,
+        f"""
+        WITH {WS_SH_CTE},
+        {NGRAM_PAIR_CTES}
+        SELECT doc_id_a, doc_id_b, i AS inter, sa.n AS na, sb.n AS nb,
+               CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.8
+        """,
+        doc="asymmetric containment pairs |A∩B|/min(|A|,|B|) — catches "
+        "doc-inside-doc boilerplate that Jaccard misses; same single "
+        "inverted-index join",
         tags=("llm", "dedup"),
     ),
     Query(

@@ -276,3 +276,25 @@ def test_dedup_clusters_chain_and_star(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20, 22: 20}
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted whole inside a much longer one: Jaccard stays
+    far below its threshold, containment is exactly 1.0 — the asymmetric
+    boilerplate case ngram_containment_pairs exists for."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.8).collect()
+    assert len(cont) == 1
+    assert cont[0].doc_id_a == 1 and cont[0].doc_id_b == 2
+    assert cont[0].containment == 1.0
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses it
