@@ -364,6 +364,7 @@ def lsh_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = LSH_PLANES,
 ) -> DataFrame:
     """Sub-quadratic cosine near-dup pairs: hyperplane-LSH bucket
     equi-join for candidates, exact quantized cosine within buckets —
@@ -373,16 +374,22 @@ def lsh_neardup_pairs(
 
     Plan: one vectorized sign-matmul per partition computes the bucket
     (mapInPandas, no shuffle), then ONE shuffle equi-join on bucket with
-    id_a < id_b, then the JVM-side quantized cosine filter.  Candidate
-    count drops ~2^planes for balanced buckets, so the join output — not
-    an N² matrix — is the only quadratic-ish term, and it shrinks with
-    more planes.
+    id_a < id_b, then the JVM-side quantized cosine filter.
+
+    **Size ``n_planes`` with the corpus**: expected in-bucket pair work
+    is ~N²/2^planes, so hold planes ≈ log2(N / target_bucket_size) to
+    keep bucket occupancy — and therefore candidate count per row —
+    constant as N grows.  Measured (SCALE.md): at 30× rows with planes
+    FIXED the op degrades to ~N² (30.9× time); the default 8 planes is
+    sized for the test SFs, a 10^9-vector corpus wants ~22.  More planes
+    lower recall per table; at high plane counts use banded OR-ing
+    (multiple tables) like minhash_lsh_pairs.
     """
     import numpy as np
     import pandas as pd
 
-    hmat = np.array([hyperplane(p) for p in range(LSH_PLANES)], dtype=np.float64)
-    pow2 = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
+    hmat = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
+    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
 
     def bucketize(batches):
         for pdf in batches:

@@ -298,3 +298,27 @@ def test_containment_catches_doc_inside_doc(spark):
     assert cont[0].containment == 1.0
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses it
+
+
+def test_lsh_neardup_planes_nest(spark):
+    """Hyperplane prefixes nest: buckets at 12 planes refine buckets at
+    2 planes, so the 12-plane candidate pairs are a subset — the knob
+    that keeps bucket occupancy constant as the corpus grows."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import lsh_neardup_pairs
+
+    rnd = random.Random(7)
+    dim = 64  # hyperplane() is generated at the corpus embedding dim
+    base = [rnd.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    for i in range(40):
+        vec = [v + rnd.uniform(-0.05, 0.05) for v in base] if i % 2 == 0 else [
+            rnd.uniform(-1, 1) for _ in range(dim)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    wide = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes=2).collect()}
+    narrow = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes=12).collect()}
+    assert narrow <= wide
+    assert len(wide) > 0  # the near-dup cluster is found at coarse planes
