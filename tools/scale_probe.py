@@ -39,6 +39,7 @@ PROBE_OPS = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
@@ -47,6 +48,8 @@ PROBE_OPS = [
     "curation_pack_sequences",
     "curation_pretokens",
     "curation_sample_bernoulli",
+    "curation_gopher_rules",
+    "curation_c4_rules",
     "text_quality_score",
     "text_fingerprint",
     "corpus_pipeline",
