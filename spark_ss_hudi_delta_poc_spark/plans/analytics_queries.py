@@ -322,6 +322,20 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(Q75_SQL.format(table="orders_q75"))
 
 
+# --- q76: bitwise aggregate battery -----------------------------------------
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """bit_or / bit_and / bit_xor aggregates per event_type — set-union
+    semantics over bitmask columns (feature flags, permission masks),
+    fully codegen'd with map-side partials like any hash aggregate."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_or("user_id").alias("mask_or"),
+        F.bit_and("user_id").alias("mask_and"),
+        F.bit_xor("user_id").alias("mask_xor"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 QUERIES = [
     Query(
         "q59_sliding_window",
@@ -597,6 +611,21 @@ QUERIES = [
         Q75_SQL.format(table="orders"),
         doc="explicit GROUPING SETS with grouping() markers — hand-picked "
         "subtotal lattice, single Expand+HashAggregate",
+        tags=("analytics", "agg"),
+    ),
+    Query(
+        "q76_bit_aggregates",
+        q76,
+        """
+        SELECT event_type,
+               CAST(bit_or(user_id) AS BIGINT) AS mask_or,
+               CAST(bit_and(user_id) AS BIGINT) AS mask_and,
+               CAST(bit_xor(user_id) AS BIGINT) AS mask_xor,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+        """,
+        doc="bitwise OR/AND/XOR aggregates per group (bitmask set "
+        "semantics) — codegen hash aggregate with map-side partials",
         tags=("analytics", "agg"),
     ),
 ]
