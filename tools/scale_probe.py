@@ -1,13 +1,17 @@
 """Scale-stress probe: replicate the largest driver SF K× into /tmp and
-measure how the LLM-pipeline operators scale with corpus size.
+measure how the LLM-pipeline AND relational-join operators scale with
+data size.
 
 A plan that is accidentally O(N^2) — a missed broadcast, an uncapped
 self-join, driver-side state — shows up here as a time ratio far above K
-long before a cluster run would. Each replica's text gets a distinct
-suffix token so near-dup pair density stays realistic (pure duplication
-would both trivialize exact dedup and quadratically inflate the pair
-ops). Embedding vectors are reused as-is (ANN/LSH cost depends on row
-count, not values).
+long before a cluster run would.
+
+Replicas must be content-distinct (see ``replicate``): text is
+alphabet-rotated per replica, embeddings sign-flipped per replica, and
+TPC-H/event keys are remapped as key*K+rep so every join stays
+replica-local — K× data means K× join output, exactly like a K×-bigger
+business, not K² cross-replica matches.  Dimension tables (region,
+nation) are copied verbatim: dims don't grow with fact data.
 
     python tools/scale_probe.py [K] [base_sf_dir]
 
@@ -53,6 +57,18 @@ PROBE_OPS = [
     "text_quality_score",
     "text_fingerprint",
     "corpus_pipeline",
+    # relational / join plans (replica-local keys: join output scales K×)
+    "q13_join_revenue",
+    "q14_broadcast_dims",
+    "q23_pricing_summary",
+    "q33_segment_topn",
+    "q34_region_revenue",
+    "q15_window_topn",
+    "q20_sessionize",
+    "q68_volume_shipping",
+    "q70_waiting_suppliers",
+    "q73_disjunctive_join",
+    "q76_bit_aggregates",
 ]
 
 
@@ -115,6 +131,35 @@ def replicate(spark, base: str, out: str, k: int) -> None:
     for e in emb_reps[1:]:
         union_emb = union_emb.unionByName(e)
     union_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    # TPC-H facts + events: remap every fact key to key*k+rep so joins
+    # stay replica-local (K× data → K× join output, never K² matches)
+    fact_keys = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+    }
+    reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("rep")
+    for table, keys in fact_keys.items():
+        df = load(spark, base, table)
+        cols = [
+            (F.col(c) * k + F.col("rep")).alias(c) if c in keys else F.col(c)
+            for c in df.columns
+        ]
+        (
+            df.select("*", reps)
+            .select(*cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"{table}.parquet"))
+        )
+    # dimensions don't grow with fact data — copy verbatim
+    for table in ("region", "nation"):
+        load(spark, base, table).write.mode("overwrite").parquet(
+            os.path.join(out, f"{table}.parquet")
+        )
 
 
 def time_op(qs, name: str, sf_dir: str, runs: int = 2) -> float:
