@@ -44,3 +44,30 @@ def test_transcendentals_close_to_duckdb(spark, duck):
     for k in got:
         for g, w in zip(got[k], want[k]):
             assert abs(g - w) <= 1e-12 * max(1.0, abs(w)), (k, g, w)
+
+
+def test_array_typed_results_match_duckdb(spark):
+    """q43/q62 flatten arrays to '|'-joined strings for the driver's
+    value hash (list cells can't be canonicalized there); this test keeps
+    genuinely array-TYPED output covered end-to-end: Spark
+    sort_array(collect_list(...)) per group must equal DuckDB
+    list_sort(list(...)) element-for-element."""
+    import duckdb
+
+    got = {
+        r.o_orderpriority: list(r.keys)
+        for r in (
+            load(spark, SF, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.sort_array(F.collect_list("o_orderkey")).alias("keys"))
+            .collect()
+        )
+    }
+    want = {
+        prio: keys
+        for prio, keys in duckdb.sql(
+            f"""SELECT o_orderpriority, list_sort(list(o_orderkey))
+                FROM '{SF}/orders.parquet' GROUP BY o_orderpriority"""
+        ).fetchall()
+    }
+    assert got == want
