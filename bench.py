@@ -76,34 +76,43 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = qs[name]
         best = None
         n = 0
         # min-of-N: this box is shared and single runs vary ±2x; the min is
-        # the standard noise-resistant estimator of a query's true cost
-        for _ in range(runs):
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            n = df.count()  # force full execution
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        # the standard noise-resistant estimator of a query's true cost.
+        # Per-query fault isolation: one broken query must never erase the
+        # perf signal of the healthy ones (round-3 lesson — q20's
+        # AnalysisException aborted the whole run).
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                n = df.count()  # force full execution
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "aggregation": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        "aggregation": "min",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+        result["queries_failed"] = len(errors)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

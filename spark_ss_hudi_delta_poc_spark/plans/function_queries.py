@@ -238,6 +238,24 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q77: real array<string> output surface ----------------------------------
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Unlike q43/q62 (arrays flattened to '|' strings for the value-hash
+    oracle), this query RETURNS a live array<string> column so the engine's
+    array surface itself stays driver-visible.  No oracle SQL: the driver's
+    pandas canonicalizer cannot sort/hash list cells, so this rides the
+    rows-only check — deterministic row count via the user_id filter."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("types_arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- q43: deterministic collect/array aggregation ----------------------------
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -611,5 +629,12 @@ QUERIES = [
         """,
         doc="math battery restricted to correctly-rounded IEEE ops",
         tags=("functions", "math"),
+    ),
+    Query(
+        "q77_array_output",
+        q77,
+        None,  # rows-only: list cells are not pandas-sortable in the driver
+        doc="live array<string> result column (types per user), rows-only check",
+        tags=("functions", "array"),
     ),
 ]

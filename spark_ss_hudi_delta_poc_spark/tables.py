@@ -24,9 +24,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one testdata table (column pruning / predicate pushdown
     come free from the parquet scan — callers just select/filter).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; we read nanos as long (legacy conf) and truncate to micros —
-    the same truncation DuckDB applies, so oracles agree.
+    events.parquet has shipped with two ts encodings so far: TIMESTAMP(NANOS)
+    (read nanos-as-long via the legacy conf, truncate to micros — the same
+    truncation DuckDB applies) and micros TIMESTAMP_NTZ (normalize to session
+    TIMESTAMP: the session is pinned UTC, so the instant is unchanged, and
+    downstream unix_micros/window math — which rejects NTZ — works).
     """
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
@@ -35,8 +37,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_timestamp("ts"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
