@@ -12,11 +12,17 @@ def spread(df: DataFrame) -> DataFrame:
     A small or unsplittable parquet file arrives as ONE partition, which
     serializes all per-row work onto a single core.  Round-robin
     repartition to the cluster's default parallelism costs one tiny
-    shuffle and buys full fan-out.  At 100 TB inputs already have
-    thousands of splits and this is a cheap rebalance, never a coalesce.
+    shuffle and buys full fan-out.  Conditional on purpose: when the scan
+    already yields >= parallelism splits (always true at 100 TB), this is
+    a NO-OP — re-shuffling an already-parallel input would move every
+    payload byte through the exchange for nothing (and measurably slowed
+    the multimodal bench queries when it ran unconditionally).
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def zvalue(col_a, col_b, bits: int = 16):
