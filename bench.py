@@ -81,12 +81,16 @@ def main() -> None:
         q = qs[name]
         best = None
         n = 0
-        # min-of-N: this box is shared and single runs vary ±2x; the min is
-        # the standard noise-resistant estimator of a query's true cost.
+        # min-of-N after ONE UNTIMED WARMUP: the warmup pays the cold path
+        # (first-touch parquet footer reads, codegen compilation, executor
+        # page-cache fill) so the timed runs measure the query's true warm
+        # cost — round-4 lesson: without it, persist-heavy queries paid the
+        # cold path on every run and min-of-N recorded an 11x artifact.
         # Per-query fault isolation: one broken query must never erase the
         # perf signal of the healthy ones (round-3 lesson — q20's
         # AnalysisException aborted the whole run).
         try:
+            q.fn(spark, sf_dir).count()  # untimed warmup execution
             for _ in range(runs):
                 t0 = time.time()
                 df = q.fn(spark, sf_dir)
@@ -102,16 +106,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total",
-        "value": total,
+        # a partial total is silently incomparable against a fully-passing
+        # run (a crash would read as a speedup) — null it out on any failure
+        "value": total if not errors else None,
+        "valid": not errors,
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs,
-        "aggregation": "min",
+        "aggregation": "min_after_warmup",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         result["errors"] = errors
         result["queries_failed"] = len(errors)
+        result["partial_total"] = total
     print(json.dumps(result))
 
 

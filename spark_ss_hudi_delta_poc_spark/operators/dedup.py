@@ -200,51 +200,65 @@ def minhash_lsh_pairs(
     candidates back to the shingle table (candidate-driven — the exact
     Jaccard join touches only candidate pairs, not all pairs).
     Returns (doc_id_a, doc_id_b, jaccard >= threshold).
+
+    The reused branches (buckets feeds both sides of the candidate
+    self-join, shingles feed three joins) are persisted only for the
+    duration of the call: the result is materialized via
+    ``localCheckpoint(eager=True)`` while the caches are hot, then the
+    caches are released in a ``finally`` — repeated invocations must not
+    strand MEMORY_AND_DISK entries in the session (round-4 leak).  At
+    production scale these branches would be checkpointed tables between
+    pipeline stages.
     """
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(docs, k=k, n=n)
-    # buckets feed both sides of the candidate self-join and sh feeds three
-    # joins below — persist the reused branches so the lazy DAG doesn't
-    # recompute the hash-heavy upstream once per consumer (at production
-    # scale these would be checkpointed tables between pipeline stages).
     buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .distinct()
-    )
     sh = shingle_table(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_id_a")
-        .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(F.broadcast(za), "doc_id_a")
-        .join(F.broadcast(zb), "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
-                "jaccard"
-            ),
+    try:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+            .distinct()
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
+        sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
+        inter = (
+            cand.join(sa, "doc_id_a")
+            .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+        zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+        pairs = (
+            inter.join(F.broadcast(za), "doc_id_a")
+            .join(F.broadcast(zb), "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        # materialize before releasing the input caches; the checkpointed
+        # RDD is owned by the returned DataFrame and reclaimed by the
+        # ContextCleaner when it goes out of scope (unlike CacheManager
+        # entries, which live until an explicit unpersist)
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        buckets.unpersist()
+        sh.unpersist()
 
 
 def simhash_neardup_pairs(
@@ -315,39 +329,42 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    for _ in range(max_iterations):
-        labels = labels.persist()
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        old = labels
-        # truncate lineage: without this each round's plan nests the
-        # previous one, and deep components make analysis itself the
-        # bottleneck (production CC checkpoints the same way)
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
-            old.unpersist()
-            break
-        old.unpersist()
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    try:
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+        for _ in range(max_iterations):
+            labels = labels.persist()
+            try:
+                neighbor_min = (
+                    edges.join(labels, edges.dst == labels.node)
+                    .groupBy("src")
+                    .agg(F.min("label").alias("nbr_label"))
+                )
+                new_labels = (
+                    labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                    .select(
+                        "node",
+                        F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                    )
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                # truncate lineage: without this each round's plan nests the
+                # previous one, and deep components make analysis itself the
+                # bottleneck (production CC checkpoints the same way)
+                new_labels = new_labels.localCheckpoint(eager=True)
+            finally:
+                labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
 
 
 def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:

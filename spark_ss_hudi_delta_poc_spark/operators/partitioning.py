@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -17,10 +22,29 @@ def spread(df: DataFrame) -> DataFrame:
     a NO-OP — re-shuffling an already-parallel input would move every
     payload byte through the exchange for nothing (and measurably slowed
     the multimodal bench queries when it ran unconditionally).
+
+    The split estimate comes from the scan's file listing (already cached
+    in the file index), NOT ``df.rdd.getNumPartitions()`` — converting the
+    plan to an RDD under AQE eagerly materializes upstream shuffle stages
+    that are then thrown away, and raises on streaming DataFrames
+    (round-4 advice).
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        # in-memory relations already parallelize to defaultParallelism;
+        # >= target files means >= target scan splits
+        return df
+    try:
+        sizes = [os.path.getsize(urlparse(f).path) for f in files]
+    except OSError:
+        # non-local storage: a remote scan of few files is either tiny or
+        # splittable by range — don't pay an exchange on a guess
+        return df
+    est_splits = sum(max(1, (s + _MAX_PARTITION_BYTES - 1) // _MAX_PARTITION_BYTES) for s in sizes)
+    if est_splits >= target:
         return df
     return df.repartition(target)
 

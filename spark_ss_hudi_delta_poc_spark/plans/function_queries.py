@@ -83,12 +83,26 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- q27: approximate distinct (HLL) — capability, rows-only check ----------
+# --- q27: approximate distinct (HLL) with in-engine acceptance check ---------
 def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL estimate wrapped in a deterministic acceptance predicate: the
+    estimate itself is sketch-dependent so it can't hash-match an exact oracle,
+    but `abs(approx-exact)/exact <= 0.05` is a stable boolean at the default
+    rsd (0.05 ⇒ ~1.6σ; observed error at sf0.01/sf0.1 is <2%).  The oracle
+    returns the exact distinct and a literal TRUE flag."""
     li = load(spark, sf, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_partkeys"),
-        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("l_partkey").alias("exact_partkeys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "exact_partkeys",
+        "n_rows",
+        (
+            F.abs(F.col("approx_partkeys") - F.col("exact_partkeys"))
+            / F.col("exact_partkeys")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
@@ -238,13 +252,13 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- q77: real array<string> output surface ----------------------------------
-def q77(spark: SparkSession, sf: str) -> DataFrame:
-    """Unlike q43/q62 (arrays flattened to '|' strings for the value-hash
-    oracle), this query RETURNS a live array<string> column so the engine's
-    array surface itself stays driver-visible.  No oracle SQL: the driver's
-    pandas canonicalizer cannot sort/hash list cells, so this rides the
-    rows-only check — deterministic row count via the user_id filter."""
+# --- q77: array aggregation surface ------------------------------------------
+def q77_live(spark: SparkSession, sf: str) -> DataFrame:
+    """Live array<string> form: sort_array(collect_set(...)) per user.  Kept as
+    the engine-surface under test (tests/test_function_queries.py asserts the
+    column is a real ArrayType); the registered q77 flattens it because the
+    driver's pandas canonicalizer cannot sort/hash list cells (confirmed r1 on
+    q43/q62, reconfirmed r4 on this query's err row)."""
     ev = load(spark, sf, "events")
     return (
         ev.where(F.col("user_id") < 20)
@@ -253,6 +267,16 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
             F.sort_array(F.collect_set("event_type")).alias("types_arr"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-facing form of q77_live: the array column is '|'-joined (the
+    q43/q62 convention, COVERAGE.md) so the external value-hash oracle can
+    canonicalize it."""
+    live = q77_live(spark, sf)
+    return live.select(
+        "user_id", F.array_join("types_arr", "|").alias("types"), "n"
     )
 
 
@@ -584,8 +608,13 @@ QUERIES = [
     Query(
         "q27_approx_distinct",
         q27,
-        None,  # HLL sketch values are implementation-specific; pytest bounds the error
-        doc="approx_count_distinct (HLL) — the at-scale distinct estimator",
+        """
+        SELECT COUNT(DISTINCT l_partkey) AS exact_partkeys,
+               COUNT(*) AS n_rows,
+               TRUE AS within_5pct
+        FROM lineitem
+        """,
+        doc="approx_count_distinct (HLL) with in-engine 5% acceptance predicate",
         tags=("relational", "approx"),
     ),
     Query(
@@ -633,8 +662,13 @@ QUERIES = [
     Query(
         "q77_array_output",
         q77,
-        None,  # rows-only: list cells are not pandas-sortable in the driver
-        doc="live array<string> result column (types per user), rows-only check",
+        """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
+               COUNT(*) AS n
+        FROM events WHERE user_id < 20 GROUP BY user_id
+        """,
+        doc="array aggregation surface (live array tested in-repo; '|'-joined for the driver)",
         tags=("functions", "array"),
     ),
 ]

@@ -31,69 +31,69 @@ class Query:
 
 # The external correctness driver verifies the FIRST 50 registry entries
 # against their oracles; the rest ride on the in-repo gate
-# (tools/verify_local.py, all SFs).  Round-4 rotation: rounds 1-3 left 15
-# registry queries with no driver row ever (q66-q76 streaming/TPC-H/agg
-# additions, containment, gopher, c4, q27) — they go first, so after this
-# round every query has external-oracle evidence.  Guards: q20/q55 (the
-# round-3 NTZ crashers, fixed in tables.load) and the new live-array
-# surface q77.  The remaining slots refresh the oldest driver rows —
-# the ts-consuming battery (highest-risk after the driver's events.ts
-# encoding change) and the flagship relational/window set, all r2-green.
+# (tools/verify_local.py, all SFs).  Round-5 rotation: bank first green rows
+# for q27 (newly oracle-backed via the in-engine acceptance predicate) and
+# q77 (newly '|'-joined), refresh the 15 queries whose newest green row is
+# still r2 (the q01-q09 reference battery + q32 etc. — they predate the
+# driver's events.ts/testdata regeneration), then the r3-row streaming set
+# and EVERY shingle-consuming operator (the round-5 shingle builder rewrite
+# makes their fresh driver rows the regression gate for that change).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (15): round-3 additions + rows-only q27
-    "q66_stream_ttl_dedup",
-    "q67_stream_topk",
-    "q68_volume_shipping",
-    "q69_market_share",
-    "q70_waiting_suppliers",
-    "q71_global_sales_opp",
-    "q72_promo_revenue",
-    "q73_disjunctive_join",
-    "q74_zorder_values",
-    "q75_grouping_sets",
-    "q76_bit_aggregates",
-    "dedup_containment",
-    "curation_gopher_rules",
-    "curation_c4_rules",
+    # never green: newly oracle-backed this round
     "q27_approx_distinct",
-    # guards: round-3 regressions (NTZ) + new array surface
-    "q20_sessionize",
-    "q55_asof_tolerance",
     "q77_array_output",
-    # ts-consuming battery refresh (r2 rows predate the ts encoding change)
-    "q05_ts_roundtrip",
-    "q08_epoch_roundtrip",
-    "q11_datetime_battery",
-    "q17_asof_join",
-    "q35_moving_agg",
-    "q36_resample_gapfill",
-    "q37_rank_battery",
-    "q38_lag_lead",
-    "q57_funnel",
-    "q58_hourly_retention",
-    "q59_sliding_window",
-    "q61_date_arith",
-    # flagship relational/window/analytics refresh (r2-green)
-    "q13_join_revenue",
-    "q14_broadcast_dims",
-    "q15_window_topn",
-    "q16_rollup",
-    "q18_semi_anti",
-    "q23_pricing_summary",
-    "q33_segment_topn",
-    "q34_region_revenue",
-    "q43_collect_arrays",
-    "q45_histogram",
-    "q47_quality_rules",
-    "q48_snapshot_diff",
-    "q49_exists_daterange",
-    "q50_filter_revenue",
-    "q51_returned_top_customers",
-    "q52_priority_shipmode",
-    "q53_exact_median",
-    "q54_group_mode",
-    "q56_cube",
-    "q63_unpivot",
+    # newest green row r2 (15): reference battery + oldest function queries
+    "q01_count",
+    "q02_group_count",
+    "q03_distinct_count",
+    "q04_dup_having",
+    "q06_filter",
+    "q07_explode_flatten",
+    "q09_json_roundtrip",
+    "q32_upsert_snapshot",
+    "q39_conditional_battery",
+    "q40_array_battery",
+    "q41_hash_split",
+    "q42_profile_table",
+    "q46_edit_distance",
+    "q64_conditional_distinct",
+    "q65_string_agg",
+    # r3-row streaming set (8)
+    "q10_stream_global_agg",
+    "q12_stream_roundtrip",
+    "q19_stream_windowed_agg",
+    "q21_stream_session_window",
+    "q22_stream_dedup",
+    "q31_stream_stream_join",
+    "q44_stream_static_join",
+    "q60_stream_materialized_latest",
+    # r3-row relational/function refresh (6)
+    "q24_above_cust_avg",
+    "q25_set_ops",
+    "q26_pivot",
+    "q29_string_battery",
+    "q30_math_battery",
+    "q62_regexp_extract_all",
+    # shingle-consuming operators (regression gate for the n-gram rewrite)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_kept_corpus",
+    "dedup_keep_best",
+    "curation_contamination",
+    "curation_repetition",
+    "curation_pretokens",
+    "curation_sample_stratified",
+    "curation_source_mixture",
+    "curation_pack_sequences",
+    "corpus_pipeline",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    "corpus_ngram_stats",
+    "text_tfidf_keywords",
 )
 
 

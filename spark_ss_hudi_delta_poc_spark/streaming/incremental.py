@@ -119,16 +119,18 @@ def ingest_increment(
     else:
         fresh = firsts
     fresh = fresh.persist()
-    n = fresh.count()
-    if n:
-        # stage both tables under the SAME token, overwrite-mode (replay-safe)
-        fresh.drop("_h").write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"inc={token}")
-        )
-        fresh.select(F.col("_h").alias("h")).write.mode("overwrite").parquet(
-            os.path.join(seen_path, f"inc={token}")
-        )
-    fresh.unpersist()
+    try:
+        n = fresh.count()
+        if n:
+            # stage both tables under the SAME token, overwrite-mode (replay-safe)
+            fresh.drop("_h").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"inc={token}")
+            )
+            fresh.select(F.col("_h").alias("h")).write.mode("overwrite").parquet(
+                os.path.join(seen_path, f"inc={token}")
+            )
+    finally:
+        fresh.unpersist()
     _write_marker(seen_path, token)  # single commit point for the pair
     return n
 
@@ -178,7 +180,30 @@ def ingest_increment_neardup(
     sigs = dedup.minhash_signatures(batch_kept)
     new_buckets = dedup.minhash_band_buckets(sigs).persist()
     new_shingles = dedup.shingle_table(batch_kept).persist()
+    try:
+        return _ingest_neardup_inner(
+            spark, batch_kept, new_buckets, new_shingles, corpus_path, index_path,
+            buckets_path, shingles_path, committed, token, threshold, id_col,
+        )
+    finally:
+        new_buckets.unpersist()
+        new_shingles.unpersist()
 
+
+def _ingest_neardup_inner(
+    spark: SparkSession,
+    batch_kept: DataFrame,
+    new_buckets: DataFrame,
+    new_shingles: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    buckets_path: str,
+    shingles_path: str,
+    committed: set,
+    token: str,
+    threshold: float,
+    id_col: str,
+) -> int:
     hist_bucket_dirs = _committed_paths(buckets_path, committed)
     hist_shingle_dirs = _committed_paths(shingles_path, committed)
     if hist_bucket_dirs:
@@ -218,19 +243,19 @@ def ingest_increment_neardup(
     else:
         survivors = batch_kept
     survivors = survivors.persist()
-    n = survivors.count()
-    if n:
-        surv_ids = survivors.select(id_col)
-        survivors.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
-        new_buckets.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(buckets_path, f"inc={token}")
-        )
-        new_shingles.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(shingles_path, f"inc={token}")
-        )
-    survivors.unpersist()
-    new_buckets.unpersist()
-    new_shingles.unpersist()
+    try:
+        n = survivors.count()
+        if n:
+            surv_ids = survivors.select(id_col)
+            survivors.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
+            new_buckets.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+                os.path.join(buckets_path, f"inc={token}")
+            )
+            new_shingles.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+                os.path.join(shingles_path, f"inc={token}")
+            )
+    finally:
+        survivors.unpersist()
     _write_marker(index_path, token)  # single commit point for all three
     return n
 

@@ -20,6 +20,8 @@ import os
 import tempfile
 import uuid as _uuid
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +50,25 @@ def _workdir(tag: str) -> str:
     d = os.path.join(root, f"{tag}-{_uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
     return d
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around a stateful streaming
+    run.  The state-store instance count is frozen to the shuffle-partition
+    setting at the query's FIRST batch, and every micro-batch pays one
+    store commit (delta-file write + maintenance) PER PARTITION — so a
+    low-cardinality stateful operator (q67: ~groups x salt_buckets = 40
+    keys) on 32 partitions spends more wall-clock on store commits than on
+    data.  Size it to the key cardinality; at 100 TB the same knob scales
+    the other way (more partitions than the session default).
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # Staging is deterministic per (sf_dir, table, n_files, fmt): memoize it so
@@ -399,12 +420,16 @@ def stream_running_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
     emissions = running_topk_stream(stream, group_col="event_type", item_col="user_id", k=k)
     table = f"qtopk_mem_{_uuid.uuid4().hex[:8]}"
-    q = (
-        emissions.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # ~5 event types x 8 salt buckets = 40 state keys: 8 state partitions
+    # keep every core busy on the Python stage while paying 4x fewer
+    # state-store commits per micro-batch than the session's 32
+    with _state_partitions(spark, 8):
+        q = (
+            emissions.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return finalize_topk(spark.table(table), group_col="event_type", k=k)

@@ -33,6 +33,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
     if name == "events":
+        # the NTZ->TIMESTAMP normalization below is instant-preserving ONLY
+        # under a UTC session; enforce the precondition instead of assuming
+        # it (a non-get_spark session would silently shift every instant)
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F

@@ -14,10 +14,28 @@ SF = "/root/testdata/sf0.001"
 
 def test_approx_distinct_error_bound(spark):
     """approx_count_distinct must land within 5% of the exact count
-    (default rsd is 5%)."""
+    (default rsd is 5%); q27 now computes that predicate in-engine."""
     row = all_queries()["q27_approx_distinct"].fn(spark, SF).collect()[0]
     exact = load(spark, SF, "lineitem").select("l_partkey").distinct().count()
-    assert abs(row.approx_partkeys - exact) / exact < 0.05
+    assert row.exact_partkeys == exact
+    assert row.within_5pct is True
+
+
+def test_q77_live_array_surface(spark):
+    """The live array<string> aggregation surface behind q77: a real
+    ArrayType column with sorted, distinct members (the registered q77
+    '|'-joins it only because the external driver cannot hash list cells)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from spark_ss_hudi_delta_poc_spark.plans.function_queries import q77_live
+
+    df = q77_live(spark, SF)
+    (typ,) = [f.dataType for f in df.schema.fields if f.name == "types_arr"]
+    assert isinstance(typ, ArrayType) and isinstance(typ.elementType, StringType)
+    rows = df.collect()
+    assert rows, "user_id < 20 must match at sf0.001"
+    for r in rows:
+        assert r.types_arr == sorted(set(r.types_arr))
 
 
 def test_transcendentals_close_to_duckdb(spark, duck):

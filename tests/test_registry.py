@@ -15,11 +15,12 @@ def test_driver_priority_fills_the_checked_window():
     assert len(set(DRIVER_PRIORITY)) == 50
 
 
-def test_oracle_coverage_is_total_except_hll():
+def test_oracle_coverage_is_total():
     qs = all_queries()
     rows_only = [n for n, q in qs.items() if q.oracle is None]
-    assert rows_only == ["q27_approx_distinct"], (
-        "every query except the HLL estimate needs a DuckDB oracle; "
+    assert rows_only == [], (
+        "every registry query needs a DuckDB oracle (q27 wraps its HLL estimate "
+        "in an in-engine acceptance predicate; q77 '|'-joins its array column); "
         f"rows-only found: {rows_only}"
     )
 
