@@ -55,46 +55,38 @@ def contamination_pairs(
     shuffles only (doc_id, eval_doc_id, 1) rows that actually overlap.
     """
     # spread: single-file inputs plan as one partition, serializing the
-    # CPU-heavy shingle stage on one core (operators/partitioning.py);
-    # both the gram explode and the size branch derive from the spread DF
-    train_s = _spread(train_docs)
-    tr = train_s.select(
+    # CPU-heavy shingle stage on one core (operators/partitioning.py).
+    # The shingle array is built ONCE per train doc: its size (the per-doc
+    # distinct-gram count) rides along through the explode as a constant
+    # column, so no second shingle pass and no sizes join — pairs with
+    # zero overlap can't reach the threshold filter anyway, so the inner
+    # gram join loses nothing.
+    grams = _spread(train_docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+        shingles(F.col(text_col), n).alias("grams"),
+    )
+    tr = grams.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("train_ngrams"),
+        F.explode("grams").alias("gram"),
     )
     ev = _spread(eval_docs).select(
         F.col(id_col).alias("eval_doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("gram"),
     )
-    # per-doc distinct-gram count map-side (array size) — NOT a second
-    # explode+groupBy over the corpus, which would double the heavy stage.
-    # coalesce makes the expression provably non-null: without it Catalyst
-    # synthesizes isnotnull(<whole interpreted shingle expr>) from the
-    # join condition and pushes it below the spread exchange, re-running
-    # the HOF on the unsplit scan partition (observed 3 s single-core)
-    sizes = train_s.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.size(shingles(F.col(text_col), n)).cast("long"), F.lit(0)).alias(
-            "train_ngrams"
-        ),
-    )
     overlap = (
         tr.join(F.broadcast(ev), "gram")
-        .groupBy("doc_id", "eval_doc_id")
+        .groupBy("doc_id", "train_ngrams", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
     score = F.col("overlap").cast("double") / F.col("train_ngrams").cast("double")
-    return (
-        overlap.join(sizes, "doc_id")
-        .select(
-            "doc_id",
-            "eval_doc_id",
-            "overlap",
-            "train_ngrams",
-            score.alias("contamination"),
-        )
-        .where(F.col("contamination") >= threshold)
-    )
+    return overlap.select(
+        "doc_id",
+        "eval_doc_id",
+        "overlap",
+        "train_ngrams",
+        score.alias("contamination"),
+    ).where(F.col("contamination") >= threshold)
 
 
 def sample_bernoulli(
