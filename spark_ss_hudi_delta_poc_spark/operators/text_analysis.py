@@ -181,6 +181,85 @@ def tfidf_keywords(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by BM25 relevance —
+    the keyword-retrieval primitive of corpus search/inspection
+    tooling (dedup forensics, contamination triage, eval-set mining).
+
+    score(D,Q) = sum over t in Q of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |D|/avgdl))
+    with the rational (log-free) idf = (N - df + 0.5) / (df + 0.5):
+    +,-,*,/ are IEEE-correctly-rounded, so identically-shaped
+    expressions are bit-identical across engines, unlike libm log.
+    Per-term partials are fixed-point-scaled to e9 integers BEFORE the
+    per-doc sum, so double summation order can never flip a hash;
+    ``score_e9`` is that integer.  Docs containing no query term are
+    not returned (their score is 0).
+
+    Plan: one corpus scan explodes words; only rows matching the tiny
+    query-term set (an `isin` pushed to the scan side) survive into the
+    tf shuffle, so the heavy stage is linear and filter-first.  N and
+    avgdl come from a 1-row aggregate cross-joined (broadcast) — no
+    driver-side collect.  df per query term is a <=|Q|-row broadcast.
+    Returns (doc_id, score_e9, rank), ties broken by doc_id.
+    """
+    from pyspark.sql import Window
+
+    from .partitioning import spread
+
+    terms = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    doc_len = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_words")
+    )
+    qt = [str(t) for t in query_terms]
+    tf = (
+        terms.where(F.col("word").isin(qt))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("total_words").cast("double") / nd
+    # expression shape mirrors the oracle SQL token-for-token: every
+    # subterm is a correctly-rounded IEEE op on identical inputs
+    idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    norm = (tfd * (F.lit(k1) + F.lit(1.0))) / (
+        tfd + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (dld / avgdl))
+    )
+    partial = (
+        tf.join(F.broadcast(doc_len), "doc_id")
+        .join(F.broadcast(dfc), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * norm * F.lit(1000000000.0)).cast("long").alias("p_e9"),
+        )
+    )
+    scored = partial.groupBy("doc_id").agg(F.sum("p_e9").alias("score_e9"))
+    rank_w = Window.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "score_e9", F.row_number().over(rank_w).alias("rank")
+    ).where(F.col("rank") <= top_k)
+
+
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (k-grams per window)
 

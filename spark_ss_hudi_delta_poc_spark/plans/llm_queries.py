@@ -216,6 +216,14 @@ def text_keywords(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.tfidf_keywords(load(spark, sf, "documents"))
 
 
+# fixed bag-of-words query over the synthetic vocabulary (TESTDATA.md)
+BM25_QUERY_TERMS = ["spark", "join", "vector"]
+
+
+def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.bm25_search(load(spark, sf, "documents"), BM25_QUERY_TERMS)
+
+
 def corpus_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 trigrams by document frequency — the corpus n-gram frequency
     table used for stop-shingle caps and contamination checks."""
@@ -756,6 +764,41 @@ QUERIES = [
         """,
         doc="tf-idf keyword extraction (rational idf — engine-exact, no log)",
         tags=("llm", "text", "keywords"),
+    ),
+    Query(
+        "text_bm25_search",
+        text_bm25,
+        """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_words FROM dl),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM terms
+               WHERE word IN ('spark', 'join', 'vector') GROUP BY doc_id, word),
+        dfc AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        partials AS (
+          SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5))
+                   * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                         (CAST(dl AS DOUBLE)
+                            / (CAST(total_words AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                   * 1000000000.0) AS BIGINT) AS p_e9
+          FROM tf JOIN dl USING (doc_id) JOIN dfc USING (word) CROSS JOIN stats
+        ),
+        scored AS (SELECT doc_id, CAST(SUM(p_e9) AS BIGINT) AS score_e9
+                   FROM partials GROUP BY doc_id)
+        SELECT doc_id, score_e9, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_e9 DESC, doc_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= 10
+        """,
+        doc="BM25 keyword retrieval, top-10 (rational idf, e9 fixed-point "
+        "partials so double summation order can't flip the hash)",
+        tags=("llm", "text", "search"),
     ),
     Query(
         "text_chunking",

@@ -322,3 +322,30 @@ def test_lsh_neardup_planes_nest(spark):
     narrow = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes=12).collect()}
     assert narrow <= wide
     assert len(wide) > 0  # the near-dup cluster is found at coarse planes
+
+
+def test_bm25_search_ranking(spark):
+    """BM25 must rank the term-stuffed doc first, skip docs with no query
+    term, and rank a doc hitting a RARE term above one hitting only a
+    common term (the idf effect)."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler words here and more filler"),
+            (2, "spark appears once in otherwise unrelated text body"),
+            (3, "no relevant terms in this document at all body text"),
+            (4, "rareword appears once in otherwise unrelated text body"),
+            (5, "spark common in many docs spark common in many docs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["spark", "join", "rareword"], top_k=5).collect()
+    by_rank = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 3 not in by_rank  # no query term -> absent
+    assert by_rank[0] == 1  # stuffed doc wins
+    got = {r.doc_id: r.score_e9 for r in out}
+    # rareword (df=1) in doc4 outscores a single hit of the common term
+    # (df=3) in doc2
+    assert got[4] > got[2]
+    assert all(r.score_e9 > 0 for r in out)
