@@ -262,6 +262,51 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q78: approx quantiles with in-engine acceptance check -------------------
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_approx — THE at-scale quantile estimator (mergeable
+    sketch, no global sort) — validated in-engine against exact rank
+    statistics: the output carries the exact lower quartiles plus a
+    boolean asserting every approx value landed within 1% relative.
+    Sketch internals are implementation-specific (can't hash-match an
+    oracle), but the predicate is deterministic at accuracy=10000 —
+    same pattern as q27's HLL check.  The exact side is a single global
+    sort, affordable at validation SFs; at 100 TB only the sketch runs.
+    """
+    li = load(spark, sf, "lineitem").select(money_e4(F.col("l_extendedprice")).alias("p_e4"))
+    w = Window.orderBy(F.col("p_e4").asc())
+    ranked = li.select(
+        "p_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def at(q: float):
+        rank = F.ceil(F.col("n").cast("double") * F.lit(q)).cast("long")
+        return F.max(F.when(F.col("rn") == rank, F.col("p_e4")))
+
+    exact = ranked.agg(
+        at(0.25).alias("q25_e4"),
+        at(0.5).alias("q50_e4"),
+        at(0.75).alias("q75_e4"),
+        F.max("n").alias("n_rows"),
+    )
+    approx = li.agg(
+        F.percentile_approx("p_e4", [0.25, 0.5, 0.75], 10000).alias("ap")
+    )
+    within = None
+    for i, col in enumerate(["q25_e4", "q50_e4", "q75_e4"]):
+        c = (
+            F.abs(F.element_at("ap", i + 1).cast("double") - F.col(col).cast("double"))
+            / F.col(col).cast("double")
+            <= F.lit(0.01)
+        )
+        within = c if within is None else (within & c)
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "q25_e4", "q50_e4", "q75_e4", "n_rows", within.alias("within_1pct")
+    )
+
+
 # --- q54: per-group mode (most frequent value, deterministic tie-break) ------
 def q54(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
@@ -418,6 +463,29 @@ QUERIES = [
         doc="exact per-group lower median via one sort + row_number (no "
         "approximate sketch, engine-deterministic)",
         tags=("analytics", "orderstat"),
+    ),
+    Query(
+        "q78_approx_quantiles",
+        q78,
+        """
+        WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS p_e4
+                   FROM lineitem),
+        r AS (SELECT p_e4, ROW_NUMBER() OVER (ORDER BY p_e4 ASC) AS rn,
+                     COUNT(*) OVER () AS n FROM v)
+        SELECT
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.25) AS BIGINT)
+                   THEN p_e4 END) AS q25_e4,
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT)
+                   THEN p_e4 END) AS q50_e4,
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.75) AS BIGINT)
+                   THEN p_e4 END) AS q75_e4,
+          MAX(n) AS n_rows,
+          TRUE AS within_1pct
+        FROM r
+        """,
+        doc="percentile_approx (mergeable quantile sketch) with in-engine 1% "
+        "acceptance vs exact rank stats — the q27 pattern for quantiles",
+        tags=("analytics", "orderstat", "approx"),
     ),
     Query(
         "q54_group_mode",
