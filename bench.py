@@ -36,6 +36,7 @@ HEADLINE = [
     "q33_segment_topn",
     "q34_region_revenue",
     "q51_returned_top_customers",
+    "q78_approx_quantiles",
     "q15_window_topn",
     "q17_asof_join",
     "q20_sessionize",
@@ -60,6 +61,7 @@ HEADLINE = [
     "curation_gopher_rules",
     "text_quality_score",
     "text_fingerprint",
+    "text_bm25_search",
     "multimodal_meta",
 ]
 

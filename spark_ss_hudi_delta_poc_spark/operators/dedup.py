@@ -216,41 +216,7 @@ def minhash_lsh_pairs(
     buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
     sh = shingle_table(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        a = buckets.alias("a")
-        b = buckets.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-            .distinct()
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
-        sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
-        inter = (
-            cand.join(sa, "doc_id_a")
-            .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
-            .groupBy("doc_id_a", "doc_id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-        zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
-        pairs = (
-            inter.join(F.broadcast(za), "doc_id_a")
-            .join(F.broadcast(zb), "doc_id_b")
-            .select(
-                "doc_id_a",
-                "doc_id_b",
-                (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
-                    "jaccard"
-                ),
-            )
-            .where(F.col("jaccard") >= threshold)
-        )
+        pairs = _minhash_pairs_plan(buckets, sh, threshold)
         # materialize before releasing the input caches; the checkpointed
         # RDD is owned by the returned DataFrame and reclaimed by the
         # ContextCleaner when it goes out of scope (unlike CacheManager
@@ -259,6 +225,49 @@ def minhash_lsh_pairs(
     finally:
         buckets.unpersist()
         sh.unpersist()
+
+
+def _minhash_pairs_plan(buckets: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """The lazy interior plan of :func:`minhash_lsh_pairs` — banded-bucket
+    self-join candidates, candidate-driven exact Jaccard verify.  Kept
+    separate so tests/test_plans.py can pin its shape (the public
+    function returns an already-materialized checkpoint whose explain
+    shows only a scan)."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(za), "doc_id_a")
+        .join(F.broadcast(zb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash_neardup_pairs(

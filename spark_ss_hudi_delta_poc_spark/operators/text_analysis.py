@@ -219,16 +219,23 @@ def bm25_search(
 
     from .partitioning import spread
 
-    terms = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word")
+    base = spread(docs)
+    # doc length = word count, computed map-side from the array size — the
+    # full-corpus explode+groupBy it replaces was the query's one heavy
+    # shuffle (only query-term hits shuffle below)
+    doc_len = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(F.col(text_col))).cast("long").alias("dl"),
     )
-    doc_len = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = doc_len.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_words")
     )
     qt = [str(t) for t in query_terms]
     tf = (
-        terms.where(F.col("word").isin(qt))
+        base.select(
+            F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word")
+        )
+        .where(F.col("word").isin(qt))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -99,12 +99,17 @@ def test_sessionize_single_shuffle(spark):
 # justification — anything NOT listed here that plans one is a bug.
 # (Round 3: ann_ivf_topk's centroid BroadcastNestedLoopJoin replaced by a
 # closure-embedded map-side argmax — the set is now empty.)
-# q71 cross-joins a ONE-ROW global aggregate (the scalar-subquery
-# execution shape: SUM/COUNT reduced to a single broadcast row, then a
-# BroadcastNestedLoopJoin whose build side is 1 row).  That is constant
-# work per probe row at any scale — the audit targets unbounded nested
-# loops, not scalar broadcasts.
-CROSS_JOIN_EXEMPT: set[str] = {"q71_global_sales_opp"}
+# q71, q78, and text_bm25_search cross-join a ONE-ROW global aggregate
+# (the scalar-subquery execution shape: SUM/COUNT reduced to a single
+# broadcast row, then a BroadcastNestedLoopJoin whose build side is 1
+# row — q78 joins exact-vs-approx quantile rows, bm25 joins corpus
+# stats).  That is constant work per probe row at any scale — the audit
+# targets unbounded nested loops, not scalar broadcasts.
+CROSS_JOIN_EXEMPT: set[str] = {
+    "q71_global_sales_opp",
+    "q78_approx_quantiles",
+    "text_bm25_search",
+}
 
 
 def test_cosine_neardup_is_distributed(spark):
@@ -162,3 +167,32 @@ def test_no_cartesian_anywhere(spark):
         if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
             offenders.append(name)
     assert offenders == []
+
+
+def test_minhash_interior_is_bucket_equijoin(spark):
+    """dedup_minhash_lsh materializes eagerly (its public explain shows
+    only the checkpoint scan), so pin the INTERIOR plan via
+    _minhash_pairs_plan: candidates from a (band, band_hash) equi-join,
+    exact verify candidate-driven — never a cross product."""
+    import contextlib
+    import io
+
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import (
+        _minhash_pairs_plan,
+        minhash_band_buckets,
+        minhash_signatures,
+        shingle_table,
+    )
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    pairs = _minhash_pairs_plan(
+        minhash_band_buckets(minhash_signatures(docs)), shingle_table(docs), 0.5
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    p = buf.getvalue()
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+    assert "band_hash" in p  # the candidate join is keyed on the band bucket
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
