@@ -162,7 +162,14 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     array_min(transform(...)) leaves whole-stage codegen — higher-order
     lambdas are interpreter-fallback — and measures ~10× slower.)
     """
-    sh = shingle_table(docs, n=n)
+    return signatures_from_shingles(shingle_table(docs, n=n), k=k)
+
+
+def signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """:func:`minhash_signatures` over a prebuilt (doc_id, shingle) table —
+    callers that also need the shingle table for verification (LSH pairs,
+    incremental ingest) persist it once and feed both consumers, instead
+    of running the shingle builder twice."""
     hashed = sh.select(
         "doc_id",
         *[
@@ -212,9 +219,12 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(docs, k=k, n=n)
-    buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the shingle table FIRST and derive signatures from it: the
+    # signature path and the verify path share one shingle build instead
+    # of running the (pandas UDF) builder twice over the corpus
     sh = shingle_table(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_shingles(sh, k=k)
+    buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         pairs = _minhash_pairs_plan(buckets, sh, threshold)
         # materialize before releasing the input caches; the checkpointed

@@ -177,9 +177,9 @@ def ingest_increment_neardup(
     drop_in_batch = in_batch_pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     batch_kept = batch.join(drop_in_batch, id_col, "left_anti")
 
-    sigs = dedup.minhash_signatures(batch_kept)
-    new_buckets = dedup.minhash_band_buckets(sigs).persist()
     new_shingles = dedup.shingle_table(batch_kept).persist()
+    sigs = dedup.signatures_from_shingles(new_shingles)
+    new_buckets = dedup.minhash_band_buckets(sigs).persist()
     try:
         return _ingest_neardup_inner(
             spark, batch_kept, new_buckets, new_shingles, corpus_path, index_path,
