@@ -196,3 +196,18 @@ def test_minhash_interior_is_bucket_equijoin(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
     assert "band_hash" in p  # the candidate join is keyed on the band bucket
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Global plan audit: Python may appear in a plan only as an
+    Arrow-batched stage (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas[WithState]) — a BatchEvalPython node means a
+    row-at-a-time pickle UDF landed in a hot path, the ~10-100x slow
+    path this repo bans by rule."""
+    offenders = []
+    for name, q in sorted(QS.items()):
+        if "streaming" in q.tags:
+            continue
+        if "BatchEvalPython" in plan_of(spark, name):
+            offenders.append(name)
+    assert offenders == []
