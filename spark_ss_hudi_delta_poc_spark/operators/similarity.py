@@ -359,12 +359,22 @@ def cosine_neardup_pairs(
     )
 
 
+def plan_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
+    """The documented n_planes sizing rule as code: hold bucket occupancy
+    constant — planes = ceil(log2(N / target_bucket_size)), floored at 4.
+    10^9 vectors at the default target → 22 planes (SCALE.md's number).
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(1.0, n_vectors / target_bucket_size))))
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = LSH_PLANES,
+    n_planes: int | str = LSH_PLANES,
 ) -> DataFrame:
     """Sub-quadratic cosine near-dup pairs: hyperplane-LSH bucket
     equi-join for candidates, exact quantized cosine within buckets —
@@ -380,13 +390,21 @@ def lsh_neardup_pairs(
     is ~N²/2^planes, so hold planes ≈ log2(N / target_bucket_size) to
     keep bucket occupancy — and therefore candidate count per row —
     constant as N grows.  Measured (SCALE.md): at 30× rows with planes
-    FIXED the op degrades to ~N² (30.9× time); the default 8 planes is
+    FIXED the op degrades to ~N² (34.5× time); the default 8 planes is
     sized for the test SFs, a 10^9-vector corpus wants ~22.  More planes
     lower recall per table; at high plane counts use banded OR-ing
     (multiple tables) like minhash_lsh_pairs.
+
+    ``n_planes="auto"`` applies that rule from a corpus count (one
+    cheap metadata-friendly job) via :func:`plan_planes` — the opt-in
+    scale path; the fixed default stays so the registry query remains
+    oracle-reproducible.
     """
     import numpy as np
     import pandas as pd
+
+    if n_planes == "auto":
+        n_planes = plan_planes(embeddings.count())
 
     hmat = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
     pow2 = (2 ** np.arange(n_planes)).astype(np.int64)

@@ -349,3 +349,26 @@ def test_bm25_search_ranking(spark):
     # (df=3) in doc2
     assert got[4] > got[2]
     assert all(r.score_e9 > 0 for r in out)
+
+
+def test_lsh_auto_planes_sizing(spark):
+    """n_planes='auto' applies the documented occupancy rule: 10^9
+    vectors -> 22 planes; small corpora floor at 4; auto on a tiny
+    corpus behaves like the explicit equivalent."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        lsh_neardup_pairs,
+        plan_planes,
+    )
+
+    assert plan_planes(10**9) == 22
+    assert plan_planes(100) == 4  # floor
+    assert plan_planes(10**6) == 12
+
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes="auto").collect()}
+    explicit = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes=4).collect()}
+    assert auto == explicit
