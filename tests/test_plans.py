@@ -108,6 +108,8 @@ def test_sessionize_single_shuffle(spark):
 CROSS_JOIN_EXEMPT: set[str] = {
     "q71_global_sales_opp",
     "q78_approx_quantiles",
+    "q80_top_supplier",
+    "q84_important_parts",
     "text_bm25_search",
 }
 
