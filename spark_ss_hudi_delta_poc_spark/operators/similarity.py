@@ -359,6 +359,100 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Exact cosine k-nearest-neighbor graph over the whole corpus:
+    (vec_id, neighbor_id, cosine, rank<=k) for EVERY vector — the
+    corpus-to-corpus counterpart of brute_force_topk (whose query side
+    must be small enough to broadcast).  The kNN graph is the front end
+    of SemDedup-style semantic dedup and graph-based ANN index builds.
+
+    Plan: the cosine_neardup_pairs block-tiling — every unordered block
+    TILE (pa <= pb) gets both blocks' rows via an explode-computed tile
+    array, one shuffle on the tile key, then a numpy matmul per tile.
+    Each tile emits only the LOCAL top-k per row, so the post-tile
+    volume is N x n_blocks x k rows regardless of corpus size, and the
+    global window top-k per vec_id finishes the graph.  A row's true
+    top-k neighbors each live in exactly one of its tiles and rank
+    within that tile's local top-k, so local-then-global loses nothing.
+
+    Scale math: quadratic work spreads over n_blocks(n_blocks+1)/2
+    independent tiles (pick n_blocks so 2N/n_blocks rows fit an
+    executor); the sub-quadratic scale path is bucketing first
+    (lsh_neardup_pairs) and running the graph per bucket.  Quantized
+    integer products keep every cosine bit-identical to the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        quantize(vec_col).alias("qv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("blk"), o).alias("pa"), F.greatest(F.col("blk"), o).alias("pb")
+        ),
+    )
+    tagged = q.select("id", "qv", "blk", F.explode(tiles).alias("t")).select(
+        "id", "qv", "blk", F.col("t.pa").alias("pa"), F.col("t.pb").alias("pb")
+    )
+
+    def local_topk(src_ids, dst_ids, cos):
+        # per src row: top-k among dst with (cosine desc, id asc) ties
+        out_s, out_n, out_c = [], [], []
+        for i in range(len(src_ids)):
+            mask = dst_ids != src_ids[i]
+            cand_n, cand_c = dst_ids[mask], cos[i][mask]
+            order = np.lexsort((cand_n, -cand_c))[:k]
+            out_s.extend([src_ids[i]] * len(order))
+            out_n.extend(cand_n[order])
+            out_c.extend(cand_c[order])
+        return out_s, out_n, out_c
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        blk = pdf["blk"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+        nsq = (mat * mat).sum(axis=1)
+        if pa == pb:
+            cos = (mat @ mat.T) / np.sqrt(nsq[:, None] * nsq[None, :])
+            s, n, c = local_topk(ids, ids, cos)
+        else:
+            la, lb = blk == pa, blk == pb
+            a_ids, b_ids = ids[la], ids[lb]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                s, n, c = [], [], []
+            else:
+                cos_ab = (mat[la] @ mat[lb].T) / np.sqrt(nsq[la][:, None] * nsq[lb][None, :])
+                s, n, c = local_topk(a_ids, b_ids, cos_ab)
+                s2, n2, c2 = local_topk(b_ids, a_ids, cos_ab.T)
+                s, n, c = s + s2, n + n2, c + c2
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(s, dtype=np.int64),
+                "neighbor_id": np.asarray(n, dtype=np.int64),
+                "cosine": np.asarray(c, dtype=np.float64),
+            }
+        )
+
+    local = tagged.groupBy("pa", "pb").applyInPandas(
+        per_tile, schema="vec_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return local.select(
+        "vec_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
 def plan_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
     """The documented n_planes sizing rule as code: hold bucket occupancy
     constant — planes = ceil(log2(N / target_bucket_size)), floored at 4.

@@ -74,6 +74,46 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def rare_token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document rare-token statistics against the corpus unigram
+    distribution — the OOV/noise quality heuristic (documents dominated
+    by corpus-rare tokens are OCR junk, boilerplate IDs, or the wrong
+    language for the corpus).
+
+    "Rare" is corpus-RELATIVE: a token whose corpus share is below half
+    the uniform share (cf * 2 * vocab < total_tokens), so the predicate
+    is exact-integer at any corpus size — no absolute threshold to
+    re-tune per dataset, no floats.
+
+    Plan: per-doc term frequencies first [1 shuffle on (doc, word) —
+    shrinks token rows to distinct-per-doc], corpus frequencies
+    re-aggregate THAT [word-keyed shuffle, partial-agg'd], the two join
+    back on word [re-uses the word partitioning], and the per-doc rollup
+    is the final shuffle.  The two corpus scalars (vocab, total) are a
+    bounded 1-row collect — the broadcast-variable pattern, embedded as
+    literals so no scalar cross-join appears in the plan.
+    """
+    from .partitioning import spread
+
+    terms = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
+    vocab, total = cf.agg(F.count(F.lit(1)), F.sum("cf")).first()  # bounded: 1 row
+    rare = (F.col("cf") * F.lit(2 * int(vocab)) < F.lit(int(total))).cast("long")
+    return (
+        tf.join(cf, "word")
+        .select("doc_id", "tf", rare.alias("is_rare"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("is_rare") * F.col("tf")).alias("n_rare_tokens"),
+            F.sum("is_rare").alias("n_rare_kinds"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit content fingerprint of the normalized text (lower + trim +
     whitespace collapse) — the cheap exact-dup key for incremental pipelines."""

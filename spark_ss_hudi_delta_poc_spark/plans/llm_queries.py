@@ -246,6 +246,17 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
 
 
+KNN_K = 3
+
+
+def knn_graph_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.knn_graph(load(spark, sf, "embeddings"), k=KNN_K)
+
+
+def text_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.rare_token_stats(load(spark, sf, "documents"))
+
+
 # --- composed corpus pipeline ------------------------------------------------
 def corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data shape: quality filter → exact-dedup
@@ -655,6 +666,49 @@ QUERIES = [
         doc="IVF ANN (nprobe=1, deterministic centroids): inverted-list probe "
         "— the partitioned-index scale path",
         tags=("llm", "ann"),
+    ),
+    Query(
+        "embedding_knn_graph",
+        knn_graph_q,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 {COS.format(a="a.qv", b="b.qv")} AS cosine
+          FROM c a JOIN c b ON a.vec_id <> b.vec_id
+        )
+        SELECT vec_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {KNN_K}
+        """,
+        doc="exact cosine k-NN graph over the whole corpus: block-tiled "
+        "matmuls with per-tile local top-k (SemDedup / graph-index front end)",
+        tags=("llm", "ann", "embedding", "graph"),
+    ),
+    Query(
+        "text_rare_token_stats",
+        text_rare_tokens,
+        """
+        WITH tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          GROUP BY doc_id, word
+        ),
+        cf AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY word),
+        tot AS (SELECT COUNT(*) AS vocab, CAST(SUM(cf) AS BIGINT) AS total FROM cf)
+        SELECT doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN cf.cf * 2 * tot.vocab < tot.total THEN tf.tf ELSE 0 END) AS BIGINT)
+                 AS n_rare_tokens,
+               CAST(SUM(CASE WHEN cf.cf * 2 * tot.vocab < tot.total THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rare_kinds
+        FROM tf JOIN cf USING (word), tot
+        GROUP BY doc_id
+        """,
+        doc="corpus-relative rare-token stats per doc (OOV/noise quality "
+        "heuristic); exact-integer rarity predicate, no absolute threshold",
+        tags=("llm", "text", "quality"),
     ),
     Query(
         "corpus_pipeline",

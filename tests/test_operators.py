@@ -372,3 +372,40 @@ def test_lsh_auto_planes_sizing(spark):
     auto = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes="auto").collect()}
     explicit = {(r.id_a, r.id_b) for r in lsh_neardup_pairs(df, 0.9, n_planes=4).collect()}
     assert auto == explicit
+
+
+def test_knn_graph_matches_bruteforce_all_queries(spark):
+    """The block-tiled kNN graph must equal brute_force_topk with the whole
+    corpus as the query set — local-per-tile top-k then global window loses
+    nothing.  Tiny corpus exercises every tile case (pa==pb, pa!=pb, empty
+    sides) across the 4 hash blocks."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import knn_graph
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(25)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_id, r.rank): r.neighbor_id for r in knn_graph(emb, k=3, n_blocks=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    assert got == want
+    assert all(got[(v, r)] != v for (v, r) in got)  # never self
+
+
+def test_rare_token_stats_relative_threshold(spark):
+    """Rarity is corpus-relative: with vocab {a: 6 occurrences, b: 2},
+    total=8, vocab=2 -> rare iff cf*4 < 8, so only 'b' (cf=2*4=8, NOT <8
+    -> not rare)... with {a:7, b:1}: b qualifies (1*4 < 8)."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import rare_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in rare_token_stats(docs).collect()}
+    # cf: a=7, b=1; total=8, vocab=2 -> rare iff cf*4 < 8 -> only b
+    assert out[1].n_tokens == 4 and out[1].n_rare_tokens == 0 and out[1].n_rare_kinds == 0
+    assert out[2].n_tokens == 4 and out[2].n_rare_tokens == 1 and out[2].n_rare_kinds == 1
