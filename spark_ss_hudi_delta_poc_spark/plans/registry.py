@@ -32,16 +32,32 @@ class Query:
 # The external correctness driver verifies the FIRST 50 registry entries
 # against their oracles; the rest ride on the in-repo gate
 # (tools/verify_local.py, all SFs).  Round-5 rotation: bank first green rows
-# for q27 (newly oracle-backed via the in-engine acceptance predicate) and
-# q77 (newly '|'-joined), refresh the 15 queries whose newest green row is
-# still r2 (the q01-q09 reference battery + q32 etc. — they predate the
-# driver's events.ts/testdata regeneration), then the r3-row streaming set
-# and EVERY shingle-consuming operator (the round-5 shingle builder rewrite
-# makes their fresh driver rows the regression gate for that change).
+# for q27 (newly oracle-backed via the in-engine acceptance predicate), q77
+# (newly '|'-joined), and the 11 queries ADDED this round (TPC-H q79-q87 +
+# the kNN graph + rare-token stats — never driver-checked); refresh the 15
+# queries whose newest green row is still r2 (the q01-q09 reference battery
+# + q32 etc. — they predate the driver's events.ts/testdata regeneration),
+# the r3-row streaming set, and the shingle-consuming operators whose code
+# the round-5 n-gram rewrite touched (their fresh driver rows are that
+# change's regression gate).  Displaced to the in-repo gate (keeping their
+# r3-green driver rows): q24/q25/q26/q29/q30/q62 and the non-shingle
+# curation ops (pretokens, sampling, mixture, packing, exact dedup).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never green: newly oracle-backed this round
     "q27_approx_distinct",
     "q77_array_output",
+    # never checked: added this round
+    "q79_custorder_distribution",
+    "q80_top_supplier",
+    "q81_small_qty_revenue",
+    "q82_large_volume_customers",
+    "q83_product_profit",
+    "q84_important_parts",
+    "q85_supplier_part_counts",
+    "q86_promo_part_suppliers",
+    "q87_min_price_supplier",
+    "embedding_knn_graph",
+    "text_rare_token_stats",
     # newest green row r2 (15): reference battery + oldest function queries
     "q01_count",
     "q02_group_count",
@@ -67,15 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q31_stream_stream_join",
     "q44_stream_static_join",
     "q60_stream_materialized_latest",
-    # r3-row relational/function refresh (6)
-    "q24_above_cust_avg",
-    "q25_set_ops",
-    "q26_pivot",
-    "q29_string_battery",
-    "q30_math_battery",
-    "q62_regexp_extract_all",
     # shingle-consuming operators (regression gate for the n-gram rewrite)
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -85,10 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "curation_contamination",
     "curation_repetition",
-    "curation_pretokens",
-    "curation_sample_stratified",
-    "curation_source_mixture",
-    "curation_pack_sequences",
     "corpus_pipeline",
     "text_fingerprint",
     "text_winnow_fingerprint",
