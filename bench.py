@@ -43,6 +43,8 @@ HEADLINE = [
     # TPC-H-shaped multi-join analytics
     "q68_volume_shipping",
     "q70_waiting_suppliers",
+    "q79_custorder_distribution",
+    "q83_product_profit",
     # streaming ingest round-trip (the reference's core loop)
     "q10_stream_global_agg",
     "q12_stream_roundtrip",
@@ -62,6 +64,8 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_bm25_search",
+    "text_rare_token_stats",
+    "embedding_knn_graph",
     "multimodal_meta",
 ]
 

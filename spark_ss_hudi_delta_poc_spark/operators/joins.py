@@ -114,6 +114,43 @@ def salted_join(
     return out.drop("_salt")
 
 
+def range_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    probe_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 7 * 86400,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval join: probe rows matched to every interval containing
+    their timestamp (inclusive bounds) — WITHOUT a nested-loop plan.
+
+    Catalyst plans a bare ``probe.join(intervals, ts.between(s, e))`` as
+    BroadcastNestedLoopJoin (every probe row against every interval — the
+    shape this repo bans).  Bin bucketing restores an equi-join: each
+    interval is exploded to the time bins it overlaps, each probe row
+    maps to its single bin, the join keys on (bin + any equi keys), and
+    the BETWEEN survives only as a residual filter.  A (probe, interval)
+    pair meets in exactly one bin — the probe's — so no dedup is needed.
+
+    Scale math: interval replication = ceil(span / bin_seconds) + 1, so
+    pick ``bin_seconds`` near the typical interval span; candidates per
+    probe row = intervals overlapping its bin, the 2-bin neighborhood a
+    sort-merge interval algorithm would scan.  Skewed bins (a hot week)
+    split further under AQE; with ``equi_keys`` the bin compounds the
+    key, so per-key-per-bin hotspots need both to collide.
+    """
+    bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(bin_seconds))  # noqa: E731
+    keys = list(equi_keys or [])
+    iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(bin_of(start_col), bin_of(end_col)))
+    )
+    pr = probe.withColumn("_bin", bin_of(probe_ts))
+    cond = (F.col(probe_ts) >= F.col(start_col)) & (F.col(probe_ts) <= F.col(end_col))
+    return pr.join(iv, ["_bin", *keys]).where(cond).drop("_bin")
+
+
 def money_e4(col: Column) -> Column:
     """Scale a money-ish double to an exact BIGINT (×10^4, floored).
 

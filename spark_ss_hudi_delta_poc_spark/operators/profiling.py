@@ -14,6 +14,69 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi_num: int = 1,
+    phi_den: int = 5,
+    capacity: int = 16,
+) -> DataFrame:
+    """Exact φ-heavy hitters (items with frequency > φ·N, φ = num/den)
+    WITHOUT shuffling the full key cardinality.
+
+    A plain ``groupBy(col).count()`` shuffles one row per DISTINCT key —
+    ruinous when keys are near-unique (URLs, user ids) at 100 TB.  The
+    sketch path: each partition runs a Misra-Gries summary of ``capacity``
+    counters over its rows (Arrow-batched ``mapInPandas``, no shuffle);
+    pigeonhole guarantees every global heavy hitter survives in at least
+    one partition's summary (if an item is ≤ φ·Nᵢ in EVERY partition, its
+    total is ≤ φ·N — so capacity ≥ den/num suffices; we default higher
+    for slack).  The bounded candidate set (≤ partitions × capacity) is
+    collected (broadcast-variable pattern), exactly counted in a second
+    scan filtered to candidates — a shuffle of candidate rows only — and
+    thresholded by integer cross-multiplication (cnt·den > num·N), so the
+    result is EXACT, engine-identical, and never shuffles cold keys.
+
+    Trade-off: two scans instead of one full-cardinality shuffle — the
+    right trade exactly when distinct(col) is large; for tiny key spaces
+    use the plain aggregate.
+    """
+    if capacity * phi_num < phi_den:
+        raise ValueError("capacity must be >= phi_den/phi_num for the MG guarantee")
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all; drop zeros (classic Misra-Gries step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    cand_rows = df.select(col).mapInPandas(
+        mg_partition, schema=df.select(col).schema
+    ).collect()  # bounded: <= partitions x capacity rows
+    candidates = list({r[0] for r in cand_rows})
+    n_total = df.count()
+    return (
+        df.where(F.col(col).isin(candidates))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * phi_den > phi_num * F.lit(n_total))
+    )
+
+
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_val, max_val) per column.
 

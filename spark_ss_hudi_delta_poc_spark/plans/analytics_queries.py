@@ -381,6 +381,28 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q89: Misra-Gries heavy hitters with exact verify -----------------------
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Event types with frequency > N/5 via the sketch-then-verify path:
+    per-partition Misra-Gries candidates (map-side, no shuffle of cold
+    keys), bounded candidate collect, exact count of candidates only,
+    integer cross-multiplied threshold.  The distribution sits ~N/5 per
+    type, so the φ boundary genuinely discriminates (some types pass,
+    some fail, varying with SF) — exactness of the verify step is what
+    the oracle checks."""
+    from ..operators.profiling import heavy_hitters
+
+    return heavy_hitters(load(spark, sf, "events"), "event_type", phi_num=1, phi_den=5)
+
+
+Q89_SQL = """
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) * 5 > (SELECT COUNT(*) FROM events)
+"""
+
+
 QUERIES = [
     Query(
         "q59_sliding_window",
@@ -695,5 +717,13 @@ QUERIES = [
         doc="bitwise OR/AND/XOR aggregates per group (bitmask set "
         "semantics) — codegen hash aggregate with map-side partials",
         tags=("analytics", "agg"),
+    ),
+    Query(
+        "q89_heavy_hitters",
+        q89,
+        Q89_SQL,
+        doc="exact φ-heavy hitters via per-partition Misra-Gries "
+        "candidates + exact verify — never shuffles cold keys",
+        tags=("analytics", "sketch", "agg"),
     ),
 ]

@@ -40,8 +40,9 @@ class Query:
 # the r3-row streaming set, and the shingle-consuming operators whose code
 # the round-5 n-gram rewrite touched (their fresh driver rows are that
 # change's regression gate).  Displaced to the in-repo gate (keeping their
-# r3-green driver rows): q24/q25/q26/q29/q30/q62 and the non-shingle
-# curation ops (pretokens, sampling, mixture, packing, exact dedup).
+# r3-green driver rows): q24/q25/q26/q29/q30/q62 and the ops that do NOT
+# consume the rewritten shingle builder (pretokens, sampling, mixture,
+# packing, exact dedup, tfidf, fingerprint).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never green: newly oracle-backed this round
     "q27_approx_distinct",
@@ -58,6 +59,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q87_min_price_supplier",
     "embedding_knn_graph",
     "text_rare_token_stats",
+    "q88_range_join",
+    "q89_heavy_hitters",
     # newest green row r2 (15): reference battery + oldest function queries
     "q01_count",
     "q02_group_count",
@@ -94,10 +97,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_contamination",
     "curation_repetition",
     "corpus_pipeline",
-    "text_fingerprint",
     "text_winnow_fingerprint",
     "corpus_ngram_stats",
-    "text_tfidf_keywords",
 )
 
 

@@ -169,6 +169,47 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q88: interval join via bin bucketing -----------------------------------
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Lineitems shipped inside each of 50 audit windows (order date + 3
+    days of the first 50 orders) — a pure range predicate, no equi key.
+
+    Catalyst would plan the bare BETWEEN join as BroadcastNestedLoopJoin;
+    operators/joins.py:range_join turns it into a bin equi-join (weekly
+    bins ~ window span) with the BETWEEN as residual — the banned shape
+    never appears (tests/test_plans.py audits it).  Aggregated per window
+    so output stays bounded while the join itself is exercised.
+    """
+    from ..operators.joins import range_join
+
+    windows = (
+        load(spark, sf, "orders")
+        .where(F.col("o_orderkey") < 50)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+        )
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_shipdate", money_e4(F.col("l_quantity")).alias("qty_e4")
+    )
+    matched = range_join(li, windows, "l_shipdate", "w_start", "w_end")
+    return matched.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum("qty_e4").alias("qty_sum_e4")
+    )
+
+
+Q88_SQL = """
+SELECT o_orderkey AS window_id, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS qty_sum_e4
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 3 DAY
+WHERE o_orderkey < 50
+GROUP BY o_orderkey
+"""
+
+
 QUERIES = [
     Query(
         "q13_join_revenue",
@@ -348,5 +389,13 @@ QUERIES = [
         doc="gaps-and-islands sessionization (30-min gap): lag → running "
         "sum → group — one shuffle on user_id",
         tags=("relational", "window", "session"),
+    ),
+    Query(
+        "q88_range_join",
+        q88,
+        Q88_SQL,
+        doc="interval join without an equi key: bin-bucketed equi-join + "
+        "residual BETWEEN (never a nested loop), aggregated per window",
+        tags=("relational", "join", "range"),
     ),
 ]

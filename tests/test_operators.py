@@ -409,3 +409,76 @@ def test_rare_token_stats_relative_threshold(spark):
     # cf: a=7, b=1; total=8, vocab=2 -> rare iff cf*4 < 8 -> only b
     assert out[1].n_tokens == 4 and out[1].n_rare_tokens == 0 and out[1].n_rare_kinds == 0
     assert out[2].n_tokens == 4 and out[2].n_rare_tokens == 1 and out[2].n_rare_kinds == 1
+
+
+def test_range_join_matches_naive_between(spark):
+    """Bin-bucketed interval join must equal the naive BETWEEN join —
+    including intervals spanning multiple bins, bin-boundary timestamps,
+    and inclusive endpoints."""
+    from datetime import datetime
+
+    from spark_ss_hudi_delta_poc_spark.operators.joins import range_join
+
+    iv = spark.createDataFrame(
+        [
+            (1, datetime(2020, 1, 1), datetime(2020, 1, 20)),   # spans 3 weekly bins
+            (2, datetime(2020, 1, 5), datetime(2020, 1, 5)),    # zero-length
+            (3, datetime(2020, 2, 1), datetime(2020, 2, 2)),
+        ],
+        ["window_id", "w_start", "w_end"],
+    )
+    pr = spark.createDataFrame(
+        [
+            (10, datetime(2020, 1, 1)),   # == start of 1 (inclusive)
+            (11, datetime(2020, 1, 5)),   # in 1, == both ends of 2
+            (12, datetime(2020, 1, 20)),  # == end of 1 (inclusive)
+            (13, datetime(2020, 1, 21)),  # just outside 1
+            (14, datetime(2020, 2, 2)),   # end of 3
+        ],
+        ["row_id", "ts"],
+    )
+    got = {
+        (r.row_id, r.window_id)
+        for r in range_join(pr, iv, "ts", "w_start", "w_end").collect()
+    }
+    naive = {
+        (r.row_id, r.window_id)
+        for r in pr.join(
+            iv, (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+        ).collect()
+    }
+    assert got == naive
+    assert (10, 1) in got and (11, 2) in got and (12, 1) in got and (13, 1) not in got
+
+
+def test_range_join_plans_equi_join_not_nested_loop(spark):
+    """The whole point of the bin trick: the physical plan must be a hash
+    or sort-merge equi-join on the bin, never BroadcastNestedLoopJoin."""
+    import contextlib
+    import io
+    from datetime import datetime
+
+    from spark_ss_hudi_delta_poc_spark.operators.joins import range_join
+
+    iv = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1), datetime(2020, 1, 3))], ["window_id", "w_start", "w_end"]
+    )
+    pr = spark.createDataFrame([(10, datetime(2020, 1, 2))], ["row_id", "ts"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(pr, iv, "ts", "w_start", "w_end").explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_heavy_hitters_exact_over_skewed_keys(spark):
+    """MG candidates + exact verify must return exactly the items above
+    phi*N, with exact counts, even with capacity far below the distinct
+    key count (the cold keys MG is designed to never shuffle)."""
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import heavy_hitters
+
+    # 60 x 'a', 25 x 'b', 15 singletons -> N=100; phi=1/5 -> threshold 20
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"cold{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(4)
+    got = {r.k: r.cnt for r in heavy_hitters(df, "k", phi_num=1, phi_den=5, capacity=8).collect()}
+    assert got == {"a": 60, "b": 25}

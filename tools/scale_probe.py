@@ -69,6 +69,16 @@ PROBE_OPS = [
     "q70_waiting_suppliers",
     "q73_disjunctive_join",
     "q76_bit_aggregates",
+    # round-5 additions: outer-join distribution, per-group-avg join-back,
+    # multi-join profit, argmin join-back, corpus-relative token stats.
+    # embedding_knn_graph is excluded by design like dedup_embedding_cosine:
+    # exact all-pairs is inherently quadratic; its scale path is bucketing
+    # first (lsh_neardup_pairs) and running the graph per bucket.
+    "q79_custorder_distribution",
+    "q81_small_qty_revenue",
+    "q83_product_profit",
+    "q87_min_price_supplier",
+    "text_rare_token_stats",
 ]
 
 
