@@ -74,11 +74,15 @@ def zvalue(col_a, col_b, bits: int = 16):
 
 def zvalue_sql(col_a: str, col_b: str, bits: int = 16) -> str:
     """The identical z-value as ANSI SQL (DuckDB-compatible) — one ORed
-    chain of shift/mask terms, for oracle parity with :func:`zvalue`."""
+    chain of shift/mask terms, for oracle parity with :func:`zvalue`.
+
+    Inputs are cast to BIGINT before shifting: an INT32-typed operand
+    would overflow at ``1 << 31`` (property-tested in
+    tests/test_properties.py)."""
     terms = []
     for i in range(bits):
-        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((CAST({col_a} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({col_b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " | ".join(terms) + " AS BIGINT)"
 
 

@@ -14,6 +14,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
 
+def _mg_update(counters: dict, values, capacity: int) -> dict:
+    """One Misra-Gries pass over ``values`` into ``counters`` (mutated and
+    returned).  Invariant: any item with frequency > n/capacity within the
+    processed stream survives in the counter set — property-tested in
+    tests/test_properties.py, independent of Spark."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            # decrement-all; drop zeros (classic Misra-Gries step)
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -48,20 +70,7 @@ def heavy_hitters(
     def mg_partition(batches):
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    # decrement-all; drop zeros (classic Misra-Gries step)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            _mg_update(counters, pdf[col], capacity)
         yield pd.DataFrame({col: list(counters.keys())})
 
     cand_rows = df.select(col).mapInPandas(

@@ -1,89 +1,99 @@
-"""Property-based tests (hypothesis) for the pure-Python kernels whose
-determinism the oracles depend on, plus CSV malformed-record handling."""
+"""Property-based tests (hypothesis) for the pure algorithmic kernels —
+no SparkSession needed, so hundreds of random cases run in milliseconds.
+These pin the mathematical invariants the distributed operators build on;
+the Spark-level equivalence tests live in test_operators.py.
+"""
 
 from __future__ import annotations
 
-import hashlib
-import json
-
+import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from spark_ss_hudi_delta_poc_spark.operators.multimodal import fake_decode
-from spark_ss_hudi_delta_poc_spark.operators.similarity import hyperplane
-from spark_ss_hudi_delta_poc_spark.sources.notification import _parse_message
+from spark_ss_hudi_delta_poc_spark.operators.partitioning import zvalue_sql
+from spark_ss_hudi_delta_poc_spark.operators.profiling import _mg_update
 
 
-@given(st.binary(min_size=0, max_size=200))
-def test_fake_decode_deterministic_and_bounded(payload):
-    a = fake_decode(payload)
-    b = fake_decode(payload)
-    assert a == b
-    byte_len, width, height, mean_px = a
-    assert byte_len == len(payload)
-    assert 32 <= width <= 1024 and 32 <= height <= 1024
-    assert 0.0 <= mean_px < 256.0
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=300),
+       st.integers(min_value=2, max_value=10))
+def test_misra_gries_never_loses_a_heavy_hitter(stream, capacity):
+    """The MG guarantee heavy_hitters relies on: any item with frequency
+    > n/capacity MUST survive in the counter set (the false-positive side
+    is allowed and handled by the exact verify pass)."""
+    counters = _mg_update({}, stream, capacity)
+    assert len(counters) <= capacity
+    n = len(stream)
+    for v in set(stream):
+        if stream.count(v) * capacity > n:
+            assert v in counters, f"heavy item {v} evicted"
 
 
-@given(st.text(min_size=0, max_size=100), st.integers(min_value=0, max_value=2**40))
-def test_parse_message_plain_roundtrip(path, ts):
-    msg = json.dumps({"path": path, "eventTime": ts})
-    assert _parse_message(msg) == (path, ts)
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=200),
+       st.integers(min_value=2, max_value=8),
+       st.integers(min_value=1, max_value=5))
+def test_misra_gries_split_streams_union_covers(stream, capacity, n_parts):
+    """The distributed argument: splitting the stream over partitions and
+    unioning per-partition MG survivors still covers every global heavy
+    hitter (pigeonhole: an item <= n_i/capacity in EVERY partition sums
+    to <= n/capacity globally)."""
+    n = len(stream)
+    chunk = max(1, n // n_parts)
+    parts = [stream[i : i + chunk] for i in range(0, n, chunk)]
+    union = set()
+    for p in parts:
+        union |= set(_mg_update({}, p, capacity))
+    for v in set(stream):
+        if stream.count(v) * capacity > n:
+            assert v in union
 
 
-@given(st.text(max_size=200))
-def test_parse_message_never_raises(garbage):
-    # malformed queue messages must parse to None, never throw
-    assert _parse_message(garbage) is None or isinstance(_parse_message(garbage), tuple)
+def _morton_ref(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
 
 
-@given(st.integers(min_value=0, max_value=63))
-@settings(max_examples=20)
-def test_hyperplane_components_bounded_and_stable(plane):
-    hp = hyperplane(plane)
-    assert len(hp) == 64
-    assert all(-1000 <= v <= 1000 for v in hp)
-    assert hp == hyperplane(plane)  # pure function of the seed
-    # matches the documented md5 derivation (what the SQL oracle embeds)
-    h0 = int(hashlib.md5(f"{plane}:0".encode()).hexdigest()[:15], 16)
-    assert hp[0] == h0 % 2001 - 1000
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**16 - 1),
+       st.integers(min_value=0, max_value=2**16 - 1))
+def test_zvalue_sql_matches_reference_interleave(a, b):
+    """The ANSI-SQL Morton interleave (the oracle side of q74) must equal
+    the bit-twiddling reference for any 16-bit pair."""
+    got = duckdb.sql(f"SELECT {zvalue_sql(str(a), str(b), 16)} AS z").fetchone()[0]
+    assert got == _morton_ref(a, b, 16)
 
 
-def test_csv_malformed_records_permissive_and_drop(spark, tmp_path):
-    """Ingestion robustness: PERMISSIVE keeps bad rows as nulls + corrupt
-    column; DROPMALFORMED silently drops them — both must be available for
-    dirty 100 TB corpora."""
-    import os
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=4))
+def test_shingle_semantics_match_oracle_ctes(texts, n):
+    """The pandas-UDF shingle builder's per-row closure semantics (split on
+    single spaces keeping empties, n-gram join by one space, distinct,
+    <n words -> empty) must equal the DuckDB CTE formulation the oracles
+    embed — checked WITHOUT Spark via the same DuckDB expression.
 
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
-
-    p = os.path.join(tmp_path, "dirty.csv")
-    with open(p, "w") as f:
-        f.write("id,qty\n1,10\nbad_row_no_comma\n3,notanumber\n4,40\n")
-    schema = StructType(
-        [
-            StructField("id", IntegerType()),
-            StructField("qty", IntegerType()),
-            StructField("_corrupt", StringType()),
-        ]
-    )
-    perm = (
-        spark.read.option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .schema(schema)
-        .csv(p)
-    )
-    rows = perm.collect()
-    assert len(rows) == 4
-    corrupt = [r for r in rows if r._corrupt is not None]
-    assert len(corrupt) == 2  # bad_row and notanumber
-    dropped = (
-        spark.read.option("header", "true")
-        .option("mode", "DROPMALFORMED")
-        .schema(StructType(schema.fields[:2]))
-        .csv(p)
-    )
-    # NB: count() alone would prune all columns and parse nothing — rows
-    # must be materialized for malformed detection to apply
-    assert len(dropped.collect()) == 2  # only clean rows survive
+    Compared as SETS: DuckDB's list_distinct does not preserve first-seen
+    order, and every shingle consumer (minhash min-agg, jaccard set ops,
+    exploded contamination grams) is order-free by construction — no
+    oracle emits the raw array."""
+    for t in texts:
+        # the documented reference semantics (functions/text.py:shingles)
+        w = t.split(" ")
+        m = len(w) - n + 1
+        want = list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(m))) if m > 0 else []
+        got = duckdb.sql(
+            """
+            WITH d AS (SELECT ? AS text),
+            w AS (SELECT string_split(text, ' ') AS w FROM d)
+            SELECT CASE WHEN len(w) - ? + 1 <= 0 THEN []
+                   ELSE list_distinct(list_transform(range(1, len(w) - ? + 2),
+                        i -> array_to_string(w[i : i + ? - 1], ' ')))
+                   END AS sh FROM w
+            """,
+            params=[t, n, n, n],
+        ).fetchone()[0]
+        assert set(got) == set(want) and len(got) == len(want), (t, n)
