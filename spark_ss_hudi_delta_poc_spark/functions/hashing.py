@@ -43,3 +43,45 @@ def md5_long_sql_duckdb(expr: str) -> str:
 
 def seeded_md5_long_sql_duckdb(expr: str, seed: int) -> str:
     return md5_long_sql_duckdb(f"'{seed}:' || CAST(({expr}) AS VARCHAR)")
+
+
+# --- affine universal-hash family over one base hash -------------------------
+#
+# MinHash needs K independent-ish hash functions per shingle.  K md5 calls per
+# shingle row made the signature stage the measured hot spot (~2.3 s of
+# dedup_minhash_lsh at sf0.1 = 260k shingles x 12 md5).  The standard fix is
+# one base hash + an affine family h_i(x) = (a_i*h(x) + b_i) mod p — every
+# h_i is then two codegen-friendly integer ops instead of an MD5, and DuckDB
+# reproduces the identical values from the same (a_i, b_i) literals.
+#
+# Bounds (so a_i*h + b_i never overflows signed 64-bit on either engine):
+#   base hash  h  < 2^48  (12 hex chars of md5)
+#   multiplier a_i < 2^14 → a_i*h < 2^62
+#   offset     b_i < 2^32 → sum < 2^62 + 2^32 < 2^63
+#   modulus    p = 2^61 - 1 (Mersenne prime)
+
+HEX_CHARS_BASE = 12  # 48-bit base hash
+AFFINE_PRIME = (1 << 61) - 1
+
+
+def md5_long48(col: Column | str) -> Column:
+    """48-bit non-negative BIGINT hash (affine-family base; cross-engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, HEX_CHARS_BASE), 16, 10).cast("long")
+
+
+def md5_long48_sql_duckdb(expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, {HEX_CHARS_BASE}))::BIGINT)"
+
+
+def affine_constants(k: int) -> list[tuple[int, int]]:
+    """K deterministic (a, b) pairs shared by the Spark plan and the oracle."""
+    import random
+
+    rnd = random.Random(0x5EED)
+    return [(rnd.randrange(1, 1 << 14), rnd.randrange(0, 1 << 32)) for _ in range(k)]
+
+
+def affine_hash(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod p as a BIGINT column (two integer ops, codegen path)."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(AFFINE_PRIME)

@@ -386,3 +386,42 @@ def c4_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         r_block.alias("r_blocklist"),
         (r_sentences & r_terminal & r_short & r_block).alias("keep"),
     )
+
+
+def model_quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality scoring with the hashing trick (the fastText-
+    classifier pass every large pretraining pipeline runs; CCNet/RefinedWeb
+    score documents with a linear model over hashed token features).
+
+    The model here is a linear scorer whose per-token weight is DERIVED
+    from the token's 60-bit hash — w(t) = (h(t) mod 2001) - 1000, i.e. a
+    deterministic stand-in weight in [-1000, 1000] standing for a trained
+    embedding row (a real deployment broadcasts a trained weight table and
+    joins/maps it; the Spark plumbing — map-side feature hashing, integer
+    partial aggregation, no Python in the loop — is identical).
+
+    Determinism by the registry's house rule: the per-document SUM runs
+    over exact integers (never floats), so aggregation order can't flip a
+    hash; the only float op is one final division.  Map-side: explode
+    tokens → hash → weight; one shuffle: groupBy doc with partial sums.
+
+    Returns (doc_id, n_tokens, raw_score, quality, keep) where
+    quality = raw_score / (1000 * n_tokens) in [-1, 1].
+    """
+    from ..functions.hashing import md5_long
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    weighted = toks.select("doc_id", ((md5_long(F.col("token")) % 2001) - 1000).alias("wt"))
+    agg = weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("wt").alias("raw_score")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "raw_score",
+        (F.col("raw_score").cast("double") / (F.col("n_tokens") * 1000).cast("double")).alias("quality"),
+        (F.col("raw_score") > 0).alias("keep"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
+from ..functions.hashing import affine_constants, affine_hash, md5_long, md5_long48
 from ..functions.text import shingles
 
 from .partitioning import spread as _spread
@@ -152,15 +152,18 @@ def ngram_containment_pairs(
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataFrame:
-    """(doc_id, m0..m{k-1}): K seeded min-hashes per document, wide form.
+    """(doc_id, m0..m{k-1}): K min-hashes per document, wide form.
 
-    Plan shape matters: explode shingles ONCE (not ×K seeds), evaluate all
-    K seeded hashes as columns of one codegen'd projection, then K `min`
-    aggregates in a single shuffle with map-side partials.  Row count
-    through the shuffle = |shingles|, each row ~8·K bytes.  (Two rejected
-    shapes: explode ×K multiplies shuffle rows by K; per-seed
-    array_min(transform(...)) leaves whole-stage codegen — higher-order
-    lambdas are interpreter-fallback — and measures ~10× slower.)
+    Plan shape matters: explode shingles ONCE (not ×K seeds), hash each
+    shingle ONCE (48-bit md5 base), derive all K family members as affine
+    transforms (a_i*h + b_i mod p — two integer ops each, one codegen'd
+    projection), then K `min` aggregates in a single shuffle with map-side
+    partials.  Row count through the shuffle = |shingles|, each row ~8·K
+    bytes.  (Three rejected shapes: explode ×K multiplies shuffle rows by
+    K; per-seed array_min(transform(...)) leaves whole-stage codegen —
+    higher-order lambdas are interpreter-fallback — and measures ~10×
+    slower; K prefix-seeded md5s per shingle made the signature stage the
+    operator's hot spot — 12 MessageDigest calls where two imuls suffice.)
     """
     return signatures_from_shingles(shingle_table(docs, n=n), k=k)
 
@@ -170,12 +173,18 @@ def signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     callers that also need the shingle table for verification (LSH pairs,
     incremental ingest) persist it once and feed both consumers, instead
     of running the shingle builder twice."""
-    hashed = sh.select(
+    return signatures_from_hashes(sh.select("doc_id", md5_long48("shingle").alias("h")), k=k)
+
+
+def signatures_from_hashes(shd: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Signatures over a pre-hashed (doc_id, h) shingle table — the LSH
+    pairs operator hashes its shingle table ONCE and shares the long-typed
+    result between this and the verification joins (8-byte join keys
+    instead of shingle strings through every shuffle)."""
+    consts = affine_constants(k)
+    hashed = shd.select(
         "doc_id",
-        *[
-            md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(k)
-        ],
+        *[affine_hash(F.col("h"), a, b).alias(f"h{i}") for i, (a, b) in enumerate(consts)],
     )
     return hashed.groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
 
@@ -200,64 +209,90 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     n: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidate generation + exact Jaccard verification.
 
-    Candidates = doc pairs sharing any band bucket; verification joins the
-    candidates back to the shingle table (candidate-driven — the exact
-    Jaccard join touches only candidate pairs, not all pairs).
+    Candidates = doc pairs sharing any band bucket, generated by ONE
+    shuffle — group buckets by (band, band_hash), emit the in-bucket pair
+    combinations (bucket populations are small by construction; a bucket
+    over ``max_bucket`` docs is dropped, the standard LSH mega-bucket
+    guard: B docs in one bucket means B²/2 candidates, and a population
+    that homogeneous is exact-dedup's job, not MinHash's — the oracle
+    applies the identical cap).  Verification joins the candidates back
+    to the hashed shingle table (candidate-driven — the exact Jaccard
+    join touches only candidate pairs, not all pairs).
     Returns (doc_id_a, doc_id_b, jaccard >= threshold).
 
-    The reused branches (buckets feeds both sides of the candidate
-    self-join, shingles feed three joins) are persisted only for the
-    duration of the call: the result is materialized via
-    ``localCheckpoint(eager=True)`` while the caches are hot, then the
-    caches are released in a ``finally`` — repeated invocations must not
-    strand MEMORY_AND_DISK entries in the session (round-4 leak).  At
-    production scale these branches would be checkpointed tables between
-    pipeline stages.
+    The shared branch (hashed shingles feed the signature path and three
+    verify joins) is persisted only for the duration of the call: the
+    result is materialized via ``localCheckpoint(eager=True)`` while the
+    cache is hot, then released in a ``finally`` — repeated invocations
+    must not strand MEMORY_AND_DISK entries in the session (round-4
+    leak).  At production scale this branch would be a checkpointed
+    table between pipeline stages.
     """
     from pyspark import StorageLevel
 
-    # persist the shingle table FIRST and derive signatures from it: the
-    # signature path and the verify path share one shingle build instead
-    # of running the (pandas UDF) builder twice over the corpus
-    sh = shingle_table(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = signatures_from_shingles(sh, k=k)
-    buckets = minhash_band_buckets(sigs, bands=bands, k=k).persist(StorageLevel.MEMORY_AND_DISK)
+    # hash the shingle table ONCE and persist the (doc_id, h) longs: the
+    # signature path and the verify path share one shingle build AND one
+    # md5 pass, and every downstream join/shuffle carries 8-byte keys
+    # instead of shingle strings (48-bit h; a within-pair collision would
+    # need ~2^24 shingles per doc, and the oracle hashes identically)
+    sh = shingle_table(docs, n=n).select("doc_id", md5_long48("shingle").alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
-        pairs = _minhash_pairs_plan(buckets, sh, threshold)
-        # materialize before releasing the input caches; the checkpointed
+        sigs = signatures_from_hashes(sh, k=k)
+        buckets = minhash_band_buckets(sigs, bands=bands, k=k)
+        pairs = _minhash_pairs_plan(buckets, sh, threshold, max_bucket=max_bucket)
+        # materialize before releasing the input cache; the checkpointed
         # RDD is owned by the returned DataFrame and reclaimed by the
         # ContextCleaner when it goes out of scope (unlike CacheManager
         # entries, which live until an explicit unpersist)
         return pairs.localCheckpoint(eager=True)
     finally:
-        buckets.unpersist()
         sh.unpersist()
 
 
-def _minhash_pairs_plan(buckets: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """The lazy interior plan of :func:`minhash_lsh_pairs` — banded-bucket
-    self-join candidates, candidate-driven exact Jaccard verify.  Kept
-    separate so tests/test_plans.py can pin its shape (the public
-    function returns an already-materialized checkpoint whose explain
-    shows only a scan)."""
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+def _minhash_pairs_plan(
+    buckets: DataFrame, sh: DataFrame, threshold: float, max_bucket: int = 1024
+) -> DataFrame:
+    """The lazy interior plan of :func:`minhash_lsh_pairs` — grouped-bucket
+    candidates, candidate-driven exact Jaccard verify over the pre-hashed
+    shingle table ``sh`` (doc_id, h).  Kept separate so tests/test_plans.py
+    can pin its shape (the public function returns an already-materialized
+    checkpoint whose explain shows only a scan).
+
+    Candidate generation is ONE shuffle on (band, band_hash) + an in-bucket
+    pair expansion, not a bucket self-join: grouping replaces the second
+    shuffle and the persist the join's two branches would need.  The pair
+    expansion is a higher-order-function lambda (interpreted, not codegen)
+    — acceptable exactly here because it runs on the post-aggregation rows
+    (one per non-singleton bucket, populations ≤ max_bucket), never on the
+    corpus-sized shingle or bucket tables."""
+    grouped = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    "  filter(transform(ids, (y, j) ->"
+                    "    IF(j > i, IF(x < y, struct(x AS a, y AS b), struct(y AS a, x AS b)), null)),"
+                    "  s -> s IS NOT NULL)))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("shingle").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("h").alias("sh_b"))
     inter = (
         cand.join(sa, "doc_id_a")
         .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
@@ -404,3 +439,72 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = SIMHASH_BITS) 
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 10,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level exact dedup (the RefinedWeb/CCNet pass): drop text
+    SEGMENTS that recur across documents, keep the documents.
+
+    Whole-document dedup misses boilerplate — headers, navigation, license
+    blocks — that repeats across otherwise-distinct pages.  The standard
+    pipeline pass splits each document into lines, hashes each line, and
+    removes lines whose document frequency exceeds a cap.  This corpus has
+    no newlines, so a "line" is a disjoint run of ``seg_words`` words —
+    same operator shape, parameterized granularity.
+
+    Plan: posexplode words (map-side) → one shuffle to assemble segments
+    per (doc, seg index) → segment df counts on a 60-bit segment hash →
+    broadcast ANTI-join against the (small) over-cap boilerplate set — the
+    corpus-sized segment table never shuffles again — → one shuffle to
+    reassemble kept text in segment order.  The only higher-order-function
+    lambdas run on post-aggregation arrays (≤ seg_words words, ≤ doc
+    segment count), never on corpus-sized rows.
+
+    Returns (doc_id, n_segments, n_kept, clean_text).
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    seg = (
+        w.groupBy("doc_id", F.floor(F.col("pos") / seg_words).alias("seg"))
+        .agg(F.collect_list(F.struct("pos", "word")).alias("pw"))
+        .select(
+            "doc_id",
+            "seg",
+            F.array_join(F.expr("transform(array_sort(pw), s -> s.word)"), " ").alias("segment"),
+        )
+        .select("doc_id", "seg", "segment", md5_long(F.col("segment")).alias("seg_hash"))
+    )
+    boilerplate = (
+        seg.groupBy("seg_hash")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("seg_hash")
+    )
+    kept = seg.join(F.broadcast(boilerplate), "seg_hash", "left_anti")
+    totals = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("seg", "segment")).alias("ss"))
+        .select(
+            "doc_id",
+            F.size("ss").alias("n_kept"),
+            F.array_join(F.expr("transform(array_sort(ss), s -> s.segment)"), " ").alias("clean_text"),
+        )
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

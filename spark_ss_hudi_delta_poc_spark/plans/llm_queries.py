@@ -354,13 +354,17 @@ def dedup_kept_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- oracle builders ---------------------------------------------------------
 def _minhash_oracle(k: int, bands: int, thr: float) -> str:
+    from ..functions.hashing import AFFINE_PRIME, affine_constants
+
     r = k // bands
+    seed_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(affine_constants(k)))
     return f"""
 WITH {WS_SH_CTE},
-seeds AS (SELECT unnest(range({k})) AS seed),
+base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
+seeds AS (SELECT * FROM (VALUES {seed_rows}) t(seed, a, b)),
 hashes AS (
-  SELECT doc_id, seed, {H.format(x="seed::VARCHAR || ':' || shingle")} AS h
-  FROM sh CROSS JOIN seeds
+  SELECT doc_id, seed, (a * h + b) % {AFFINE_PRIME} AS h
+  FROM base CROSS JOIN seeds
 ),
 sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed),
 bands AS (
@@ -368,17 +372,22 @@ bands AS (
          {H.format(x="string_agg(minhash::VARCHAR, ':' ORDER BY seed)")} AS band_hash
   FROM sigs GROUP BY doc_id, CAST(seed // {r} AS INTEGER)
 ),
+ok_buckets AS (
+  SELECT band, band_hash FROM bands
+  GROUP BY band, band_hash HAVING COUNT(*) BETWEEN 2 AND 1024
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN ok_buckets ob ON ob.band = a.band AND ob.band_hash = a.band_hash
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM base GROUP BY doc_id),
 inter AS (
   SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS i
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_id_a
-  JOIN sh b ON b.doc_id = c.doc_id_b AND a.shingle = b.shingle
+  JOIN base a ON a.doc_id = c.doc_id_a
+  JOIN base b ON b.doc_id = c.doc_id_b AND a.h = b.h
   GROUP BY c.doc_id_a, c.doc_id_b
 )
 SELECT doc_id_a, doc_id_b,

@@ -179,6 +179,9 @@ def test_minhash_interior_is_bucket_equijoin(spark):
     import contextlib
     import io
 
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import md5_long48
     from spark_ss_hudi_delta_poc_spark.operators.dedup import (
         _minhash_pairs_plan,
         minhash_band_buckets,
@@ -188,9 +191,8 @@ def test_minhash_interior_is_bucket_equijoin(spark):
     from spark_ss_hudi_delta_poc_spark.tables import load
 
     docs = load(spark, SF, "documents")
-    pairs = _minhash_pairs_plan(
-        minhash_band_buckets(minhash_signatures(docs)), shingle_table(docs), 0.5
-    )
+    shd = shingle_table(docs).select("doc_id", md5_long48("shingle").alias("h"))
+    pairs = _minhash_pairs_plan(minhash_band_buckets(minhash_signatures(docs)), shd, 0.5)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         pairs.explain("formatted")
