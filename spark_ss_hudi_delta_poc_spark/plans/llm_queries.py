@@ -317,6 +317,14 @@ def curation_c4_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.c4_rules(load(spark, sf, "documents"))
 
 
+def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.model_quality_filter(load(spark, sf, "documents"))
+
+
+def dedup_segments_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.segment_dedup(load(spark, sf, "documents"))
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
@@ -1266,5 +1274,61 @@ QUERIES = [
         """,
         doc="video frame-sampling plumbing: explode per sampled frame index",
         tags=("llm", "multimodal"),
+    ),
+    Query(
+        "dedup_segments",
+        dedup_segments_q,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        segl AS (
+          SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                   j -> array_to_string(w[j*10+1 : least((j+1)*10, len(w))], ' ')) AS segs
+          FROM ws
+        ),
+        seg AS (
+          SELECT doc_id, unnest(range(0, len(segs))) AS seg, unnest(segs) AS segment
+          FROM segl
+        ),
+        hashed AS (SELECT doc_id, seg, segment, {H.format(x="segment")} AS sh FROM seg),
+        boilerplate AS (
+          SELECT sh FROM hashed GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        kept AS (
+          SELECT doc_id, seg, segment FROM hashed
+          WHERE sh NOT IN (SELECT sh FROM boilerplate)
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_segments FROM hashed GROUP BY doc_id),
+        rebuilt AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(segment, ' ' ORDER BY seg) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_segments,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        doc="line-level exact dedup (RefinedWeb/CCNet boilerplate pass): drop "
+        "10-word segments recurring across docs, keep the documents; "
+        "broadcast anti-join against the small over-cap segment set",
+        tags=("llm", "dedup", "curation"),
+    ),
+    Query(
+        "curation_model_filter",
+        curation_model_filter_q,
+        f"""
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(({H.format(x="token")} % 2001) - 1000) AS BIGINT) AS raw_score,
+               CAST(SUM(({H.format(x="token")} % 2001) - 1000) AS DOUBLE)
+                 / CAST(COUNT(*) * 1000 AS DOUBLE) AS quality,
+               SUM(({H.format(x="token")} % 2001) - 1000) > 0 AS keep
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY doc_id
+        """,
+        doc="model-based quality scoring with the hashing trick (fastText-"
+        "style linear scorer, hash-derived stand-in weights): map-side "
+        "feature hash, exact-integer partial sums, one final division",
+        tags=("llm", "curation"),
     ),
 ]

@@ -482,3 +482,53 @@ def test_heavy_hitters_exact_over_skewed_keys(spark):
     df = spark.createDataFrame(rows, ["k"]).repartition(4)
     got = {r.k: r.cnt for r in heavy_hitters(df, "k", phi_num=1, phi_den=5, capacity=8).collect()}
     assert got == {"a": 60, "b": 25}
+
+
+def test_segment_dedup_removes_cross_doc_segments(spark):
+    # docs 1 and 2 share their first 10-word segment verbatim (boilerplate);
+    # every other segment is unique -> the shared segment is dropped from
+    # BOTH docs, unique tails survive, and a fully-unique doc is untouched.
+    boiler = " ".join(f"b{i}" for i in range(10))
+    tail1 = " ".join(f"x{i}" for i in range(10))
+    tail2 = " ".join(f"y{i}" for i in range(10))
+    uniq = " ".join(f"z{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} {tail1}"), (2, f"{boiler} {tail2}"), (3, uniq)],
+        ["doc_id", "text"],
+    )
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import segment_dedup
+
+    out = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    assert out[1].n_segments == 2 and out[1].n_kept == 1 and out[1].clean_text == tail1
+    assert out[2].n_segments == 2 and out[2].n_kept == 1 and out[2].clean_text == tail2
+    assert out[3].n_segments == 2 and out[3].n_kept == 2 and out[3].clean_text == uniq
+
+
+def test_segment_dedup_can_empty_a_document(spark):
+    # a doc that is ALL boilerplate comes back with empty clean_text, not
+    # a missing row (left join + coalesce path)
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, boiler), (2, boiler)], ["doc_id", "text"])
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import segment_dedup
+
+    out = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    assert set(out) == {1, 2}
+    assert all(r.n_kept == 0 and r.clean_text == "" for r in out.values())
+
+
+def test_model_quality_filter_is_deterministic_and_bounded(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import model_quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: r for r in model_quality_filter(docs).collect()}
+    b = {r.doc_id: r for r in model_quality_filter(docs).collect()}
+    assert a == b  # hash-derived weights: bit-identical across runs
+    assert a[1].n_tokens == 3 and a[3].n_tokens == 1
+    # repeated token => raw_score is exactly 3x the single-token weight
+    assert a[2].raw_score % 3 == 0
+    for r in a.values():
+        assert -1.0 <= r.quality <= 1.0
+        assert r.keep == (r.raw_score > 0)
