@@ -521,3 +521,70 @@ def lsh_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar-quantized cosine top-k: (query_id, neighbor_id,
+    cosine_q8, rank) — the memory-bound ANN scale path.
+
+    Production vector search rarely scans float32: symmetric int8 scalar
+    quantization (q_j = floor(x_j * 127 / max|x|)) cuts corpus bytes 4×
+    — at 100 TB of embeddings that is the difference between a scan that
+    fits page cache and one that doesn't — at a small, measurable recall
+    cost vs :func:`brute_force_topk` (the exact baseline to A/B against).
+
+    Same execution shape as brute_force_topk: broadcast queries, per-
+    partition int matmul, local top-k, one k-rows-per-query shuffle.
+    Determinism: quantized components are small integers, so every dot is
+    EXACT in float64; the per-vector scale and floor((x*127)/s) use the
+    same two correctly-rounded IEEE ops the DuckDB oracle evaluates.
+    Zero vectors (scale 0) are excluded on both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def quant8(mat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        s = np.abs(mat).max(axis=1)
+        ok = s > 0
+        q = np.floor((mat[ok] * 127.0) / s[ok][:, None])
+        return q, ok
+
+    q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_mat, q_ok = quant8(q_raw)
+    q_ids = q_ids[q_ok]
+    q_nsq = (q_mat * q_mat).sum(axis=1)
+
+    def per_partition(batches):
+        for pdf in batches:
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            c, ok = quant8(raw)
+            c_ids = c_ids[ok]
+            if len(c_ids) == 0:
+                continue
+            c_nsq = (c * c).sum(axis=1)
+            cos = (q_mat @ c.T) / np.sqrt(q_nsq[:, None] * c_nsq[None, :])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                mask = c_ids != q_ids[qi]
+                cand_n, cand_c = c_ids[mask], cos[qi][mask]
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine_q8": out_c})
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    local = corpus.mapInPandas(per_partition, schema="query_id long, neighbor_id long, cosine_q8 double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q8").desc(), F.col("neighbor_id").asc())
+    return local.select(
+        "query_id", "neighbor_id", "cosine_q8", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

@@ -246,6 +246,11 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
 
 
+def ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.quantized_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+
+
 KNN_K = 3
 
 
@@ -1330,5 +1335,36 @@ QUERIES = [
         "style linear scorer, hash-derived stand-in weights): map-side "
         "feature hash, exact-integer partial sums, one final division",
         tags=("llm", "curation"),
+    ),
+    Query(
+        "ann_quantized_topk",
+        ann_quantized,
+        f"""
+        WITH raw AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        ),
+        c AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor((x * 127.0) / scale)) AS qv
+          FROM raw WHERE scale > 0
+        ),
+        q AS (SELECT vec_id, qv FROM c WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv", b="c.qv")} AS cosine_q8
+          FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine_q8, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_q8 DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="int8 scalar-quantized cosine top-k (4x smaller corpus bytes — "
+        "the memory-bound ANN scale path); same broadcast-queries/"
+        "per-partition-matmul plan as the exact baseline",
+        tags=("llm", "similarity"),
     ),
 ]

@@ -532,3 +532,34 @@ def test_model_quality_filter_is_deterministic_and_bounded(spark):
     for r in a.values():
         assert -1.0 <= r.quality <= 1.0
         assert r.keep == (r.raw_score > 0)
+
+
+def test_quantized_topk_matches_exact_on_wellseparated_vectors(spark):
+    # clusters far apart: int8 quantization must preserve the exact top-1
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = emb.where("vec_id IN (0, 2)")
+    exact = {r.query_id: r.neighbor_id for r in brute_force_topk(emb, qs, k=1).collect()}
+    quant = {r.query_id: r.neighbor_id for r in quantized_topk(emb, qs, k=1).collect()}
+    assert quant == exact == {0: 1, 2: 3}
+
+
+def test_quantized_topk_drops_zero_vectors(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import quantized_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = quantized_topk(emb, emb.where("vec_id = 0"), k=5).collect()
+    assert {r.neighbor_id for r in out} == {1}  # zero vector excluded, self excluded
