@@ -52,15 +52,18 @@ HEADLINE = [
     "q67_stream_topk",
     # LLM-pipeline
     "dedup_exact",
+    "dedup_segments",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "corpus_pipeline",
     "curation_contamination",
     "curation_gopher_rules",
+    "curation_model_filter",
     "text_quality_score",
     "text_fingerprint",
     "text_bm25_search",

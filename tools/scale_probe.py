@@ -57,6 +57,12 @@ PROBE_OPS = [
     "text_quality_score",
     "text_fingerprint",
     "corpus_pipeline",
+    # round-5 additions: segment-level dedup (two corpus shuffles + one
+    # broadcast anti-join), hashed linear scorer (map + one shuffle),
+    # int8-quantized ANN (same broadcast/matmul shape as brute force)
+    "dedup_segments",
+    "curation_model_filter",
+    "ann_quantized_topk",
     # relational / join plans (replica-local keys: join output scales K×)
     "q13_join_revenue",
     "q14_broadcast_dims",
@@ -192,7 +198,8 @@ if __name__ == "__main__":
         replicate(SPARK, base, out, k)
     qs = all_queries()
     worst = 0.0
-    for op in PROBE_OPS:
+    ops = sys.argv[3:] or PROBE_OPS  # optional op subset for targeted re-probes
+    for op in ops:
         b = time_op(qs, op, base)
         s = time_op(qs, op, out)
         ratio = s / b if b > 0 else float("inf")
