@@ -97,3 +97,43 @@ def test_shingle_semantics_match_oracle_ctes(texts, n):
             params=[t, n, n, n],
         ).fetchone()[0]
         assert set(got) == set(want) and len(got) == len(want), (t, n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 48) - 1))
+def test_affine_family_stays_in_bigint_and_separates(h):
+    """The MinHash affine family's overflow-safety contract: for any
+    48-bit base hash, every a*h+b stays inside signed 64-bit BEFORE the
+    mod (what the Spark/DuckDB expressions actually compute), and the 12
+    family members of one input are not all equal (the family genuinely
+    perturbs)."""
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import (
+        AFFINE_PRIME,
+        affine_constants,
+    )
+
+    vals = []
+    for a, b in affine_constants(12):
+        raw = a * h + b
+        assert raw < (1 << 63)
+        vals.append(raw % AFFINE_PRIME)
+    # the family genuinely perturbs: 12 distinct (a, b) pairs can only
+    # all collide if the constants themselves coincided
+    assert len(set(vals)) >= 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=40
+    )
+)
+def test_segment_reassembly_is_identity_without_duplicates(words):
+    """Pure-python model of segment_dedup's split/rebuild algebra: joining
+    disjoint 10-word segments with single spaces reconstructs the exact
+    original text (the Spark operator relies on this to return unmodified
+    clean_text for boilerplate-free docs)."""
+    text = " ".join(words)
+    w = text.split(" ")
+    segs = [" ".join(w[i : i + 10]) for i in range(0, len(w), 10)]
+    assert " ".join(segs) == text
