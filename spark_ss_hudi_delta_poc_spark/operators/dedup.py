@@ -19,7 +19,7 @@ shuffle-minimal plans that survive 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import affine_constants, affine_hash, md5_long, md5_long48
@@ -507,4 +507,71 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def repeated_span_dedup(
+    docs: DataFrame,
+    span: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring dedup (the Lee et al. 2022 pass,
+    "Deduplicating Training Data Makes Language Models Better"): remove
+    every word position covered by a ``span``-word sequence that occurs
+    ``min_count``+ times ANYWHERE in the corpus (cross-doc or within-doc).
+
+    Unlike :func:`segment_dedup` (disjoint segments), this slides: any
+    repeated run is caught at every offset, and overlapping repeats merge
+    naturally through the covered-position union.  The reference paper
+    builds a corpus-global suffix array; the equivalent candidates-then-
+    cover Spark shape is:
+
+    1. posexplode words (map-side);
+    2. sliding shingles via ``span``-1 ``lead()`` columns over one window
+       sort per doc — whole-stage-codegen, ONE shuffle of the word table
+       (a suffix array would need a corpus-global sort; the fixed-span
+       formulation needs only per-doc locality, which is the standard
+       at-scale approximation);
+    3. repeated = shingle-hash groupBy HAVING count >= min_count — second
+       shuffle, on 8-byte keys;
+    4. occurrences semi-join repeated (hash-keyed), explode the ≤span
+       covered positions per occurrence (occurrences are the rare side);
+    5. kept = words anti-join covered; reassemble per doc.
+
+    Returns (doc_id, n_words, n_kept, clean_text).
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(win) for i in range(1, span)]
+    sl = (
+        w.select("doc_id", "pos", *[p.alias(f"w{i}") for i, p in enumerate(parts)])
+        .where(F.col(f"w{span - 1}").isNotNull())
+        .select("doc_id", "pos", md5_long(F.concat_ws(" ", *[f"w{i}" for i in range(span)])).alias("h"))
+    )
+    repeated = sl.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") >= min_count)
+    occ = sl.join(repeated.select("h"), "h", "left_semi")
+    covered = occ.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (span - 1))).alias("pos")
+    ).distinct()
+    kept = w.join(covered, ["doc_id", "pos"], "left_anti")
+    totals = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("pos", "word")).alias("pw"))
+        .select(
+            "doc_id",
+            F.size("pw").alias("n_kept"),
+            F.array_join(F.expr("transform(array_sort(pw), s -> s.word)"), " ").alias("clean_text"),
+        )
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -330,6 +330,10 @@ def dedup_segments_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.segment_dedup(load(spark, sf, "documents"))
 
 
+def dedup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.repeated_span_dedup(load(spark, sf, "documents"))
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
@@ -1366,5 +1370,51 @@ QUERIES = [
         "the memory-bound ANN scale path); same broadcast-queries/"
         "per-partition-matmul plan as the exact baseline",
         tags=("llm", "similarity"),
+    ),
+    Query(
+        "dedup_repeated_spans",
+        dedup_spans_q,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sll AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(w) - 8),
+                   i -> array_to_string(w[i : i + 9], ' ')) AS shingles_pos
+          FROM ws WHERE len(w) >= 10
+        ),
+        sl AS (
+          SELECT doc_id,
+                 unnest(range(0, len(shingles_pos))) AS pos,
+                 {H.format(x="unnest(shingles_pos)")} AS h
+          FROM sll
+        ),
+        repeated AS (SELECT h FROM sl GROUP BY h HAVING COUNT(*) >= 2),
+        occ AS (SELECT doc_id, pos FROM sl WHERE h IN (SELECT h FROM repeated)),
+        offs AS (SELECT unnest(range(0, 10)) AS d),
+        covered AS (SELECT DISTINCT doc_id, pos + d AS pos FROM occ CROSS JOIN offs),
+        wrd AS (
+          SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS word FROM ws
+        ),
+        kept AS (
+          SELECT wrd.doc_id, wrd.pos, wrd.word FROM wrd
+          LEFT JOIN covered c ON c.doc_id = wrd.doc_id AND c.pos = wrd.pos
+          WHERE c.doc_id IS NULL
+        ),
+        totals AS (SELECT doc_id, COUNT(*) AS n_words FROM wrd GROUP BY doc_id),
+        rebuilt AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_words,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        """,
+        doc="exact repeated-substring dedup (Lee et al. 2022): remove every "
+        "word position covered by a 10-word sequence occurring 2+ times "
+        "anywhere in the corpus; sliding shingles via lead() window, "
+        "hash-keyed repeat detection, covered-position anti-join",
+        tags=("llm", "dedup"),
     ),
 ]

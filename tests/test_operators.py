@@ -563,3 +563,30 @@ def test_quantized_topk_drops_zero_vectors(spark):
     )
     out = quantized_topk(emb, emb.where("vec_id = 0"), k=5).collect()
     assert {r.neighbor_id for r in out} == {1}  # zero vector excluded, self excluded
+
+
+def test_repeated_span_dedup_masks_shared_run_and_merges_overlaps(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import repeated_span_dedup
+
+    # docs 1 and 2 share an 11-word run -> two overlapping repeated
+    # 10-shingles whose covered positions merge into the full 11 words;
+    # doc 3 is unique and survives intact
+    run = " ".join(f"r{i}" for i in range(11))
+    pre1, post2 = "a b c", "x y z"
+    uniq = " ".join(f"u{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"{pre1} {run}"), (2, f"{run} {post2}"), (3, uniq)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in repeated_span_dedup(docs).collect()}
+    assert out[1].clean_text == pre1 and out[1].n_kept == 3 and out[1].n_words == 14
+    assert out[2].clean_text == post2 and out[2].n_kept == 3
+    assert out[3].clean_text == uniq and out[3].n_kept == 12
+
+
+def test_repeated_span_dedup_catches_within_doc_repeats(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import repeated_span_dedup
+
+    run = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, f"{run} mid {run}")], ["doc_id", "text"])
+    out = repeated_span_dedup(docs).collect()[0]
+    assert out.clean_text == "mid" and out.n_kept == 1 and out.n_words == 21
