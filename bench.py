@@ -53,6 +53,7 @@ HEADLINE = [
     # LLM-pipeline
     "dedup_exact",
     "dedup_segments",
+    "dedup_repeated_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",

@@ -61,6 +61,7 @@ PROBE_OPS = [
     # broadcast anti-join), hashed linear scorer (map + one shuffle),
     # int8-quantized ANN (same broadcast/matmul shape as brute force)
     "dedup_segments",
+    "dedup_repeated_spans",
     "curation_model_filter",
     "ann_quantized_topk",
     # relational / join plans (replica-local keys: join output scales K×)
