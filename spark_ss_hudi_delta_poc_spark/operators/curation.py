@@ -388,7 +388,12 @@ def c4_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def model_quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def model_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
     """Model-based quality scoring with the hashing trick (the fastText-
     classifier pass every large pretraining pipeline runs; CCNet/RefinedWeb
     score documents with a linear model over hashed token features).
@@ -407,6 +412,13 @@ def model_quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = 
 
     Returns (doc_id, n_tokens, raw_score, quality, keep) where
     quality = raw_score / (1000 * n_tokens) in [-1, 1].
+
+    Pass ``weights`` — a (token, weight_e3 BIGINT) DataFrame — to score
+    with TRAINED weights instead of the hash-derived stand-ins: the
+    weight table broadcasts (vocabularies are ~10^5-10^6 rows — small
+    side by definition), tokens left-join it map-side, and out-of-vocab
+    tokens fall back to the hash-derived weight.  Identical plan shape:
+    still zero extra shuffles.
     """
     from ..functions.hashing import md5_long
 
@@ -414,7 +426,12 @@ def model_quality_filter(docs: DataFrame, text_col: str = "text", id_col: str = 
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )
-    weighted = toks.select("doc_id", ((md5_long(F.col("token")) % 2001) - 1000).alias("wt"))
+    hash_wt = (md5_long(F.col("token")) % 2001) - 1000
+    if weights is not None:
+        toks = toks.join(F.broadcast(weights), "token", "left")
+        weighted = toks.select("doc_id", F.coalesce("weight_e3", hash_wt).alias("wt"))
+    else:
+        weighted = toks.select("doc_id", hash_wt.alias("wt"))
     agg = weighted.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("wt").alias("raw_score")
     )

@@ -590,3 +590,32 @@ def test_repeated_span_dedup_catches_within_doc_repeats(spark):
     docs = spark.createDataFrame([(1, f"{run} mid {run}")], ["doc_id", "text"])
     out = repeated_span_dedup(docs).collect()[0]
     assert out.clean_text == "mid" and out.n_kept == 1 and out.n_words == 21
+def test_model_quality_filter_trained_weights_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.curation import model_quality_filter
+
+    docs = spark.createDataFrame([(1, "good good bad"), (2, "meh")], ["doc_id", "text"])
+    w = spark.createDataFrame(
+        [("good", 500), ("bad", -2000), ("meh", -1)], ["token", "weight_e3"]
+    )
+    out = {r.doc_id: r for r in model_quality_filter(docs, weights=w).collect()}
+    assert out[1].raw_score == 500 + 500 - 2000 and out[1].keep is False
+    assert out[2].raw_score == -1
+    # the weight join must be a broadcast, not a shuffle
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        model_quality_filter(docs, weights=w).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_model_quality_filter_oov_falls_back_to_hash_weight(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import model_quality_filter
+
+    docs = spark.createDataFrame([(1, "unseen")], ["doc_id", "text"])
+    w_empty = spark.createDataFrame([("x", 0)], ["token", "weight_e3"]).where("token = 'nope'")
+    with_w = model_quality_filter(docs, weights=w_empty).collect()[0]
+    without = model_quality_filter(docs).collect()[0]
+    assert with_w.raw_score == without.raw_score
