@@ -575,3 +575,26 @@ def repeated_span_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def normalized_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-exact duplicate groups after text normalization (the Dolma /
+    Gopher "exact after canonicalization" pass): lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace — catching documents
+    that differ only in case, punctuation, or spacing, which raw
+    :func:`exact_dedup` treats as distinct.
+
+    Still a pure map stage + one 8-byte-key shuffle: normalization is
+    three codegen'd string expressions evaluated per row; the group key
+    is the 60-bit hash of the canonical form, never the text.
+
+    Returns (norm_hash, keep_doc_id, n_copies).
+    """
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")), " +", " "
+    )
+    return (
+        docs.select(md5_long(canon).alias("norm_hash"), F.col(id_col))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

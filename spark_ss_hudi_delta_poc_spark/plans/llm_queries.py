@@ -334,6 +334,10 @@ def dedup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.repeated_span_dedup(load(spark, sf, "documents"))
 
 
+def dedup_normalized_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.normalized_exact_dedup(load(spark, sf, "documents"))
+
+
 # --- multimodal --------------------------------------------------------------
 def mm_meta(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.media_table(load(spark, sf, "documents"))
@@ -1415,6 +1419,23 @@ QUERIES = [
         "word position covered by a 10-word sequence occurring 2+ times "
         "anywhere in the corpus; sliding shingles via lead() window, "
         "hash-keyed repeat detection, covered-position anti-join",
+        tags=("llm", "dedup"),
+    ),
+    Query(
+        "dedup_normalized",
+        dedup_normalized_q,
+        f"""
+        SELECT norm_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (
+          SELECT {H.format(x="regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')")} AS norm_hash,
+                 doc_id
+          FROM documents
+        )
+        GROUP BY norm_hash
+        """,
+        doc="near-exact dedup after canonicalization (lowercase, strip "
+        "punctuation, collapse whitespace — the Dolma/Gopher pass); still "
+        "map + one 8-byte-key shuffle",
         tags=("llm", "dedup"),
     ),
 ]

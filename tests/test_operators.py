@@ -619,3 +619,24 @@ def test_model_quality_filter_oov_falls_back_to_hash_weight(spark):
     with_w = model_quality_filter(docs, weights=w_empty).collect()[0]
     without = model_quality_filter(docs).collect()[0]
     assert with_w.raw_score == without.raw_score
+
+
+def test_normalized_exact_dedup_catches_case_punct_spacing_variants(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import (
+        exact_dedup,
+        normalized_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World"),
+            (2, "hello world!"),
+            (3, "hello   world"),
+            (4, "different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    raw = exact_dedup(docs).collect()
+    assert len(raw) == 4  # raw exact dedup sees 4 distinct texts
+    norm = {r.keep_doc_id: r.n_copies for r in normalized_exact_dedup(docs).collect()}
+    assert norm == {1: 3, 4: 1}  # canonicalization folds 1/2/3 together
