@@ -25,10 +25,27 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: StructType | None = None, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    merge_schema: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """S6 fixed-schema / S7 inferred (+mergeSchema) JSON batch read."""
-    reader = spark.read
+    """S6 fixed-schema / S7 inferred (+mergeSchema) JSON batch read.
+
+    Malformed-record policy mirrors the reference's malformed-message
+    handling in the notification source (SqsClient.scala's delete-on-
+    unparseable path, §2.9): ``mode`` is Spark's PERMISSIVE (null out bad
+    fields) / DROPMALFORMED (skip bad records) / FAILFAST; pass
+    ``corrupt_col`` (with an explicit ``schema`` that includes that
+    string column — Spark requires the column in the schema) to CAPTURE
+    each unparseable raw record for a quarantine sink instead of
+    silently nulling it.
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     if schema is not None:

@@ -229,3 +229,31 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         back.where(F.col("v") > 100).explain("formatted")
     p = buf.getvalue()
     assert "PushedFilters: [" in p and "GreaterThan(v,100)" in p
+
+
+def test_json_malformed_record_policies(spark, tmp_path):
+    """PERMISSIVE captures the raw bad record in the corrupt column;
+    DROPMALFORMED silently skips it; good rows parse either way."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from spark_ss_hudi_delta_poc_spark.sources.batch import read_json
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{"id": oops not json\n{"id": 2, "name": "fine"}\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    cap = read_json(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    try:
+        good = cap.where("_bad IS NULL")
+        bad = cap.where("_bad IS NOT NULL")
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        assert bad.count() == 1 and "oops" in bad.collect()[0]._bad
+    finally:
+        cap.unpersist()
+    dropped = read_json(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.select("id").collect()) == [1, 2]
