@@ -442,3 +442,56 @@ def model_quality_filter(
         (F.col("raw_score").cast("double") / (F.col("n_tokens") * 1000).cast("double")).alias("quality"),
         (F.col("raw_score") > 0).alias("keep"),
     )
+
+
+def rebalance_to_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Token-budget mixture rebalancing: given a total training-token
+    budget, derive a per-source Bernoulli keep-rate that gives every
+    source an EQUAL share of the budget (upweighting small sources to
+    rate 1.0, downsampling large ones), and apply it deterministically.
+
+    This is the pass that turns "we have 9 sources of wildly different
+    sizes" into "the training mix is balanced at N tokens": the standard
+    follow-up to :func:`source_mixture`'s diagnostic weights.
+
+    All rate math is exact integers (rate_e6 = floor(budget·1e6 /
+    (n_sources·source_tokens)), capped at 1e6) and the keep decision is
+    a 60-bit hash threshold on the document id — reproducible across
+    engines, runs, and partitionings, like sample_bernoulli.  Plan: one
+    map for token counts, one tiny per-source aggregate joined back as a
+    broadcast, zero shuffles of the corpus itself.
+
+    Returns (doc_id, source, n_tokens, rate_e6, keep).
+    """
+    from ..functions.hashing import md5_long
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("source"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    per_source = sized.groupBy("source").agg(F.sum("n_tokens").alias("source_tokens"))
+    n_sources = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
+    rates = per_source.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                (F.lit(budget_tokens).cast("long") * F.lit(1_000_000).cast("long"))
+                / (F.col("n_sources") * F.col("source_tokens"))
+            ).cast("long"),
+        ).alias("rate_e6"),
+    )
+    return sized.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "rate_e6",
+        ((md5_long(F.col("doc_id")) % 1_000_000) < F.col("rate_e6")).alias("keep"),
+    )

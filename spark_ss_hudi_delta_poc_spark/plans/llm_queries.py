@@ -326,6 +326,13 @@ def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.model_quality_filter(load(spark, sf, "documents"))
 
 
+REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
+
+
+def curation_rebalance_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.rebalance_to_budget(load(spark, sf, "documents"), budget_tokens=REBALANCE_BUDGET)
+
+
 def dedup_segments_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.segment_dedup(load(spark, sf, "documents"))
 
@@ -1437,5 +1444,34 @@ QUERIES = [
         "punctuation, collapse whitespace — the Dolma/Gopher pass); still "
         "map + one 8-byte-key shuffle",
         tags=("llm", "dedup"),
+    ),
+    Query(
+        "curation_rebalance",
+        curation_rebalance_q,
+        f"""
+        WITH sized AS (
+          SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        per_source AS (
+          SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+          FROM sized GROUP BY source
+        ),
+        n AS (SELECT COUNT(*) AS n_sources FROM per_source),
+        rates AS (
+          SELECT source,
+                 least(CAST(1000000 AS BIGINT),
+                       CAST(floor((CAST({REBALANCE_BUDGET} AS BIGINT) * 1000000)
+                            / (n.n_sources * source_tokens)) AS BIGINT)) AS rate_e6
+          FROM per_source CROSS JOIN n
+        )
+        SELECT s.doc_id, s.source, s.n_tokens, r.rate_e6,
+               ({H.format(x="CAST(s.doc_id AS VARCHAR)")} % 1000000) < r.rate_e6 AS keep
+        FROM sized s JOIN rates r ON r.source = s.source
+        """,
+        doc="token-budget mixture rebalancing: equal-share per-source "
+        "Bernoulli keep-rates from exact-integer rate math, hash-threshold "
+        "keep decision; corpus never shuffles (rates broadcast back)",
+        tags=("llm", "curation"),
     ),
 ]

@@ -200,3 +200,23 @@ def test_c4_rules_flags_synthetic_docs(spark):
     assert rows[3].has_blocklisted and not rows[3].keep
     assert rows[4].has_blocklisted and not rows[4].keep
     assert not rows[5].r_short_lines and not rows[5].keep  # 2 of 3 lines short
+
+
+def test_rebalance_to_budget_equalizes_sources(spark):
+    """A big source gets a sub-1.0 rate sized to its token mass; a tiny
+    source is kept whole (rate 1e6); rates are exact integers."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import rebalance_to_budget
+
+    rows = [(i, "big", "w " * 99 + "w") for i in range(100)]  # 100 docs x 100 tokens
+    rows += [(1000 + i, "small", "a b") for i in range(5)]  # 5 docs x 2 tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = rebalance_to_budget(docs, budget_tokens=1_000).collect()
+    rates = {r.source: r.rate_e6 for r in out}
+    # equal share = 500 tokens per source: big has 10_000 tokens -> 5%,
+    # small has 10 tokens -> capped at 100%
+    assert rates == {"big": 50_000, "small": 1_000_000}
+    assert all(r.keep for r in out if r.source == "small")
+    kept_big = sum(r.keep for r in out if r.source == "big")
+    assert 0 < kept_big < 30  # ~5 expected; hash-deterministic, loose bound
+    again = rebalance_to_budget(docs, budget_tokens=1_000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
