@@ -422,7 +422,7 @@ def model_quality_filter(
     """
     from ..functions.hashing import md5_long
 
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     )

@@ -468,7 +468,7 @@ def segment_dedup(
 
     Returns (doc_id, n_segments, n_kept, clean_text).
     """
-    w = docs.select(
+    w = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )
@@ -542,7 +542,7 @@ def repeated_span_dedup(
 
     Returns (doc_id, n_words, n_kept, clean_text).
     """
-    w = docs.select(
+    w = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )
