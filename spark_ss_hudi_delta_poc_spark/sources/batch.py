@@ -12,11 +12,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 def read_csv(
-    spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True, sep: str = ","
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S5 CSV batch read (DiskBasedTransformJob.scala:32-39); ``sep`` covers
-    the semicolon mutual-fund fixture (FIXTURES.md F6)."""
-    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    the semicolon mutual-fund fixture (FIXTURES.md F6).  ``mode`` /
+    ``corrupt_col`` give CSV the same malformed-record policy surface as
+    :func:`read_json` (capture requires an explicit schema containing the
+    corrupt string column)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:

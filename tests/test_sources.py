@@ -257,3 +257,32 @@ def test_json_malformed_record_policies(spark, tmp_path):
         cap.unpersist()
     dropped = read_json(spark, str(p), schema=schema, mode="DROPMALFORMED")
     assert sorted(r.id for r in dropped.select("id").collect()) == [1, 2]
+
+
+def test_csv_malformed_record_policies(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from spark_ss_hudi_delta_poc_spark.sources.batch import read_csv
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("qty", LongType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    cap = read_csv(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    try:
+        assert sorted(r.id for r in cap.where("_bad IS NULL").collect()) == [1, 3]
+        bad = cap.where("_bad IS NOT NULL").collect()
+        assert len(bad) == 1 and "notanumber" in bad[0]._bad
+    finally:
+        cap.unpersist()
+    # DROPMALFORMED needs a schema WITHOUT the corrupt column: a schema
+    # that includes it re-legitimizes bad rows (they parse "successfully"
+    # into the capture column), a documented Spark CSV subtlety
+    bare = StructType([StructField("id", LongType()), StructField("qty", LongType())])
+    dropped = read_csv(spark, str(p), schema=bare, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.select("id").collect()) == [1, 3]
