@@ -285,4 +285,9 @@ def test_csv_malformed_record_policies(spark, tmp_path):
     # into the capture column), a documented Spark CSV subtlety
     bare = StructType([StructField("id", LongType()), StructField("qty", LongType())])
     dropped = read_csv(spark, str(p), schema=bare, mode="DROPMALFORMED")
-    assert sorted(r.id for r in dropped.select("id").collect()) == [1, 3]
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+    # ...and CSV column pruning interacts with it: selecting only `id`
+    # means `qty` is never parsed, so its malformation is never DETECTED
+    # and the bad row comes back — the quirk that makes quarantine-by-
+    # capture (above) the reliable policy for audited pipelines
+    assert sorted(r.id for r in dropped.select("id").collect()) == [1, 2, 3]
