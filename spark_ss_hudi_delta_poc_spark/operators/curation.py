@@ -477,14 +477,18 @@ def rebalance_to_budget(
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
     per_source = sized.groupBy("source").agg(F.sum("n_tokens").alias("source_tokens"))
-    n_sources = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
-    rates = per_source.crossJoin(F.broadcast(n_sources)).select(
+    # n_sources via a global window over the already-aggregated per-source
+    # table (|sources| rows — free at any corpus size); a scalar
+    # cross-join would plan as BroadcastNestedLoopJoin, which the global
+    # plan audit bans outright
+    n_sources = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    rates = per_source.select(
         "source",
         F.least(
             F.lit(1_000_000).cast("long"),
             F.floor(
                 (F.lit(budget_tokens).cast("long") * F.lit(1_000_000).cast("long"))
-                / (F.col("n_sources") * F.col("source_tokens"))
+                / (n_sources * F.col("source_tokens"))
             ).cast("long"),
         ).alias("rate_e6"),
     )

@@ -502,6 +502,49 @@ def _lsh_bucket_sql(qv: str) -> str:
 
 EN_LIST = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
 
+GOPHER_ORACLE = r"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                      x -> regexp_matches(x, '^\s*([-*•]|\d+\.)\s'))) AS BIGINT) AS n_bullet_lines,
+                 CAST(len(list_filter(string_split(text, chr(10)),
+                      x -> regexp_matches(x, '\.\.\.\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                 CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_stop_types
+          FROM documents
+        )
+        SELECT *,
+               n_words >= 50 AND n_words <= 100000 AS r_word_count,
+               n_nonspace_chars >= 3 * n_words AND n_nonspace_chars <= 10 * n_words AS r_mean_word_len,
+               10 * n_symbols < n_words AS r_symbol_ratio,
+               10 * n_bullet_lines < 9 * n_lines AS r_bullet_ratio,
+               10 * n_ellipsis_lines < 3 * n_lines AS r_ellipsis_ratio,
+               10 * n_alpha_words > 8 * n_words AS r_alpha_ratio,
+               n_stop_types >= 2 AS r_stopwords,
+               (n_words >= 50 AND n_words <= 100000)
+               AND (n_nonspace_chars >= 3 * n_words AND n_nonspace_chars <= 10 * n_words)
+               AND (10 * n_symbols < n_words)
+               AND (10 * n_bullet_lines < 9 * n_lines)
+               AND (10 * n_ellipsis_lines < 3 * n_lines)
+               AND (10 * n_alpha_words > 8 * n_words)
+               AND (n_stop_types >= 2) AS keep
+        FROM feat
+        """
+
 QUERIES = [
     Query(
         "dedup_exact",
@@ -1204,48 +1247,7 @@ QUERIES = [
     Query(
         "curation_gopher_rules",
         curation_gopher_q,
-        r"""
-        WITH feat AS (
-          SELECT doc_id,
-                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-                 CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-                 CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars,
-                 CAST(length(text) - length(replace(text, '#', ''))
-                      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
-                 CAST(len(list_filter(string_split(text, chr(10)),
-                      x -> regexp_matches(x, '^\s*([-*•]|\d+\.)\s'))) AS BIGINT) AS n_bullet_lines,
-                 CAST(len(list_filter(string_split(text, chr(10)),
-                      x -> regexp_matches(x, '\.\.\.\s*$'))) AS BIGINT) AS n_ellipsis_lines,
-                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-                 CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END)
-                    + (CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_stop_types
-          FROM documents
-        )
-        SELECT *,
-               n_words >= 50 AND n_words <= 100000 AS r_word_count,
-               n_nonspace_chars >= 3 * n_words AND n_nonspace_chars <= 10 * n_words AS r_mean_word_len,
-               10 * n_symbols < n_words AS r_symbol_ratio,
-               10 * n_bullet_lines < 9 * n_lines AS r_bullet_ratio,
-               10 * n_ellipsis_lines < 3 * n_lines AS r_ellipsis_ratio,
-               10 * n_alpha_words > 8 * n_words AS r_alpha_ratio,
-               n_stop_types >= 2 AS r_stopwords,
-               (n_words >= 50 AND n_words <= 100000)
-               AND (n_nonspace_chars >= 3 * n_words AND n_nonspace_chars <= 10 * n_words)
-               AND (10 * n_symbols < n_words)
-               AND (10 * n_bullet_lines < 9 * n_lines)
-               AND (10 * n_ellipsis_lines < 3 * n_lines)
-               AND (10 * n_alpha_words > 8 * n_words)
-               AND (n_stop_types >= 2) AS keep
-        FROM feat
-        """,
+        GOPHER_ORACLE,
         doc="Gopher quality-filter battery (word count, mean word length, "
         "symbol/bullet/ellipsis ratios, alpha fraction, stopword types) — "
         "every ratio compared by integer cross-multiplication; map-only",

@@ -7,6 +7,7 @@ batch equivalence that replaces the reference's manual count reconciliation
 from __future__ import annotations
 
 from ..streaming.jobs import (
+    stream_curation_roundtrip,
     stream_dedup,
     stream_global_count,
     stream_materialized_latest,
@@ -18,9 +19,25 @@ from ..streaming.jobs import (
     stream_ttl_dedup,
     stream_windowed_agg,
 )
+from .llm_queries import GOPHER_ORACLE
 from .registry import Query
 
 QUERIES = [
+    Query(
+        "q90_stream_curation",
+        stream_curation_roundtrip,
+        f"""
+        WITH g AS ({GOPHER_ORACLE})
+        SELECT keep, COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS tot_words,
+               CAST(SUM(n_stop_types) AS BIGINT) AS tot_stop_types
+        FROM g GROUP BY keep
+        """,
+        doc="streaming corpus curation: Gopher quality battery per "
+        "micro-batch into a keep-partitioned sink; read-back summary == "
+        "batch filter (micro-batching cannot change a quality decision)",
+        tags=("streaming", "llm", "curation"),
+    ),
     Query(
         "q10_stream_global_agg",
         stream_global_count,

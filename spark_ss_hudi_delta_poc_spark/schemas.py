@@ -177,6 +177,15 @@ EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
 
 TESTDATA_TABLES = [
     "region",

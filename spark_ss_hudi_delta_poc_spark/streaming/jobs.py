@@ -435,3 +435,44 @@ def stream_running_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
         )
         q.awaitTermination()
     return finalize_topk(spark.table(table), group_col="event_type", k=k)
+
+
+def stream_curation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the LLM curation surface composed with Structured
+    Streaming — the shape a continuously-ingesting pretraining corpus
+    actually runs (crawl lands as files → quality-filter per micro-batch →
+    partitioned corpus sink).
+
+    `documents` streams in 3 micro-batches; the Gopher quality battery
+    (map-only, so it lifts to streaming unchanged — no watermark, no
+    state) runs per batch; results land in a keep-partitioned parquet
+    sink (K1's layout, partition pruning by keep-flag downstream); the
+    read-back summary per keep flag must equal the batch filter — i.e.
+    micro-batching the corpus cannot change any quality decision.
+    """
+    from ..operators.curation import gopher_rules
+    from ..schemas import DOCUMENTS_SCHEMA
+
+    work = _workdir("qcur")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    stream = read_file_stream(spark, staged, "parquet", DOCUMENTS_SCHEMA, max_files_per_trigger=1)
+    flags = gopher_rules(stream)
+    sink = os.path.join(work, "sink")
+    q = write_stream(
+        flags,
+        "parquet",
+        path=sink,
+        checkpoint=os.path.join(work, "ckpt"),
+        partition_by=["keep"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("tot_words"),
+            F.sum("n_stop_types").alias("tot_stop_types"),
+        )
+    )
