@@ -50,8 +50,10 @@ HEADLINE = [
     "q12_stream_roundtrip",
     "q19_stream_windowed_agg",
     "q67_stream_topk",
+    "q90_stream_curation",
     # LLM-pipeline
     "dedup_exact",
+    "dedup_normalized",
     "dedup_segments",
     "dedup_repeated_spans",
     "dedup_minhash_lsh",
@@ -65,6 +67,7 @@ HEADLINE = [
     "curation_contamination",
     "curation_gopher_rules",
     "curation_model_filter",
+    "curation_rebalance",
     "text_quality_score",
     "text_fingerprint",
     "text_bm25_search",

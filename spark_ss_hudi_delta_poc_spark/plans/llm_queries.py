@@ -258,6 +258,10 @@ def knn_graph_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_graph(load(spark, sf, "embeddings"), k=KNN_K)
 
 
+def knn_graph_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.knn_graph_bucketed(load(spark, sf, "embeddings"), k=KNN_K)
+
+
 def text_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.rare_token_stats(load(spark, sf, "documents"))
 
@@ -677,6 +681,27 @@ QUERIES = [
         doc="embedding near-dup via hyperplane-LSH bucket equi-join + exact "
         "in-bucket cosine — the sub-quadratic scale path (recall < 1)",
         tags=("llm", "dedup", "embedding", "lsh"),
+    ),
+    Query(
+        "embedding_knn_graph_lsh",
+        knn_graph_lsh_q,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cb AS (SELECT vec_id, qv, {_lsh_bucket_sql("qv")} AS bucket FROM c),
+        scored AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                 {COS.format(a="a.qv", b="b.qv")} AS cosine
+          FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT src_id, dst_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                        ORDER BY cosine DESC, dst_id ASC) AS rn FROM scored)
+        WHERE rn <= {KNN_K}
+        """,
+        doc="approximate corpus kNN graph: LSH-bucket first, exact cosine "
+        "graph per bucket (the documented sub-quadratic path of "
+        "embedding_knn_graph; SemDedup at 10^9 vectors runs this shape)",
+        tags=("llm", "similarity", "embedding", "graph", "lsh"),
     ),
     Query(
         "ann_bruteforce_topk",

@@ -640,3 +640,27 @@ def test_normalized_exact_dedup_catches_case_punct_spacing_variants(spark):
     assert len(raw) == 4  # raw exact dedup sees 4 distinct texts
     norm = {r.keep_doc_id: r.n_copies for r in normalized_exact_dedup(docs).collect()}
     assert norm == {1: 3, 4: 1}  # canonicalization folds 1/2/3 together
+
+
+def test_knn_graph_bucketed_subsets_exact_graph(spark):
+    """Bucketed kNN edges are a subset of the candidate space the exact
+    graph ranks over: every bucketed edge must connect same-bucket
+    vectors, carry the exact quantized cosine, and rank consistently."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_bucketed,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.vec_id, r.neighbor_id): r.cosine for r in knn_graph(emb, k=50).collect()}
+    bucketed = knn_graph_bucketed(emb, k=3).collect()
+    assert len(bucketed) > 0
+    for r in bucketed:
+        assert r.rank <= 3
+        # every bucketed edge's cosine equals the exact kernel's value
+        assert (r.src_id, r.dst_id) in exact
+        assert abs(exact[(r.src_id, r.dst_id)] - r.cosine) < 1e-12
