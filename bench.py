@@ -73,6 +73,7 @@ HEADLINE = [
     "text_bm25_search",
     "text_rare_token_stats",
     "embedding_knn_graph",
+    "embedding_knn_graph_lsh",
     "multimodal_meta",
 ]
 

@@ -64,6 +64,7 @@ PROBE_OPS = [
     "dedup_repeated_spans",
     "curation_model_filter",
     "ann_quantized_topk",
+    "embedding_knn_graph_lsh",
     # relational / join plans (replica-local keys: join output scales K×)
     "q13_join_revenue",
     "q14_broadcast_dims",
