@@ -499,3 +499,30 @@ def rebalance_to_budget(
         "rate_e6",
         ((md5_long(F.col("doc_id")) % 1_000_000) < F.col("rate_e6")).alias("keep"),
     )
+
+
+def decontaminated_corpus(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = CONTAMINATION_NGRAM,
+    threshold: float = CONTAMINATION_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal step that completes :func:`contamination_pairs`:
+    return the training corpus with every doc at-or-above the
+    contamination threshold against ANY eval doc removed.
+
+    The contaminated-id set is a tiny fraction of the corpus by
+    construction (it is bounded by |eval|×pairs-per-eval-doc), so the
+    removal is a broadcast ANTI-join — the training corpus is scanned,
+    never shuffled.  Returns the kept docs (doc_id + passthrough
+    columns minus the text payload: id, lang, source).
+    """
+    contaminated = (
+        contamination_pairs(train_docs, eval_docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col)
+        .select(F.col("doc_id"))
+        .distinct()
+    )
+    keep_cols = [c for c in train_docs.columns if c != text_col]
+    return train_docs.join(F.broadcast(contaminated), "doc_id", "left_anti").select(*keep_cols)

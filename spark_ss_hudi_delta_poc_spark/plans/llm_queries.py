@@ -294,6 +294,13 @@ def curation_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.contamination_pairs(train, ev)
 
 
+def curation_decontaminated_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % curation.EVAL_MODULUS != 0)
+    ev = docs.where(F.col("doc_id") % curation.EVAL_MODULUS == 0)
+    return curation.decontaminated_corpus(train, ev)
+
+
 def curation_sample_bernoulli_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.sample_bernoulli(load(spark, sf, "documents"), SAMPLE_FRACTION)
 
@@ -1152,6 +1159,38 @@ QUERIES = [
         """,
         doc="benchmark-contamination check: 3-gram overlap of training docs "
         "vs the held-out eval split (doc_id % 97 == 0), broadcast eval index",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_decontaminated",
+        curation_decontaminated_q,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+          FROM ws WHERE len(w) >= 3
+        ),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} <> 0),
+        ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} = 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM tr GROUP BY doc_id),
+        ov AS (
+          SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
+          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id, ev.eval_doc_id
+        ),
+        bad AS (
+          SELECT DISTINCT ov.doc_id FROM ov JOIN sizes s ON s.doc_id = ov.doc_id
+          WHERE CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE)
+                >= {curation.CONTAMINATION_THRESHOLD}
+        )
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % {curation.EVAL_MODULUS} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        doc="the removal step after contamination detection: broadcast "
+        "anti-join of the (tiny) contaminated-id set against the training "
+        "corpus — scanned, never shuffled",
         tags=("llm", "curation"),
     ),
     Query(

@@ -220,3 +220,23 @@ def test_rebalance_to_budget_equalizes_sources(spark):
     assert 0 < kept_big < 30  # ~5 expected; hash-deterministic, loose bound
     again = rebalance_to_budget(docs, budget_tokens=1_000).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_decontaminated_corpus_removes_flagged_docs_only(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import (
+        contamination_pairs,
+        decontaminated_corpus,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    clean = " ".join(f"c{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, shared, "en", "web"), (2, clean, "en", "web")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    ev = spark.createDataFrame([(100, shared, "en", "eval")], ["doc_id", "text", "lang", "source"])
+    flagged = {r.doc_id for r in contamination_pairs(train, ev).collect()}
+    kept = decontaminated_corpus(train, ev)
+    assert flagged == {1}
+    assert [r.doc_id for r in kept.collect()] == [2]
+    assert "text" not in kept.columns  # payload dropped from the keep-list
