@@ -10,9 +10,10 @@ shuffle-minimal plans that survive 100 TB:
              classic inverted-index plan; optional document-frequency cap
              drops stop-shingles, which is what bounds the join fanout at
              scale;
-- MinHash+LSH: K seeded min-hashes → banded bucket hashes → candidates join
-             only within buckets → exact Jaccard verification on candidates
-             (LSH is candidate GENERATION, never the final answer);
+- MinHash+LSH: K affine-family min-hashes over one 48-bit base hash →
+             banded bucket hashes → candidates generated within buckets →
+             exact Jaccard verification on candidates (LSH is candidate
+             GENERATION, never the final answer);
 - SimHash:   60 partial-agg bit sums → one fingerprint per doc, single
              shuffle, constant state per group.
 """
