@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_quantized_topk",
     "corpus_pipeline",
     "curation_contamination",
+    "curation_decontaminated",
     "curation_gopher_rules",
     "curation_model_filter",
     "curation_rebalance",
