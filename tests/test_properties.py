@@ -137,3 +137,39 @@ def test_segment_reassembly_is_identity_without_duplicates(words):
     w = text.split(" ")
     segs = [" ".join(w[i : i + 10]) for i in range(0, len(w), 10)]
     assert " ".join(segs) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="aB 1!.x-", max_size=60))
+def test_normalization_is_idempotent(text):
+    """dedup_normalized's canonical form is a fixpoint: canonicalizing an
+    already-canonical string changes nothing (so re-running the pass over
+    a cleaned corpus is a no-op, and the DuckDB mirror agrees by
+    construction)."""
+    import re
+
+    def canon(t):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    assert canon(canon(text)) == canon(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**7),  # budget
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12),
+)
+def test_rebalance_rate_algebra(budget, source_sizes):
+    """curation_rebalance's integer rate math: every rate is in (0, 1e6],
+    and the expected kept tokens per source never exceed its equal share
+    of the budget (small sources saturate at rate 1.0 instead)."""
+    import math
+
+    n = len(source_sizes)
+    for st_tokens in source_sizes:
+        rate = min(1_000_000, math.floor((budget * 1_000_000) / (n * st_tokens)))
+        assert 0 <= rate <= 1_000_000
+        expected_kept = st_tokens * rate / 1_000_000
+        assert expected_kept <= budget / n + 1e-6 or rate == 1_000_000
+        if rate == 1_000_000:
+            assert st_tokens * n <= budget or (budget * 1_000_000) // (n * st_tokens) >= 1_000_000
