@@ -7,6 +7,7 @@ batch equivalence that replaces the reference's manual count reconciliation
 from __future__ import annotations
 
 from ..streaming.jobs import (
+    stream_ann_serving,
     stream_curation_roundtrip,
     stream_dedup,
     stream_global_count,
@@ -37,6 +38,32 @@ QUERIES = [
         "micro-batch into a keep-partitioned sink; read-back summary == "
         "batch filter (micro-batching cannot change a quality decision)",
         tags=("streaming", "llm", "curation"),
+    ),
+    Query(
+        "q91_stream_ann_serving",
+        stream_ann_serving,
+        """
+        WITH c AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                 FROM embeddings),
+        q AS (SELECT vec_id, qv FROM c WHERE vec_id < 20),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.qv::DOUBLE[], c.qv::DOUBLE[]) /
+                 sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) *
+                      list_dot_product(c.qv::DOUBLE[], c.qv::DOUBLE[])) AS cosine
+          FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= 5
+        """,
+        doc="online similarity serving: query vectors stream in, each "
+        "micro-batch answered exactly against the static corpus "
+        "(foreachBatch stream-static); unioned answer log == one-shot "
+        "batch top-k over the same queries",
+        tags=("streaming", "llm", "similarity"),
     ),
     Query(
         "q10_stream_global_agg",

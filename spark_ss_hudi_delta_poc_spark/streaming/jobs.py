@@ -476,3 +476,59 @@ def stream_curation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_stop_types").alias("tot_stop_types"),
         )
     )
+
+
+def stream_ann_serving(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_max_id: int = 20
+) -> DataFrame:
+    """Beyond-reference: online similarity serving — a STREAM of query
+    vectors answered per micro-batch against the static corpus (the
+    lookup-service shape: embeddings index stays resident, queries
+    arrive continuously).
+
+    Implementation is the foreachBatch stream-static pattern (K7): each
+    micro-batch of queries runs the exact brute-force top-k (broadcast
+    queries, per-partition matmul over the corpus) and appends its
+    answers to a parquet result log.  Per-query top-k is independent of
+    how queries were batched, so the unioned log must equal the one-shot
+    batch answer over the same query set — which is exactly what the
+    oracle checks.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.similarity import brute_force_topk
+
+    emb_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    corpus = load(spark, sf_dir, "embeddings")
+    work = _workdir("qann")
+    queries = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < query_max_id)
+    staged = stage_as_files(queries, work, n_files=3)
+    stream = read_file_stream(spark, staged, "parquet", emb_schema, max_files_per_trigger=1)
+    out_dir = os.path.join(work, "answers")
+
+    def per_batch(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        brute_force_topk(corpus, batch_df, k=k).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
