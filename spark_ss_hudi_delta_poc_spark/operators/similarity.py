@@ -171,6 +171,51 @@ def lsh_topk(
     )
 
 
+def _collect_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """Bounded centroid collect (n_centroids rows — the broadcast-variable
+    pattern, not a corpus collect); deterministic first-N choice so the
+    oracle reproduces the exact assignment."""
+    import numpy as np
+
+    cent_rows = (
+        embeddings.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("qv_cent"))
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r.cid)
+    cent_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r.qv_cent for r in cent_rows], dtype=np.float64)
+    return cent_ids, cent_mat
+
+
+def _assign_clusters(
+    df: DataFrame, cent_ids, cent_mat, out_id: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure map stage (mapInPandas, no
+    join, no shuffle): exact integer products in float64 → bit-identical
+    to the oracle's list_dot_product; argmax tie-breaks (cosine desc,
+    cid asc) == ROW_NUMBER() ORDER BY cos DESC, cid ASC."""
+    import numpy as np
+    import pandas as pd
+
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+
+    def per_batch(batches):
+        for pdf in batches:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+            v_nsq = (v * v).sum(axis=1)
+            cos = (v @ cent_mat.T) / np.sqrt(v_nsq[:, None] * cent_nsq[None, :])
+            best = np.array(
+                [cent_ids[np.lexsort((cent_ids, -row))[0]] for row in cos],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame({out_id: pdf["id"], "qv": pdf["qv"], "cluster": best})
+
+    return df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
+        per_batch, schema=f"{out_id} long, qv array<long>, cluster long"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -198,37 +243,10 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        embeddings.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("qv_cent"))
-        .collect()  # bounded: n_centroids rows, the broadcast-var pattern
-    )
-    cent_rows.sort(key=lambda r: r.cid)
-    cent_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
-    cent_mat = np.array([r.qv_cent for r in cent_rows], dtype=np.float64)
-    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
 
     def assign(df: DataFrame, out_id: str) -> DataFrame:
-        def per_batch(batches):
-            for pdf in batches:
-                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
-                v_nsq = (v * v).sum(axis=1)
-                # exact integer products in float64 → bit-identical to the
-                # oracle's list_dot_product; one sqrt rounding
-                cos = (v @ cent_mat.T) / np.sqrt(v_nsq[:, None] * cent_nsq[None, :])
-                # argmax with (cosine desc, cid asc) tie-break == the
-                # oracle's ROW_NUMBER() ORDER BY cos DESC, cid ASC
-                best = np.array(
-                    [cent_ids[np.lexsort((cent_ids, -row))[0]] for row in cos],
-                    dtype=np.int64,
-                )
-                yield pd.DataFrame(
-                    {out_id: pdf["id"], "qv": pdf["qv"], "cluster": best}
-                )
-
-        return df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
-            per_batch, schema=f"{out_id} long, qv array<long>, cluster long"
-        )
+        return _assign_clusters(df, cent_ids, cent_mat, out_id, id_col, vec_col)
 
     corpus = assign(embeddings, "neighbor_id")
     qs = assign(queries, "query_id").select(
@@ -640,5 +658,92 @@ def knn_graph_bucketed(
     ).select(F.col("a.id").alias("src_id"), F.col("b.id").alias("dst_id"), cos.alias("cosine"))
     w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id").asc())
     return scored.select("src_id", "dst_id", "cosine", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= k
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: centroids parquet + the corpus
+    assigned to inverted lists, PARTITIONED BY cluster — build once,
+    query many (the production vector-search lifecycle, vs
+    :func:`ivf_topk`'s inline single-shot).  Cluster-partitioned layout
+    means a query that probes ``nprobe`` lists scans exactly those
+    directories — partition pruning does the "inverted" part of IVF at
+    the storage layer, so probe cost is corpus_bytes·nprobe/n_centroids
+    no matter how large the corpus grows.
+    """
+    import os
+
+    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    (
+        embeddings.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("qv_cent"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    (
+        _assign_clusters(embeddings, cent_ids, cent_mat, "neighbor_id", id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`build_ivf_index`) with
+    multi-list probing: each query scores against its ``nprobe``
+    nearest centroids' lists (higher recall than nprobe=1 at
+    proportionally higher scan cost — the standard IVF quality knob).
+
+    Plan: centroids load is bounded (n_centroids rows); query-side
+    assignment happens driver-side over the (small by contract) query
+    set; the lists scan carries a ``cluster IN (...)`` filter that
+    prunes to exactly the probed partitions; the (query, cluster) pairs
+    broadcast into the scored join.  The corpus is never shuffled and
+    only probed lists are read.
+    """
+    import os
+
+    import numpy as np
+
+    cent_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    cent_rows.sort(key=lambda r: r.cid)
+    cent_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r.qv_cent for r in cent_rows], dtype=np.float64)
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+
+    q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
+    probe_pairs = []  # (query_id, cluster, qv)
+    for r in q_rows:
+        v = np.asarray(r.qv, dtype=np.float64)
+        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
+        order = np.lexsort((cent_ids, -cos))[:nprobe]
+        for c in cent_ids[order]:
+            probe_pairs.append((int(r.id), int(c), list(r.qv)))
+    probed = sorted({c for _, c, _ in probe_pairs})
+
+    lists = spark.read.parquet(os.path.join(path, "lists")).where(F.col("cluster").isin(probed))
+    qdf = spark.createDataFrame(probe_pairs, "query_id long, cluster long, qv_q array<long>")
+    scored = (
+        lists.join(F.broadcast(qdf), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
         F.col("rank") <= k
     )

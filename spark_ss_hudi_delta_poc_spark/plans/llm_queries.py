@@ -246,6 +246,17 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
 
 
+def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    emb = load(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.build_ivf_index(emb, path)
+    return similarity.ivf_index_topk(
+        spark, path, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K, nprobe=2
+    )
+
+
 def ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.quantized_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
@@ -1447,6 +1458,44 @@ QUERIES = [
         "the memory-bound ANN scale path); same broadcast-queries/"
         "per-partition-matmul plan as the exact baseline",
         tags=("llm", "similarity"),
+    ),
+    Query(
+        "ann_ivf_index_topk",
+        ann_ivf_index,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cent AS (SELECT vec_id AS cid, qv AS cqv FROM c WHERE vec_id < 16),
+        ca AS (
+          SELECT vec_id, qv, cid AS cluster FROM (
+            SELECT c.vec_id, c.qv, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY {COS.format(a="c.qv", b="cent.cqv")} DESC, cent.cid ASC) AS rn
+            FROM c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, qv FROM c WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        qa AS (
+          SELECT query_id, qv, cid AS cluster FROM (
+            SELECT q.query_id, q.qv, cent.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {COS.format(a="q.qv", b="cent.cqv")} DESC, cent.cid ASC) AS rn
+            FROM q CROSS JOIN cent
+          ) WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT qa.query_id, ca.vec_id AS neighbor_id,
+                 {COS.format(a="qa.qv", b="ca.qv")} AS cosine
+          FROM qa JOIN ca ON ca.cluster = qa.cluster AND ca.vec_id <> qa.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="persisted IVF index: build once (centroids + cluster-"
+        "partitioned inverted lists), query many with nprobe=2 — the "
+        "lists scan prunes to exactly the probed partitions",
+        tags=("llm", "similarity", "index"),
     ),
     Query(
         "dedup_repeated_spans",
