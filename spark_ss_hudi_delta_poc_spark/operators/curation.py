@@ -526,3 +526,59 @@ def decontaminated_corpus(
     )
     keep_cols = [c for c in train_docs.columns if c != text_col]
     return train_docs.join(F.broadcast(contaminated), "doc_id", "left_anti").select(*keep_cols)
+
+
+def export_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 4096,
+    n_buckets: int = 8,
+    salt: str = "e0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The terminal pipeline step: write the curated corpus as
+    size-balanced training shards + return the manifest.
+
+    Shard assignment reuses :func:`pack_sequences`' bucketed-cumsum
+    shape (n_buckets parallel packing streams in deterministic salted-
+    hash order; one window shuffle, state bounded per bucket), with the
+    budget at shard granularity: a doc belongs to the shard containing
+    its start offset.  The corpus lands under ``path``/data partitioned
+    by (bucket, shard) — a trainer reads one directory per shard — and
+    the returned manifest (bucket, shard, n_docs, n_tokens) is what a
+    data loader uses to plan epochs without listing files.
+    """
+    tok = F.size(words(F.col(text_col))).cast("long")
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        tok.alias("n_tokens"),
+        h.alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_ok").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    sharded = t.select(
+        "doc_id",
+        "text",
+        "bucket",
+        "n_tokens",
+        F.floor(start / F.lit(shard_tokens)).cast("long").alias("shard"),
+    )
+    import os
+
+    sharded.write.mode("overwrite").partitionBy("bucket", "shard").parquet(
+        os.path.join(path, "data")
+    )
+    manifest = (
+        sharded.groupBy("bucket", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
+    return manifest

@@ -351,6 +351,14 @@ def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
 
 
+def curation_export_q(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    return curation.export_shards(
+        load(spark, sf, "documents"), tempfile.mkdtemp(prefix="shards_")
+    )
+
+
 def curation_rebalance_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.rebalance_to_budget(load(spark, sf, "documents"), budget_tokens=REBALANCE_BUDGET)
 
@@ -1588,5 +1596,33 @@ QUERIES = [
         "Bernoulli keep-rates from exact-integer rate math, hash-threshold "
         "keep decision; corpus never shuffles (rates broadcast back)",
         tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_export_shards",
+        curation_export_q,
+        f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS bucket,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 {H.format(x="'e0:' || CAST(doc_id AS VARCHAR)")} AS ok
+          FROM documents
+        ),
+        s AS (
+          SELECT bucket,
+                 CAST((SUM(n_tokens) OVER (PARTITION BY bucket
+                        ORDER BY ok ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // 4096 AS BIGINT) AS shard,
+                 n_tokens
+          FROM t
+        )
+        SELECT bucket, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM s GROUP BY bucket, shard
+        """,
+        doc="terminal export step: size-balanced training shards via the "
+        "bucketed-cumsum packing shape, corpus written partitioned by "
+        "(bucket, shard), manifest returned for epoch planning",
+        tags=("llm", "curation", "export"),
     ),
 ]

@@ -240,3 +240,26 @@ def test_decontaminated_corpus_removes_flagged_docs_only(spark):
     assert flagged == {1}
     assert [r.doc_id for r in kept.collect()] == [2]
     assert "text" not in kept.columns  # payload dropped from the keep-list
+
+
+def test_export_shards_layout_and_manifest(spark, tmp_path):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import export_shards
+
+    rows = [(i, " ".join(f"w{j}" for j in range(20))) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    manifest = {(r.bucket, r.shard): r for r in export_shards(docs, path, shard_tokens=60, n_buckets=2).collect()}
+    # manifest totals cover every doc/token exactly once
+    assert sum(r.n_docs for r in manifest.values()) == 40
+    assert sum(r.n_tokens for r in manifest.values()) == 40 * 20
+    # written data agrees with the manifest and the partition layout exists
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == 40
+    got = {
+        (r.bucket, r.shard, r.n_docs)
+        for r in back.groupBy("bucket", "shard").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    }
+    assert got == {(b, s, r.n_docs) for (b, s), r in manifest.items()}
+    # shards are token-bounded: a doc belongs to the shard of its START
+    # offset, so shard token mass < shard_tokens + one max doc
+    assert all(r.n_tokens <= 60 + 20 for r in manifest.values())
