@@ -51,6 +51,7 @@ HEADLINE = [
     "q19_stream_windowed_agg",
     "q67_stream_topk",
     "q90_stream_curation",
+    "q91_stream_ann_serving",
     # LLM-pipeline
     "dedup_exact",
     "dedup_normalized",
@@ -63,12 +64,14 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized_topk",
+    "ann_ivf_index_topk",
     "corpus_pipeline",
     "curation_contamination",
     "curation_decontaminated",
     "curation_gopher_rules",
     "curation_model_filter",
     "curation_rebalance",
+    "curation_export_shards",
     "text_quality_score",
     "text_fingerprint",
     "text_bm25_search",
