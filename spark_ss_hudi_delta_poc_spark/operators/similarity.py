@@ -747,3 +747,51 @@ def ivf_index_topk(
     return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
         F.col("rank") <= k
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of every approximate ANN method against the exact
+    baseline, as a first-class query — the monitoring job a production
+    vector pipeline schedules to catch index drift (an LSH table whose
+    planes stopped matching the data distribution, a quantizer clipping
+    a new embedding scale) before it silently degrades retrieval.
+
+    recall = |approx ∩ exact| / |exact| per method.  The exact top-k set
+    is small by contract (|queries|·k rows — same boundedness as the
+    broadcast query set itself), so the intersections are broadcast
+    joins and the single scalar pulled to the driver is one COUNT.
+
+    Returns (method, matched, total, recall) — one row per method.
+    """
+    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    total = exact.count()  # bounded scalar: |queries| * k
+    methods = [
+        ("lsh", lsh_topk(embeddings, queries, k, id_col, vec_col)),
+        ("ivf", ivf_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
+        ("quantized", quantized_topk(embeddings, queries, k, id_col, vec_col)),
+    ]
+    tagged = None
+    for name, df in methods:
+        part = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    matched = (
+        tagged.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return matched.select(
+        "method",
+        "matched",
+        F.lit(total).cast("long").alias("total"),
+        (F.col("matched").cast("double") / F.lit(total).cast("double")).alias("recall"),
+    )

@@ -257,6 +257,13 @@ def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ann_recall_report(
+        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+    )
+
+
 def ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.quantized_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
@@ -1626,3 +1633,47 @@ QUERIES = [
         tags=("llm", "curation", "export"),
     ),
 ]
+
+
+def _oracle_of(name: str) -> str:
+    for q in QUERIES:
+        if q.name == name:
+            return q.oracle
+    raise KeyError(name)
+
+
+# ann_recall_report's oracle composes the four ANN oracles verbatim — the
+# methods' own parity rows pin each subquery; this row pins the recall
+# arithmetic over them
+_ANN_RECALL_ORACLE = f"""
+WITH exact AS ({_oracle_of("ann_bruteforce_topk")}),
+lsh AS ({_oracle_of("ann_lsh_topk")}),
+ivf AS ({_oracle_of("ann_ivf_topk")}),
+quant AS ({_oracle_of("ann_quantized_topk")}),
+u AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'quantized', query_id, neighbor_id FROM quant
+),
+m AS (
+  SELECT method, CAST(COUNT(*) AS BIGINT) AS matched FROM u
+  JOIN exact e ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+  GROUP BY method
+)
+SELECT method, matched,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
+       CAST(matched AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall
+FROM m
+"""
+
+QUERIES.append(
+    Query(
+        "ann_recall_report",
+        ann_recall_q,
+        _ANN_RECALL_ORACLE,
+        doc="recall@k of every approximate ANN method (LSH / IVF / int8) "
+        "vs the exact baseline — the index-drift monitoring job; "
+        "intersections are broadcast joins against the bounded exact set",
+        tags=("llm", "similarity", "monitoring"),
+    )
+)
