@@ -102,6 +102,7 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """LSH-bucketed ANN top-k: exact cosine only within the query's bucket.
 
@@ -109,20 +110,32 @@ def lsh_topk(
     which).  At scale the bucket join replaces the full cross product —
     candidate count drops by ~2^planes for balanced buckets.
 
+    ``n_tables`` is the standard recall lever (OR-amplification): T
+    independent hash tables — table t uses planes t·P..t·P+P-1 — and a
+    pair is a candidate if it collides in ANY table.  Candidate work and
+    recall both rise ~T-fold; the recall monitor (ann_recall_report)
+    measured single-table recall@5 at 0.03 on the synthetic corpus,
+    which is exactly the situation the knob exists for.
+
     Execution mirrors brute_force_topk's block pattern: queries (with
-    their buckets) broadcast as numpy matrices; each corpus partition
-    computes its rows' buckets with one H @ V sign matmul, scores only
-    bucket-matching query pairs, keeps local top-k.  All arithmetic on
-    exact quantized integers → bit-identical to the SQL oracle.
+    their per-table buckets) broadcast as numpy matrices; each corpus
+    partition computes its rows' buckets with one H @ V sign matmul per
+    table, scores the unioned bucket-matching pairs once, keeps local
+    top-k.  All arithmetic on exact quantized integers → bit-identical
+    to the SQL oracle.
     """
     import numpy as np
     import pandas as pd
 
-    hmat = np.array([hyperplane(p) for p in range(LSH_PLANES)], dtype=np.float64)
+    hmats = [
+        np.array([hyperplane(t * LSH_PLANES + p) for p in range(LSH_PLANES)], dtype=np.float64)
+        for t in range(n_tables)
+    ]
     pow2 = (2 ** np.arange(LSH_PLANES)).astype(np.int64)
 
     def buckets_of(mat: "np.ndarray") -> "np.ndarray":
-        return (((hmat @ mat.T) > 0).astype(np.int64).T @ pow2)
+        # (n_tables, n_rows) bucket matrix
+        return np.stack([(((h @ mat.T) > 0).astype(np.int64).T @ pow2) for h in hmats])
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
@@ -136,25 +149,31 @@ def lsh_topk(
             c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["q"]])
             c_nsq = (c * c).sum(axis=1)
             c_buckets = buckets_of(c)
+            # candidate (query_idx, corpus_idx) pairs = union over tables
+            # of same-bucket pairs, deduped so multi-table collisions
+            # score once; per table, score only buckets present on both
+            # sides (the selectivity that replaces the cross product)
+            cand: dict[int, set] = {}
+            for t in range(len(hmats)):
+                qb, cb = q_buckets[t], c_buckets[t]
+                for bucket in np.intersect1d(qb, cb):
+                    qsel = np.nonzero(qb == bucket)[0]
+                    csel = np.nonzero(cb == bucket)[0]
+                    for qi in qsel:
+                        cand.setdefault(int(qi), set()).update(csel.tolist())
             out_q, out_n, out_c = [], [], []
-            # score ONLY bucket-matching (query, candidate) pairs: one
-            # small matmul per bucket present on both sides, so compute
-            # drops by the bucket-selectivity factor (~2^planes when
-            # balanced) instead of masking a full |Q|×|C| matrix
-            for bucket in np.intersect1d(q_buckets, c_buckets):
-                qsel = np.nonzero(q_buckets == bucket)[0]
-                csel = np.nonzero(c_buckets == bucket)[0]
-                sub_ids, sub_nsq = c_ids[csel], c_nsq[csel]
-                cos = (q_mat[qsel] @ c[csel].T) / np.sqrt(
-                    q_nsq[qsel][:, None] * sub_nsq[None, :]
-                )
-                for row, qi in enumerate(qsel):
-                    mask = sub_ids != q_ids[qi]
-                    cand_n, cand_c = sub_ids[mask], cos[row][mask]
-                    order = np.lexsort((cand_n, -cand_c))[:k]
-                    out_q.extend([q_ids[qi]] * len(order))
-                    out_n.extend(cand_n[order])
-                    out_c.extend(cand_c[order])
+            for qi, cset in cand.items():
+                csel = np.fromiter(cset, dtype=np.int64)
+                sub_ids = c_ids[csel]
+                mask = sub_ids != q_ids[qi]
+                csel, sub_ids = csel[mask], sub_ids[mask]
+                if len(csel) == 0:
+                    continue
+                cos = (c[csel] @ q_mat[qi]) / np.sqrt(c_nsq[csel] * q_nsq[qi])
+                order = np.lexsort((sub_ids, -cos))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(sub_ids[order])
+                out_c.extend(cos[order])
             yield pd.DataFrame(
                 {
                     "query_id": np.asarray(out_q, dtype=np.int64),
@@ -775,6 +794,7 @@ def ann_recall_report(
     total = exact.count()  # bounded scalar: |queries| * k
     methods = [
         ("lsh", lsh_topk(embeddings, queries, k, id_col, vec_col)),
+        ("lsh_x4", lsh_topk(embeddings, queries, k, id_col, vec_col, n_tables=4)),
         ("ivf", ivf_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
         ("quantized", quantized_topk(embeddings, queries, k, id_col, vec_col)),
     ]

@@ -257,6 +257,13 @@ def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ann_lsh_multi(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K, n_tables=4
+    )
+
+
 def ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ann_recall_report(
@@ -525,10 +532,10 @@ SELECT doc_id, {case} AS pred_lang, CAST({best} AS INTEGER) AS score FROM scores
 """
 
 
-def _lsh_bucket_sql(qv: str) -> str:
+def _lsh_bucket_sql(qv: str, table: int = 0) -> str:
     terms = []
     for p in range(similarity.LSH_PLANES):
-        plane = similarity.hyperplane(p)
+        plane = similarity.hyperplane(table * similarity.LSH_PLANES + p)
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({qv}::DOUBLE[], {lit}::DOUBLE[]) > 0 "
@@ -1635,6 +1642,46 @@ QUERIES = [
 ]
 
 
+_MULTI_BUCKETS = ",\n       ".join(
+    f"{_lsh_bucket_sql('qv', t)} AS b{t}" for t in range(4)
+)
+_MULTI_CAND = "\n    UNION ALL ".join(
+    f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+    f"FROM qb q JOIN cb c ON q.b{t} = c.b{t} AND c.vec_id <> q.vec_id"
+    for t in range(4)
+)
+
+QUERIES.append(
+    Query(
+        "ann_lsh_multitable_topk",
+        ann_lsh_multi,
+        f"""
+        WITH c0 AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cb AS (SELECT vec_id, qv,
+               {_MULTI_BUCKETS}
+               FROM c0),
+        qb AS (SELECT * FROM cb WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        cand AS (SELECT DISTINCT query_id, neighbor_id FROM ({_MULTI_CAND})),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 {COS.format(a="q.qv", b="c.qv")} AS cosine
+          FROM cand
+          JOIN cb q ON q.vec_id = cand.query_id
+          JOIN cb c ON c.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="multi-table LSH top-k (OR-amplification, 4 tables): the "
+        "standard recall lever the recall monitor motivates — candidates "
+        "collide in ANY table, scored once",
+        tags=("llm", "similarity", "lsh"),
+    )
+)
+
+
 def _oracle_of(name: str) -> str:
     for q in QUERIES:
         if q.name == name:
@@ -1648,10 +1695,12 @@ def _oracle_of(name: str) -> str:
 _ANN_RECALL_ORACLE = f"""
 WITH exact AS ({_oracle_of("ann_bruteforce_topk")}),
 lsh AS ({_oracle_of("ann_lsh_topk")}),
+lshx4 AS ({_oracle_of("ann_lsh_multitable_topk")}),
 ivf AS ({_oracle_of("ann_ivf_topk")}),
 quant AS ({_oracle_of("ann_quantized_topk")}),
 u AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'lsh_x4', query_id, neighbor_id FROM lshx4
   UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
   UNION ALL SELECT 'quantized', query_id, neighbor_id FROM quant
 ),

@@ -732,3 +732,29 @@ def test_ivf_index_nprobe_increases_recall(spark, tmp_path):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # probing more lists can only add candidates
     assert r4 > 0.5  # half the index probed -> decent recall on random data
+
+
+def test_lsh_multitable_or_amplification_lifts_recall(spark):
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(19)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = emb.where("vec_id < 8")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=3).collect()}
+
+    def hits(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_topk(emb, qs, k=3, n_tables=n_tables).collect()
+        }
+        return len(got & exact)
+
+    # OR-amplification: candidates are a superset per added table, so
+    # true-neighbor hits can only stay or rise
+    assert hits(4) >= hits(1)
