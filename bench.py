@@ -65,6 +65,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_quantized_topk",
     "ann_ivf_index_topk",
+    "ann_lsh_multitable_topk",
+    "ann_recall_report",
     "corpus_pipeline",
     "curation_contamination",
     "curation_decontaminated",
