@@ -43,6 +43,15 @@ class Query:
 # r3-green driver rows): q24/q25/q26/q29/q30/q62 and the ops that do NOT
 # consume the rewritten shingle builder (pretokens, sampling, mixture,
 # packing, exact dedup, tfidf, fingerprint).
+#
+# ROUND-6 ROTATION QUEUE (never driver-checked; all green in the in-repo
+# gate at sf0.001+sf0.01, several also at sf0.1): dedup_segments,
+# dedup_repeated_spans, dedup_normalized, curation_model_filter,
+# curation_rebalance, curation_decontaminated, curation_export_shards,
+# ann_quantized_topk, ann_ivf_index_topk, ann_lsh_multitable_topk,
+# ann_recall_report, embedding_knn_graph_lsh, q90_stream_curation,
+# q91_stream_ann_serving.  Swap them in next round for entries that will
+# then hold fresh r5 rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never green: newly oracle-backed this round
     "q27_approx_distinct",
