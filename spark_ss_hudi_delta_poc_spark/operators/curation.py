@@ -582,3 +582,45 @@ def export_shards(
     )
     manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest"))
     return manifest
+
+
+def filter_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document verdict matrix across the whole quality-filter
+    ensemble — the QA artifact every pipeline run publishes (what
+    fraction failed which filter; which docs fail multiple): one row per
+    doc with each filter's keep flag and the conjunction.
+
+    Composition of the four existing filters.  Gopher/C4/repetition are
+    map-only, the model scorer is one aggregation; the report joins on
+    doc_id (at production scale the three map-only rule sets fuse into a
+    single projection — kept separate here so each filter's oracle-
+    checked implementation is the single source of truth).
+    """
+    g = gopher_rules(docs, text_col, id_col).select(
+        F.col("doc_id"), F.col("keep").alias("gopher_keep")
+    )
+    c = c4_rules(docs, text_col, id_col).select(F.col("doc_id"), F.col("keep").alias("c4_keep"))
+    m = model_quality_filter(docs, text_col, id_col).select(
+        F.col("doc_id"), F.col("keep").alias("model_keep")
+    )
+    r = repetition_scores(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id"), F.col("keep").alias("repetition_keep")
+    )
+    return (
+        g.join(c, "doc_id")
+        .join(m, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "c4_keep",
+            "model_keep",
+            "repetition_keep",
+            (
+                F.col("gopher_keep")
+                & F.col("c4_keep")
+                & F.col("model_keep")
+                & F.col("repetition_keep")
+            ).alias("keep_all"),
+        )
+    )

@@ -365,6 +365,10 @@ def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
 
 
+def curation_filter_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.filter_report(load(spark, sf, "documents"))
+
+
 def curation_export_q(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -1724,5 +1728,28 @@ QUERIES.append(
         "vs the exact baseline — the index-drift monitoring job; "
         "intersections are broadcast joins against the bounded exact set",
         tags=("llm", "similarity", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "curation_filter_report",
+        curation_filter_report_q,
+        f"""
+        WITH g AS (SELECT doc_id, keep AS gopher_keep FROM ({_oracle_of("curation_gopher_rules")})),
+        c AS (SELECT doc_id, keep AS c4_keep FROM ({_oracle_of("curation_c4_rules")})),
+        m AS (SELECT doc_id, keep AS model_keep FROM ({_oracle_of("curation_model_filter")})),
+        r AS (SELECT doc_id, keep AS repetition_keep FROM ({_oracle_of("curation_repetition")}))
+        SELECT g.doc_id, gopher_keep, c4_keep, model_keep, repetition_keep,
+               gopher_keep AND c4_keep AND model_keep AND repetition_keep AS keep_all
+        FROM g JOIN c ON c.doc_id = g.doc_id
+        JOIN m ON m.doc_id = g.doc_id
+        JOIN r ON r.doc_id = g.doc_id
+        """,
+        doc="per-doc verdict matrix across the quality-filter ensemble "
+        "(gopher x C4 x model x repetition + conjunction) — the pipeline "
+        "QA artifact; oracle composes the four filter oracles verbatim",
+        tags=("llm", "curation", "monitoring"),
     )
 )

@@ -263,3 +263,23 @@ def test_export_shards_layout_and_manifest(spark, tmp_path):
     # shards are token-bounded: a doc belongs to the shard of its START
     # offset, so shard token mass < shard_tokens + one max doc
     assert all(r.n_tokens <= 60 + 20 for r in manifest.values())
+
+
+def test_filter_report_conjunction_matches_components(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import (
+        filter_report,
+        gopher_rules,
+        model_quality_filter,
+    )
+
+    good = " ".join(f"the quick brown fox w{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, good), (2, "tiny")], ["doc_id", "text"])
+    rep = {r.doc_id: r for r in filter_report(docs).collect()}
+    g = {r.doc_id: r.keep for r in gopher_rules(docs).collect()}
+    m = {r.doc_id: r.keep for r in model_quality_filter(docs).collect()}
+    for d in (1, 2):
+        assert rep[d].gopher_keep == g[d] and rep[d].model_keep == m[d]
+        assert rep[d].keep_all == (
+            rep[d].gopher_keep and rep[d].c4_keep and rep[d].model_keep and rep[d].repetition_keep
+        )
+    assert rep[2].gopher_keep is False  # word-count rule rejects the tiny doc
