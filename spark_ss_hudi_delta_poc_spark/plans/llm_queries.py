@@ -134,6 +134,18 @@ def dedup_embedding_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_embedding_clusters_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-quadratic semantic dedup (the SemDeDup shape at corpus scale):
+    LSH-bucketed cosine pairs -> connected components -> cluster ids.
+    Same keep-list contract as dedup_embedding_clusters with the exact
+    pair graph swapped for the bucket equi-join one (recall < 1, the
+    documented LSH trade)."""
+    pairs = similarity.lsh_neardup_pairs(
+        load(spark, sf, "embeddings"), threshold=COSINE_THRESHOLD
+    ).select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"))
+    return dedup.dedup_clusters(pairs).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(load(spark, sf, "documents"))
 
@@ -1751,5 +1763,37 @@ QUERIES.append(
         "(gopher x C4 x model x repetition + conjunction) — the pipeline "
         "QA artifact; oracle composes the four filter oracles verbatim",
         tags=("llm", "curation", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "dedup_embedding_clusters_lsh",
+        dedup_embedding_clusters_lsh_q,
+        f"""
+        WITH RECURSIVE c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cb AS (SELECT vec_id, qv, {_lsh_bucket_sql("qv")} AS bucket FROM c),
+        cp AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cp
+          UNION SELECT id_b, id_a FROM cp
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+        """,
+        doc="sub-quadratic semantic dedup (SemDeDup shape): LSH-bucketed "
+        "cosine pairs -> connected components -> cluster keep-list; the "
+        "scale path of dedup_embedding_clusters",
+        tags=("llm", "dedup", "embedding", "graph", "lsh"),
     )
 )
