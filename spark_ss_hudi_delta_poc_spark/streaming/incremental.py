@@ -294,3 +294,103 @@ def incremental_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_segments(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    segindex_path: str,
+    seg_words: int = 10,
+    max_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Cross-run LINE-LEVEL dedup: clean each new batch against the
+    accumulated segment history, not just against itself.
+
+    :func:`~..operators.dedup.segment_dedup` drops boilerplate segments
+    recurring WITHIN one corpus snapshot; a continuously-ingesting
+    pipeline needs the same decision against every PREVIOUS run (the
+    site template that appeared in last night's crawl must be dropped
+    from tonight's too).  Shape:
+
+      new batch → disjoint segments + 60-bit hashes (one shuffle) →
+      df-count vs (history ∪ this batch) segment index → drop over-cap
+      segments → reassemble clean_text → append cleaned docs to the
+      corpus and this batch's (seg hash, doc count) rows to the index.
+
+    The index carries only 8-byte hashes + counts (tiny vs the corpus);
+    history reads take committed increments only, and the corpus/index
+    pair commits under ONE marker — same atomicity protocol as
+    :func:`ingest_increment`.  Returns ingested row count (0 for a
+    committed replay).
+    """
+    # segment the batch once (operators/dedup.segment_dedup's split
+    # algebra, inlined so the df decision can blend history counts);
+    # hash per (doc, seg) for the history comparison
+    from ..functions.hashing import md5_long as _md5
+
+    w = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    seg = (
+        w.groupBy("doc_id", F.floor(F.col("pos") / seg_words).alias("seg"))
+        .agg(F.collect_list(F.struct("pos", "word")).alias("pw"))
+        .select(
+            "doc_id",
+            "seg",
+            F.array_join(F.expr("transform(array_sort(pw), s -> s.word)"), " ").alias("segment"),
+        )
+        .select("doc_id", "seg", "segment", _md5(F.col("segment")).alias("seg_hash"))
+    )
+    token = str(increment_id) if increment_id is not None else _content_token(
+        seg.select(F.col("seg_hash").alias("_h")), "_h"
+    )
+    committed = _committed_tokens(segindex_path)
+    if token in committed:
+        return 0
+    batch_df = seg.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
+    index_dirs = _committed_paths(segindex_path, committed)
+    if index_dirs:
+        hist = spark.read.parquet(*index_dirs).groupBy("seg_hash").agg(F.sum("df").alias("df"))
+        total_df = (
+            batch_df.unionByName(hist)
+            .groupBy("seg_hash")
+            .agg(F.sum("df").alias("df"))
+        )
+    else:
+        total_df = batch_df
+    boilerplate = total_df.where(F.col("df") > max_df).select("seg_hash")
+    kept = seg.join(F.broadcast(boilerplate), "seg_hash", "left_anti")
+    totals = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("seg", "segment")).alias("ss"))
+        .select(
+            "doc_id",
+            F.size("ss").alias("n_kept"),
+            F.array_join(F.expr("transform(array_sort(ss), s -> s.segment)"), " ").alias("clean_text"),
+        )
+    )
+    cleaned = (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .persist()
+    )
+    try:
+        n = cleaned.count()
+        if n:
+            cleaned.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
+            batch_df.write.mode("overwrite").parquet(os.path.join(segindex_path, f"inc={token}"))
+    finally:
+        cleaned.unpersist()
+    _write_marker(segindex_path, token)
+    return n

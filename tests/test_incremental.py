@@ -131,3 +131,34 @@ def test_ingest_increment_neardup(spark, tmp_path):
     assert n == 1
     got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2, 5]
+
+
+def test_incremental_segment_dedup_across_runs(spark, tmp_path):
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_segments,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "segindex")
+    boiler = " ".join(f"b{i}" for i in range(10))
+    tail1 = " ".join(f"x{i}" for i in range(10))
+    tail2 = " ".join(f"y{i}" for i in range(10))
+
+    b1 = spark.createDataFrame([(1, f"{boiler} {tail1}")], ["doc_id", "text"])
+    n1 = ingest_increment_segments(spark, b1, corpus, index, increment_id="r1")
+    assert n1 == 1
+    run1 = spark.read.parquet(corpus).collect()[0]
+    assert run1.n_kept == 2  # nothing recurs yet: batch 1 keeps everything
+
+    # run 2 re-ships the same boilerplate segment with a new tail: the
+    # cross-run index must drop it while the fresh tail survives
+    b2 = spark.createDataFrame([(2, f"{boiler} {tail2}")], ["doc_id", "text"])
+    n2 = ingest_increment_segments(spark, b2, corpus, index, increment_id="r2")
+    assert n2 == 1
+    rows = {r.doc_id: r for r in spark.read.parquet(corpus).collect()}
+    assert rows[2].n_kept == 1 and rows[2].clean_text == tail2
+    assert rows[1].n_kept == 2  # history is immutable: run 1 keeps its copy
+
+    # replayed increment: marker short-circuits, nothing double-ingested
+    assert ingest_increment_segments(spark, b2, corpus, index, increment_id="r2") == 0
+    assert spark.read.parquet(corpus).count() == 2
