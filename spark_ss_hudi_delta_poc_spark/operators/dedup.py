@@ -599,3 +599,36 @@ def normalized_exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str 
         .groupBy("norm_hash")
         .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def minhash_recall_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Pair recall of MinHash-LSH against the exact n-gram Jaccard ground
+    truth — the dedup-family counterpart of the ANN recall monitor: a
+    pipeline that trusts LSH to find its near-dups should measure, on a
+    sample, what fraction of true pairs the banded index actually
+    surfaces (band/row tuning drifts as document length distributions
+    change).
+
+    recall = |LSH pairs ∩ exact pairs| / |exact pairs| at the same
+    threshold.  Both pair sets are tiny relative to the corpus (they ARE
+    the near-dups), so the intersection is a broadcast semi-join and the
+    one driver-side scalar is a count.
+
+    Returns a single row (matched, total, recall).
+    """
+    exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n, max_shingle_df=max_shingle_df).select(
+        "doc_id_a", "doc_id_b"
+    )
+    total = exact.count()  # bounded: the true near-dup pair set
+    lsh = minhash_lsh_pairs(docs, threshold=threshold, n=n).select("doc_id_a", "doc_id_b")
+    matched = lsh.join(F.broadcast(exact), ["doc_id_a", "doc_id_b"], "left_semi")
+    return matched.agg(
+        F.count(F.lit(1)).alias("matched"),
+        F.lit(total).cast("long").alias("total"),
+        (F.count(F.lit(1)).cast("double") / F.lit(total).cast("double")).alias("recall"),
+    )

@@ -146,6 +146,10 @@ def dedup_embedding_clusters_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).select(F.col("doc_id").alias("vec_id"), "cluster_id")
 
 
+def dedup_minhash_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_recall_report(load(spark, sf, "documents"), threshold=JACCARD_THRESHOLD)
+
+
 def dedup_simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(load(spark, sf, "documents"))
 
@@ -1795,5 +1799,29 @@ QUERIES.append(
         "cosine pairs -> connected components -> cluster keep-list; the "
         "scale path of dedup_embedding_clusters",
         tags=("llm", "dedup", "embedding", "graph", "lsh"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "dedup_minhash_recall",
+        dedup_minhash_recall_q,
+        f"""
+        WITH exact AS (SELECT doc_id_a, doc_id_b FROM ({_oracle_of("dedup_ngram_jaccard")})),
+        lsh AS (SELECT doc_id_a, doc_id_b FROM ({_oracle_of("dedup_minhash_lsh")})),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS matched
+          FROM lsh JOIN exact USING (doc_id_a, doc_id_b)
+        )
+        SELECT matched,
+               CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
+               CAST(matched AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall
+        FROM m
+        """,
+        doc="pair recall of MinHash-LSH vs exact n-gram Jaccard ground "
+        "truth at the same threshold — the dedup-family drift monitor "
+        "(band/row tuning vs document length distribution)",
+        tags=("llm", "dedup", "monitoring"),
     )
 )

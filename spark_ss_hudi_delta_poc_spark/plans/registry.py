@@ -49,7 +49,8 @@ class Query:
 # dedup_repeated_spans, dedup_normalized, curation_model_filter,
 # curation_rebalance, curation_decontaminated, curation_export_shards,
 # ann_quantized_topk, ann_ivf_index_topk, ann_lsh_multitable_topk,
-# ann_recall_report, embedding_knn_graph_lsh, curation_filter_report,
+# ann_recall_report, dedup_minhash_recall, dedup_embedding_clusters_lsh,
+# embedding_knn_graph_lsh, curation_filter_report,
 # q90_stream_curation,
 # q91_stream_ann_serving.  Swap them in next round for entries that will
 # then hold fresh r5 rows.
