@@ -624,3 +624,31 @@ def filter_report(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             ).alias("keep_all"),
         )
     )
+
+
+def sample_weighted(
+    docs: DataFrame,
+    weight_col: str,
+    salt: str = "w0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli sample: keep each row with
+    probability equal to its own ``weight_col`` (a [0, 1] column — e.g. a
+    quality score used to upsample good text, the standard quality-
+    weighted mixing step after model scoring).
+
+    Same hash-threshold mechanism as :func:`sample_bernoulli` with the
+    threshold per-row instead of global: keep iff
+    hash(salt:id) mod 1e6 < floor(weight * 1e6).  Map-only, no RNG
+    state, reproducible across runs/engines/partitionings; weights
+    outside [0, 1] clamp (w <= 0 never keeps, w >= 1 always keeps).
+    """
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    thr = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(F.col(weight_col).cast("double") * 1_000_000).cast("long"),
+        ),
+    )
+    return docs.where((h % 1_000_000) < thr)

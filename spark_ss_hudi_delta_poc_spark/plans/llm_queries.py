@@ -381,6 +381,18 @@ def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
 REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
 
 
+def curation_sample_weighted_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted sample: weight = n_chars / max(n_chars) — a
+    deterministic stand-in for a model quality score, so longer docs are
+    proportionally more likely to be kept."""
+    docs = load(spark, sf, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m")).collect()[0].m  # bounded scalar
+    weighted = docs.withColumn("w", F.col("n_chars").cast("double") / F.lit(float(mx)))
+    return curation.sample_weighted(weighted, "w").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def curation_filter_report_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.filter_report(load(spark, sf, "documents"))
 
@@ -1823,5 +1835,25 @@ QUERIES.append(
         "truth at the same threshold — the dedup-family drift monitor "
         "(band/row tuning vs document length distribution)",
         tags=("llm", "dedup", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "curation_sample_weighted",
+        curation_sample_weighted_q,
+        f"""
+        WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+        SELECT doc_id, lang, source, n_chars FROM documents, mx
+        WHERE ({H.format(x="'w0:' || CAST(doc_id AS VARCHAR)")} % 1000000)
+              < least(CAST(1000000 AS BIGINT),
+                      greatest(CAST(0 AS BIGINT),
+                        CAST(floor((CAST(n_chars AS DOUBLE) / CAST(m AS DOUBLE)) * 1000000) AS BIGINT)))
+        """,
+        doc="deterministic per-row WEIGHTED Bernoulli sample (keep prob = "
+        "own quality weight; hash threshold per row) — the quality-"
+        "weighted mixing step; map-only, reproducible across engines",
+        tags=("llm", "curation", "sampling"),
     )
 )

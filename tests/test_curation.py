@@ -283,3 +283,20 @@ def test_filter_report_conjunction_matches_components(spark):
             rep[d].gopher_keep and rep[d].c4_keep and rep[d].model_keep and rep[d].repetition_keep
         )
     assert rep[2].gopher_keep is False  # word-count rule rejects the tiny doc
+
+
+def test_sample_weighted_respects_per_row_probability(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import sample_weighted
+
+    rows = [(i, 0.0) for i in range(50)] + [(100 + i, 1.0) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = {r.doc_id for r in sample_weighted(docs, "w").collect()}
+    assert kept == {100 + i for i in range(50)}  # w=0 never, w=1 always
+    # mid weights keep roughly that fraction, deterministically
+    mid = spark.createDataFrame([(i, 0.5) for i in range(400)], ["doc_id", "w"])
+    k1 = {r.doc_id for r in sample_weighted(mid, "w").collect()}
+    k2 = {r.doc_id for r in sample_weighted(mid, "w").collect()}
+    assert k1 == k2 and 120 < len(k1) < 280
+    # weights outside [0,1] clamp instead of erroring
+    odd = spark.createDataFrame([(1, -3.0), (2, 7.0)], ["doc_id", "w"])
+    assert {r.doc_id for r in sample_weighted(odd, "w").collect()} == {2}
