@@ -51,8 +51,8 @@ class Query:
 # ann_quantized_topk, ann_ivf_index_topk, ann_lsh_multitable_topk,
 # ann_recall_report, dedup_minhash_recall, dedup_embedding_clusters_lsh,
 # embedding_knn_graph_lsh, curation_filter_report,
-# q90_stream_curation,
-# q91_stream_ann_serving.  Swap them in next round for entries that will
+# curation_sample_weighted, q90_stream_curation, q91_stream_ann_serving.
+# Swap them in next round for entries that will
 # then hold fresh r5 rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never green: newly oracle-backed this round
