@@ -50,18 +50,30 @@ def seeded_md5_long_sql_duckdb(expr: str, seed: int) -> str:
 # MinHash needs K independent-ish hash functions per shingle.  K md5 calls per
 # shingle row made the signature stage the measured hot spot (~2.3 s of
 # dedup_minhash_lsh at sf0.1 = 260k shingles x 12 md5).  The standard fix is
-# one base hash + an affine family h_i(x) = (a_i*h(x) + b_i) mod p — every
-# h_i is then two codegen-friendly integer ops instead of an MD5, and DuckDB
-# reproduces the identical values from the same (a_i, b_i) literals.
+# one base hash + the universal affine family h_i(x) = (a_i*h(x) + b_i) mod p
+# — every h_i is then a handful of codegen-friendly integer ops instead of an
+# MD5, and DuckDB reproduces the identical values from the same (a_i, b_i)
+# literals.
 #
-# Bounds (so a_i*h + b_i never overflows signed 64-bit on either engine):
-#   base hash  h  < 2^48  (12 hex chars of md5)
-#   multiplier a_i < 2^14 → a_i*h < 2^62
-#   offset     b_i < 2^32 → sum < 2^62 + 2^32 < 2^63
-#   modulus    p = 2^61 - 1 (Mersenne prime)
+# The family is only universal when a_i is drawn from the FULL range [1, p-1]
+# so that a_i*h wraps the modulus many times.  (A round-5 variant drew
+# a_i < 2^14 against p = 2^61-1 to keep a_i*h inside 64 bits; with h < 2^48
+# most members then never wrapped, making h_i MONOTONE in h — every member's
+# min-hash was attained by the same argmin shingle and the K signatures
+# degenerated to deterministic functions of one hash, flattening the LSH
+# S-curve to ~J.  ADVICE r5, high.)  To keep full-range multipliers inside
+# signed 64-bit on BOTH engines (DuckDB errors on BIGINT overflow; Spark
+# silently wraps), the base hash is first reduced mod p:
+#   modulus    p  = 2^31 - 1 (Mersenne prime)
+#   reduced    h' = h mod p          (< 2^31)
+#   member     h_i = (a_i*h' + b_i) mod p,  a_i in [1, p-1], b_i in [0, p-1]
+#   bound      a_i*h' + b_i < 2^62 + 2^31 < 2^63 — exact in 64-bit longs.
+# 31-bit min-hash values are standard for MinHash (within-doc base-hash
+# collisions at ~|shingles|^2 / 2^32 are noise); band bucketing re-hashes
+# the signature through md5 anyway.
 
 HEX_CHARS_BASE = 12  # 48-bit base hash
-AFFINE_PRIME = (1 << 61) - 1
+AFFINE_PRIME = (1 << 31) - 1
 
 
 def md5_long48(col: Column | str) -> Column:
@@ -75,13 +87,22 @@ def md5_long48_sql_duckdb(expr: str) -> str:
 
 
 def affine_constants(k: int) -> list[tuple[int, int]]:
-    """K deterministic (a, b) pairs shared by the Spark plan and the oracle."""
+    """K deterministic (a, b) pairs shared by the Spark plan and the oracle.
+
+    a is uniform on [1, p-1] (never 0 — a degenerate constant member), b on
+    [0, p-1]; the PRNG seed is fixed so the Spark literals and the oracle's
+    VALUES list are generated from the same sequence."""
     import random
 
     rnd = random.Random(0x5EED)
-    return [(rnd.randrange(1, 1 << 14), rnd.randrange(0, 1 << 32)) for _ in range(k)]
+    return [(rnd.randrange(1, AFFINE_PRIME), rnd.randrange(0, AFFINE_PRIME)) for _ in range(k)]
 
 
 def affine_hash(h: Column, a: int, b: int) -> Column:
-    """(a*h + b) mod p as a BIGINT column (two integer ops, codegen path)."""
-    return (h * F.lit(a) + F.lit(b)) % F.lit(AFFINE_PRIME)
+    """(a*(h mod p) + b) mod p as a BIGINT column (codegen integer ops)."""
+    return ((h % F.lit(AFFINE_PRIME)) * F.lit(a) + F.lit(b)) % F.lit(AFFINE_PRIME)
+
+
+def affine_hash_sql_duckdb(h_expr: str, a: int, b: int) -> str:
+    """DuckDB SQL computing the identical family member (BIGINT-safe)."""
+    return f"((({h_expr}) % {AFFINE_PRIME}) * {a} + {b}) % {AFFINE_PRIME}"

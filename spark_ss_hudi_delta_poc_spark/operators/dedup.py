@@ -156,10 +156,10 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = 3) -> DataF
     """(doc_id, m0..m{k-1}): K min-hashes per document, wide form.
 
     Plan shape matters: explode shingles ONCE (not ×K seeds), hash each
-    shingle ONCE (48-bit md5 base), derive all K family members as affine
-    transforms (a_i*h + b_i mod p — two integer ops each, one codegen'd
-    projection), then K `min` aggregates in a single shuffle with map-side
-    partials.  Row count through the shuffle = |shingles|, each row ~8·K
+    shingle ONCE (48-bit md5 base), derive all K family members as
+    universal affine transforms (a_i*(h mod p) + b_i mod p, full-range
+    a_i — four integer ops each, one codegen'd projection), then K `min`
+    aggregates in a single shuffle with map-side partials.  Row count through the shuffle = |shingles|, each row ~8·K
     bytes.  (Three rejected shapes: explode ×K multiplies shuffle rows by
     K; per-seed array_min(transform(...)) leaves whole-stage codegen —
     higher-order lambdas are interpreter-fallback — and measures ~10×

@@ -467,7 +467,7 @@ WITH {WS_SH_CTE},
 base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
 seeds AS (SELECT * FROM (VALUES {seed_rows}) t(seed, a, b)),
 hashes AS (
-  SELECT doc_id, seed, (a * h + b) % {AFFINE_PRIME} AS h
+  SELECT doc_id, seed, ((h % {AFFINE_PRIME}) * a + b) % {AFFINE_PRIME} AS h
   FROM base CROSS JOIN seeds
 ),
 sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed),

@@ -103,10 +103,10 @@ def test_shingle_semantics_match_oracle_ctes(texts, n):
 @given(st.integers(min_value=0, max_value=(1 << 48) - 1))
 def test_affine_family_stays_in_bigint_and_separates(h):
     """The MinHash affine family's overflow-safety contract: for any
-    48-bit base hash, every a*h+b stays inside signed 64-bit BEFORE the
-    mod (what the Spark/DuckDB expressions actually compute), and the 12
-    family members of one input are not all equal (the family genuinely
-    perturbs)."""
+    48-bit base hash, every intermediate of (a*(h mod p) + b) stays inside
+    signed 64-bit BEFORE the final mod (what the Spark/DuckDB expressions
+    actually compute), and the 12 family members of one input are not all
+    equal (the family genuinely perturbs)."""
     from spark_ss_hudi_delta_poc_spark.functions.hashing import (
         AFFINE_PRIME,
         affine_constants,
@@ -114,12 +114,36 @@ def test_affine_family_stays_in_bigint_and_separates(h):
 
     vals = []
     for a, b in affine_constants(12):
-        raw = a * h + b
+        raw = a * (h % AFFINE_PRIME) + b
         assert raw < (1 << 63)
         vals.append(raw % AFFINE_PRIME)
     # the family genuinely perturbs: 12 distinct (a, b) pairs can only
     # all collide if the constants themselves coincided
     assert len(set(vals)) >= 2
+
+
+def test_affine_family_members_have_distinct_argmin_shingles():
+    """The degeneracy regression gate (ADVICE r5, high): a MinHash family
+    whose members are monotone in the base hash picks the SAME argmin
+    shingle for every member, collapsing the K signatures to one.  With
+    full-range multipliers mod p, independent members of a 200-shingle
+    set each pick a ~uniform argmin — require a healthy spread of
+    DISTINCT argmins (12 uniform draws from 200 give ~11.7 distinct in
+    expectation; monotone members all give 1)."""
+    import hashlib
+
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import (
+        AFFINE_PRIME,
+        affine_constants,
+    )
+
+    shingles = [f"tok{i} tok{i + 1} tok{i + 2}" for i in range(200)]
+    base = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in shingles]
+    argmins = []
+    for a, b in affine_constants(12):
+        vals = [(a * (h % AFFINE_PRIME) + b) % AFFINE_PRIME for h in base]
+        argmins.append(min(range(len(vals)), key=vals.__getitem__))
+    assert len(set(argmins)) >= 8, argmins
 
 
 @settings(max_examples=100, deadline=None)
