@@ -627,8 +627,11 @@ def minhash_recall_report(
     total = exact.count()  # bounded: the true near-dup pair set
     lsh = minhash_lsh_pairs(docs, threshold=threshold, n=n).select("doc_id_a", "doc_id_b")
     matched = lsh.join(F.broadcast(exact), ["doc_id_a", "doc_id_b"], "left_semi")
+    # empty ground truth → recall NULL on both engines (oracle: NULLIF),
+    # never a 0/0 whose NULL-vs-NaN rendering diverges across engines
+    denom = F.lit(None).cast("double") if total == 0 else F.lit(float(total))
     return matched.agg(
         F.count(F.lit(1)).alias("matched"),
         F.lit(total).cast("long").alias("total"),
-        (F.count(F.lit(1)).cast("double") / F.lit(total).cast("double")).alias("recall"),
+        (F.count(F.lit(1)).cast("double") / denom).alias("recall"),
     )

@@ -64,6 +64,10 @@ def brute_force_topk(
     import pandas as pd
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
+    if not q_rows:  # empty query batch: empty result, not a numpy axis error
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.float64)
     q_nsq = (q_mat * q_mat).sum(axis=1)
@@ -138,6 +142,10 @@ def lsh_topk(
         return np.stack([(((h @ mat.T) > 0).astype(np.int64).T @ pow2) for h in hmats])
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
+    if not q_rows:  # empty query batch: empty result, not a numpy axis error
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.float64)
     q_nsq = (q_mat * q_mat).sum(axis=1)
@@ -593,6 +601,10 @@ def quantized_topk(
         return q, ok
 
     q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not q_rows:  # empty query batch: empty result, not a numpy axis error
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_q8 double, rank int"
+        )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_raw = np.array([r.v for r in q_rows], dtype=np.float64)
     q_mat, q_ok = quant8(q_raw)
@@ -786,7 +798,13 @@ def ann_recall_report(
     broadcast query set itself), so the intersections are broadcast
     joins and the single scalar pulled to the driver is one COUNT.
 
-    Returns (method, matched, total, recall) — one row per method.
+    Returns (method, matched, total, recall) — one row per method, BY
+    CONSTRUCTION: the per-method counts are left-joined against a static
+    method list so a method whose intersection is EMPTY still reports
+    (matched=0, recall=0.0) instead of silently vanishing — the exact
+    collapsed-recall case a drift monitor exists to surface (ADVICE r5).
+    A degenerate empty exact set (no queries) reports recall NULL, not a
+    division blow-up, identically in both engines (NULLIF in the oracle).
     """
     exact = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
@@ -809,9 +827,14 @@ def ann_recall_report(
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("matched"))
     )
-    return matched.select(
+    names = embeddings.sparkSession.createDataFrame(
+        [(n,) for n, _ in methods], "method string"
+    )
+    denom = F.lit(None).cast("double") if total == 0 else F.lit(float(total))
+    m0 = F.coalesce(F.col("matched"), F.lit(0)).cast("long")
+    return names.join(matched, "method", "left").select(
         "method",
-        "matched",
+        m0.alias("matched"),
         F.lit(total).cast("long").alias("total"),
-        (F.col("matched").cast("double") / F.lit(total).cast("double")).alias("recall"),
+        (m0.cast("double") / denom).alias("recall"),
     )

@@ -1740,11 +1740,13 @@ m AS (
   SELECT method, CAST(COUNT(*) AS BIGINT) AS matched FROM u
   JOIN exact e ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
   GROUP BY method
-)
-SELECT method, matched,
+),
+names AS (SELECT * FROM (VALUES ('lsh'), ('lsh_x4'), ('ivf'), ('quantized')) t(method))
+SELECT names.method, CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched,
        CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
-       CAST(matched AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall
-FROM m
+       CAST(COALESCE(m.matched, 0) AS DOUBLE)
+         / CAST(NULLIF((SELECT COUNT(*) FROM exact), 0) AS DOUBLE) AS recall
+FROM names LEFT JOIN m ON m.method = names.method
 """
 
 QUERIES.append(
@@ -1828,7 +1830,8 @@ QUERIES.append(
         )
         SELECT matched,
                CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
-               CAST(matched AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall
+               CAST(matched AS DOUBLE)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM exact), 0) AS DOUBLE) AS recall
         FROM m
         """,
         doc="pair recall of MinHash-LSH vs exact n-gram Jaccard ground "

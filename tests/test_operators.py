@@ -758,3 +758,35 @@ def test_lsh_multitable_or_amplification_lifts_recall(spark):
     # OR-amplification: candidates are a superset per added table, so
     # true-neighbor hits can only stay or rise
     assert hits(4) >= hits(1)
+
+
+def test_ann_recall_report_keeps_zero_match_methods(spark):
+    """A method whose approximate top-k shares NOTHING with the exact set
+    must still appear in the report with matched=0 — the collapsed-recall
+    case the monitor exists to catch (ADVICE r5, medium).  Forced by an
+    empty query set: every method's intersection is empty, yet all four
+    method rows must come back, with recall NULL (empty ground truth),
+    never a dropped row or a 0/0."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ann_recall_report
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ann_recall_report(emb, emb.where("vec_id < 0"), k=3).collect()
+    assert sorted(r.method for r in out) == ["ivf", "lsh", "lsh_x4", "quantized"]
+    assert all(r.matched == 0 and r.total == 0 and r.recall is None for r in out)
+
+
+def test_minhash_recall_report_empty_ground_truth_is_null(spark):
+    """No true near-dup pairs -> total=0 and recall NULL (not NaN/error),
+    matching the oracle's NULLIF rendering (ADVICE r5, low)."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import minhash_recall_report
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    row = minhash_recall_report(docs, threshold=0.5).collect()[0]
+    assert row.matched == 0 and row.total == 0 and row.recall is None
