@@ -482,14 +482,20 @@ def rebalance_to_budget(
     # cross-join would plan as BroadcastNestedLoopJoin, which the global
     # plan audit bans outright
     n_sources = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    # budget*1e6 is computed in PYTHON (arbitrary precision) and enters the
+    # plan as a DECIMAL(38,0) literal with an integral `div`: a BIGINT
+    # product wraps silently past budget ~9.2e12 tokens (frontier-scale
+    # mixes are 10T+) while DuckDB errors — both engines are exact up to
+    # budget ~1e31 this way (ADVICE r5).  denom stays BIGINT: even at
+    # 100 TB, n_sources * per-source tokens is ~1e16.
+    budget_e6 = int(budget_tokens) * 1_000_000
     rates = per_source.select(
+        "source", (n_sources * F.col("source_tokens")).alias("denom")
+    ).select(
         "source",
         F.least(
             F.lit(1_000_000).cast("long"),
-            F.floor(
-                (F.lit(budget_tokens).cast("long") * F.lit(1_000_000).cast("long"))
-                / (n_sources * F.col("source_tokens"))
-            ).cast("long"),
+            F.expr(f"CAST('{budget_e6}' AS DECIMAL(38,0)) div denom"),
         ).alias("rate_e6"),
     )
     return sized.join(F.broadcast(rates), "source").select(

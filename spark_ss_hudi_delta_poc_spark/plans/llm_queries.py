@@ -1630,8 +1630,8 @@ QUERIES = [
         rates AS (
           SELECT source,
                  least(CAST(1000000 AS BIGINT),
-                       CAST(floor((CAST({REBALANCE_BUDGET} AS BIGINT) * 1000000)
-                            / (n.n_sources * source_tokens)) AS BIGINT)) AS rate_e6
+                       CAST(CAST({REBALANCE_BUDGET * 1_000_000} AS HUGEINT)
+                            // (n.n_sources * source_tokens) AS BIGINT)) AS rate_e6
           FROM per_source CROSS JOIN n
         )
         SELECT s.doc_id, s.source, s.n_tokens, r.rate_e6,

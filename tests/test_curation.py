@@ -222,6 +222,28 @@ def test_rebalance_to_budget_equalizes_sources(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_rebalance_to_budget_frontier_scale_budget_is_exact(spark):
+    """budget*1e6 above 2^63 must not wrap (ADVICE r5: a BIGINT product
+    silently went negative past ~9.2e12 tokens, keeping nothing).  With a
+    20T-token budget the decimal-literal div must produce the exact
+    Python-integer rate, capped at 1e6."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import rebalance_to_budget
+
+    rows = [(i, "big", "w " * 99 + "w") for i in range(100)]  # 10_000 tokens
+    rows += [(1000 + i, "small", "a b") for i in range(5)]  # 10 tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    budget = 20_000_000_000_000  # 2e13: budget*1e6 = 2e19 > 2^63
+    out = rebalance_to_budget(docs, budget_tokens=budget).collect()
+    rates = {r.source: r.rate_e6 for r in out}
+    # exact: min(1e6, floor(budget*1e6 / (2 * source_tokens)))
+    assert rates == {
+        "big": min(1_000_000, budget * 1_000_000 // (2 * 10_000)),
+        "small": min(1_000_000, budget * 1_000_000 // (2 * 10)),
+    }
+    assert rates == {"big": 1_000_000, "small": 1_000_000}
+    assert all(r.rate_e6 >= 0 for r in out)
+
+
 def test_decontaminated_corpus_removes_flagged_docs_only(spark):
     from spark_ss_hudi_delta_poc_spark.operators.curation import (
         contamination_pairs,
