@@ -102,3 +102,27 @@ def zorder_layout(df: DataFrame, col_a: str, col_b: str, n_files: int = 0, bits:
     with_z = df.withColumn("_z", z)
     n = n_files or df.sparkSession.sparkContext.defaultParallelism
     return with_z.repartitionByRange(n, "_z").sortWithinPartitions("_z").drop("_z")
+
+
+def global_topk_with_rank(df: DataFrame, order, k: int) -> DataFrame:
+    """Deterministic global top-k with a 1-based rank column, without a
+    no-partition ranking window.
+
+    orderBy+limit plans TakeOrderedAndProject — per-partition top-k
+    heaps, driver merges k rows per partition — so no stage ever sorts
+    the full input through ONE task (a partitionless row_number window
+    does exactly that: at 100 TB every scored row funnels into a single
+    partition; VERDICT r5 #2/#3).  rank is then assigned to the <= k
+    surviving rows driver-side (a bounded collect by construction — the
+    same contract as broadcast query sets) and the result returns as a
+    local DataFrame.  ``order`` must be a total order, or the top-k set
+    itself would be nondeterministic.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    top = df.orderBy(*order).limit(k)
+    rows = top.collect()  # arrives in sort order; <= k rows
+    schema = StructType(top.schema.fields + [StructField("rank", IntegerType(), False)])
+    return df.sparkSession.createDataFrame(
+        [tuple(r) + (i + 1,) for i, r in enumerate(rows)], schema
+    )

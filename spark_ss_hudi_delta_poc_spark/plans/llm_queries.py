@@ -242,14 +242,18 @@ def text_bm25(spark: SparkSession, sf: str) -> DataFrame:
 
 def corpus_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 trigrams by document frequency — the corpus n-gram frequency
-    table used for stop-shingle caps and contamination checks."""
-    from pyspark.sql import Window
+    table used for stop-shingle caps and contamination checks.
+
+    Top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    driver merges 20·partitions rows) — a no-partition ranking window
+    would funnel every distinct trigram (billions at 100 TB) through ONE
+    partition (VERDICT r5); rank derives from the 20 surviving rows."""
+    from ..operators.partitioning import global_topk_with_rank
 
     sh = dedup.shingle_table(load(spark, sf, "documents"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("shingle").asc())
-    return df_counts.select("shingle", "df", F.row_number().over(w).alias("rank")).where(
-        F.col("rank") <= 20
+    return global_topk_with_rank(
+        df_counts, [F.col("df").desc(), F.col("shingle").asc()], 20
     )
 
 

@@ -31,85 +31,76 @@ class Query:
 
 # The external correctness driver verifies the FIRST 50 registry entries
 # against their oracles; the rest ride on the in-repo gate
-# (tools/verify_local.py, all SFs).  Round-5 rotation: bank first green rows
-# for q27 (newly oracle-backed via the in-engine acceptance predicate), q77
-# (newly '|'-joined), and the 11 queries ADDED this round (TPC-H q79-q87 +
-# the kNN graph + rare-token stats — never driver-checked); refresh the 15
-# queries whose newest green row is still r2 (the q01-q09 reference battery
-# + q32 etc. — they predate the driver's events.ts/testdata regeneration),
-# the r3-row streaming set, and the shingle-consuming operators whose code
-# the round-5 n-gram rewrite touched (their fresh driver rows are that
-# change's regression gate).  Displaced to the in-repo gate (keeping their
-# r3-green driver rows): q24/q25/q26/q29/q30/q62 and the ops that do NOT
-# consume the rewritten shingle builder (pretokens, sampling, mixture,
-# packing, exact dedup, tfidf, fingerprint).
+# (tools/verify_local.py, all SFs).
 #
-# ROUND-6 ROTATION QUEUE (never driver-checked; all green in the in-repo
-# gate at sf0.001+sf0.01, several also at sf0.1): dedup_segments,
-# dedup_repeated_spans, dedup_normalized, curation_model_filter,
-# curation_rebalance, curation_decontaminated, curation_export_shards,
-# ann_quantized_topk, ann_ivf_index_topk, ann_lsh_multitable_topk,
-# ann_recall_report, dedup_minhash_recall, dedup_embedding_clusters_lsh,
-# embedding_knn_graph_lsh, curation_filter_report,
-# curation_sample_weighted, q90_stream_curation, q91_stream_ann_serving.
-# Swap them in next round for entries that will
-# then hold fresh r5 rows.
+# Round-6 rotation (closes the evidence gap): slots 1-20 are the LAST 20
+# never-driver-checked queries (the round-5 staged queue — after this
+# round every one of the 148 registry entries has an external green
+# row).  Slots 21-50: first, fresh regression rows for the operators
+# whose CODE changed this round — the MinHash family rewrite
+# (dedup_minhash_lsh; dedup_minhash_recall is in the queue), the
+# global-top-k rework (corpus_ngram_stats; text_bm25_search queued), and
+# the broadcast->shuffle rework (text_tfidf_keywords) — then the rows
+# whose newest green evidence is oldest (r3).  Displaced to the in-repo
+# gate (keeping green driver rows r4/r5): the reference battery
+# (q01-q09, refreshed r5), the streaming set (r5), the TPC-H topology
+# (r4/r5), text_fingerprint and multimodal_meta (r3 but unchanged
+# map-only projections, triple-covered by tests — the two cheapest rows
+# to displace).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never green: newly oracle-backed this round
-    "q27_approx_distinct",
-    "q77_array_output",
-    # never checked: added this round
-    "q79_custorder_distribution",
-    "q80_top_supplier",
-    "q81_small_qty_revenue",
-    "q82_large_volume_customers",
-    "q83_product_profit",
-    "q84_important_parts",
-    "q85_supplier_part_counts",
-    "q86_promo_part_suppliers",
-    "q87_min_price_supplier",
-    "embedding_knn_graph",
-    "text_rare_token_stats",
-    "q88_range_join",
-    "q89_heavy_hitters",
-    # newest green row r2 (15): reference battery + oldest function queries
-    "q01_count",
-    "q02_group_count",
-    "q03_distinct_count",
-    "q04_dup_having",
-    "q06_filter",
-    "q07_explode_flatten",
-    "q09_json_roundtrip",
-    "q32_upsert_snapshot",
-    "q39_conditional_battery",
-    "q40_array_battery",
-    "q41_hash_split",
-    "q42_profile_table",
-    "q46_edit_distance",
-    "q64_conditional_distinct",
-    "q65_string_agg",
-    # r3-row streaming set (8)
-    "q10_stream_global_agg",
-    "q12_stream_roundtrip",
-    "q19_stream_windowed_agg",
-    "q21_stream_session_window",
-    "q22_stream_dedup",
-    "q31_stream_stream_join",
-    "q44_stream_static_join",
-    "q60_stream_materialized_latest",
-    # shingle-consuming operators (regression gate for the n-gram rewrite)
-    "dedup_ngram_jaccard",
+    # --- never driver-checked (20): the staged round-5 queue ------------
+    "dedup_segments",
+    "dedup_repeated_spans",
+    "dedup_normalized",
+    "curation_model_filter",
+    "curation_rebalance",
+    "curation_decontaminated",
+    "curation_export_shards",
+    "curation_filter_report",
+    "curation_sample_weighted",
+    "ann_quantized_topk",
+    "ann_ivf_index_topk",
+    "ann_lsh_multitable_topk",
+    "ann_recall_report",
+    "dedup_minhash_recall",
+    "dedup_embedding_clusters_lsh",
+    "embedding_knn_graph_lsh",
+    "q78_approx_quantiles",
+    "text_bm25_search",
+    "q90_stream_curation",
+    "q91_stream_ann_serving",
+    # --- code changed this round: fresh regression rows (2) -------------
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "dedup_kept_corpus",
-    "dedup_keep_best",
-    "curation_contamination",
-    "curation_repetition",
-    "corpus_pipeline",
-    "text_winnow_fingerprint",
     "corpus_ngram_stats",
+    # --- newest green row r3 (28) ---------------------------------------
+    "text_tfidf_keywords",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "curation_pack_sequences",
+    "curation_pretokens",
+    "curation_sample_bernoulli",
+    "curation_sample_stratified",
+    "curation_source_mixture",
+    "dedup_embedding_clusters",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "embedding_label_centroids",
+    "multimodal_audio_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "q24_above_cust_avg",
+    "q25_set_ops",
+    "q26_pivot",
+    "q29_string_battery",
+    "q30_math_battery",
+    "q62_regexp_extract_all",
+    "text_chunking",
+    "text_language_id",
+    "text_quality_score",
+    "text_scrub_pii",
+    "text_token_counts",
 )
 
 

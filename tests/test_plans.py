@@ -16,13 +16,32 @@ from spark_ss_hudi_delta_poc_spark.plans import all_queries
 SF = "/root/testdata/sf0.001"
 QS = all_queries()
 
+_PLAN_CACHE: dict = {}  # (name, conf_key) -> formatted plan text
 
-def plan_of(spark, name: str) -> str:
-    df = QS[name].fn(spark, SF)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+
+def plan_of(spark, name: str, no_auto_broadcast: bool = False) -> str:
+    """Formatted physical plan, cached per (query, broadcast-conf): four
+    global audits iterate the whole registry — rebuilding every plan per
+    audit would quadruple the suite's Spark analysis time.  With
+    ``no_auto_broadcast`` the size-estimate broadcast path is disabled,
+    so every BroadcastExchange left in the plan comes from an explicit
+    F.broadcast hint — the only kind that can force a corpus-sized
+    broadcast at 100 TB (size-based selection self-corrects at scale)."""
+    key = (name, no_auto_broadcast)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        if no_auto_broadcast:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QS[name].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    _PLAN_CACHE[key] = buf.getvalue()
+    return _PLAN_CACHE[key]
 
 
 def test_dimension_joins_broadcast(spark):
@@ -99,18 +118,21 @@ def test_sessionize_single_shuffle(spark):
 # justification — anything NOT listed here that plans one is a bug.
 # (Round 3: ann_ivf_topk's centroid BroadcastNestedLoopJoin replaced by a
 # closure-embedded map-side argmax — the set is now empty.)
-# q71, q78, and text_bm25_search cross-join a ONE-ROW global aggregate
+# q71, q78, and text_tfidf_keywords cross-join a ONE-ROW global aggregate
 # (the scalar-subquery execution shape: SUM/COUNT reduced to a single
 # broadcast row, then a BroadcastNestedLoopJoin whose build side is 1
-# row — q78 joins exact-vs-approx quantile rows, bm25 joins corpus
-# stats).  That is constant work per probe row at any scale — the audit
-# targets unbounded nested loops, not scalar broadcasts.
+# row — q78 joins exact-vs-approx quantile rows, tfidf joins the N
+# aggregate).  That is constant work per probe row at any scale — the
+# audit targets unbounded nested loops, not scalar broadcasts.
+# (text_bm25_search has the same 1-row stats cross join in its interior
+# scored plan, but its public plan is the ranked local top-k relation —
+# the interior shape is pinned by test_bm25_corpus_joins_are_shuffles.)
 CROSS_JOIN_EXEMPT: set[str] = {
     "q71_global_sales_opp",
     "q78_approx_quantiles",
     "q80_top_supplier",
     "q84_important_parts",
-    "text_bm25_search",
+    "text_tfidf_keywords",
 }
 
 
@@ -200,6 +222,169 @@ def test_minhash_interior_is_bucket_equijoin(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
     assert "band_hash" in p  # the candidate join is keyed on the band bucket
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bm25_corpus_joins_are_shuffles(spark):
+    """bm25's doc_len table is one row PER DOCUMENT — corpus-sized — so
+    its doc_id join must be a shuffle join, never a broadcast (round-5
+    ADVICE/VERDICT: F.broadcast(doc_len) OOMs the driver at 100 TB).
+    With size-based broadcasting disabled, the only hinted broadcasts
+    left must be the two genuinely tiny sides: dfc (<=|Q| rows) and
+    stats (1 row)."""
+    import re
+
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_scored
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bm25_scored(load(spark, SF, "documents"), ["spark", "join", "vector"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", p)) == 2  # dfc + stats only
+
+
+def test_tfidf_corpus_joins_are_shuffles(spark):
+    """tfidf's doc_len (row per doc) and df_counts (row per distinct
+    word) are both unbounded — with size-based broadcasting disabled the
+    only hinted broadcast must be the 1-row N aggregate."""
+    import re
+
+    p = plan_of(spark, "text_tfidf_keywords", no_auto_broadcast=True)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", p)) == 1  # 1-row N agg
+
+
+# q78's exact-quantile validation side is explicitly documented as the
+# oracle-parity half that does not run at scale (analytics_queries.py) —
+# the approx half is the production path.
+PARTITIONLESS_WINDOW_EXEMPT: set[str] = {"q78_approx_quantiles"}
+
+
+def test_no_partitionless_window_anywhere(spark):
+    """Global plan audit: a ranking window with an EMPTY partition spec
+    funnels its entire input through ONE partition — the round-5 bm25 /
+    corpus_ngram_stats scale bug.  Detected structurally: the first
+    argument of windowspecdefinition is an ORDER key (carries ASC/DESC)
+    exactly when no partition keys precede it.  Global top-k queries
+    must use orderBy+limit (TakeOrderedAndProject) + driver-side rank
+    over the <=k survivors instead (global_topk_with_rank)."""
+    import re
+
+    offenders = []
+    for name, q in sorted(QS.items()):
+        if "streaming" in q.tags or name in PARTITIONLESS_WINDOW_EXEMPT:
+            continue
+        p = plan_of(spark, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
+            head = m.group(1).split(",")[0].strip()
+            if re.search(r"\s(ASC|DESC)$", head) or " ASC " in head or " DESC " in head:
+                offenders.append(name)
+                break
+    assert offenders == []
+
+
+# Subtree shapes that certify a hinted broadcast side is bounded at any
+# corpus size.  Aggregates: output rows bounded by group-key cardinality
+# of an already-reduced side (every current use is a <=|dims|/|Q|/1-row
+# aggregate).  Limits/WindowGroupLimit: top-k capped.  LocalTableScan /
+# Scan ExistingRDD: driver-local literal data (query sets, probe pairs).
+# A scan with pushed filters or a dims-table scan (region/nation) is a
+# deliberately-reduced or fixed-size input.
+_BROADCAST_CERT_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "WindowGroupLimit",
+    "LocalTableScan",
+    "Scan ExistingRDD",
+    "ReusedExchange",
+    "Subquery",
+)
+_BROADCAST_DIMS = ("/region", "/nation")
+
+
+def _uncertified_broadcasts(plan: str) -> list[int]:
+    """Node ids of BroadcastExchange subtrees with NO smallness
+    certificate — the shape that reintroduces a corpus-sized broadcast."""
+    import re
+
+    lines = plan.splitlines()
+    tree, details_start = [], None
+    for i, ln in enumerate(lines):
+        if re.match(r"^\(\d+\) ", ln):
+            details_start = i
+            break
+        tree.append(ln)
+    details: dict[int, list[str]] = {}
+    cur = None
+    for ln in lines[details_start:] if details_start is not None else []:
+        m = re.match(r"^\((\d+)\) (.*)", ln)
+        if m:
+            cur = int(m.group(1))
+            details[cur] = [ln]
+        elif cur is not None:
+            details[cur].append(ln)
+    nodes = []
+    for ln in tree:
+        m = re.match(r"^([\s:+\-*> ]*)([A-Za-z][\w .]*?) \((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    flagged = []
+    for idx, (ind, name, nid) in enumerate(nodes):
+        if "BroadcastExchange" not in name:
+            continue
+        sub = []
+        for ind2, name2, nid2 in nodes[idx + 1 :]:
+            if ind2 <= ind:
+                break
+            sub.append((name2, nid2))
+        certified = False
+        for name2, nid2 in sub:
+            if any(c in name2 for c in _BROADCAST_CERT_NODES):
+                certified = True
+                break
+            if name2.startswith("Scan"):
+                dt = "\n".join(details.get(nid2, []))
+                pf = re.search(r"PushedFilters: \[(.*?)\]", dt)
+                if pf and pf.group(1).strip():
+                    certified = True
+                    break
+                loc = re.search(r"Location:.*", dt)
+                if loc and any(d in loc.group(0) for d in _BROADCAST_DIMS):
+                    certified = True
+                    break
+        if not certified:
+            flagged.append(nid)
+    return flagged
+
+
+def test_broadcasts_are_bounded_anywhere(spark):
+    """Global plan audit (round-5 VERDICT #6): with size-based broadcast
+    selection disabled, every BroadcastExchange is hint-forced — and a
+    hint is a promise that the side stays small at ANY scale.  Each
+    broadcast subtree must therefore carry a smallness certificate (an
+    aggregate, a limit, driver-local data, a filtered or dims scan).
+    F.broadcast of a full corpus-derived table — round 5's
+    broadcast(doc_len) — has no certificate and fails here."""
+    offenders = []
+    for name, q in sorted(QS.items()):
+        if "streaming" in q.tags:
+            continue
+        p = plan_of(spark, name, no_auto_broadcast=True)
+        bad = _uncertified_broadcasts(p)
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == []
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
