@@ -197,3 +197,47 @@ def test_rebalance_rate_algebra(budget, source_sizes):
         assert expected_kept <= budget / n + 1e-6 or rate == 1_000_000
         if rate == 1_000_000:
             assert st_tokens * n <= budget or (budget * 1_000_000) // (n * st_tokens) >= 1_000_000
+
+
+def test_minhash_band_collision_tracks_lsh_s_curve():
+    """End-to-end family quality gate: with k=12, b=4 (r=3), the banded
+    collision probability must track 1-(1-J^r)^b.  The degenerate r5
+    family behaved like ~J instead: ~28x the theoretical candidate rate
+    at J=0.1 (candidate blowup at scale) and ~10% of true near-dups
+    missed at J=0.9.  Measured over deterministic synthetic pairs with
+    exact Jaccard: at J=0.1 collisions must stay rare (<= 0.05; the
+    degenerate family gave ~0.11) and at J=0.9 near-certain (>= 0.95;
+    degenerate ~0.90)."""
+    import hashlib
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import (
+        AFFINE_PRIME,
+        affine_constants,
+    )
+
+    fam = affine_constants(12)
+
+    def base(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def signature(hashes):
+        return [
+            min((a * (h % AFFINE_PRIME) + b) % AFFINE_PRIME for h in hashes)
+            for a, b in fam
+        ]
+
+    def collide(j, rng, u=150):
+        shared = int(round(j * u))
+        uniq = (u - shared) // 2
+        pool = [f"s{rng.random()}" for _ in range(shared + 2 * uniq)]
+        ha = [base(x) for x in pool[: shared + uniq]]
+        hb = [base(x) for x in pool[:shared] + pool[shared + uniq :]]
+        sa, sb = signature(ha), signature(hb)
+        return any(sa[i * 3 : i * 3 + 3] == sb[i * 3 : i * 3 + 3] for i in range(4))
+
+    rng = random.Random(42)
+    low = sum(collide(0.1, rng) for _ in range(200)) / 200
+    high = sum(collide(0.9, rng) for _ in range(200)) / 200
+    assert low <= 0.05, low   # theory 0.004; degenerate family ~0.11
+    assert high >= 0.95, high  # theory 0.995; degenerate family ~0.90
