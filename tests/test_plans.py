@@ -224,13 +224,14 @@ def test_minhash_interior_is_bucket_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
-def test_bm25_corpus_joins_are_shuffles(spark):
-    """bm25's doc_len table is one row PER DOCUMENT — corpus-sized — so
-    its doc_id join must be a shuffle join, never a broadcast (round-5
-    ADVICE/VERDICT: F.broadcast(doc_len) OOMs the driver at 100 TB).
-    With size-based broadcasting disabled, the only hinted broadcasts
-    left must be the two genuinely tiny sides: dfc (<=|Q| rows) and
-    stats (1 row)."""
+def test_bm25_has_no_corpus_sized_join_side(spark):
+    """bm25 must never materialize a corpus-sized join side: round 5
+    broadcast a row-per-document doc_len table (driver OOM at 100 TB,
+    ADVICE r5); round 6 eliminates the doc_id join entirely — dl rides
+    through the tf aggregate as max(dl).  With size-based broadcasting
+    disabled, the plan must show NO shuffle join and exactly the two
+    genuinely tiny hinted broadcasts: dfc (<=|Q| rows) and stats
+    (1 row)."""
     import re
 
     from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_scored
@@ -246,8 +247,10 @@ def test_bm25_corpus_joins_are_shuffles(spark):
         p = buf.getvalue()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p  # no doc_id join left
     assert len(re.findall(r"\(\d+\) BroadcastExchange", p)) == 2  # dfc + stats only
+    # dl folds through the same partial+final aggregate as the tf count
+    assert "partial_max" in p or "max(dl" in p
 
 
 def test_tfidf_corpus_joins_are_shuffles(spark):
