@@ -267,10 +267,21 @@ def ivf_topk(
     BroadcastNestedLoopJoin with a 16× row expansion plus a groupBy
     keyed on the full quantized vector — both gone.)
     """
-    import numpy as np
-    import pandas as pd
-
     cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
+
+
+def _ivf_probe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cent_ids,
+    cent_mat,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared IVF probe: map-side assignment of both sides against a
+    given centroid set, then a broadcast hash equi-join on cluster id."""
 
     def assign(df: DataFrame, out_id: str) -> DataFrame:
         return _assign_clusters(df, cent_ids, cent_mat, out_id, id_col, vec_col)
@@ -288,6 +299,101 @@ def ivf_topk(
     return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
         F.col("rank") <= k
     )
+
+
+def kmeans_refine_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd refinement of the deterministic first-N IVF centroids —
+    the standard recall lever for an inverted-file index (the round-5
+    recall monitor measured nprobe=1 IVF at ~0.78 with raw first-N
+    centroids; refined centroids move them toward the data's actual
+    modes).  Returns driver-side (cent_ids, cent_mat) in the quantized
+    integer space, ready for :func:`_ivf_probe`.
+
+    Per iteration: (1) nearest-centroid assignment is the same pure
+    map stage as the probe (mapInPandas closure, no join, no shuffle);
+    (2) per-PARTITION partial sums reduce each split to at most
+    |centroids|·dim (cluster, pos, sum, count) rows, so the one shuffle
+    moves partitions·centroids·dim rows — independent of corpus size;
+    (3) the new centroid is the element-wise TRUNCATED integer mean
+    (``s div n`` — Spark's div and DuckDB's ``//`` both truncate toward
+    zero, so the oracle reproduces the exact centroids), which stays in
+    the quantized space where every downstream dot product is exact.
+    Clusters that lose all members simply drop out (every initial
+    centroid is its own member in iteration 1 — cos(x,x)=1 — so the set
+    only shrinks if a refined centroid attracts nothing).  The per-iter
+    collect is bounded: n_centroids·dim rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+
+        def partials(batches):
+            sums: dict[int, "np.ndarray"] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cl = pdf["cluster"].to_numpy(dtype=np.int64)
+                mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+                for c in np.unique(cl):
+                    m = cl == c
+                    c = int(c)
+                    sums[c] = sums.get(c, 0) + mat[m].sum(axis=0)
+                    counts[c] = counts.get(c, 0) + int(m.sum())
+            rows = {"cluster": [], "pos": [], "s": [], "n": []}
+            for c, sv in sums.items():
+                for pos, s in enumerate(sv):
+                    rows["cluster"].append(c)
+                    rows["pos"].append(pos)
+                    rows["s"].append(int(s))
+                    rows["n"].append(counts[c])
+            yield pd.DataFrame(rows)
+
+        means = (
+            assigned.mapInPandas(partials, "cluster long, pos int, s long, n long")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .select("cluster", "pos", F.expr("s div n").alias("cv"))
+            .collect()  # bounded: n_centroids * dim rows
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.cv
+        cids = sorted(by_cluster)
+        cent_ids = np.array(cids, dtype=np.int64)
+        cent_mat = np.array(
+            [[by_cluster[c][p] for p in range(len(by_cluster[c]))] for c in cids],
+            dtype=np.float64,
+        )
+    return cent_ids, cent_mat
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` with Lloyd-refined centroids
+    (:func:`kmeans_refine_centroids`) — identical probe plan, better
+    inverted lists.  The unrolled-iteration oracle reproduces the exact
+    centroids, so this is hash-checkable like the raw-IVF row."""
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
 
 
 def label_centroid_sums(

@@ -1864,3 +1864,77 @@ QUERIES.append(
         tags=("llm", "curation", "sampling"),
     )
 )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ivf_kmeans_topk(
+        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+    )
+
+
+def _ivf_kmeans_oracle(iters: int = 2, n_centroids: int = 16) -> str:
+    """Unrolled Lloyd iterations: each round is an assignment CTE (argmax
+    cosine vs the previous centroid set) + an element-wise truncated
+    integer mean (DuckDB // and Spark div both truncate toward zero, so
+    the centroids are bit-identical across engines)."""
+
+    def assign(cents: str, out: str) -> str:
+        cos = COS.format(a="c.qv", b=f"{cents}.qvc")
+        return f"""{out} AS (SELECT vec_id, qv, cid AS cluster FROM (
+          SELECT c.vec_id, c.qv, {cents}.cid,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                      ORDER BY {cos} DESC, {cents}.cid ASC) AS rn
+          FROM c CROSS JOIN {cents}) WHERE rn = 1)"""
+
+    parts = [
+        f"WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cid, qv AS qvc FROM c WHERE vec_id < {n_centroids})",
+    ]
+    cur = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(assign(cur, f"a{i}"))
+        parts.append(
+            f"""m{i} AS (SELECT cluster, u.pos,
+              CAST(SUM(qv[u.pos]) // COUNT(*) AS BIGINT) AS cv
+              FROM a{i}, UNNEST(generate_series(1, len(qv))) AS u(pos)
+              GROUP BY cluster, u.pos)"""
+        )
+        parts.append(
+            f"cents{i} AS (SELECT cluster AS cid, list(cv ORDER BY pos) AS qvc "
+            f"FROM m{i} GROUP BY cluster)"
+        )
+        cur = f"cents{i}"
+    parts.append(assign(cur, "af"))
+    head = ",\n".join(parts)
+    return f"""
+        {head},
+        q AS (SELECT vec_id AS query_id, qv AS qv_q, cluster
+              FROM af WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.query_id, af.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv_q", b="af.qv")} AS cosine
+          FROM q JOIN af ON q.cluster = af.cluster AND q.query_id <> af.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """
+
+
+QUERIES.append(
+    Query(
+        "ann_ivf_kmeans_topk",
+        ann_ivf_kmeans,
+        _ivf_kmeans_oracle(),
+        doc="IVF with Lloyd-refined centroids (2 unrolled iterations, "
+        "truncated integer means — bit-identical centroids in the "
+        "oracle): the standard inverted-file build step; on the "
+        "structureless synthetic corpus recall@nprobe=1 is flat vs "
+        "first-N centroids (0.85 vs 0.81 at sf0.1 — noise), its value "
+        "on real clustered embeddings is tighter lists at equal probe "
+        "cost; here it pins the iterative-refinement shape end-to-end",
+        tags=("llm", "ann", "kmeans", "iterative"),
+    )
+)

@@ -790,3 +790,53 @@ def test_minhash_recall_report_empty_ground_truth_is_null(spark):
     )
     row = minhash_recall_report(docs, threshold=0.5).collect()[0]
     assert row.matched == 0 and row.total == 0 and row.recall is None
+
+
+def test_kmeans_refined_centroids_stay_in_quantized_space(spark):
+    """Lloyd refinement must keep centroids as exact integers in the
+    quantized space (truncated means — the invariant that keeps every
+    downstream dot product bit-identical to the oracle), never grow the
+    centroid set, and assign every vector to a surviving centroid."""
+    import random
+
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_refine_centroids,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cid, cmat = kmeans_refine_centroids(emb, n_centroids=8, iters=2)
+    assert 1 <= len(cid) <= 8
+    assert np.array_equal(cmat, np.floor(cmat))  # integral (truncated means)
+    assert np.abs(cmat).max() <= 1000  # quantized range preserved by means
+    assigned = _assign_clusters(emb, cid, cmat, "vid", "vec_id", "embedding")
+    clusters = {r.cluster for r in assigned.select("cluster").distinct().collect()}
+    assert clusters <= set(int(c) for c in cid)
+    # determinism: the refinement is a pure function of the input
+    cid2, cmat2 = kmeans_refine_centroids(emb, n_centroids=8, iters=2)
+    assert np.array_equal(cid, cid2) and np.array_equal(cmat, cmat2)
+
+
+def test_ivf_kmeans_topk_is_valid_topk(spark):
+    """Refined-IVF results are true cosine top-k WITHIN the probed list:
+    ranks dense from 1, no self-matches, cosines non-increasing."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ivf_kmeans_topk
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_kmeans_topk(emb, emb.where("vec_id < 4"), k=3).collect()
+    assert out and all(r.query_id != r.neighbor_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
