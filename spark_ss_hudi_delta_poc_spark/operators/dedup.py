@@ -635,3 +635,64 @@ def minhash_recall_report(
         F.lit(total).cast("long").alias("total"),
         (F.count(F.lit(1)).cast("double") / denom).alias("recall"),
     )
+
+
+WINNOW_OVERLAP_THRESHOLD = 0.4
+MAX_WINNOW_FP_DF = 100  # stop-fingerprint cap (same role as MAX_SHINGLE_DF)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    threshold: float = WINNOW_OVERLAP_THRESHOLD,
+    max_fp_df: int = MAX_WINNOW_FP_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap document pairs via the winnowing fingerprint index
+    — the cross-document complement of :func:`~.text_analysis.
+    winnow_fingerprints`: any pair sharing a substring of >= k+w-1 chars
+    shares a fingerprint, so quote chains, boilerplate wrappers, and
+    partially-copied documents surface even when whole-document n-gram
+    Jaccard stays low (a 30%-copied doc has Jaccard ~0.18 but overlap
+    ~1.0 on the copied span's fingerprints).
+
+    overlap = |shared fingerprints| / min(|fps_a|, |fps_b|) — the
+    containment-style ratio, computed over the RARE-fingerprint universe
+    (fingerprints in more than ``max_fp_df`` docs are dropped first, the
+    stop-shingle rule: a fingerprint in B docs yields B^2/2 candidate
+    pairs, and one that common is boilerplate vocabulary, not evidence).
+
+    Scale shape: the winnow index holds ~|doc|/w entries per document —
+    w-fold smaller than a full shingle inverted index at the SAME
+    substring-match guarantee — and candidates come from one equi-join
+    on the 60-bit fingerprint with join fanout bounded by the df cap;
+    per-doc sizes ride the fingerprint rows into the pair aggregate
+    (max(na)/max(nb) in the same groupBy), so the corpus-sized size
+    table is never joined to anything downstream.  Returns
+    (doc_id_a, doc_id_b, shared, overlap).
+    """
+    from .text_analysis import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, text_col=text_col, id_col=id_col)
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_fp_df
+    )
+    fpr = fp.join(rare.select("fp"), "fp")
+    sizes = fpr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fpn = fpr.join(sizes, "doc_id")  # hash join on doc_id, reuses sizes' exchange
+    a = fpn.select(
+        F.col("fp"), F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na")
+    )
+    b = fpn.select(
+        F.col("fp"), F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb")
+    )
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("shared"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+    )
+    overlap = F.col("shared").cast("double") / F.least("na", "nb").cast("double")
+    return shared.select(
+        "doc_id_a", "doc_id_b", "shared", overlap.alias("overlap")
+    ).where(F.col("overlap") >= threshold)

@@ -1938,3 +1938,55 @@ QUERIES.append(
         tags=("llm", "ann", "kmeans", "iterative"),
     )
 )
+
+
+def dedup_winnow_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.winnow_overlap_pairs(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_winnow_pairs",
+        dedup_winnow_pairs_q,
+        f"""
+        WITH grams AS (
+          SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                 {H.format(x="substr(lower(text), pos, 8)")} AS h
+          FROM documents, unnest(range(1, length(lower(text)) - 6)) AS t(pos)
+          WHERE length(text) >= 8
+        ),
+        winnowed AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM grams
+        ),
+        fp AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+        rare AS (
+          SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+          WHERE df <= {dedup.MAX_WINNOW_FP_DF}
+        ),
+        fpr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM fpr GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, shared,
+               CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+              >= {dedup.WINNOW_OVERLAP_THRESHOLD}
+        """,
+        doc="partial-overlap pairs via the winnowing fingerprint index "
+        "(shared-substring >= k+w-1 guarantee): catches quote chains and "
+        "partial copies whole-doc Jaccard misses, with an index w-fold "
+        "smaller than the full shingle inverted index; df-capped "
+        "equi-join, containment-style overlap ratio",
+        tags=("llm", "dedup", "winnow"),
+    )
+)

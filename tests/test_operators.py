@@ -840,3 +840,27 @@ def test_ivf_kmeans_topk_is_valid_topk(spark):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+
+
+def test_winnow_overlap_catches_partial_copy_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc copied verbatim into a
+    much longer one has whole-doc Jaccard far below any near-dup
+    threshold, but winnow-overlap ~1.0 on the copied span.  Unrelated
+    docs must not pair."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        winnow_overlap_pairs,
+    )
+
+    quoted = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"unrelated{i} word{i}" for i in range(60))
+    other = " ".join(f"different{i} token{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, filler + " " + quoted), (3, other)],
+        ["doc_id", "text"],
+    )
+    wp = {(r.doc_id_a, r.doc_id_b): r.overlap for r in winnow_overlap_pairs(docs).collect()}
+    assert (1, 2) in wp and wp[(1, 2)] >= 0.9  # contained copy -> near-total overlap
+    assert all(p == (1, 2) for p in wp)  # no spurious pairs with doc 3
+    jp = {(r.doc_id_a, r.doc_id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jp  # whole-doc Jaccard misses the partial copy
