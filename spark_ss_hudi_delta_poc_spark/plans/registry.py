@@ -34,9 +34,10 @@ class Query:
 # (tools/verify_local.py, all SFs).
 #
 # Round-6 rotation (closes the evidence gap): slots 1-20 are the LAST 20
-# never-driver-checked queries (the round-5 staged queue — after this
-# round every one of the 148 registry entries has an external green
-# row).  Slots 21-50: first, fresh regression rows for the operators
+# never-driver-checked round-5 queries (the staged queue); with the two
+# round-6 additions also in the window, after this round every one of
+# the 150 registry entries has an external green row.  Slots 21-50:
+# first, fresh regression rows for the operators
 # whose CODE changed this round — the MinHash family rewrite
 # (dedup_minhash_lsh; dedup_minhash_recall is in the queue), the
 # global-top-k rework (corpus_ngram_stats; text_bm25_search queued), and
@@ -44,9 +45,11 @@ class Query:
 # whose newest green evidence is oldest (r3).  Displaced to the in-repo
 # gate (keeping green driver rows r4/r5): the reference battery
 # (q01-q09, refreshed r5), the streaming set (r5), the TPC-H topology
-# (r4/r5), text_fingerprint and multimodal_meta (r3 but unchanged
-# map-only projections, triple-covered by tests — the two cheapest rows
-# to displace).
+# (r4/r5), and the cheapest r3 rows to displace — text_fingerprint,
+# multimodal_meta/frames/resize (unchanged map-only/mapInPandas
+# plumbing, triple-covered by tests) — making room for first rows for
+# the two operators ADDED this round (ann_ivf_kmeans_topk,
+# dedup_winnow_pairs).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-checked (20): the staged round-5 queue ------------
     "dedup_segments",
@@ -69,9 +72,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "q90_stream_curation",
     "q91_stream_ann_serving",
-    # --- code changed this round: fresh regression rows (2) -------------
+    # --- code changed/ADDED this round: fresh regression rows (4) -------
     "dedup_minhash_lsh",
     "corpus_ngram_stats",
+    "ann_ivf_kmeans_topk",
+    "dedup_winnow_pairs",
     # --- newest green row r3 (28) ---------------------------------------
     "text_tfidf_keywords",
     "ann_bruteforce_topk",
@@ -88,8 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "embedding_label_centroids",
     "multimodal_audio_meta",
-    "multimodal_frames",
-    "multimodal_resize",
     "q24_above_cust_avg",
     "q25_set_ops",
     "q26_pivot",
