@@ -241,3 +241,35 @@ def test_minhash_band_collision_tracks_lsh_s_curve():
     high = sum(collide(0.9, rng) for _ in range(200)) / 200
     assert low <= 0.05, low   # theory 0.004; degenerate family ~0.11
     assert high >= 0.95, high  # theory 0.995; degenerate family ~0.90
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh", min_size=11, max_size=24),
+    st.text(alphabet="qrstuvwx", min_size=0, max_size=30),
+    st.text(alphabet="qrstuvwx", min_size=0, max_size=30),
+)
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(common, pre, post):
+    """Winnowing's defining theorem (Schleimer et al.): any substring of
+    length >= k+w-1 shared by two documents yields at least one shared
+    fingerprint.  Pure-python mirror of the operator/oracle definition
+    (k=8 char-grams, w=4 window, min-hash per window) over a planted
+    common substring with disjoint-alphabet context."""
+    import hashlib
+
+    K, W = 8, 4
+
+    def fps(text):
+        t = text.lower()
+        if len(t) < K:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i : i + K].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - K + 1)
+        ]
+        return {min(hs[i : i + W]) for i in range(len(hs))}
+
+    a = pre + common + post
+    b = "yz" + common + "zy"
+    assert len(common) >= K + W - 1
+    assert fps(a) & fps(b), (a, b)

@@ -87,6 +87,12 @@ PROBE_OPS = [
     "q83_product_profit",
     "q87_min_price_supplier",
     "text_rare_token_stats",
+    # round-6 additions: winnow-index pair join (df-capped fingerprint
+    # equi-join — the fanout-bound argument under K-fold replication),
+    # iterative Lloyd refinement (per-iteration shuffle is
+    # partitions*centroids*dim rows, independent of corpus size)
+    "dedup_winnow_pairs",
+    "ann_ivf_kmeans_topk",
 ]
 
 
