@@ -361,7 +361,12 @@ def winnow_fingerprints(
 
     Plan: posexplode positions (map) → substring+hash (codegen map) → one
     ROWS-frame window min (single shuffle on doc_id) → distinct.  Output
-    size ~len/w per doc.
+    size ~len/w per doc.  (Rejected shape, measured round 6: computing
+    the per-doc fingerprint set as array ops — transform+array_min+slice
+    over the hash array, zero shuffles — produces identical rows but runs
+    ~20% SLOWER at sf0.1: higher-order lambdas drop out of whole-stage
+    codegen, and the interpreted per-element md5 costs more than the
+    16-byte-row window shuffle it saves.)
     """
     from pyspark.sql import Window
 

@@ -394,3 +394,82 @@ def ingest_increment_segments(
         cleaned.unpersist()
     _write_marker(segindex_path, token)
     return n
+
+
+def ingest_increment_winnow(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    fpindex_path: str,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Cross-run PARTIAL-OVERLAP dedup: reject a new document when most
+    of its content already exists anywhere in ingestion history, even
+    inside longer, otherwise-different documents.
+
+    The exact-hash ingest misses re-posts with an added preamble; the
+    LSH ingest misses low-Jaccard containment (a doc quoted whole inside
+    a longer one).  Winnowing closes both: any shared substring of
+    >= k+w-1 chars shares a fingerprint, so
+
+      new batch → winnow fingerprints (one shuffle, ~len/w rows/doc) →
+      per-doc overlap = |fps ∩ history| / |fps| via a fp-keyed join
+      against the accumulated index → docs at/above ``threshold`` are
+      dropped as already-known content → survivors append to the corpus,
+      their DISTINCT fingerprints to the index.
+
+    The index carries only 8-byte fingerprints (~|corpus chars|/w rows —
+    w-fold smaller than a full substring index); history reads take
+    committed increments only, and corpus+index commit under ONE marker
+    (the :func:`ingest_increment` atomicity protocol: staged ``inc=<token>``
+    dirs, marker create after both writes, replay short-circuit).
+    Within-batch containment is the batch operator's job
+    (operators/dedup.winnow_overlap_pairs); this gate is strictly
+    batch-vs-history.  Returns ingested row count (0 for a replay).
+    """
+    from ..operators.text_analysis import winnow_fingerprints
+
+    fp = winnow_fingerprints(batch, text_col=text_col, id_col=id_col)
+    token = str(increment_id) if increment_id is not None else _content_token(
+        fp.select(F.col("fp").alias("_h")), "_h"
+    )
+    committed = _committed_tokens(fpindex_path)
+    if token in committed:
+        return 0
+    index_dirs = _committed_paths(fpindex_path, committed)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if index_dirs:
+        hist = spark.read.parquet(*index_dirs).select("fp").distinct()
+        shared = (
+            fp.join(hist, "fp", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        shared = sizes.select("doc_id", F.lit(0).cast("long").alias("shared"))
+    overlap = (
+        sizes.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("shared", F.lit(0)).cast("double") / F.col("n").cast("double")).alias(
+                "overlap"
+            ),
+        )
+    )
+    drop = overlap.where(F.col("overlap") >= threshold).select("doc_id")
+    survivors = batch.join(drop, batch[id_col] == drop["doc_id"], "left_anti").persist()
+    try:
+        n = survivors.count()
+        if n:
+            survivors.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
+            new_fps = (
+                fp.join(drop, "doc_id", "left_anti").select("fp").distinct()
+            )
+            new_fps.write.mode("overwrite").parquet(os.path.join(fpindex_path, f"inc={token}"))
+    finally:
+        survivors.unpersist()
+    _write_marker(fpindex_path, token)
+    return n

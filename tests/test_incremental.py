@@ -162,3 +162,28 @@ def test_incremental_segment_dedup_across_runs(spark, tmp_path):
     # replayed increment: marker short-circuits, nothing double-ingested
     assert ingest_increment_segments(spark, b2, corpus, index, increment_id="r2") == 0
     assert spark.read.parquet(corpus).count() == 2
+
+
+def test_incremental_winnow_rejects_cross_run_partial_copies(spark, tmp_path):
+    """Run 2 must reject a doc whose content is substantially a copy of
+    run-1 material (even with a new preamble — the case the exact-hash
+    ingest misses), ingest genuinely new docs, and replay to 0."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import ingest_increment_winnow
+
+    corpus = os.path.join(tmp_path, "wcorpus")
+    index = os.path.join(tmp_path, "windex")
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    other = " ".join(f"fresh{i} material{i}" for i in range(30))
+    b1 = spark.createDataFrame([(1, body), (2, other)], DOC_SCHEMA)
+    n1 = ingest_increment_winnow(spark, b1, corpus, index)
+    assert n1 == 2  # empty history: everything ingests
+    repost = "breaking news update " + body  # added preamble, same body
+    novel = " ".join(f"novel{i} text{i}" for i in range(30))
+    b2 = spark.createDataFrame([(3, repost), (4, novel)], DOC_SCHEMA)
+    n2 = ingest_increment_winnow(spark, b2, corpus, index)
+    assert n2 == 1  # repost rejected by overlap-vs-history, novel kept
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]
+    # replay short-circuit: same batch content commits nothing new
+    assert ingest_increment_winnow(spark, b2, corpus, index) == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 4]
