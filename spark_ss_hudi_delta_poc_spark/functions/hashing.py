@@ -103,6 +103,10 @@ def affine_hash(h: Column, a: int, b: int) -> Column:
     return ((h % F.lit(AFFINE_PRIME)) * F.lit(a) + F.lit(b)) % F.lit(AFFINE_PRIME)
 
 
-def affine_hash_sql_duckdb(h_expr: str, a: int, b: int) -> str:
-    """DuckDB SQL computing the identical family member (BIGINT-safe)."""
+def affine_hash_sql_duckdb(h_expr: str, a: int | str, b: int | str) -> str:
+    """DuckDB SQL computing the identical family member (BIGINT-safe).
+
+    ``a``/``b`` may be integer literals or SQL column references (the
+    minhash oracle passes columns of its seeds VALUES list) — the single
+    source of the expression shape shared with :func:`affine_hash`."""
     return f"((({h_expr}) % {AFFINE_PRIME}) * {a} + {b}) % {AFFINE_PRIME}"

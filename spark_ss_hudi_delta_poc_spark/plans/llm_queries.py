@@ -462,7 +462,7 @@ def dedup_kept_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- oracle builders ---------------------------------------------------------
 def _minhash_oracle(k: int, bands: int, thr: float) -> str:
-    from ..functions.hashing import AFFINE_PRIME, affine_constants
+    from ..functions.hashing import affine_constants, affine_hash_sql_duckdb
 
     r = k // bands
     seed_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(affine_constants(k)))
@@ -471,7 +471,7 @@ WITH {WS_SH_CTE},
 base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM sh),
 seeds AS (SELECT * FROM (VALUES {seed_rows}) t(seed, a, b)),
 hashes AS (
-  SELECT doc_id, seed, ((h % {AFFINE_PRIME}) * a + b) % {AFFINE_PRIME} AS h
+  SELECT doc_id, seed, {affine_hash_sql_duckdb("h", "a", "b")} AS h
   FROM base CROSS JOIN seeds
 ),
 sigs AS (SELECT doc_id, seed, MIN(h) AS minhash FROM hashes GROUP BY doc_id, seed),

@@ -77,7 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_ngram_stats",
     "ann_ivf_kmeans_topk",
     "dedup_winnow_pairs",
-    # --- newest green row r3 (28) ---------------------------------------
+    # --- newest green row r3 (26) ---------------------------------------
     "text_tfidf_keywords",
     "ann_bruteforce_topk",
     "ann_ivf_topk",

@@ -432,44 +432,59 @@ def ingest_increment_winnow(
     """
     from ..operators.text_analysis import winnow_fingerprints
 
-    fp = winnow_fingerprints(batch, text_col=text_col, id_col=id_col)
+    # replay token from the RAW text hashes (the sibling ingests' rule),
+    # never from the fingerprint set: fingerprints are lossy — every
+    # doc under k chars yields none, so two distinct all-short batches
+    # would collide on the empty-set token and the second would be
+    # silently skipped as a replay (round-6 review finding)
     token = str(increment_id) if increment_id is not None else _content_token(
-        fp.select(F.col("fp").alias("_h")), "_h"
+        batch.select(md5_long(F.col(text_col)).alias("_h")), "_h"
     )
     committed = _committed_tokens(fpindex_path)
     if token in committed:
         return 0
     index_dirs = _committed_paths(fpindex_path, committed)
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    if index_dirs:
-        hist = spark.read.parquet(*index_dirs).select("fp").distinct()
-        shared = (
-            fp.join(hist, "fp", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("shared"))
-        )
-    else:
-        shared = sizes.select("doc_id", F.lit(0).cast("long").alias("shared"))
-    overlap = (
-        sizes.join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            (F.coalesce("shared", F.lit(0)).cast("double") / F.col("n").cast("double")).alias(
-                "overlap"
-            ),
-        )
-    )
-    drop = overlap.where(F.col("overlap") >= threshold).select("doc_id")
-    survivors = batch.join(drop, batch[id_col] == drop["doc_id"], "left_anti").persist()
+    # the fingerprint DAG (per-char hash + window shuffle) is the
+    # increment's dominant cost and feeds three consumers (sizes,
+    # history probe, index append) — persist for the call like the
+    # sibling ingests persist their hash tables
+    fp = winnow_fingerprints(batch, text_col=text_col, id_col=id_col).persist()
     try:
-        n = survivors.count()
-        if n:
-            survivors.write.mode("overwrite").parquet(os.path.join(corpus_path, f"inc={token}"))
-            new_fps = (
-                fp.join(drop, "doc_id", "left_anti").select("fp").distinct()
+        sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        if index_dirs:
+            hist = spark.read.parquet(*index_dirs).select("fp").distinct()
+            shared = (
+                fp.join(hist, "fp", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("shared"))
             )
-            new_fps.write.mode("overwrite").parquet(os.path.join(fpindex_path, f"inc={token}"))
+        else:
+            shared = sizes.select("doc_id", F.lit(0).cast("long").alias("shared"))
+        overlap = (
+            sizes.join(shared, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce("shared", F.lit(0)).cast("double") / F.col("n").cast("double")
+                ).alias("overlap"),
+            )
+        )
+        drop = overlap.where(F.col("overlap") >= threshold).select("doc_id").persist()
+        survivors = batch.join(drop, batch[id_col] == drop["doc_id"], "left_anti").persist()
+        try:
+            n = survivors.count()
+            if n:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"inc={token}")
+                )
+                new_fps = fp.join(drop, "doc_id", "left_anti").select("fp").distinct()
+                new_fps.write.mode("overwrite").parquet(
+                    os.path.join(fpindex_path, f"inc={token}")
+                )
+        finally:
+            survivors.unpersist()
+            drop.unpersist()
     finally:
-        survivors.unpersist()
+        fp.unpersist()
     _write_marker(fpindex_path, token)
     return n

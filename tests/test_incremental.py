@@ -187,3 +187,22 @@ def test_incremental_winnow_rejects_cross_run_partial_copies(spark, tmp_path):
     # replay short-circuit: same batch content commits nothing new
     assert ingest_increment_winnow(spark, b2, corpus, index) == 0
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 4]
+
+
+def test_incremental_winnow_short_doc_batches_are_distinct_increments(spark, tmp_path):
+    """Docs under k chars yield ZERO fingerprints — two distinct
+    all-short batches must still be distinct increments (the replay
+    token comes from raw text hashes, never the lossy fingerprint set),
+    and short docs ingest un-gated."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import ingest_increment_winnow
+
+    corpus = os.path.join(tmp_path, "scorpus")
+    index = os.path.join(tmp_path, "sindex")
+    assert ingest_increment_winnow(
+        spark, spark.createDataFrame([(1, "hi")], DOC_SCHEMA), corpus, index
+    ) == 1
+    assert ingest_increment_winnow(
+        spark, spark.createDataFrame([(2, "yo")], DOC_SCHEMA), corpus, index
+    ) == 1  # different content: must NOT be treated as a replay
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2]

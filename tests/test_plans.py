@@ -270,6 +270,42 @@ def test_tfidf_corpus_joins_are_shuffles(spark):
 PARTITIONLESS_WINDOW_EXEMPT: set[str] = {"q78_approx_quantiles"}
 
 
+def _interior_plans(spark):
+    """Distributed interiors of the eagerly-materialized queries, whose
+    PUBLIC plan is a driver-local relation (global_topk_with_rank /
+    localCheckpoint) and would satisfy any plan audit vacuously.  The
+    global audits iterate these too.  (dedup_minhash_lsh's interior has
+    its own dedicated gate below; the cluster queries' heavy interiors
+    ARE separately-registered audited queries — the pair generators —
+    and their iterative step only joins checkpointed near-dup-sized
+    label tables.)"""
+    from spark_ss_hudi_delta_poc_spark.operators import dedup
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_scored
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF, "documents")
+    ngram_interior = (
+        dedup.shingle_table(docs)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+    return [
+        ("interior:text_bm25_search", bm25_scored(docs, ["spark", "join", "vector"])),
+        ("interior:corpus_ngram_stats", ngram_interior),
+    ]
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def test_no_partitionless_window_anywhere(spark):
     """Global plan audit: a ranking window with an EMPTY partition spec
     funnels its entire input through ONE partition — the round-5 bm25 /
@@ -280,16 +316,22 @@ def test_no_partitionless_window_anywhere(spark):
     over the <=k survivors instead (global_topk_with_rank)."""
     import re
 
+    def partitionless(p: str) -> bool:
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
+            head = m.group(1).split(",")[0].strip()
+            if re.search(r"\s(ASC|DESC)$", head) or " ASC " in head or " DESC " in head:
+                return True
+        return False
+
     offenders = []
     for name, q in sorted(QS.items()):
         if "streaming" in q.tags or name in PARTITIONLESS_WINDOW_EXEMPT:
             continue
-        p = plan_of(spark, name)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
-            head = m.group(1).split(",")[0].strip()
-            if re.search(r"\s(ASC|DESC)$", head) or " ASC " in head or " DESC " in head:
-                offenders.append(name)
-                break
+        if partitionless(plan_of(spark, name)):
+            offenders.append(name)
+    for label, df in _interior_plans(spark):
+        if partitionless(_formatted(df)):
+            offenders.append(label)
     assert offenders == []
 
 
@@ -387,6 +429,15 @@ def test_broadcasts_are_bounded_anywhere(spark):
         bad = _uncertified_broadcasts(p)
         if bad:
             offenders.append((name, bad))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, df in _interior_plans(spark):
+            bad = _uncertified_broadcasts(_formatted(df))
+            if bad:
+                offenders.append((label, bad))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert offenders == []
 
 
