@@ -206,3 +206,41 @@ def test_incremental_winnow_short_doc_batches_are_distinct_increments(spark, tmp
     ) == 1  # different content: must NOT be treated as a replay
     got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2]
+
+
+def test_incremental_winnow_crash_between_writes_heals_on_replay(spark, tmp_path, monkeypatch):
+    """Crash injected between the corpus write and the fingerprint-index
+    write: no marker commits, so the replayed increment re-stages the
+    SAME inc dir (overwrite) and commits exactly once — and history
+    decisions made after the heal still see the increment's
+    fingerprints."""
+    import pytest
+
+    import pyspark.sql.readwriter as rw
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import ingest_increment_winnow
+
+    corpus = os.path.join(tmp_path, "ccorpus")
+    index = os.path.join(tmp_path, "cindex")
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    b1 = spark.createDataFrame([(1, body)], DOC_SCHEMA)
+
+    orig = rw.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if str(path).startswith(index):
+            raise RuntimeError("injected crash between the two writes")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_winnow(spark, b1, corpus, index)
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", orig)
+    assert not os.path.isdir(os.path.join(index, "_commits")) or not os.listdir(
+        os.path.join(index, "_commits")
+    )
+    assert ingest_increment_winnow(spark, b1, corpus, index) == 1  # heal, once
+    assert [r.doc_id for r in spark.read.parquet(corpus).collect()] == [1]
+    # post-heal history is live: a preamble-repost of the healed doc is rejected
+    b2 = spark.createDataFrame([(2, "update " + body)], DOC_SCHEMA)
+    assert ingest_increment_winnow(spark, b2, corpus, index) == 0
