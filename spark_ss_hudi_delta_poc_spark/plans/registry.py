@@ -33,77 +33,76 @@ class Query:
 # against their oracles; the rest ride on the in-repo gate
 # (tools/verify_local.py, all SFs).
 #
-# Round-6 rotation (closes the evidence gap): slots 1-20 are the LAST 20
-# never-driver-checked round-5 queries (the staged queue); with the two
-# round-6 additions also in the window, after this round every one of
-# the 150 registry entries has an external green row.  Slots 21-50:
-# first, fresh regression rows for the operators
-# whose CODE changed this round — the MinHash family rewrite
-# (dedup_minhash_lsh; dedup_minhash_recall is in the queue), the
-# global-top-k rework (corpus_ngram_stats; text_bm25_search queued), and
-# the broadcast->shuffle rework (text_tfidf_keywords) — then the rows
-# whose newest green evidence is oldest (r3).  Displaced to the in-repo
-# gate (keeping green driver rows r4/r5): the reference battery
-# (q01-q09, refreshed r5), the streaming set (r5), the TPC-H topology
-# (r4/r5), and the cheapest r3 rows to displace — text_fingerprint,
-# multimodal_meta/frames/resize (unchanged map-only/mapInPandas
-# plumbing, triple-covered by tests) — making room for first rows for
-# the two operators ADDED this round (ann_ivf_kmeans_topk,
-# dedup_winnow_pairs).
+# Round-7 rotation.  Slot 1: q90_stream_curation — CORRECTNESS_r06's one
+# red row (partition-column bool->string drift), fixed this round via
+# read_back; its fresh green row is the round's top goal.  Slots 2-5: the
+# only four queries whose newest green evidence is r3
+# (displaced from the r6 window: text_fingerprint + the three multimodal
+# plumbing rows).  Slots 6-9: fresh regression rows for code touched this
+# round — the winnow family (max_doc_chars guard) and the
+# global_topk_with_rank rework consumers (bm25 / corpus_ngram_stats).
+# Slots 10-50: the 48 rows whose newest green evidence is r4, minus the
+# seven cheapest to displace to r8 (unchanged pure-function/math
+# batteries, each covered by unit tests AND the in-repo oracle gate:
+# q05/q08/q11/q61 datetime, q45 histogram, q74 zorder, q76 bit-aggs) —
+# keeping every join/window/streaming/TPC-H-topology r4 row in-window.
+# After this round no registry query's newest external evidence is older
+# than r4.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked (20): the staged round-5 queue ------------
-    "dedup_segments",
-    "dedup_repeated_spans",
-    "dedup_normalized",
-    "curation_model_filter",
-    "curation_rebalance",
-    "curation_decontaminated",
-    "curation_export_shards",
-    "curation_filter_report",
-    "curation_sample_weighted",
-    "ann_quantized_topk",
-    "ann_ivf_index_topk",
-    "ann_lsh_multitable_topk",
-    "ann_recall_report",
-    "dedup_minhash_recall",
-    "dedup_embedding_clusters_lsh",
-    "embedding_knn_graph_lsh",
-    "q78_approx_quantiles",
-    "text_bm25_search",
+    # --- the r6 red row, fixed this round (1) -------------------------
     "q90_stream_curation",
-    "q91_stream_ann_serving",
-    # --- code changed/ADDED this round: fresh regression rows (4) -------
-    "dedup_minhash_lsh",
-    "corpus_ngram_stats",
-    "ann_ivf_kmeans_topk",
+    # --- newest green row r3 (4) ----------------------------------------
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    # --- code touched this round: fresh regression rows (4) -------------
+    "text_winnow_fingerprint",
     "dedup_winnow_pairs",
-    # --- newest green row r3 (26) ---------------------------------------
-    "text_tfidf_keywords",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "curation_pack_sequences",
-    "curation_pretokens",
-    "curation_sample_bernoulli",
-    "curation_sample_stratified",
-    "curation_source_mixture",
-    "dedup_embedding_clusters",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "embedding_label_centroids",
-    "multimodal_audio_meta",
-    "q24_above_cust_avg",
-    "q25_set_ops",
-    "q26_pivot",
-    "q29_string_battery",
-    "q30_math_battery",
-    "q62_regexp_extract_all",
-    "text_chunking",
-    "text_language_id",
-    "text_quality_score",
-    "text_scrub_pii",
-    "text_token_counts",
+    "text_bm25_search",
+    "corpus_ngram_stats",
+    # --- newest green row r4 (41 of 48; 7 batteries displaced to r8) ----
+    "curation_c4_rules",
+    "curation_gopher_rules",
+    "dedup_containment",
+    "q13_join_revenue",
+    "q14_broadcast_dims",
+    "q15_window_topn",
+    "q16_rollup",
+    "q17_asof_join",
+    "q18_semi_anti",
+    "q20_sessionize",
+    "q23_pricing_summary",
+    "q33_segment_topn",
+    "q34_region_revenue",
+    "q35_moving_agg",
+    "q36_resample_gapfill",
+    "q37_rank_battery",
+    "q38_lag_lead",
+    "q43_collect_arrays",
+    "q47_quality_rules",
+    "q48_snapshot_diff",
+    "q49_exists_daterange",
+    "q50_filter_revenue",
+    "q51_returned_top_customers",
+    "q52_priority_shipmode",
+    "q53_exact_median",
+    "q54_group_mode",
+    "q55_asof_tolerance",
+    "q56_cube",
+    "q57_funnel",
+    "q58_hourly_retention",
+    "q59_sliding_window",
+    "q63_unpivot",
+    "q66_stream_ttl_dedup",
+    "q67_stream_topk",
+    "q68_volume_shipping",
+    "q69_market_share",
+    "q70_waiting_suppliers",
+    "q71_global_sales_opp",
+    "q72_promo_revenue",
+    "q73_disjunctive_join",
+    "q75_grouping_sets",
 )
 
 

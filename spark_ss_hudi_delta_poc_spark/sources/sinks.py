@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import StructType
 
 # K3 — the tuned bulk-insert option map (S3ToHudiOptStreamJob.scala:78-101).
 # This is what makes Hudi writes only ~3-4x slower than plain parquet
@@ -84,6 +86,31 @@ def write_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def read_back(spark: SparkSession, path: str, written_schema: StructType) -> DataFrame:
+    """Read a (possibly partitioned) parquet sink back with the WRITER's
+    column types restored — the K1 round-trip contract
+    (S3ToParquetStreamJob.scala:74-81: what lands in the sink must be
+    queryable as what was written).
+
+    Spark stores partition-column values in directory names and re-infers
+    their types on read; the inference covers numerics and dates but NOT
+    booleans, so a ``keep=true`` partition directory reads back as the
+    STRING ``'true'``.  Any column whose read-back type differs from the
+    written schema is cast back.  Non-partition columns keep their parquet
+    types, so the casts are directory-name columns only.
+    """
+    df = spark.read.parquet(path)
+    written = {f.name: f.dataType for f in written_schema.fields}
+    drifted = [
+        f.name
+        for f in df.schema.fields
+        if f.name in written and f.dataType != written[f.name]
+    ]
+    return df.withColumns(
+        {c: F.col(c).cast(written[c]) for c in drifted}
+    ) if drifted else df
 
 
 def write_console_stream(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS_SCHEMA, LINEITEM_SCHEMA
-from ..sources.sinks import write_stream
+from ..sources.sinks import read_back, write_stream
 from ..sources.stream import read_file_stream, stage_as_files
 from ..tables import load
 
@@ -467,7 +467,10 @@ def stream_curation_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigger_available_now=True,
     )
     q.awaitTermination()
-    back = spark.read.parquet(sink)
+    # keep is a partition DIRECTORY on disk; partition-type inference does
+    # not cover booleans, so read_back restores it (string 'false' would
+    # hash-diverge from the oracle's boolean — CORRECTNESS_r06 q90)
+    back = read_back(spark, sink, flags.schema)
     return (
         back.groupBy("keep")
         .agg(

@@ -38,3 +38,22 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spdf.columns) == sorted(dpdf.columns)
     assert len(spdf) == len(dpdf)
     assert canon_lines(spdf) == canon_lines(dpdf)
+
+
+def test_canon_val_is_dtype_sensitive():
+    """Round-6 lesson (q90): the driver distinguishes a boolean True from
+    the string 'true' (partition-directory read-back returns strings), so
+    the local canonicalizer must too — the lax lowercase-bool form passed
+    q90 locally at every SF while the driver failed it."""
+    import numpy as np
+
+    from verify_local import canon_val
+
+    assert canon_val(True) != canon_val("true")
+    assert canon_val(False) != canon_val("false")
+    assert canon_val(np.bool_(True)) == canon_val(True)
+    # the int/float and date/timestamp equivalences the driver DOES have
+    # stay intact
+    assert canon_val(np.int64(7)) == canon_val(7)
+    assert canon_val(1.5) == canon_val(np.float64(1.5))
+    assert canon_val(7) != canon_val(7.0)

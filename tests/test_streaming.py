@@ -224,3 +224,57 @@ def test_progress_collector_empty():
     from spark_ss_hudi_delta_poc_spark.streaming.monitor import ProgressCollector
 
     assert ProgressCollector().total_rows() == 0
+
+
+def test_read_back_restores_partition_types(spark, tmp_path):
+    """Partition-column round-trip types (q90's bug class): Spark stores
+    partition values as directory NAMES and re-infers types on read — the
+    inference covers ints and dates but not booleans, so a boolean
+    partition column silently reads back as string.  read_back must
+    restore every drifted column to the written schema."""
+    from datetime import date
+
+    from spark_ss_hudi_delta_poc_spark.sources.sinks import read_back
+
+    df = spark.createDataFrame(
+        [(1, True, date(2024, 1, 1), "x"), (2, False, date(2024, 1, 2), "y")],
+        "id int, keep boolean, d date, payload string",
+    )
+    sink = os.path.join(tmp_path, "sink")
+    df.write.partitionBy("keep", "d", "id").parquet(sink)
+    # document the inference hole this helper exists for: a plain read
+    # returns the boolean partition column as string
+    naive = {f.name: f.dataType.simpleString() for f in spark.read.parquet(sink).schema}
+    assert naive["keep"] == "string"
+    restored = read_back(spark, sink, df.schema)
+    assert {f.name: f.dataType for f in restored.schema} == {
+        f.name: f.dataType for f in df.schema
+    }
+    got = {(r.id, r.keep, r.d, r.payload) for r in restored.collect()}
+    assert got == {(1, True, date(2024, 1, 1), "x"), (2, False, date(2024, 1, 2), "y")}
+
+
+def test_stream_curation_roundtrip_dtypes_match_batch(spark):
+    """q90 regression (CORRECTNESS_r06's one red row): the streamed
+    keep-partitioned sink round-trip must return the SAME schema as the
+    equivalent batch aggregate — in particular `keep` stays boolean
+    through the partition-directory round trip."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import gopher_rules
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_curation_roundtrip
+
+    batch = (
+        gopher_rules(load(spark, SF, "documents"))
+        .groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("tot_words"),
+            F.sum("n_stop_types").alias("tot_stop_types"),
+        )
+    )
+    streamed = stream_curation_roundtrip(spark, SF)
+    assert {f.name: f.dataType for f in streamed.schema} == {
+        f.name: f.dataType for f in batch.schema
+    }
+    skey = {tuple(sorted(r.asDict().items())) for r in streamed.collect()}
+    bkey = {tuple(sorted(r.asDict().items())) for r in batch.collect()}
+    assert skey == bkey

@@ -48,7 +48,11 @@ def canon_val(v) -> str:
     except (TypeError, ValueError):
         pass
     if isinstance(v, (bool, np.bool_)):
-        return "true" if v else "false"
+        # dtype-marked: a boolean True must NOT hash equal to the string
+        # 'true' — the driver distinguishes them, and the lax lowercase
+        # form masked q90's partition-column string drift at every SF
+        # (CORRECTNESS_r06: driver red, this gate green)
+        return "bool:true" if v else "bool:false"
     if isinstance(v, (float, np.floating)):
         return repr(float(v))
     if isinstance(v, (int, np.integer)):
