@@ -267,10 +267,11 @@ def bm25_search(
     no doc_id join at all).  N and avgdl come from a 1-row aggregate
     cross-joined (broadcast) — no driver-side collect.  df per query
     term is a <=|Q|-row broadcast.  The global top-k is orderBy+limit
-    (TakeOrderedAndProject: per-partition top-k, driver merges
-    k·partitions rows), not a no-partition ranking window that would
-    sort every scored doc in ONE partition; rank is derived over the
-    <=top_k surviving rows.
+    (TakeOrderedAndProject: per-partition top-k heaps, k rows per
+    partition merged), not a no-partition ranking window that would
+    sort every scored doc in ONE partition; rank is a window over the
+    <=top_k SURVIVORS only (bounded input — see global_topk_with_rank),
+    and the whole query stays lazy.
     Returns (doc_id, score_e9, rank), ties broken by doc_id.
     """
     from .partitioning import global_topk_with_rank
@@ -344,6 +345,14 @@ def bm25_scored(
 
 WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (k-grams per window)
+# Straggler guard: a single book-length document would otherwise put its
+# ENTIRE gram stream through one doc_id window partition (the round-6
+# watch-item: ~16 B shuffled per corpus char, all of one doc's on one
+# task).  Docs longer than this are split into chunks that overlap by
+# k+w-2 chars, which preserves the fingerprint set EXACTLY (see
+# winnow_fingerprints docstring) while bounding any window partition to
+# ~max_doc_chars rows.
+WINNOW_MAX_DOC_CHARS = 65_536
 
 
 def winnow_fingerprints(
@@ -352,6 +361,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    max_doc_chars: int | None = WINNOW_MAX_DOC_CHARS,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash scheme): hash every
     char k-gram, slide a w-gram window, keep each window's MIN hash, emit
@@ -359,25 +369,87 @@ def winnow_fingerprints(
     >= k+w-1 produces a shared fingerprint — the partial-overlap detector
     exact hashing can't provide.
 
-    Plan: posexplode positions (map) → substring+hash (codegen map) → one
-    ROWS-frame window min (single shuffle on doc_id) → distinct.  Output
-    size ~len/w per doc.  (Rejected shape, measured round 6: computing
-    the per-doc fingerprint set as array ops — transform+array_min+slice
-    over the hash array, zero shuffles — produces identical rows but runs
-    ~20% SLOWER at sf0.1: higher-order lambdas drop out of whole-stage
-    codegen, and the interpreted per-element md5 costs more than the
-    16-byte-row window shuffle it saves.)
+    Plan: explode chunk starts (map) → explode in-chunk positions (map) →
+    substring+hash (codegen map) → one ROWS-frame window min (single
+    shuffle on (doc_id, chunk)) → distinct.  Output size ~len/w per doc.
+    (Rejected shape, measured round 6: computing the per-doc fingerprint
+    set as array ops — transform+array_min+slice over the hash array,
+    zero shuffles — produces identical rows but runs ~20% SLOWER at
+    sf0.1: higher-order lambdas drop out of whole-stage codegen, and the
+    interpreted per-element md5 costs more than the 16-byte-row window
+    shuffle it saves.)
+
+    Long-doc guard (``max_doc_chars``): docs longer than the cap are
+    split into chunks overlapping by k+w-2 chars, and the window runs per
+    (doc_id, chunk_start) instead of per doc_id — so one book-length doc
+    spreads over ~len/max_doc_chars tasks instead of serializing one.
+    The result is EXACT, not approximate: every w-gram window of the
+    whole doc (span k+w-1 chars) lies wholly inside the chunk that owns
+    its anchor (non-final chunks own anchors [cstart, cstart+step-1],
+    all full windows; the final chunk also owns the doc's trailing
+    partial windows), and a fingerprint is just the min hash of a
+    window, so the union of per-chunk window mins equals the whole-doc
+    window mins and ``distinct`` collapses the overlap duplicates.
     """
     from pyspark.sql import Window
 
+    if max_doc_chars is not None and max_doc_chars < 2 * (k + w):
+        raise ValueError(f"max_doc_chars={max_doc_chars} too small for k={k}, w={w}")
+
     norm = F.lower(F.col(text_col))
+    if max_doc_chars is None:
+        # single chunk per doc (the pre-guard plan)
+        chunks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(1).alias("cstart"),
+            norm.alias("_chunk"),
+            F.lit(True).alias("_final"),
+        )
+        own = None
+    else:
+        # chunk c owns window anchors [cstart, cstart+step-1]; stride by
+        # `step` with k+w-2 chars of overlap so every owned window is
+        # wholly in-chunk.  Last start M = max(1, len-(k+w-2)) makes the
+        # final chunk reach the end of the doc (trailing partials).
+        step = max_doc_chars - (k + w - 2)
+        last_start = F.greatest(F.lit(1), F.length(norm) - F.lit(k + w - 2))
+        chunks = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                norm.alias("_norm"),
+                last_start.alias("_m"),
+                F.explode(
+                    F.sequence(F.lit(1), last_start, F.lit(step))
+                ).alias("cstart"),
+            )
+            .select(
+                "doc_id",
+                "cstart",
+                F.substring(F.col("_norm"), F.col("cstart"), max_doc_chars).alias("_chunk"),
+                (F.col("cstart") + F.lit(step) > F.col("_m")).alias("_final"),
+            )
+        )
+        own = step
     positions = F.when(
-        F.length(norm) >= k, F.sequence(F.lit(1), F.length(norm) - (k - 1))
+        F.length(F.col("_chunk")) >= k,
+        F.sequence(F.lit(1), F.length(F.col("_chunk")) - (k - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), norm.alias("_norm"), F.explode(positions).alias("pos")
-    ).select("doc_id", "pos", md5_long(F.substring(F.col("_norm"), F.col("pos"), k)).alias("h"))
-    frame = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams = chunks.select(
+        "doc_id", "cstart", "_final", F.col("_chunk"), F.explode(positions).alias("pos")
+    ).select(
+        "doc_id",
+        "cstart",
+        "_final",
+        "pos",
+        md5_long(F.substring(F.col("_chunk"), F.col("pos"), k)).alias("h"),
     )
-    return grams.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
+    frame = Window.partitionBy("doc_id", "cstart").orderBy("pos").rowsBetween(0, w - 1)
+    mins = grams.select(
+        "doc_id", "_final", "pos", F.min("h").over(frame).alias("fp")
+    )
+    if own is not None:
+        # non-final chunks: full windows only (their partial tails are
+        # the next chunk's full windows); final chunk keeps the doc's
+        # real trailing partials
+        mins = mins.where(F.col("_final") | (F.col("pos") <= F.lit(own)))
+    return mins.select("doc_id", "fp").distinct()

@@ -245,9 +245,10 @@ def corpus_ngram_stats(spark: SparkSession, sf: str) -> DataFrame:
     table used for stop-shingle caps and contamination checks.
 
     Top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
-    driver merges 20·partitions rows) — a no-partition ranking window
-    would funnel every distinct trigram (billions at 100 TB) through ONE
-    partition (VERDICT r5); rank derives from the 20 surviving rows."""
+    20 rows per partition merged) — a no-partition ranking window would
+    funnel every distinct trigram (billions at 100 TB) through ONE
+    partition (VERDICT r5); rank is a window over only the 20 surviving
+    rows (bounded input), the whole plan lazy."""
     from ..operators.partitioning import global_topk_with_rank
 
     sh = dedup.shingle_table(load(spark, sf, "documents"))

@@ -215,6 +215,47 @@ def test_winnow_detects_partial_overlap(spark):
     assert not (by_doc[1] & by_doc[3])
 
 
+def test_winnow_long_doc_chunking_is_exact(spark):
+    """The max_doc_chars straggler guard (chunks overlapping by k+w-2
+    chars, per-chunk window) must produce EXACTLY the same fingerprint
+    set as the unchunked plan — chunking is a physical re-partitioning,
+    not an approximation.  Exercised at several cap values including ones
+    that land chunk boundaries mid-window, on docs longer than the cap."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import winnow_fingerprints
+
+    rng = random.Random(7)
+    alpha = "abcdefgh "
+    rows = [
+        (1, "".join(rng.choice(alpha) for _ in range(503))),   # >> cap
+        (2, "".join(rng.choice(alpha) for _ in range(97))),    # ~ cap
+        (3, "short doc"),                                      # < k
+        (4, ""),                                               # empty
+        (5, "".join(rng.choice(alpha) for _ in range(64))),    # = one cap
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, max_doc_chars=None).collect()
+    }
+    for cap in (24, 64, 65):
+        got = {
+            (r.doc_id, r.fp)
+            for r in winnow_fingerprints(docs, max_doc_chars=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+
+def test_winnow_rejects_degenerate_cap():
+    import pytest as _pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import winnow_fingerprints
+
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(None, max_doc_chars=10)
+
+
 def test_label_centroid_sums_match_exact(spark):
     """applyInPandas centroid sums equal the exact per-dim integer sums."""
     from spark_ss_hudi_delta_poc_spark.operators.similarity import label_centroid_sums

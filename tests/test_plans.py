@@ -124,11 +124,12 @@ def test_sessionize_single_shuffle(spark):
 # row — q78 joins exact-vs-approx quantile rows, tfidf joins the N
 # aggregate).  That is constant work per probe row at any scale — the
 # audit targets unbounded nested loops, not scalar broadcasts.
-# (text_bm25_search has the same 1-row stats cross join in its interior
-# scored plan, but its public plan is the ranked local top-k relation —
-# the interior shape is pinned by test_bm25_corpus_joins_are_shuffles.)
+# text_bm25_search carries the same 1-row stats cross join (now visible
+# in its public plan since global_topk_with_rank went lazy); the shape is
+# additionally pinned by test_bm25_has_no_corpus_sized_join_side.
 CROSS_JOIN_EXEMPT: set[str] = {
     "q71_global_sales_opp",
+    "text_bm25_search",
     "q78_approx_quantiles",
     "q80_top_supplier",
     "q84_important_parts",
@@ -270,35 +271,6 @@ def test_tfidf_corpus_joins_are_shuffles(spark):
 PARTITIONLESS_WINDOW_EXEMPT: set[str] = {"q78_approx_quantiles"}
 
 
-def _interior_plans(spark):
-    """Distributed interiors of the eagerly-materialized queries, whose
-    PUBLIC plan is a driver-local relation (global_topk_with_rank /
-    localCheckpoint) and would satisfy any plan audit vacuously.  The
-    global audits iterate these too.  (dedup_minhash_lsh's interior has
-    its own dedicated gate below; the cluster queries' heavy interiors
-    ARE separately-registered audited queries — the pair generators —
-    and their iterative step only joins checkpointed near-dup-sized
-    label tables.)"""
-    from spark_ss_hudi_delta_poc_spark.operators import dedup
-    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_scored
-    from spark_ss_hudi_delta_poc_spark.tables import load
-
-    from pyspark.sql import functions as F
-
-    docs = load(spark, SF, "documents")
-    ngram_interior = (
-        dedup.shingle_table(docs)
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.col("df").desc(), F.col("shingle").asc())
-        .limit(20)
-    )
-    return [
-        ("interior:text_bm25_search", bm25_scored(docs, ["spark", "join", "vector"])),
-        ("interior:corpus_ngram_stats", ngram_interior),
-    ]
-
-
 def _formatted(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -306,33 +278,98 @@ def _formatted(df) -> str:
     return buf.getvalue()
 
 
-def test_no_partitionless_window_anywhere(spark):
-    """Global plan audit: a ranking window with an EMPTY partition spec
-    funnels its entire input through ONE partition — the round-5 bm25 /
-    corpus_ngram_stats scale bug.  Detected structurally: the first
-    argument of windowspecdefinition is an ORDER key (carries ASC/DESC)
-    exactly when no partition keys precede it.  Global top-k queries
-    must use orderBy+limit (TakeOrderedAndProject) + driver-side rank
-    over the <=k survivors instead (global_topk_with_rank)."""
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, name, id) per node of the formatted plan's tree block."""
     import re
 
-    def partitionless(p: str) -> bool:
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)", p):
+    nodes = []
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            break  # details section begins
+        m = re.match(r"^([\s:+\-*> ]*)([A-Za-z][\w .]*?) \((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    return nodes
+
+
+def _unbounded_partitionless_windows(plan: str) -> list[int]:
+    """Node ids of Window operators whose spec has an EMPTY partition
+    clause AND whose input is NOT bounded — the shape that funnels the
+    whole input through one task.  A partitionless spec is detected
+    structurally (the first windowspecdefinition argument is an ORDER
+    key, carrying ASC/DESC, exactly when no partition keys precede it);
+    it is certified SAFE only when the window's immediate child is
+    TakeOrderedAndProject or a driver-local scan, i.e. the input is <= k
+    rows by construction (global_topk_with_rank's shape — Catalyst folds
+    its constant partition key away, so it reads as partitionless)."""
+    import re
+
+    def spec_partitionless(detail: str) -> bool:
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)", detail):
             head = m.group(1).split(",")[0].strip()
             if re.search(r"\s(ASC|DESC)$", head) or " ASC " in head or " DESC " in head:
                 return True
         return False
 
+    # detail blocks keyed by node id
+    details: dict[int, str] = {}
+    cur = None
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (.*)", ln)
+        if m:
+            cur = int(m.group(1))
+            details[cur] = ln
+        elif cur is not None:
+            details[cur] += "\n" + ln
+    nodes = _tree_nodes(plan)
+    flagged = []
+    for idx, (ind, name, nid) in enumerate(nodes):
+        if not name.startswith("Window"):
+            continue
+        if not spec_partitionless(details.get(nid, "")):
+            continue
+        child = nodes[idx + 1][1] if idx + 1 < len(nodes) else ""
+        if child.startswith(("TakeOrderedAndProject", "LocalTableScan", "Scan ExistingRDD")):
+            continue  # bounded input: <= k rows / driver-local
+        flagged.append(nid)
+    return flagged
+
+
+def test_no_partitionless_window_anywhere(spark):
+    """Global plan audit: a ranking window with an EMPTY partition spec
+    over UNBOUNDED input funnels everything through ONE partition — the
+    round-5 bm25 / corpus_ngram_stats scale bug.  Global top-k queries
+    must use orderBy+limit (TakeOrderedAndProject) and may rank only the
+    <= k survivors (global_topk_with_rank); the detector certifies that
+    bounded shape via the window's child node."""
     offenders = []
     for name, q in sorted(QS.items()):
         if "streaming" in q.tags or name in PARTITIONLESS_WINDOW_EXEMPT:
             continue
-        if partitionless(plan_of(spark, name)):
+        if _unbounded_partitionless_windows(plan_of(spark, name)):
             offenders.append(name)
-    for label, df in _interior_plans(spark):
-        if partitionless(_formatted(df)):
-            offenders.append(label)
     assert offenders == []
+
+
+def test_unbounded_partitionless_detector_flags_raw_window(spark):
+    """The detector itself must still catch the round-5 shape: a
+    row_number window with no partition keys over a raw corpus scan."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    bad = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("doc_id").desc()))
+    )
+    assert _unbounded_partitionless_windows(_formatted(bad))
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import global_topk_with_rank
+
+    good = global_topk_with_rank(docs.select("doc_id", "n_chars"), [F.col("n_chars").desc(), F.col("doc_id").asc()], 5)
+    assert not _unbounded_partitionless_windows(_formatted(good))
+    assert [r.rank for r in good.collect()] == [1, 2, 3, 4, 5]
 
 
 # Subtree shapes that certify a hinted broadcast side is bounded at any
@@ -429,15 +466,6 @@ def test_broadcasts_are_bounded_anywhere(spark):
         bad = _uncertified_broadcasts(p)
         if bad:
             offenders.append((name, bad))
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        for label, df in _interior_plans(spark):
-            bad = _uncertified_broadcasts(_formatted(df))
-            if bad:
-                offenders.append((label, bad))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert offenders == []
 
 

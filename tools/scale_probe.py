@@ -93,6 +93,12 @@ PROBE_OPS = [
     # partitions*centroids*dim rows, independent of corpus size)
     "dedup_winnow_pairs",
     "ann_ivf_kmeans_topk",
+    # round-7 addition: the winnow fingerprint index itself — its shuffle
+    # is ~16 B per corpus CHAR (posexplode + per-(doc,chunk) window min),
+    # the heaviest per-byte exchange in the repo; the max_doc_chars chunk
+    # guard bounds any one window partition, and this probe pins the
+    # corpus-size scaling ~linear
+    "text_winnow_fingerprint",
 ]
 
 
