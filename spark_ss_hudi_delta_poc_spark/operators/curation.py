@@ -658,3 +658,37 @@ def sample_weighted(
         ),
     )
     return docs.where((h % 1_000_000) < thr)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    epoch: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: the pass that turns a
+    curated corpus into the randomized read order a training run
+    consumes, reproducibly (same epoch salt → same order on any engine,
+    any partitioning, any run — the property RNG-based shuffles lack).
+
+    Each doc gets a 60-bit keyed hash of (epoch, id); shard =
+    hash mod n_shards, and the within-shard position ranks by
+    (hash, id).  Training readers stream shard files in shard order,
+    rows in position order — a uniform random permutation as long as the
+    hash mixes (md5 does), with a different permutation per epoch salt.
+
+    Scale shape: one hash map stage + ONE shuffle on shard for the
+    ranking window, whose partitions are corpus/n_shards — n_shards is
+    the knob that bounds per-task sort size (set ~2-3x cores at 100 TB,
+    exactly like shuffle partitions).  No global sort barrier, no
+    single-partition window: the permutation is sharded by construction.
+    Output: (doc_id, shard, pos, shuffle_key).
+    """
+    key = md5_long(F.concat(F.lit(epoch + ":"), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("shuffle_key"),
+        (key % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return base.withColumn("pos", F.row_number().over(w).cast("long"))

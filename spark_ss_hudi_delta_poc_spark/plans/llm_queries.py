@@ -1874,11 +1874,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(iters: int = 2, n_centroids: int = 16) -> str:
-    """Unrolled Lloyd iterations: each round is an assignment CTE (argmax
-    cosine vs the previous centroid set) + an element-wise truncated
-    integer mean (DuckDB // and Spark div both truncate toward zero, so
-    the centroids are bit-identical across engines)."""
+def _kmeans_assigned_cte(iters: int = 2, n_centroids: int = 16) -> str:
+    """WITH-clause prefix ending in af(vec_id, qv, cluster): unrolled
+    Lloyd iterations — each round an assignment CTE (argmax cosine vs the
+    previous centroid set) + an element-wise truncated integer mean
+    (DuckDB // and Spark div both truncate toward zero, so the centroids
+    are bit-identical across engines).  Shared by ann_ivf_kmeans_topk and
+    dedup_semantic."""
 
     def assign(cents: str, out: str) -> str:
         cos = COS.format(a="c.qv", b=f"{cents}.qvc")
@@ -1907,9 +1909,12 @@ def _ivf_kmeans_oracle(iters: int = 2, n_centroids: int = 16) -> str:
         )
         cur = f"cents{i}"
     parts.append(assign(cur, "af"))
-    head = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _ivf_kmeans_oracle(iters: int = 2, n_centroids: int = 16) -> str:
     return f"""
-        {head},
+        {_kmeans_assigned_cte(iters, n_centroids)},
         q AS (SELECT vec_id AS query_id, qv AS qv_q, cluster
               FROM af WHERE vec_id < {ANN_QUERY_MAX_ID}),
         scored AS (
@@ -1937,6 +1942,65 @@ QUERIES.append(
         "on real clustered embeddings is tighter lists at equal probe "
         "cost; here it pins the iterative-refinement shape end-to-end",
         tags=("llm", "ann", "kmeans", "iterative"),
+    )
+)
+
+
+def dedup_semantic_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.semantic_dedup(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_semantic",
+        dedup_semantic_q,
+        f"""
+        {_kmeans_assigned_cte()},
+        p AS (SELECT DISTINCT b.vec_id AS vid
+              FROM af a JOIN af b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD})
+        SELECT af.vec_id AS vec_id, af.cluster AS cluster,
+               (p.vid IS NULL) AS is_kept
+        FROM af LEFT JOIN p ON af.vec_id = p.vid
+        """,
+        doc="SemDeDup-style semantic dedup (Abbas et al. 2023): k-means "
+        "cluster (Lloyd-refined, unrolled in the oracle), then drop any "
+        "vector with a smaller-id in-cluster neighbor at cosine >= 0.4 — "
+        "quadratic work bounded per CLUSTER (n_centroids is the knob), "
+        "never per corpus; full annotated output (vec_id, cluster, "
+        "is_kept)",
+        tags=("llm", "dedup", "embedding", "kmeans"),
+    )
+)
+
+
+def curation_epoch_shuffle_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.epoch_shuffle(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "curation_epoch_shuffle",
+        curation_epoch_shuffle_q,
+        f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {H.format(x="'epoch0:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+          FROM documents)
+        SELECT doc_id,
+               CAST(shuffle_key % 8 AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+               shuffle_key
+        FROM s
+        """,
+        doc="deterministic epoch shuffle: keyed 60-bit hash -> shard + "
+        "within-shard rank = a reproducible random training order, "
+        "sharded by construction (no global sort barrier; n_shards "
+        "bounds per-task sort size) — the corpus-to-training-reader "
+        "handoff step",
+        tags=("llm", "curation", "shuffle"),
     )
 )
 

@@ -905,3 +905,45 @@ def test_winnow_overlap_catches_partial_copy_jaccard_misses(spark):
     assert all(p == (1, 2) for p in wp)  # no spurious pairs with doc 3
     jp = {(r.doc_id_a, r.doc_id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) not in jp  # whole-doc Jaccard misses the partial copy
+
+
+def test_semantic_dedup_drops_in_cluster_near_dups(spark):
+    """SemDeDup rule: an exact duplicate vector (cosine 1.0, same
+    cluster) is dropped in favor of its smaller-id twin; a dissimilar
+    vector in another direction survives."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (7, [1.0, 0.001, 0.0], 0),   # near-dup of vec 0
+        (9, [0.0, 0.0, 1.0], 0),     # orthogonal to everything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r.is_kept for r in semantic_dedup(emb, n_centroids=2, iters=1).collect()}
+    assert out[0] is True       # min-id representative kept
+    assert out[7] is False      # dropped: smaller-id neighbor above threshold
+    assert out[9] is True       # no near neighbor
+    assert out[1] is True
+
+
+def test_epoch_shuffle_is_deterministic_sharded_permutation(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import epoch_shuffle
+
+    docs = spark.createDataFrame([(i, "t") for i in range(100)], "doc_id long, text string")
+    a = epoch_shuffle(docs, n_shards=4).collect()
+    b = epoch_shuffle(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert {r.doc_id for r in a} == set(range(100))        # a permutation
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))  # dense 1..n
+        keys = [(r.shuffle_key, r.doc_id) for r in rows]
+        assert keys == sorted(keys)                        # ordered by (key, id)
+    # a different epoch salt yields a different permutation
+    c = epoch_shuffle(docs, n_shards=4, epoch="epoch1").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {(r.doc_id, r.shard, r.pos) for r in a}

@@ -93,6 +93,13 @@ PROBE_OPS = [
     # partitions*centroids*dim rows, independent of corpus size)
     "dedup_winnow_pairs",
     "ann_ivf_kmeans_topk",
+    # round-7 additions: epoch shuffle is hash map + one sharded ranking
+    # window (linear); dedup_semantic is EXCLUDED by design like
+    # dedup_embedding_cosine — its within-cluster pair scan is
+    # deliberately quadratic per cluster at FIXED n_centroids, and the
+    # scale knob is raising n_centroids with the corpus (SemDeDup runs
+    # 11k clusters at web scale), which a fixed-params replay can't show
+    "curation_epoch_shuffle",
     # round-7 addition: the winnow fingerprint index itself — its shuffle
     # is ~16 B per corpus CHAR (posexplode + per-(doc,chunk) window min),
     # the heaviest per-byte exchange in the repo; the max_doc_chars chunk
