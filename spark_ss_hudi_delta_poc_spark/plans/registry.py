@@ -41,11 +41,13 @@ class Query:
 # plumbing rows).  Slots 6-9: fresh regression rows for code touched this
 # round — the winnow family (max_doc_chars guard) and the
 # global_topk_with_rank rework consumers (bm25 / corpus_ngram_stats).
-# Slots 10-50: the 48 rows whose newest green evidence is r4, minus the
-# seven cheapest to displace to r8 (unchanged pure-function/math
-# batteries, each covered by unit tests AND the in-repo oracle gate:
-# q05/q08/q11/q61 datetime, q45 histogram, q74 zorder, q76 bit-aggs) —
-# keeping every join/window/streaming/TPC-H-topology r4 row in-window.
+# Slots 6-11 include FIRST rows for the two operators added this round
+# (dedup_semantic, curation_epoch_shuffle).  Slots 12-50: the 48 rows
+# whose newest green evidence is r4, minus the nine cheapest to displace
+# to r8 (unchanged pure-function/array batteries, each covered by unit
+# tests AND the in-repo oracle gate: q05/q08/q11/q61 datetime, q45
+# histogram, q74 zorder, q76 bit-aggs, q43 collect-arrays, q63 unpivot)
+# — keeping every join/window/streaming/TPC-H-topology r4 row in-window.
 # After this round no registry query's newest external evidence is older
 # than r4.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -56,12 +58,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched this round: fresh regression rows (4) -------------
+    # --- code touched/ADDED this round: fresh + first rows (6) ----------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
     "corpus_ngram_stats",
-    # --- newest green row r4 (41 of 48; 7 batteries displaced to r8) ----
+    "dedup_semantic",
+    "curation_epoch_shuffle",
+    # --- newest green row r4 (39 of 48; 9 batteries displaced to r8) ----
     "curation_c4_rules",
     "curation_gopher_rules",
     "dedup_containment",
@@ -79,7 +83,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q36_resample_gapfill",
     "q37_rank_battery",
     "q38_lag_lead",
-    "q43_collect_arrays",
     "q47_quality_rules",
     "q48_snapshot_diff",
     "q49_exists_daterange",
@@ -93,7 +96,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q57_funnel",
     "q58_hourly_retention",
     "q59_sliding_window",
-    "q63_unpivot",
     "q66_stream_ttl_dedup",
     "q67_stream_topk",
     "q68_volume_shipping",
