@@ -674,6 +674,34 @@ def plan_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
     return max(4, math.ceil(math.log2(max(1.0, n_vectors / target_bucket_size))))
 
 
+def lsh_bucket_table(
+    embeddings: DataFrame,
+    n_planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qv, bucket): hyperplane-LSH signature of every vector — the
+    map-only candidate-probe surface shared by lsh_neardup_pairs and the
+    incremental embedding ingest (one vectorized sign-matmul per
+    partition, no shuffle; bucket = sign-bit integer over ``n_planes``
+    fixed deterministic hyperplanes)."""
+    import numpy as np
+    import pandas as pd
+
+    hmat = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
+    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            buckets = ((hmat @ mat.T) > 0).astype(np.int64).T @ pow2
+            yield pd.DataFrame({"id": pdf["id"], "qv": pdf["qv"], "bucket": buckets})
+
+    return embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
+        bucketize, schema="id long, qv array<long>, bucket long"
+    )
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -705,24 +733,10 @@ def lsh_neardup_pairs(
     scale path; the fixed default stays so the registry query remains
     oracle-reproducible.
     """
-    import numpy as np
-    import pandas as pd
-
     if n_planes == "auto":
         n_planes = plan_planes(embeddings.count())
 
-    hmat = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
-    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
-
-    def bucketize(batches):
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            buckets = ((hmat @ mat.T) > 0).astype(np.int64).T @ pow2
-            yield pd.DataFrame({"id": pdf["id"], "qv": pdf["qv"], "bucket": buckets})
-
-    b = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
-        bucketize, schema="id long, qv array<long>, bucket long"
-    )
+    b = lsh_bucket_table(embeddings, n_planes, id_col=id_col, vec_col=vec_col)
     a, c = b.alias("a"), b.alias("b")
     cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
     return (
@@ -830,24 +844,10 @@ def knn_graph_bucketed(
 
     Returns (src_id, dst_id, cosine, rank), rank <= k.
     """
-    import numpy as np
-    import pandas as pd
-
     if n_planes == "auto":
         n_planes = plan_planes(embeddings.count())
 
-    hmat = np.array([hyperplane(p) for p in range(n_planes)], dtype=np.float64)
-    pow2 = (2 ** np.arange(n_planes)).astype(np.int64)
-
-    def bucketize(batches):
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
-            buckets = ((hmat @ mat.T) > 0).astype(np.int64).T @ pow2
-            yield pd.DataFrame({"id": pdf["id"], "qv": pdf["qv"], "bucket": buckets})
-
-    b = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
-        bucketize, schema="id long, qv array<long>, bucket long"
-    )
+    b = lsh_bucket_table(embeddings, n_planes, id_col=id_col, vec_col=vec_col)
     a, c = b.alias("a"), b.alias("b")
     cos = cosine_q(F.col("a.qv"), F.col("b.qv"))
     scored = a.join(
@@ -933,7 +933,16 @@ def ivf_index_topk(
             probe_pairs.append((int(r.id), int(c), list(r.qv)))
     probed = sorted({c for _, c, _ in probe_pairs})
 
-    lists = spark.read.parquet(os.path.join(path, "lists")).where(F.col("cluster").isin(probed))
+    # cluster is a partition DIRECTORY: inference returns int32 for the
+    # int64 we wrote (q90's drift class, harmless here only because the
+    # join casts implicitly and cluster isn't in the output).  Prune on
+    # the inferred column FIRST (partition pruning), then restore the
+    # written type so the join key matches without a hidden cast.
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .where(F.col("cluster").isin(probed))
+        .withColumn("cluster", F.col("cluster").cast("long"))
+    )
     qdf = spark.createDataFrame(probe_pairs, "query_id long, cluster long, qv_q array<long>")
     scored = (
         lists.join(F.broadcast(qdf), "cluster")

@@ -488,3 +488,102 @@ def ingest_increment_winnow(
         fp.unpersist()
     _write_marker(fpindex_path, token)
     return n
+
+
+def ingest_increment_embedding(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    sigindex_path: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    increment_id: int | str | None = None,
+) -> int:
+    """Cross-run SEMANTIC dedup for embedding streams: reject a new
+    vector when ingestion history already holds a near-duplicate
+    (cosine >= ``threshold``) — the incremental counterpart of
+    :func:`operators.similarity.semantic_dedup`, for the pipeline where
+    embeddings arrive run by run (nightly encodes of a rolling crawl)
+    and paraphrased re-posts defeat every text-hash gate.
+
+    The persistent index is ONE parquet table under ``sigindex_path``:
+    (vec_id, bucket, qv) — the hyperplane-LSH signature surface
+    (operators/similarity.lsh_bucket_table), 8-byte bucket keys for the
+    candidate equi-join plus the quantized vector for exact in-bucket
+    cosine verification.  Flow per increment:
+
+      new batch → signatures (map-only sign matmul, no shuffle) →
+      in-batch near-dups resolved first (min-id keeps, the
+      semantic_dedup rule) → candidates = bucket equi-join vs committed
+      history → exact quantized cosine >= threshold drops the new vector
+      → survivors append to the corpus, their signatures to the index.
+
+    Same marker-atomic commit protocol as the sibling ingests (staged
+    ``inc=<token>`` dirs, ONE marker for both tables, replay
+    short-circuit); recall < 1 by LSH design — the knob is n_planes
+    (plan_planes), exactly as documented for lsh_neardup_pairs.
+    Returns ingested row count (0 for a committed replay).
+    """
+    from ..functions.vector import cosine_q, quantize
+    from ..operators.similarity import lsh_bucket_table
+
+    # replay token from the full quantized content (id + components):
+    # embeddings have no text to hash, and id alone would misread a
+    # re-encode (same ids, new vectors) as a replay
+    row_hash = md5_long(
+        F.concat_ws(
+            ",",
+            F.col(id_col).cast("string"),
+            F.concat_ws(",", F.transform(quantize(vec_col), lambda x: x.cast("string"))),
+        )
+    )
+    token = str(increment_id) if increment_id is not None else _content_token(
+        batch.select(row_hash.alias("_h")), "_h"
+    )
+    committed = _committed_tokens(sigindex_path)
+    if token in committed:
+        return 0
+    index_dirs = _committed_paths(sigindex_path, committed)
+
+    sig = lsh_bucket_table(batch, id_col=id_col, vec_col=vec_col).persist()
+    try:
+        # in-batch: min-id representative per near-dup neighborhood
+        a, b = sig.alias("a"), sig.alias("b")
+        in_batch = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+            .where(cosine_q(F.col("a.qv"), F.col("b.qv")) >= F.lit(threshold))
+            .select(F.col("b.id").alias("id"))
+            .distinct()
+        )
+        kept = sig.join(in_batch, "id", "left_anti")
+        if index_dirs:
+            hist = spark.read.parquet(*index_dirs).select(
+                F.col("bucket").alias("h_bucket"), F.col("qv").alias("h_qv")
+            )
+            dup_new = (
+                kept.join(hist, kept["bucket"] == hist["h_bucket"])
+                .where(cosine_q(F.col("qv"), F.col("h_qv")) >= F.lit(threshold))
+                .select("id")
+                .distinct()
+            )
+            surv_sig = kept.join(dup_new, "id", "left_anti").persist()
+        else:
+            surv_sig = kept.persist()
+        try:
+            surv_ids = surv_sig.select(F.col("id").alias(id_col))
+            survivors = batch.join(surv_ids, id_col, "left_semi")
+            n = survivors.count()
+            if n:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"inc={token}")
+                )
+                surv_sig.select(F.col("id").alias(id_col), "bucket", "qv").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(sigindex_path, f"inc={token}"))
+        finally:
+            surv_sig.unpersist()
+    finally:
+        sig.unpersist()
+    _write_marker(sigindex_path, token)
+    return n

@@ -244,3 +244,65 @@ def test_incremental_winnow_crash_between_writes_heals_on_replay(spark, tmp_path
     # post-heal history is live: a preamble-repost of the healed doc is rejected
     b2 = spark.createDataFrame([(2, "update " + body)], DOC_SCHEMA)
     assert ingest_increment_winnow(spark, b2, corpus, index) == 0
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _unit(vs, dim=64):
+    """Normalize and zero-pad to the corpus embedding dim (the LSH
+    hyperplanes are fixed 64-dim, matching testdata embeddings)."""
+    import math
+
+    n = math.sqrt(sum(v * v for v in vs))
+    return [v / n for v in vs] + [0.0] * (dim - len(vs))
+
+
+def test_incremental_embedding_rejects_cross_run_semantic_dups(spark, tmp_path):
+    """Run 2 must reject a vector that is a near-duplicate (cosine ~1) of
+    run-1 material — the paraphrase-re-encode case no text-hash gate
+    sees — ingest genuinely new directions, resolve in-batch dups to the
+    min id, and replay to 0."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_embedding,
+    )
+
+    corpus = os.path.join(tmp_path, "ecorpus")
+    index = os.path.join(tmp_path, "eindex")
+    e1 = _unit([1.0, 0.2, 0.1, 0.0])
+    e2 = _unit([0.0, 1.0, 0.0, 0.3])
+    b1 = spark.createDataFrame([(1, e1), (2, e2)], EMB_SCHEMA)
+    assert ingest_increment_embedding(spark, b1, corpus, index) == 2
+
+    near_e1 = _unit([1.0, 0.21, 0.1, 0.0])     # cosine ~0.9997 with e1
+    novel = _unit([0.0, 0.0, 0.1, -1.0])       # new direction
+    novel_dup = _unit([0.0, 0.001, 0.1, -1.0])  # in-batch dup of `novel`
+    b2 = spark.createDataFrame([(3, near_e1), (4, novel), (5, novel_dup)], EMB_SCHEMA)
+    n2 = ingest_increment_embedding(spark, b2, corpus, index)
+    assert n2 == 1  # 3 rejected vs history, 5 rejected in-batch (min-id 4 kept)
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]
+    # replay short-circuit
+    assert ingest_increment_embedding(spark, b2, corpus, index) == 0
+    assert sorted(r.vec_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 4]
+
+
+def test_incremental_embedding_reencode_is_not_a_replay(spark, tmp_path):
+    """Same vec_ids with NEW vectors must be a distinct increment (the
+    token hashes the quantized components, not just ids)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_embedding,
+    )
+
+    corpus = os.path.join(tmp_path, "rcorpus")
+    index = os.path.join(tmp_path, "rindex")
+    assert ingest_increment_embedding(
+        spark, spark.createDataFrame([(1, _unit([1.0, 0.0, 0.0, 0.0]))], EMB_SCHEMA),
+        corpus, index,
+    ) == 1
+    # re-encode: same id, orthogonal vector — not a replay, and not a dup
+    assert ingest_increment_embedding(
+        spark, spark.createDataFrame([(1, _unit([0.0, 1.0, 0.0, 0.0]))], EMB_SCHEMA),
+        corpus, index,
+    ) == 1
+    assert spark.read.parquet(corpus).count() == 2
