@@ -1166,6 +1166,48 @@ QUERIES = [
         tags=("llm", "multimodal", "audio"),
     ),
     Query(
+        "multimodal_phash_pairs",
+        lambda spark, sf: multimodal.phash_closest_pairs(
+            multimodal.media_table(load(spark, sf, "documents"))
+        ),
+        """
+        WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                          octet_length(encode(text)) AS L FROM documents),
+        n AS (SELECT doc_id,
+                CAST((('0x' || substr(md5('ph:' ||
+                    substr(hx, 2 * ((i.g * L) // 15) + 1,
+                           2 * (((i.g + 1) * L) // 15) - 2 * ((i.g * L) // 15))),
+                  1, 15))::BIGINT % 16) AS BIGINT) << (4 * i.g) AS nibshift
+              FROM m, UNNEST(generate_series(0, 14)) AS i(g)),
+        p AS (SELECT doc_id, CAST(SUM(nibshift) AS BIGINT) AS phash
+              FROM n GROUP BY doc_id),
+        b AS (SELECT doc_id, phash, t.g AS band_idx,
+                     (phash >> (12 * t.g)) & 4095 AS band_val
+              FROM p, UNNEST(generate_series(0, 4)) AS t(g)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b,
+                     a.phash AS pa, bb.phash AS pb
+              FROM b a JOIN b bb
+                ON a.band_idx = bb.band_idx AND a.band_val = bb.band_val
+               AND a.doc_id < bb.doc_id)
+        SELECT doc_id_a, doc_id_b, hamming, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT doc_id_a, doc_id_b,
+                     CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming,
+                     ROW_NUMBER() OVER (ORDER BY bit_count(xor(pa, pb)) ASC,
+                                        doc_id_a ASC, doc_id_b ASC) AS rn
+              FROM c)
+        WHERE rn <= 20
+        """,
+        doc="top-20 closest perceptual-hash media pairs: 60-bit "
+        "segment-nibble pHash (Arrow-batched over binary payloads; codec "
+        "stubbed deterministically, every nibble SQL-reproducible), "
+        "5x12-bit banded candidates, exact Hamming ranking — the "
+        "multimodal dedup triage list; the thresholded dup filter is "
+        "multimodal.phash_neardup_pairs (unit-tested: same-length edits "
+        "land at small Hamming; insertions need the winnow family, "
+        "documented)",
+        tags=("llm", "multimodal", "dedup"),
+    ),
+    Query(
         "dedup_kept_corpus",
         dedup_kept_corpus,
         f"""

@@ -947,3 +947,28 @@ def test_epoch_shuffle_is_deterministic_sharded_permutation(spark):
     # a different epoch salt yields a different permutation
     c = epoch_shuffle(docs, n_shards=4, epoch="epoch1").collect()
     assert {(r.doc_id, r.shard, r.pos) for r in c} != {(r.doc_id, r.shard, r.pos) for r in a}
+
+
+def test_phash_neardup_same_length_edit(spark):
+    """Perceptual-hash dedup: a same-length local edit shares all but a
+    couple of nibbles (small Hamming, pair found); unrelated content
+    produces no pair.  Length-changing edits are the documented
+    limitation (fixed-grid hash; the winnow family is the
+    content-defined alternative)."""
+    from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+        media_table,
+        phash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "hazy")),   # same length, local edit
+            (3, "completely different content entirely here " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming for r in phash_neardup_pairs(media_table(docs)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 12
+    assert not any(3 in p for p in pairs)
