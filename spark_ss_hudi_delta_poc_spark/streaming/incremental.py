@@ -587,3 +587,42 @@ def ingest_increment_embedding(
         sig.unpersist()
     _write_marker(sigindex_path, token)
     return n
+
+
+def incremental_embedding_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    sigindex_path: str,
+    checkpoint: str,
+    schema,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming wrapper for :func:`ingest_increment_embedding`: embedding
+    file stream → foreachBatch semantic gate → marker-atomic corpus +
+    signature-index increments.  Same restart contract as
+    :func:`incremental_dedup_ingest` — a replayed batch's marker makes it
+    a no-op, a mid-stage crash re-stages the same ``inc=<batch_id>``
+    dirs before committing."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_embedding(
+            batch_df.sparkSession,
+            batch_df,
+            corpus_path,
+            sigindex_path,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -306,3 +306,34 @@ def test_incremental_embedding_reencode_is_not_a_replay(spark, tmp_path):
         corpus, index,
     ) == 1
     assert spark.read.parquet(corpus).count() == 2
+
+
+def test_incremental_embedding_streaming_two_runs(spark, tmp_path):
+    """Streaming wrapper e2e: two availableNow drains over a growing
+    embedding source; run 2 must reject the near-duplicate of run-1
+    material and ingest only the new direction."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        incremental_embedding_ingest,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    src = os.path.join(tmp_path, "esrc")
+    corpus = os.path.join(tmp_path, "ecorp")
+    index = os.path.join(tmp_path, "eidx")
+    ckpt = os.path.join(tmp_path, "eck")
+    os.makedirs(src)
+    b1 = [(1, _unit([1.0, 0.1, 0.0, 0.0])), (2, _unit([0.0, 1.0, 0.2, 0.0]))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    incremental_embedding_ingest(spark, src, corpus, index, ckpt, schema).awaitTermination()
+    b2 = [(3, _unit([1.0, 0.11, 0.0, 0.0])), (4, _unit([0.0, 0.0, 0.0, 1.0]))]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    incremental_embedding_ingest(spark, src, corpus, index, ckpt, schema).awaitTermination()
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]  # 3 rejected: near-dup of run-1 vec 1

@@ -328,3 +328,29 @@ def test_epoch_shuffle_rank_is_total_and_dense(keys):
         assert len(set(members)) == len(members)  # total order
         seen.update(i for _, i in members)
     assert seen == {i for _, i in rows}  # partition of the input
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet="abcdef gh", min_size=30, max_size=120),
+    st.sets(st.integers(min_value=0, max_value=14), max_size=4),
+)
+def test_phash_band_pigeonhole_recall(base, edit_segments):
+    """The banding guarantee multimodal_phash_pairs relies on: a pair
+    differing in <= 4 of the 15 nibbles ALWAYS shares at least one of
+    the 5 bands (3 nibbles each) — so candidate recall is 1.0 for edits
+    confined to <= 4 segments, before any verify step."""
+    from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+        PHASH_BANDS,
+        fake_phash,
+    )
+
+    payload = base.encode()
+    ph = fake_phash(payload)
+    # flip the chosen nibbles arbitrarily (simulates <= 4 modified segments)
+    ph2 = ph
+    for seg in edit_segments:
+        ph2 ^= 0b1010 << (4 * seg)
+    bands = [(ph >> (12 * b)) & 4095 for b in range(PHASH_BANDS)]
+    bands2 = [(ph2 >> (12 * b)) & 4095 for b in range(PHASH_BANDS)]
+    assert any(a == b for a, b in zip(bands, bands2))

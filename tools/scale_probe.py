@@ -106,6 +106,10 @@ PROBE_OPS = [
     # guard bounds any one window partition, and this probe pins the
     # corpus-size scaling ~linear
     "text_winnow_fingerprint",
+    # banded Hamming candidates over 12-bit band keys: collision count
+    # grows quadratically only WITHIN a band bucket; content-distinct
+    # replicas keep buckets balanced, so the probe pins near-linear
+    "multimodal_phash_pairs",
 ]
 
 
