@@ -696,3 +696,64 @@ def winnow_overlap_pairs(
     return shared.select(
         "doc_id_a", "doc_id_b", "shared", overlap.alias("overlap")
     ).where(F.col("overlap") >= threshold)
+
+
+def corpus_dedup_report(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document verdict matrix across the DEDUP family — the QA
+    artifact mirroring :func:`curation.filter_report` for duplication:
+    one row per doc with each method's would-remove flag and the method
+    count, so a pipeline run can publish "what fraction is duplicated,
+    by which detector, and how much the detectors disagree" (exact
+    misses paraphrases, Jaccard misses partial copies, winnow catches
+    containment — the disagreement IS the signal for threshold tuning).
+
+    Flags (all "would this method remove the doc", keeping min-id
+    representatives): exact_dup — a smaller doc has the identical text
+    hash; jaccard_dup — appears as the larger id of an n-gram Jaccard
+    pair at/above ``jaccard_threshold``; winnow_dup — the larger id of
+    a winnow partial-overlap pair.  n_methods counts the flags.
+
+    Plan: three independent pair/group pipelines (each already
+    scale-audited as its own operator) reduced to near-dup-sized id
+    sets, then two shuffle left joins back onto the per-doc exact flags
+    — the corpus is scanned once per method, never cross-joined.
+    """
+    hashed = docs.select(md5_long(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+    groups = exact_dedup(docs, text_col=text_col, id_col=id_col)
+    exact_fl = hashed.join(groups, "text_hash").select(
+        "doc_id",
+        ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("keep_doc_id"))).alias("exact_dup"),
+    )
+    jac = (
+        ngram_jaccard_pairs(docs, threshold=jaccard_threshold)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_j", F.lit(True))
+    )
+    win = (
+        winnow_overlap_pairs(docs, text_col=text_col, id_col=id_col)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_w", F.lit(True))
+    )
+    out = (
+        exact_fl.join(jac, "doc_id", "left")
+        .join(win, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("_j"), F.lit(False)).alias("jaccard_dup"),
+            F.coalesce(F.col("_w"), F.lit(False)).alias("winnow_dup"),
+        )
+    )
+    n = (
+        F.col("exact_dup").cast("int")
+        + F.col("jaccard_dup").cast("int")
+        + F.col("winnow_dup").cast("int")
+    )
+    return out.withColumn("n_methods", n.cast("int"))

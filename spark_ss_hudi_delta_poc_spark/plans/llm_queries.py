@@ -2097,3 +2097,49 @@ QUERIES.append(
         tags=("llm", "dedup", "winnow"),
     )
 )
+
+
+def corpus_dedup_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.corpus_dedup_report(
+        load(spark, sf, "documents"), jaccard_threshold=JACCARD_THRESHOLD
+    )
+
+
+# like filter_report and ann_recall_report, the oracle COMPOSES the three
+# method oracles verbatim — each method's own parity row pins its
+# subquery; this row pins the per-doc flag/disagreement arithmetic
+QUERIES.append(
+    Query(
+        "corpus_dedup_report",
+        corpus_dedup_report_q,
+        f"""
+        WITH ex AS ({{ex}}),
+        hashed AS (SELECT doc_id, {H.format(x="text")} AS text_hash FROM documents),
+        exf AS (SELECT h.doc_id,
+                       (ex.n_copies > 1 AND h.doc_id != ex.keep_doc_id) AS exact_dup
+                FROM hashed h JOIN ex ON h.text_hash = ex.text_hash),
+        jd AS (SELECT DISTINCT doc_id_b AS doc_id FROM ({{jp}})),
+        wd AS (SELECT DISTINCT doc_id_b AS doc_id FROM ({{wp}}))
+        SELECT e.doc_id, e.exact_dup,
+               (jd.doc_id IS NOT NULL) AS jaccard_dup,
+               (wd.doc_id IS NOT NULL) AS winnow_dup,
+               CAST((CASE WHEN e.exact_dup THEN 1 ELSE 0 END)
+                  + (CASE WHEN jd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN wd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+                 AS n_methods
+        FROM exf e
+        LEFT JOIN jd ON e.doc_id = jd.doc_id
+        LEFT JOIN wd ON e.doc_id = wd.doc_id
+        """.format(
+            ex=_oracle_of("dedup_exact"),
+            jp=_oracle_of("dedup_ngram_jaccard"),
+            wp=_oracle_of("dedup_winnow_pairs"),
+        ),
+        doc="per-doc verdict matrix across the dedup family (exact x "
+        "Jaccard x winnow would-remove flags + method count) — the "
+        "duplication QA artifact a pipeline run publishes; detector "
+        "DISAGREEMENT is the threshold-tuning signal; oracle composed "
+        "from the three method oracles",
+        tags=("llm", "dedup", "monitoring"),
+    )
+)

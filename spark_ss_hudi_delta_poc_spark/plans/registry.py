@@ -41,13 +41,14 @@ class Query:
 # plumbing rows).  Slots 6-9: fresh regression rows for code touched this
 # round — the winnow family (max_doc_chars guard) and the
 # global_topk_with_rank rework consumers (bm25 / corpus_ngram_stats).
-# Slots 6-12 include FIRST rows for the three operators added this round
-# (dedup_semantic, curation_epoch_shuffle, multimodal_phash_pairs).
-# Slots 13-50: the 48 rows whose newest green evidence is r4, minus the
-# ten cheapest to displace to r8 (unchanged map-only/function batteries,
-# each covered by unit tests AND the in-repo oracle gate: q05/q08/q11/
-# q61 datetime, q45 histogram, q74 zorder, q76 bit-aggs, q43
-# collect-arrays, q63 unpivot, q47 quality-rules) — keeping every
+# Slots 6-13 include FIRST rows for the four operators added this round
+# (dedup_semantic, curation_epoch_shuffle, multimodal_phash_pairs,
+# corpus_dedup_report).  Slots 14-50: the 48 rows whose newest green
+# evidence is r4, minus the eleven cheapest to displace to r8
+# (unchanged map-only/function batteries, each covered by unit tests
+# AND the in-repo oracle gate: q05/q08/q11/q61 datetime, q45 histogram,
+# q74 zorder, q76 bit-aggs, q43 collect-arrays, q63 unpivot, and the
+# q47/c4 map-only rule batteries) — keeping every
 # join/window/streaming/TPC-H-topology r4 row in-window.
 # After this round no registry query's newest external evidence is older
 # than r4.
@@ -59,7 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (7) ----------
+    # --- code touched/ADDED this round: fresh + first rows (8) ----------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
@@ -67,8 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "curation_epoch_shuffle",
     "multimodal_phash_pairs",
-    # --- newest green row r4 (38 of 48; 10 displaced to r8) -------------
-    "curation_c4_rules",
+    "corpus_dedup_report",
+    # --- newest green row r4 (37 of 48; 11 displaced to r8) -------------
     "curation_gopher_rules",
     "dedup_containment",
     "q13_join_revenue",

@@ -972,3 +972,27 @@ def test_phash_neardup_same_length_edit(spark):
     pairs = {(r.doc_id_a, r.doc_id_b): r.hamming for r in phash_neardup_pairs(media_table(docs)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 12
     assert not any(3 in p for p in pairs)
+
+
+def test_corpus_dedup_report_flags_by_method(spark):
+    """The verdict matrix distinguishes the detectors: an exact copy
+    trips all three, a partial copy (prefix + copied body) trips winnow
+    but not exact, and an unrelated doc trips none; min-id
+    representatives are never flagged exact."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import corpus_dedup_report
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body),                            # exact copy of 1
+            (3, "breaking news update " + body),  # partial copy (contains 1)
+            (4, " ".join(f"fresh{i} words{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_dedup_report(docs).collect()}
+    assert not out[1].exact_dup                   # representative kept
+    assert out[2].exact_dup and out[2].n_methods >= 1
+    assert out[3].winnow_dup and not out[3].exact_dup
+    assert out[4].n_methods == 0
