@@ -396,6 +396,54 @@ def ivf_kmeans_topk(
     return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
 
 
+def embedding_prototypicality(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    outlier_threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality scoring (the D4 recipe's companion to SemDeDup —
+    Tirumala et al. 2023, arXiv:2308.12284): score each vector by its
+    cosine to the Lloyd-refined centroid of its own cluster.  Low
+    scores are embedding-space OUTLIERS (OCR junk, wrong-language
+    fragments, encoder failures — far from every mode of the corpus);
+    the score also ranks within-cluster typicality for
+    diversity-preserving downsampling.  Output: every input row as
+    (vec_id, cluster, proto, is_outlier).
+
+    Plan: centroid refinement reuses :func:`kmeans_refine_centroids`
+    (shuffle volume corpus-independent), assignment is the same
+    map-only stage, and the score is ONE broadcast join against the
+    n_centroids-row centroid table + a quantized-integer cosine per row
+    — map-only after the assignment, no pair scan at all (this is the
+    cheap filter you run BEFORE the quadratic semantic_dedup pass).
+    Cosines are exact-integer dots with a single IEEE division —
+    bit-identical to the oracle, which reproduces the refined centroids
+    via the same unrolled CTE.
+    """
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(cent_ids, cent_mat)],
+        "cluster long, qvc array<long>",
+    )
+    proto = cosine_q(F.col("qv"), F.col("qvc"))
+    return (
+        assigned.join(F.broadcast(cent_df), "cluster")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            proto.alias("proto"),
+            (proto < F.lit(outlier_threshold)).alias("is_outlier"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -1992,6 +1992,33 @@ def dedup_semantic_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_dedup(load(spark, sf, "embeddings"))
 
 
+def embedding_prototypicality_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_prototypicality(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "embedding_prototypicality",
+        embedding_prototypicality_q,
+        f"""
+        {_kmeans_assigned_cte()}
+        SELECT af.vec_id AS vec_id, af.cluster AS cluster,
+               {COS.format(a="af.qv", b="c.qvc")} AS proto,
+               ({COS.format(a="af.qv", b="c.qvc")} < 0.2) AS is_outlier
+        FROM af JOIN cents2 c ON af.cluster = c.cid
+        """,
+        doc="D4-style prototypicality (Tirumala et al. 2023): cosine of "
+        "each vector to its own Lloyd-refined cluster centroid — low "
+        "scores flag embedding-space outliers (OCR junk, encoder "
+        "failures); map-only after assignment + one n_centroids-row "
+        "broadcast, the cheap filter run BEFORE the quadratic "
+        "semantic_dedup pass; centroids unrolled bit-exactly in the "
+        "oracle",
+        tags=("llm", "embedding", "kmeans", "curation"),
+    )
+)
+
+
 QUERIES.append(
     Query(
         "dedup_semantic",

@@ -60,7 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (8) ----------
+    # --- code touched/ADDED this round: fresh + first rows (9) ----------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
@@ -69,7 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_epoch_shuffle",
     "multimodal_phash_pairs",
     "corpus_dedup_report",
-    # --- newest green row r4 (37 of 48; 11 displaced to r8) -------------
+    "embedding_prototypicality",
+    # --- newest green row r4 (36 of 48; 12 displaced to r8) -------------
     "curation_gopher_rules",
     "dedup_containment",
     "q13_join_revenue",
@@ -84,7 +85,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q34_region_revenue",
     "q35_moving_agg",
     "q36_resample_gapfill",
-    "q37_rank_battery",
     "q38_lag_lead",
     "q48_snapshot_diff",
     "q49_exists_daterange",

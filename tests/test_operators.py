@@ -996,3 +996,24 @@ def test_corpus_dedup_report_flags_by_method(spark):
     assert out[2].exact_dup and out[2].n_methods >= 1
     assert out[3].winnow_dup and not out[3].exact_dup
     assert out[4].n_methods == 0
+
+
+def test_embedding_prototypicality_flags_far_vectors(spark):
+    """A vector near its cluster centroid scores high; one assigned to
+    the same cluster but pointing away scores low and is flagged."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        embedding_prototypicality,
+    )
+
+    d = 8
+    axis = [1.0] + [0.0] * (d - 1)
+    near = [0.98, 0.19] + [0.0] * (d - 2)
+    # positive on axis 0 so it joins cluster 0, but mostly elsewhere
+    far = [0.12] + [0.99 if i == 3 else 0.0 for i in range(1, d)]
+    emb = spark.createDataFrame(
+        [(0, axis, 0), (1, near, 0), (2, far, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in embedding_prototypicality(emb, n_centroids=1, iters=1).collect()}
+    assert out[1].proto > 0.9 and not out[1].is_outlier
+    assert out[2].proto < out[1].proto
