@@ -453,3 +453,41 @@ def winnow_fingerprints(
         # real trailing partials
         mins = mins.where(F.col("_final") | (F.col("pos") <= F.lit(own)))
     return mins.select("doc_id", "fp").distinct()
+
+
+def corpus_vocab_stats(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source vocabulary statistics: token count, word-type count,
+    hapax (frequency-1) count, type-token ratio, and hapax share — the
+    Heaps'-law sanity panel a corpus build publishes per source (a slice
+    with a collapsed TTR is boilerplate/duplication-heavy; one with an
+    inflated hapax share is OCR noise or ID spam — both feed threshold
+    choices for the dedup and quality passes).
+
+    Plan: explode words (map) → (source, word) frequency aggregate
+    [one shuffle, partial-agg'd — the same shape as rare_token_stats'
+    corpus table] → per-source rollup [second, |sources|-keyed shuffle].
+    All counts exact integers; the two ratios are single IEEE divisions.
+    """
+    terms = docs.select(
+        F.col(strata_col).alias("source"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    wf = terms.groupBy("source", "word").agg(F.count(F.lit(1)).alias("f"))
+    agg = wf.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_word_types",
+        "n_hapax",
+        (F.col("n_word_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_hapax").cast("double") / F.col("n_word_types").cast("double")).alias(
+            "hapax_share"
+        ),
+    )

@@ -262,6 +262,10 @@ def text_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.scrub_pii(load(spark, sf, "documents"))
 
 
+def corpus_vocab_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.corpus_vocab_stats(load(spark, sf, "documents"))
+
+
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
@@ -2168,5 +2172,33 @@ QUERIES.append(
         "DISAGREEMENT is the threshold-tuning signal; oracle composed "
         "from the three method oracles",
         tags=("llm", "dedup", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "corpus_vocab_stats",
+        corpus_vocab_stats_q,
+        """
+        WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                   FROM documents),
+        wf AS (SELECT source, word, COUNT(*) AS f FROM t GROUP BY source, word)
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_word_types,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE)
+                 AS type_token_ratio,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        FROM wf GROUP BY source
+        """,
+        doc="per-source vocabulary panel (tokens, word types, hapax count, "
+        "type-token ratio, hapax share) — the Heaps'-law sanity stats a "
+        "corpus build publishes: collapsed TTR flags boilerplate-heavy "
+        "slices, inflated hapax share flags OCR noise; two "
+        "partial-agg'd shuffles, exact integers + single divisions",
+        tags=("llm", "text", "monitoring"),
     )
 )

@@ -110,6 +110,8 @@ PROBE_OPS = [
     # grows quadratically only WITHIN a band bucket; content-distinct
     # replicas keep buckets balanced, so the probe pins near-linear
     "multimodal_phash_pairs",
+    # same (strata, word) partial-agg shape as text_rare_token_stats
+    "corpus_vocab_stats",
 ]
 
 
