@@ -1017,3 +1017,19 @@ def test_embedding_prototypicality_flags_far_vectors(spark):
     out = {r.vec_id: r for r in embedding_prototypicality(emb, n_centroids=1, iters=1).collect()}
     assert out[1].proto > 0.9 and not out[1].is_outlier
     assert out[2].proto < out[1].proto
+
+
+def test_corpus_vocab_stats_counts(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import corpus_vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c", "s1"), (2, "c d", "s1"), (3, "x x x x", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus_vocab_stats(docs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_tokens, s1.n_word_types, s1.n_hapax) == (6, 4, 2)  # a,d hapax
+    assert abs(s1.type_token_ratio - 4 / 6) < 1e-12
+    assert abs(s1.hapax_share - 2 / 4) < 1e-12
+    s2 = out["s2"]
+    assert (s2.n_tokens, s2.n_word_types, s2.n_hapax) == (4, 1, 0)
