@@ -112,6 +112,12 @@ PROBE_OPS = [
     "multimodal_phash_pairs",
     # same (strata, word) partial-agg shape as text_rare_token_stats
     "corpus_vocab_stats",
+    # the lazy global-top-k consumers (round-7 rework): TakeOrdered
+    # interior + bounded rank window — time must track the scored
+    # interior, with no single-partition sort appearing at any size
+    "text_bm25_search",
+    "corpus_ngram_stats",
+    "text_tfidf_keywords",
 ]
 
 
