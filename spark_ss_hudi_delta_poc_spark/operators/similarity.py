@@ -396,6 +396,68 @@ def ivf_kmeans_topk(
     return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
 
 
+def semantic_dedup_diverse(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with the PAPER's keep rule (Abbas et al. 2023 §2.2):
+    within each near-duplicate neighborhood keep the example with the
+    LOWEST cosine to its cluster centroid — the most atypical member —
+    which maximizes retained diversity (the min-id variant
+    :func:`semantic_dedup` is the order-free baseline; this one is the
+    published recipe).  Drop rule, still one-hop and order-free: x is
+    dropped iff some in-cluster neighbor y with cosine(x, y) >=
+    threshold has strictly lower (proto, id) priority — proto being the
+    centroid cosine, id the deterministic tie-break.
+
+    Same plan as semantic_dedup: k-means refinement (corpus-independent
+    shuffle), map-only assignment, ONE grouped shuffle + blocked numpy
+    matmul per cluster; the centroid cosine is computed inside the same
+    kernel from the driver-side centroid matrix (n_centroids x dim —
+    the broadcast-variable pattern).  Output:
+    (vec_id, cluster, proto, is_kept).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cent_lookup = {int(c): np.asarray(row, dtype=np.float64) for c, row in zip(cent_ids, cent_mat)}
+    assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+
+    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cvec = cent_lookup[int(key[0])]
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+        nsq = (mat * mat).sum(axis=1)
+        proto = (mat @ cvec) / np.sqrt(nsq * (cvec @ cvec))
+        # priority rank ascending by (proto, id): lower rank = kept side
+        order = np.lexsort((ids, proto))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = np.arange(len(ids))
+        dropped = np.zeros(len(ids), dtype=bool)
+        block = 1024
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            cos = (mat[lo:hi] @ mat.T) / np.sqrt(nsq[lo:hi, None] * nsq[None, :])
+            near = (cos >= threshold) & (rank[None, :] < rank[lo:hi, None])
+            dropped[lo:hi] = near.any(axis=1)
+        return pd.DataFrame(
+            {"vid": ids, "cluster": key[0], "proto": proto, "is_kept": ~dropped}
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(per_cluster, schema="vid long, cluster long, proto double, is_kept boolean")
+        .select(F.col("vid").alias(id_col), "cluster", "proto", "is_kept")
+    )
+
+
 def embedding_prototypicality(
     embeddings: DataFrame,
     n_centroids: int = 16,

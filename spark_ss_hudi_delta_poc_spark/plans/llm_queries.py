@@ -2000,6 +2000,40 @@ def embedding_prototypicality_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_prototypicality(load(spark, sf, "embeddings"))
 
 
+def semantic_dedup_diverse_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.semantic_dedup_diverse(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_semantic_diverse",
+        semantic_dedup_diverse_q,
+        f"""
+        {_kmeans_assigned_cte()},
+        pr AS (SELECT af.vec_id, af.cluster, af.qv,
+                      {COS.format(a="af.qv", b="c.qvc")} AS proto
+               FROM af JOIN cents2 c ON af.cluster = c.cid),
+        p AS (SELECT DISTINCT b.vec_id AS vid
+              FROM pr a JOIN pr b
+                ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+              WHERE {COS.format(a="a.qv", b="b.qv")} >= {COSINE_THRESHOLD}
+                AND (a.proto < b.proto
+                     OR (a.proto = b.proto AND a.vec_id < b.vec_id)))
+        SELECT pr.vec_id AS vec_id, pr.cluster AS cluster, pr.proto AS proto,
+               (p.vid IS NULL) AS is_kept
+        FROM pr LEFT JOIN p ON pr.vec_id = p.vid
+        """,
+        doc="SemDeDup with the PAPER's keep rule (Abbas et al. 2023): "
+        "within each near-dup neighborhood keep the LOWEST-centroid-"
+        "cosine (most atypical) member — the diversity-maximizing "
+        "variant of dedup_semantic; same grouped-matmul plan with the "
+        "centroid cosine computed in-kernel, centroids unrolled "
+        "bit-exactly in the oracle",
+        tags=("llm", "dedup", "embedding", "kmeans"),
+    )
+)
+
+
 QUERIES.append(
     Query(
         "embedding_prototypicality",

@@ -60,7 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (10) ---------
+    # --- code touched/ADDED this round: fresh + first rows (11) ---------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
@@ -71,7 +71,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_report",
     "embedding_prototypicality",
     "corpus_vocab_stats",
-    # --- newest green row r4 (35 of 48; 13 displaced to r8) -------------
+    "dedup_semantic_diverse",
+    # --- newest green row r4 (34 of 48; 14 displaced to r8) -------------
     "curation_gopher_rules",
     "dedup_containment",
     "q13_join_revenue",
@@ -85,7 +86,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q33_segment_topn",
     "q34_region_revenue",
     "q35_moving_agg",
-    "q36_resample_gapfill",
     "q48_snapshot_diff",
     "q49_exists_daterange",
     "q50_filter_revenue",

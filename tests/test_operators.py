@@ -1033,3 +1033,31 @@ def test_corpus_vocab_stats_counts(spark):
     assert abs(s1.hapax_share - 2 / 4) < 1e-12
     s2 = out["s2"]
     assert (s2.n_tokens, s2.n_word_types, s2.n_hapax) == (4, 1, 0)
+
+
+def test_semantic_dedup_diverse_keeps_least_prototypical(spark):
+    """The paper's keep rule: within a near-dup neighborhood the member
+    FARTHEST from the centroid survives — the opposite representative
+    from the min-id baseline when the smaller id is the prototypical
+    one."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_diverse,
+    )
+
+    d = 8
+    # centroid (n_centroids=1, iters=1) ~ mean of all; vec 0 sits on the
+    # axis (prototypical), vec 5 is its near-dup tilted away (atypical)
+    axis = [1.0] + [0.0] * (d - 1)
+    tilted = [0.9, 0.42] + [0.0] * (d - 2)
+    other = [0.1, 0.0, 0.99] + [0.0] * (d - 3)  # cos < 0.4 to both
+    emb = spark.createDataFrame(
+        [(0, axis, 0), (5, tilted, 0), (9, other, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    div = {r.vec_id: r for r in semantic_dedup_diverse(emb, n_centroids=1, iters=1).collect()}
+    base = {r.vec_id: r.is_kept for r in semantic_dedup(emb, n_centroids=1, iters=1).collect()}
+    assert div[0].proto > div[5].proto          # 0 is the prototypical one
+    if not base[5]:                             # (0,5) are near-dups under both
+        assert div[5].is_kept and not div[0].is_kept  # diverse keeps the atypical
+    assert base[0]                              # min-id baseline keeps 0
