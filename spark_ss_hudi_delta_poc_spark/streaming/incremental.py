@@ -626,3 +626,104 @@ def incremental_embedding_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_phash(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    phindex_path: str,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    increment_id: int | str | None = None,
+) -> int:
+    """Cross-run PERCEPTUAL dedup for media streams: reject a new media
+    row whose perceptual hash is within ``max_hamming`` bits of anything
+    already ingested — the media counterpart of the text and embedding
+    ingest gates (re-encoded or lightly-edited copies of yesterday's
+    images share most pHash nibbles; exact byte hashing sees none of
+    that).
+
+    The persistent index is ONE parquet table under ``phindex_path``:
+    (doc_id, phash).  Per increment: Arrow-batched pHash of the payloads
+    (operators/multimodal.phash_table) → in-batch near-dups resolved to
+    the min id via the banded candidate join → history candidates from a
+    band equi-join (each 60-bit hash explodes into 5 x 12-bit bands, so
+    the batch never cross-joins history) → exact bit_count(xor) verify →
+    survivors append to the corpus, their hashes to the index.  Same
+    marker-atomic commit protocol as the sibling ingests; the replay
+    token hashes the payload bytes, so a re-encode (same ids, new bytes)
+    is a new increment.  Fixed-grid limitation documented at the
+    operator: same-length edits land near, insertions need the winnow
+    gate.
+    """
+    from ..operators.multimodal import PHASH_BANDS, PHASH_MAX_HAMMING, phash_table
+
+    if max_hamming is None:
+        max_hamming = PHASH_MAX_HAMMING
+
+    token = str(increment_id) if increment_id is not None else _content_token(
+        batch.select(md5_long(F.hex(F.col(payload_col))).alias("_h")), "_h"
+    )
+    committed = _committed_tokens(phindex_path)
+    if token in committed:
+        return 0
+    index_dirs = _committed_paths(phindex_path, committed)
+
+    def bands_of(df: DataFrame, id_out: str, ph_out: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_out),
+            F.col("phash").alias(ph_out),
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_idx"),
+        ).withColumn("band_val", F.expr(f"shiftright({ph_out}, band_idx * 12) & 4095"))
+
+    media = batch.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    ph = phash_table(media).persist()
+    try:
+        nb = bands_of(ph, "id_a", "pa")
+        ob = bands_of(ph, "id_b", "pb")
+        in_batch = (
+            nb.join(ob, ["band_idx", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= F.lit(max_hamming))
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = ph.join(in_batch, "doc_id", "left_anti")
+        if index_dirs:
+            hist = bands_of(
+                spark.read.parquet(*index_dirs), "hist_id", "ph_hist"
+            )
+            dup_new = (
+                bands_of(kept, "doc_id", "ph_new")
+                .join(hist, ["band_idx", "band_val"])
+                .where(
+                    F.bit_count(F.col("ph_new").bitwiseXOR(F.col("ph_hist")))
+                    <= F.lit(max_hamming)
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            surv_ph = kept.join(dup_new, "doc_id", "left_anti").persist()
+        else:
+            surv_ph = kept.persist()
+        try:
+            surv_ids = surv_ph.select("doc_id")
+            survivors = batch.join(
+                surv_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            )
+            n = survivors.count()
+            if n:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"inc={token}")
+                )
+                surv_ph.write.mode("overwrite").parquet(
+                    os.path.join(phindex_path, f"inc={token}")
+                )
+        finally:
+            surv_ph.unpersist()
+    finally:
+        ph.unpersist()
+    _write_marker(phindex_path, token)
+    return n

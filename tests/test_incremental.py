@@ -337,3 +337,33 @@ def test_incremental_embedding_streaming_two_runs(spark, tmp_path):
     incremental_embedding_ingest(spark, src, corpus, index, ckpt, schema).awaitTermination()
     got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2, 4]  # 3 rejected: near-dup of run-1 vec 1
+
+
+def test_incremental_phash_rejects_cross_run_perceptual_dups(spark, tmp_path):
+    """Run 2 must reject a media payload that is a same-length edit of
+    run-1 material (small pHash Hamming — the re-encode case exact byte
+    hashing misses), ingest unrelated payloads, resolve in-batch dups to
+    the min id, and replay to 0."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_phash,
+    )
+
+    MEDIA = "doc_id long, payload binary"
+    corpus = os.path.join(tmp_path, "pcorpus")
+    index = os.path.join(tmp_path, "pindex")
+    base = ("the quick brown fox jumps over the lazy dog and keeps running far " * 3).encode()
+    other = (" ".join(f"fresh{i} material{i}" for i in range(30))).encode()
+    b1 = spark.createDataFrame([(1, base), (2, other)], MEDIA)
+    assert ingest_increment_phash(spark, b1, corpus, index) == 2
+
+    edited = base.replace(b"lazy", b"hazy")      # same length, local edit
+    novel = (" ".join(f"novel{i} text{i}" for i in range(30))).encode()
+    novel_dup = novel.replace(b"novel3", b"nove13")  # same-length in-batch dup
+    b2 = spark.createDataFrame([(3, edited), (4, novel), (5, novel_dup)], MEDIA)
+    n2 = ingest_increment_phash(spark, b2, corpus, index)
+    assert n2 == 1  # 3 rejected vs history, 5 rejected in-batch (4 kept)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]
+    # replay short-circuit
+    assert ingest_increment_phash(spark, b2, corpus, index) == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 4]
