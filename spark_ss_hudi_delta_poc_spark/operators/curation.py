@@ -692,3 +692,47 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return base.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def length_trim(
+    docs: DataFrame,
+    q: float = 0.99,
+    len_col: str = "n_chars",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source EXACT length-quantile trim: flag documents longer than
+    their own source's q-quantile length — the tail-trimming pass that
+    drops concatenation artifacts and runaway boilerplate before
+    tokenization (a global threshold over-trims long-form sources and
+    under-trims chat logs; per-source is the standard practice, and it
+    keeps the ranking window PARTITIONED — a global exact quantile would
+    need the single-partition sort this repo bans).
+
+    The threshold is the exact order statistic at rank ceil(q*n) per
+    source (q53's engine-deterministic rule, no approximate sketch);
+    the |sources|-row threshold table joins back in one shuffle.
+    Output: (doc_id, source, n_chars, p99_chars, keep).
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.col(len_col).asc(), F.col(id_col).asc())
+    cw = Window.partitionBy(strata_col)
+    r = docs.select(
+        F.col(strata_col).alias("source"),
+        F.col(len_col).alias("n_chars"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    thr = r.where(
+        F.col("rn") == F.ceil(F.col("n").cast("double") * F.lit(q)).cast("long")
+    ).select("source", F.col("n_chars").alias("p99_chars"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(strata_col).alias("source"), F.col(len_col).alias("n_chars"))
+        .join(thr, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "p99_chars",
+            (F.col("n_chars") <= F.col("p99_chars")).alias("keep"),
+        )
+    )

@@ -2086,6 +2086,36 @@ def curation_epoch_shuffle_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.epoch_shuffle(load(spark, sf, "documents"))
 
 
+def curation_length_trim_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.length_trim(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "curation_length_trim",
+        curation_length_trim_q,
+        """
+        WITH r AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents),
+        t AS (SELECT source, n_chars AS p99_chars FROM r
+              WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) * 0.99) AS BIGINT))
+        SELECT d.doc_id, d.source, d.n_chars, t.p99_chars,
+               (d.n_chars <= t.p99_chars) AS keep
+        FROM documents d JOIN t ON d.source = t.source
+        """,
+        doc="per-source exact p99 length trim: flag docs longer than their "
+        "own source's 99th-percentile length (exact order statistic, "
+        "q53's engine-deterministic rule; per-source keeps the ranking "
+        "window partitioned) — the tail-trim pass before tokenization",
+        tags=("llm", "curation", "orderstat"),
+    )
+)
+
+
 QUERIES.append(
     Query(
         "curation_epoch_shuffle",

@@ -60,7 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (11) ---------
+    # --- code touched/ADDED this round: fresh + first rows (12) ---------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
@@ -72,7 +72,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_prototypicality",
     "corpus_vocab_stats",
     "dedup_semantic_diverse",
-    # --- newest green row r4 (34 of 48; 14 displaced to r8) -------------
+    "curation_length_trim",
+    # --- newest green row r4 (33 of 48; 15 displaced to r8) -------------
     "curation_gopher_rules",
     "dedup_containment",
     "q13_join_revenue",
@@ -85,7 +86,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q23_pricing_summary",
     "q33_segment_topn",
     "q34_region_revenue",
-    "q35_moving_agg",
     "q48_snapshot_diff",
     "q49_exists_daterange",
     "q50_filter_revenue",

@@ -1061,3 +1061,17 @@ def test_semantic_dedup_diverse_keeps_least_prototypical(spark):
     if not base[5]:                             # (0,5) are near-dups under both
         assert div[5].is_kept and not div[0].is_kept  # diverse keeps the atypical
     assert base[0]                              # min-id baseline keeps 0
+
+
+def test_length_trim_exact_per_source_quantile(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import length_trim
+
+    rows = [(i, "t", "s1", 10 * (i + 1)) for i in range(10)]   # 10..100
+    rows += [(100, "t", "s2", 5), (101, "t", "s2", 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    out = {r.doc_id: r for r in length_trim(docs, q=0.9).collect()}
+    # s1: rank ceil(0.9*10)=9 -> threshold 90; the 100-char doc trimmed
+    assert out[8].p99_chars == 90 and out[8].keep
+    assert out[9].n_chars == 100 and not out[9].keep
+    # s2: rank ceil(0.9*2)=2 -> threshold 7; everything kept
+    assert out[100].keep and out[101].keep and out[101].p99_chars == 7
