@@ -396,6 +396,88 @@ def ivf_kmeans_topk(
     return _ivf_probe(embeddings, queries, cent_ids, cent_mat, k, id_col, vec_col)
 
 
+def ivf_quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned int8 scan — the production ANN combination: the
+    inverted file bounds WHICH vectors are scored (corpus/n_centroids
+    per probe) and scalar quantization bounds the BYTES each scored
+    vector costs (4x smaller than float32), i.e. ivf_topk's pruning
+    composed with quantized_topk's storage format.  Output matches
+    quantized_topk: (query_id, neighbor_id, cosine_q8, rank).
+
+    One Arrow map stage per side computes BOTH representations: the
+    cluster assignment in the exact 1000-quantized space (identical
+    argmax + tie-break to _assign_clusters, so the oracle's assignment
+    CTE reproduces it) and the int8 vector floor((x*127)/max|x|)
+    (identical to quantized_topk; zero vectors drop on both sides).
+    Scoring is the broadcast cluster equi-join + exact-integer cosine —
+    the corpus is never shuffled, only probed lists are scored.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+
+    def rep_rows(ids, raw):
+        # cluster from the 1000-space (matches _assign_clusters / QVEC)
+        qv1000 = np.floor(raw * 1000.0)
+        nsq = (qv1000 * qv1000).sum(axis=1)
+        cos = (qv1000 @ cent_mat.T) / np.sqrt(nsq[:, None] * cent_nsq[None, :])
+        best = np.array(
+            [cent_ids[np.lexsort((cent_ids, -row))[0]] for row in cos], dtype=np.int64
+        )
+        # int8 representation (matches quantized_topk); zero vectors drop
+        scale = np.abs(raw).max(axis=1)
+        ok = scale > 0
+        q8 = np.floor((raw[ok] * 127.0) / scale[ok][:, None])
+        return ids[ok], q8, best[ok]
+
+    def per_batch(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            raw = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            i, q8, cl = rep_rows(ids, raw)
+            yield pd.DataFrame(
+                {"neighbor_id": i, "qv8": [r.astype(np.int64).tolist() for r in q8], "cluster": cl}
+            )
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        per_batch, schema="neighbor_id long, qv8 array<long>, cluster long"
+    )
+    q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_q8 double, rank int"
+        )
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r.v for r in q_rows], dtype=np.float64)
+    qi, qq8, qcl = rep_rows(q_ids, q_raw)
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), [int(x) for x in v], int(c)) for i, v, c in zip(qi, qq8, qcl)],
+        "query_id long, qv8_q array<long>, cluster long",
+    )
+    scored = (
+        corpus.join(F.broadcast(qdf), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv8_q"), F.col("qv8")).alias("cosine_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q8").desc(), F.col("neighbor_id").asc())
+    return scored.select(
+        "query_id", "neighbor_id", "cosine_q8", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
 def semantic_dedup_diverse(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -2004,6 +2004,61 @@ def semantic_dedup_diverse_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_dedup_diverse(load(spark, sf, "embeddings"))
 
 
+def ann_ivf_q8_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ivf_quantized_topk(
+        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+    )
+
+
+QUERIES.append(
+    Query(
+        "ann_ivf_q8_topk",
+        ann_ivf_q8_q,
+        f"""
+        WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        cents AS (SELECT vec_id AS cid, qv AS qvc FROM c WHERE vec_id < 16),
+        af AS (SELECT vec_id, cid AS cluster FROM (
+          SELECT c.vec_id, cents.cid,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                      ORDER BY {COS.format(a="c.qv", b="cents.qvc")} DESC,
+                               cents.cid ASC) AS rn
+          FROM c CROSS JOIN cents) WHERE rn = 1),
+        raw AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) AS scale
+                FROM embeddings),
+        q8 AS (SELECT vec_id,
+                      list_transform(v, x -> floor((x * 127.0) / scale)) AS qv8
+               FROM raw WHERE scale > 0),
+        cc AS (SELECT q8.vec_id, q8.qv8, af.cluster
+               FROM q8 JOIN af ON q8.vec_id = af.vec_id),
+        qq AS (SELECT vec_id, qv8, cluster FROM cc
+               WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        scored AS (
+          SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                 {COS.format(a="qq.qv8", b="cc.qv8")} AS cosine_q8
+          FROM qq JOIN cc
+            ON qq.cluster = cc.cluster AND qq.vec_id <> cc.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine_q8, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_q8 DESC, neighbor_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="IVF-pruned int8 ANN — the production combination: inverted "
+        "file bounds WHICH vectors are scored (corpus/n_centroids per "
+        "probe), int8 scalar quantization bounds the BYTES each costs "
+        "(4x vs float32); one Arrow map stage computes both "
+        "representations, broadcast cluster join scores only probed "
+        "lists",
+        tags=("llm", "ann", "similarity"),
+    )
+)
+
+
 QUERIES.append(
     Query(
         "dedup_semantic_diverse",

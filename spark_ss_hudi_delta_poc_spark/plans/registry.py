@@ -60,7 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (12) ---------
+    # --- code touched/ADDED this round: fresh + first rows (13) ---------
     "text_winnow_fingerprint",
     "dedup_winnow_pairs",
     "text_bm25_search",
@@ -73,7 +73,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_vocab_stats",
     "dedup_semantic_diverse",
     "curation_length_trim",
-    # --- newest green row r4 (33 of 48; 15 displaced to r8) -------------
+    "ann_ivf_q8_topk",
+    # --- newest green row r4 (32 of 48; 16 displaced to r8) -------------
     "curation_gopher_rules",
     "dedup_containment",
     "q13_join_revenue",
@@ -92,7 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q51_returned_top_customers",
     "q52_priority_shipmode",
     "q53_exact_median",
-    "q54_group_mode",
     "q55_asof_tolerance",
     "q56_cube",
     "q57_funnel",
