@@ -62,7 +62,11 @@ def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def _shingle_pair_overlaps(
-    docs: DataFrame, n: int, max_shingle_df: int | None
+    docs: DataFrame,
+    n: int,
+    max_shingle_df: int | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, inter, na, nb) for every doc pair sharing at
     least one (df-capped) shingle — the inverted-index join every exact
@@ -77,8 +81,16 @@ def _shingle_pair_overlaps(
     whole shingle table against an |all-shingles|-sized build side.
     Set sizes na/nb come from the CAPPED table so both the engine and
     the DuckDB oracle measure the same sets.
+
+    The per-doc size table is one row PER DOCUMENT — corpus-sized, so it
+    must never be broadcast (round-5 broadcast(doc_len) anti-pattern).
+    Instead sizes ride the shingle rows into the pair aggregate: a plain
+    hash join on doc_id attaches n_shingles to each shingle row (reusing
+    the sizes aggregate's exchange), and max(na)/max(nb) fold through the
+    same groupBy that counts the intersection — the winnow_overlap_pairs
+    shape, zero joins after the pair aggregate.
     """
-    sh = shingle_table(docs, n=n)
+    sh = shingle_table(docs, text_col=text_col, id_col=id_col, n=n)
     if max_shingle_df is not None:
         frequent = (
             sh.groupBy("shingle")
@@ -87,16 +99,18 @@ def _shingle_pair_overlaps(
         )
         sh = sh.join(F.broadcast(frequent.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    shn = sh.join(sizes, "doc_id")  # shuffle join on doc_id; sizes ride the rows
+    a = shn.alias("a")
+    b = shn.alias("b")
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.n_shingles").alias("na"),
+            F.max("b.n_shingles").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
-    return inter.join(F.broadcast(sa), "doc_id_a").join(F.broadcast(sb), "doc_id_b")
 
 
 def ngram_jaccard_pairs(
@@ -104,12 +118,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle self-join (see
     :func:`_shingle_pair_overlaps` for the df-cap scale argument).
     Pass ``max_shingle_df=None`` for exact textbook Jaccard."""
     out = (
-        _shingle_pair_overlaps(docs, n, max_shingle_df)
+        _shingle_pair_overlaps(docs, n, max_shingle_df, text_col=text_col, id_col=id_col)
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -129,6 +145,8 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     n: int = 3,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs: containment of the smaller shingle set
     in the larger, C = |A∩B| / min(|A|,|B|).
@@ -139,7 +157,7 @@ def ngram_containment_pairs(
     inverted-index join as Jaccard; only the final measure differs.
     """
     return (
-        _shingle_pair_overlaps(docs, n, max_shingle_df)
+        _shingle_pair_overlaps(docs, n, max_shingle_df, text_col=text_col, id_col=id_col)
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -291,21 +309,22 @@ def _minhash_pairs_plan(
         .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
+    # per-doc set sizes are one row PER DOCUMENT — never broadcastable.
+    # They ride the verify-join sides instead (plain hash join on doc_id,
+    # the same key the candidate join shuffles on anyway) and fold through
+    # the intersection groupBy as max(na)/max(nb) — the winnow shape.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("sb_doc"), F.col("h").alias("sh_b"))
+    shn = sh.join(sizes, "doc_id")
+    sa = shn.select(F.col("doc_id").alias("doc_id_a"), F.col("h").alias("sh_a"), F.col("n_shingles").alias("na"))
+    sb = shn.select(F.col("doc_id").alias("sb_doc"), F.col("h").alias("sh_b"), F.col("n_shingles").alias("nb"))
     inter = (
         cand.join(sa, "doc_id_a")
         .join(sb, (F.col("doc_id_b") == F.col("sb_doc")) & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("inter"), F.max("na").alias("na"), F.max("nb").alias("nb"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("nb"))
     return (
-        inter.join(F.broadcast(za), "doc_id_a")
-        .join(F.broadcast(zb), "doc_id_b")
-        .select(
+        inter.select(
             "doc_id_a",
             "doc_id_b",
             (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
@@ -730,7 +749,7 @@ def corpus_dedup_report(
         ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("keep_doc_id"))).alias("exact_dup"),
     )
     jac = (
-        ngram_jaccard_pairs(docs, threshold=jaccard_threshold)
+        ngram_jaccard_pairs(docs, threshold=jaccard_threshold, text_col=text_col, id_col=id_col)
         .select(F.col("doc_id_b").alias("doc_id"))
         .distinct()
         .withColumn("_j", F.lit(True))

@@ -176,6 +176,7 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 PHASH_SEGMENTS = 15  # 4-bit nibbles -> 60-bit hash (signed-BIGINT safe)
 PHASH_BANDS = 5      # 3 nibbles = 12 bits per band
 PHASH_MAX_HAMMING = 12
+PHASH_MAX_BUCKET = 1024  # LSH mega-bucket guard, same rule as minhash (dedup.py)
 
 
 def fake_phash(payload: bytes) -> int:
@@ -219,11 +220,31 @@ def phash_table(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(_hash, schema="doc_id long, phash long")
 
 
-def _phash_candidates(media: DataFrame) -> DataFrame:
+def _phash_candidates(media: DataFrame, max_bucket: int = PHASH_MAX_BUCKET) -> DataFrame:
     """(doc_id_a, doc_id_b, pa, pb): distinct banded candidate pairs —
     each 60-bit hash explodes into 5 x 12-bit bands (JVM bit ops) and
-    candidates come from ONE equi-join on (band_idx, band_val)."""
-    ph = phash_table(media)
+    candidates come from ONE grouped shuffle on (band_idx, band_val)
+    with the mandatory LSH mega-bucket guard: a (band_idx, band_val)
+    bucket holding B media means B²/2 candidate pairs, and degenerate
+    media (solid-color frames, blank pages — bulk content in real
+    crawls) concentrate whole populations into one bucket.  Buckets
+    over ``max_bucket`` are dropped, exactly as minhash_lsh_pairs does
+    (dedup.py) — content that homogeneous is exact/byte-dedup's job.
+    The oracle applies the identical cap.
+
+    Grouping replaces the band self-join: one shuffle, in-bucket pair
+    expansion on the post-aggregation rows only (populations bounded by
+    the cap, never corpus-sized)."""
+    return _phash_candidates_from_hashes(phash_table(media), max_bucket=max_bucket)
+
+
+def _phash_candidates_from_hashes(
+    ph: DataFrame, max_bucket: int = PHASH_MAX_BUCKET
+) -> DataFrame:
+    """Capped banded candidates over a precomputed (doc_id, phash) table —
+    shared by :func:`_phash_candidates` and the incremental pHash ingest
+    (streaming/incremental.py), so the mega-bucket guard applies on every
+    path that expands band buckets into pairs."""
     bands = ph.select(
         "doc_id",
         "phash",
@@ -234,19 +255,31 @@ def _phash_candidates(media: DataFrame) -> DataFrame:
         "band_idx",
         F.expr("shiftright(phash, band_idx * 12) & 4095").alias("band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    grouped = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct("doc_id", "phash")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    "  filter(transform(ids, (y, j) ->"
+                    "    IF(j > i,"
+                    "       IF(x.doc_id < y.doc_id,"
+                    "          struct(x.doc_id AS da, y.doc_id AS db, x.phash AS pa, y.phash AS pb),"
+                    "          struct(y.doc_id AS da, x.doc_id AS db, y.phash AS pa, x.phash AS pb)),"
+                    "       null)),"
+                    "  s -> s IS NOT NULL)))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
+            F.col("p.da").alias("doc_id_a"),
+            F.col("p.db").alias("doc_id_b"),
+            F.col("p.pa").alias("pa"),
+            F.col("p.pb").alias("pb"),
         )
         .distinct()
     )

@@ -1188,11 +1188,15 @@ QUERIES = [
         b AS (SELECT doc_id, phash, t.g AS band_idx,
                      (phash >> (12 * t.g)) & 4095 AS band_val
               FROM p, UNNEST(generate_series(0, 4)) AS t(g)),
+        b2 AS (SELECT doc_id, phash, band_idx, band_val,
+                      COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bpop
+               FROM b),
         c AS (SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b,
                      a.phash AS pa, bb.phash AS pb
-              FROM b a JOIN b bb
+              FROM b2 a JOIN b2 bb
                 ON a.band_idx = bb.band_idx AND a.band_val = bb.band_val
-               AND a.doc_id < bb.doc_id)
+               AND a.doc_id < bb.doc_id
+              WHERE a.bpop <= 1024)
         SELECT doc_id_a, doc_id_b, hamming, CAST(rn AS INTEGER) AS rank
         FROM (SELECT doc_id_a, doc_id_b,
                      CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming,

@@ -657,8 +657,23 @@ def ingest_increment_phash(
     is a new increment.  Fixed-grid limitation documented at the
     operator: same-length edits land near, insertions need the winnow
     gate.
+
+    Both band joins carry the LSH mega-bucket guard (``max_bucket``,
+    minhash's mandatory cap): the in-batch pass reuses the capped
+    grouped-bucket candidate plan, and the vs-history equi-join drops
+    over-populated (band_idx, band_val) buckets on BOTH sides first —
+    degenerate media (solid fills, black frames) otherwise concentrate
+    one bucket and the join goes |batch-bucket|×|hist-bucket| quadratic.
+    The heavy-bucket sets are broadcast anti-joins: zipfian media makes
+    them tiny (heavy hitters only), same shape as the shingle df-cap.
     """
-    from ..operators.multimodal import PHASH_BANDS, PHASH_MAX_HAMMING, phash_table
+    from ..operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_MAX_BUCKET,
+        PHASH_MAX_HAMMING,
+        _phash_candidates_from_hashes,
+        phash_table,
+    )
 
     if max_hamming is None:
         max_hamming = PHASH_MAX_HAMMING
@@ -678,25 +693,34 @@ def ingest_increment_phash(
             F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_idx"),
         ).withColumn("band_val", F.expr(f"shiftright({ph_out}, band_idx * 12) & 4095"))
 
+    def cap_buckets(bands: DataFrame, max_bucket: int = PHASH_MAX_BUCKET) -> DataFrame:
+        """Drop rows in over-populated (band_idx, band_val) buckets — the
+        mega-bucket guard as a broadcast anti-join against the (tiny,
+        heavy-hitters-only) over-cap set."""
+        heavy = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("pop"))
+            .where(F.col("pop") > max_bucket)
+            .select("band_idx", "band_val")
+        )
+        return bands.join(F.broadcast(heavy), ["band_idx", "band_val"], "left_anti")
+
     media = batch.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
     ph = phash_table(media).persist()
     try:
-        nb = bands_of(ph, "id_a", "pa")
-        ob = bands_of(ph, "id_b", "pb")
         in_batch = (
-            nb.join(ob, ["band_idx", "band_val"])
-            .where(F.col("id_a") < F.col("id_b"))
+            _phash_candidates_from_hashes(ph)
             .where(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= F.lit(max_hamming))
-            .select(F.col("id_b").alias("doc_id"))
+            .select(F.col("doc_id_b").alias("doc_id"))
             .distinct()
         )
         kept = ph.join(in_batch, "doc_id", "left_anti")
         if index_dirs:
-            hist = bands_of(
-                spark.read.parquet(*index_dirs), "hist_id", "ph_hist"
+            hist = cap_buckets(
+                bands_of(spark.read.parquet(*index_dirs), "hist_id", "ph_hist")
             )
             dup_new = (
-                bands_of(kept, "doc_id", "ph_new")
+                cap_buckets(bands_of(kept, "doc_id", "ph_new"))
                 .join(hist, ["band_idx", "band_val"])
                 .where(
                     F.bit_count(F.col("ph_new").bitwiseXOR(F.col("ph_hist")))
