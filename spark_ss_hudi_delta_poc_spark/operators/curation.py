@@ -34,6 +34,11 @@ CONTAMINATION_THRESHOLD = 0.05
 # doc_id % EVAL_MODULUS == 0 plays the held-out benchmark set in the
 # registry query — any (train, eval) DataFrame pair works in the API
 EVAL_MODULUS = 97
+# Benchmark eval sets are FIXED-size (they do not grow with the training
+# corpus); the registry queries make that explicit with an orderBy+limit
+# cap on the eval side, which is also what lets the plan audit certify
+# the broadcast eval n-gram index as bounded.
+EVAL_MAX_DOCS = 500
 
 
 def contamination_pairs(
@@ -519,10 +524,12 @@ def decontaminated_corpus(
     return the training corpus with every doc at-or-above the
     contamination threshold against ANY eval doc removed.
 
-    The contaminated-id set is a tiny fraction of the corpus by
-    construction (it is bounded by |eval|×pairs-per-eval-doc), so the
-    removal is a broadcast ANTI-join — the training corpus is scanned,
-    never shuffled.  Returns the kept docs (doc_id + passthrough
+    The removal is a plain ANTI-join on doc_id with NO broadcast hint:
+    the contaminated set is usually tiny, but "docs that hit the
+    benchmark" has no structural size bound (one viral eval passage can
+    match millions of training docs), so the plan must stay valid when
+    it is large — AQE picks a broadcast at runtime exactly when the set
+    really is small.  Returns the kept docs (doc_id + passthrough
     columns minus the text payload: id, lang, source).
     """
     contaminated = (
@@ -531,7 +538,7 @@ def decontaminated_corpus(
         .distinct()
     )
     keep_cols = [c for c in train_docs.columns if c != text_col]
-    return train_docs.join(F.broadcast(contaminated), "doc_id", "left_anti").select(*keep_cols)
+    return train_docs.join(contaminated, "doc_id", "left_anti").select(*keep_cols)
 
 
 def export_shards(

@@ -480,9 +480,12 @@ def segment_dedup(
 
     Plan: posexplode words (map-side) → one shuffle to assemble segments
     per (doc, seg index) → segment df counts on a 60-bit segment hash →
-    broadcast ANTI-join against the (small) over-cap boilerplate set — the
-    corpus-sized segment table never shuffles again — → one shuffle to
-    reassemble kept text in segment order.  The only higher-order-function
+    ANTI-join against the over-cap boilerplate set, NO broadcast hint:
+    boilerplate is the COMMON case in a crawl (headers, licenses,
+    navigation repeat everywhere), so the df>cap set scales with the
+    corpus — the anti-join keys both sides on seg_hash and reuses the df
+    aggregate's exchange; AQE broadcasts at runtime when the set is
+    small — → one shuffle to reassemble kept text in segment order.  The only higher-order-function
     lambdas run on post-aggregation arrays (≤ seg_words words, ≤ doc
     segment count), never on corpus-sized rows.
 
@@ -508,7 +511,7 @@ def segment_dedup(
         .where(F.col("df") > max_df)
         .select("seg_hash")
     )
-    kept = seg.join(F.broadcast(boilerplate), "seg_hash", "left_anti")
+    kept = seg.join(boilerplate, "seg_hash", "left_anti")
     totals = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
     rebuilt = (
         kept.groupBy("doc_id")

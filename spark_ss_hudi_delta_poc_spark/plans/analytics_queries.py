@@ -22,7 +22,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4")
     )
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum("rev_e4").alias("revenue_e4"))
@@ -45,7 +45,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     nations_in_region = dim_join(nation, region, nation.n_regionkey == region.r_regionkey)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nations_in_region), cust.c_nationkey == nations_in_region.n_nationkey)
         .groupBy("n_name")
@@ -163,7 +163,7 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer").select("c_custkey", "c_name")
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.sum("rev_e4").alias("revenue_e4"))
     )

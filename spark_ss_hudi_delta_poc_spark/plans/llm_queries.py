@@ -189,14 +189,27 @@ def dedup_keep_best_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- similarity search -------------------------------------------------------
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    """The ANN query set: the fixed (<= ANN_QUERY_MAX_ID)-row slice, with
+    an explicit top-k certificate (orderBy+limit -> TakeOrderedAndProject)
+    so every downstream plan PROVES the broadcast query side is bounded —
+    a filter alone leaves the side selectivity-proportional as far as the
+    plan audit (tests/test_plans.py) can tell.  Same rows either way."""
+    return (
+        emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+        .orderBy("vec_id")
+        .limit(ANN_QUERY_MAX_ID)
+    )
+
+
 def ann_brute(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+    return similarity.brute_force_topk(emb, _ann_queries(emb), k=ANN_K)
 
 
 def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+    return similarity.lsh_topk(emb, _ann_queries(emb), k=ANN_K)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -268,7 +281,7 @@ def corpus_vocab_stats_q(spark: SparkSession, sf: str) -> DataFrame:
 
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+    return similarity.ivf_topk(emb, _ann_queries(emb), k=ANN_K)
 
 
 def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
@@ -278,27 +291,27 @@ def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ivf_index_")
     similarity.build_ivf_index(emb, path)
     return similarity.ivf_index_topk(
-        spark, path, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K, nprobe=2
+        spark, path, _ann_queries(emb), k=ANN_K, nprobe=2
     )
 
 
 def ann_lsh_multi(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.lsh_topk(
-        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K, n_tables=4
+        emb, _ann_queries(emb), k=ANN_K, n_tables=4
     )
 
 
 def ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ann_recall_report(
-        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+        emb, _ann_queries(emb), k=ANN_K
     )
 
 
 def ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
-    return similarity.quantized_topk(emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K)
+    return similarity.quantized_topk(emb, _ann_queries(emb), k=ANN_K)
 
 
 KNN_K = 3
@@ -337,18 +350,30 @@ SAMPLE_FRACTION = 0.25
 SAMPLE_K_PER_STRATUM = 10
 
 
+def _eval_split(docs: DataFrame) -> DataFrame:
+    """The stand-in benchmark set: the modulus slice CAPPED at
+    EVAL_MAX_DOCS via orderBy+limit.  Real eval benchmarks are fixed-size
+    — they do not grow with the training corpus — and the explicit limit
+    is what proves that to the plan audit (the broadcast eval n-gram
+    index inside contamination_pairs carries a TakeOrdered certificate
+    instead of a selectivity-proportional filter)."""
+    return (
+        docs.where(F.col("doc_id") % curation.EVAL_MODULUS == 0)
+        .orderBy("doc_id")
+        .limit(curation.EVAL_MAX_DOCS)
+    )
+
+
 def curation_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     train = docs.where(F.col("doc_id") % curation.EVAL_MODULUS != 0)
-    ev = docs.where(F.col("doc_id") % curation.EVAL_MODULUS == 0)
-    return curation.contamination_pairs(train, ev)
+    return curation.contamination_pairs(train, _eval_split(docs))
 
 
 def curation_decontaminated_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     train = docs.where(F.col("doc_id") % curation.EVAL_MODULUS != 0)
-    ev = docs.where(F.col("doc_id") % curation.EVAL_MODULUS == 0)
-    return curation.decontaminated_corpus(train, ev)
+    return curation.decontaminated_corpus(train, _eval_split(docs))
 
 
 def curation_sample_bernoulli_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -1265,7 +1290,11 @@ QUERIES = [
           FROM ws WHERE len(w) >= 3
         ),
         tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} <> 0),
-        ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} = 0),
+        evdocs AS (SELECT doc_id FROM documents
+                   WHERE doc_id % {curation.EVAL_MODULUS} = 0
+                   ORDER BY doc_id LIMIT {curation.EVAL_MAX_DOCS}),
+        ev AS (SELECT g.doc_id AS eval_doc_id, gram FROM g
+               JOIN evdocs ON g.doc_id = evdocs.doc_id),
         sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM tr GROUP BY doc_id),
         ov AS (
           SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
@@ -1278,7 +1307,8 @@ QUERIES = [
               >= {curation.CONTAMINATION_THRESHOLD}
         """,
         doc="benchmark-contamination check: 3-gram overlap of training docs "
-        "vs the held-out eval split (doc_id % 97 == 0), broadcast eval index",
+        "vs the held-out eval split (doc_id % 97 == 0, capped at "
+        "EVAL_MAX_DOCS — benchmark sets are fixed-size), broadcast eval index",
         tags=("llm", "curation"),
     ),
     Query(
@@ -1293,7 +1323,11 @@ QUERIES = [
           FROM ws WHERE len(w) >= 3
         ),
         tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} <> 0),
-        ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} = 0),
+        evdocs AS (SELECT doc_id FROM documents
+                   WHERE doc_id % {curation.EVAL_MODULUS} = 0
+                   ORDER BY doc_id LIMIT {curation.EVAL_MAX_DOCS}),
+        ev AS (SELECT g.doc_id AS eval_doc_id, gram FROM g
+               JOIN evdocs ON g.doc_id = evdocs.doc_id),
         sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM tr GROUP BY doc_id),
         ov AS (
           SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
@@ -1308,9 +1342,10 @@ QUERIES = [
         WHERE doc_id % {curation.EVAL_MODULUS} <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
-        doc="the removal step after contamination detection: broadcast "
-        "anti-join of the (tiny) contaminated-id set against the training "
-        "corpus — scanned, never shuffled",
+        doc="the removal step after contamination detection: anti-join of "
+        "the contaminated-id set against the training corpus (no broadcast "
+        "hint — the hit set has no size proof; AQE broadcasts at runtime "
+        "when it is small)",
         tags=("llm", "curation"),
     ),
     Query(
@@ -1920,7 +1955,7 @@ QUERIES.append(
 def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_kmeans_topk(
-        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+        emb, _ann_queries(emb), k=ANN_K
     )
 
 
@@ -2011,7 +2046,7 @@ def semantic_dedup_diverse_q(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivf_q8_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     return similarity.ivf_quantized_topk(
-        emb, emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID), k=ANN_K
+        emb, _ann_queries(emb), k=ANN_K
     )
 
 

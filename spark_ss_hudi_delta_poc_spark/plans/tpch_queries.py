@@ -98,8 +98,9 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     NATION_3) — emitted as exact (nation_rev_e4, total_rev_e4) pairs
     per year rather than a float ratio so the hash is engine-exact.
 
-    part/nation/region/customer dims broadcast; lineitem shuffles on
-    l_orderkey only.
+    nation/region dims broadcast (hinted — fixed-size); the PROMO part
+    slice and customer carry no hint: their size is selectivity-
+    proportional, so AQE decides at runtime.
     """
     nation = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
     region_key = (
@@ -128,7 +129,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey, "left_semi")
@@ -205,7 +206,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     ).join(other_late.select("l_orderkey", "l_suppkey"), ["l_orderkey", "l_suppkey"], "left_semi")
     supp = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_waits"))
         .orderBy(F.col("n_waits").desc(), F.col("s_name").asc())
@@ -292,7 +293,8 @@ GROUP BY c_nationkey
 # --- q72: TPC-H Q14 promo revenue -------------------------------------------
 def q72(spark: SparkSession, sf: str) -> DataFrame:
     """Fraction of revenue from PROMO parts in one shipping month,
-    emitted as exact (promo_rev_e4, total_rev_e4).  part broadcasts;
+    emitted as exact (promo_rev_e4, total_rev_e4).  The part join is
+    unhinted (part scales with the corpus; AQE broadcasts at runtime);
     the shipdate filter prunes at the parquet scan.
     """
     part = load(spark, sf, "part").select("p_partkey", "p_type")
@@ -300,7 +302,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
     ).select("l_partkey", money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))).alias("promo_rev_e4"),
             F.sum("rev_e4").alias("total_rev_e4"),
@@ -331,7 +333,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         "l_partkey", "l_quantity",
         money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4"),
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 15))
     band2 = (F.col("p_brand") == "Brand#7") & (F.col("p_size").between(5, 20)) & (F.col("l_quantity").between(10, 25))
     band3 = (F.col("p_brand") == "Brand#13") & (F.col("p_size").between(15, 40)) & (F.col("l_quantity").between(20, 35))
@@ -435,8 +437,9 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     average quantity, for one brand — the per-group-average comparison
     shape (correlated scalar subquery per part).
 
-    Plan: the brand filter semi-joins lineitem against a broadcast part
-    subset first, so the per-part aggregate and the join-back both run on
+    Plan: the brand filter semi-joins lineitem against the part subset
+    first (no broadcast hint — a filtered part slice scales with the
+    corpus; AQE broadcasts it at runtime when small), so the per-part aggregate and the join-back both run on
     the reduced set; the comparison is integer cross-multiplied
     (5 * qty * n < sum_qty in e4) so the 0.2x boundary is engine-exact.
     Both the aggregate and the join-back key on l_partkey — one shuffle,
@@ -445,7 +448,7 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     brand_parts = load(spark, sf, "part").where(F.col("p_brand") == "Brand#13").select("p_partkey")
     li = (
         load(spark, sf, "lineitem")
-        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select(
             "l_partkey",
             money_e4(F.col("l_quantity")).alias("qty_e4"),
@@ -536,8 +539,9 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     """Profit per supplier nation per year for parts matching a name token
     (cost proxy: p_retailprice x quantity — the testdata has no partsupp).
 
-    Plan: part (name-filtered) and nation broadcast; supplier joins on
-    suppkey and orders on orderkey — lineitem shuffles once per fact join
+    Plan: nation broadcasts (hinted dim); the name-filtered part slice
+    is unhinted (selectivity-proportional — AQE decides); supplier joins
+    on suppkey and orders on orderkey — lineitem shuffles once per fact join
     key, dims never shuffle the fact side.  The profit expression is
     evaluated per-row in identical IEEE order in both engines, THEN
     e4-floored, so the hash is exact.
@@ -559,7 +563,7 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -630,9 +634,10 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     COUNT(DISTINCT) over an anti-joined bridge shape.
 
     Plan: the (partkey, suppkey) bridge comes from lineitem de-duplicated
-    in one shuffle; excluded suppliers (tiny) broadcast as an anti-join;
-    part attributes broadcast; the final distinct-count is a two-phase
-    aggregate on the grouping key.
+    in one shuffle; the excluded-supplier anti-join and the part join are
+    unhinted (both sides are filtered slices of corpus-scaling tables —
+    AQE broadcasts at runtime when small); the final distinct-count is a
+    two-phase aggregate on the grouping key.
     """
     sizes = [1, 5, 9, 13, 17, 21, 25, 29, 33, 37]
     bridge = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
@@ -643,8 +648,8 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        bridge.join(F.broadcast(bad_supp), bridge.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part_f), bridge.l_partkey == part_f.p_partkey)
+        bridge.join(bad_supp, bridge.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part_f, bridge.l_partkey == part_f.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -666,8 +671,8 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     """Suppliers who shipped a large volume (> 45 units to one part) of
     PROMO parts in 1997 — the nested-IN / semi-join-chain shape.
 
-    Plan: the year band prunes at the parquet scan; PROMO parts broadcast
-    as a semi-join; the (suppkey, partkey) rollup is one shuffle; the
+    Plan: the year band prunes at the parquet scan; the PROMO-part
+    semi-join is unhinted (selectivity-proportional side — AQE decides); the (suppkey, partkey) rollup is one shuffle; the
     qualifying supplier set (tiny) semi-joins supplier, nation broadcasts.
     No row ever flows backward — each stage strictly reduces cardinality.
     """
@@ -678,7 +683,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_partkey", "l_suppkey", money_e4(F.col("l_quantity")).alias("qty_e4"))
     )
     qualified = (
-        li97.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li97.join(promo, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("qty_e4").alias("sum_qty_e4"))
         .where(F.col("sum_qty_e4") > 45 * 10000)
@@ -715,9 +720,9 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     """Cheapest observed supplier per mid-size part (unit price from
     lineitem — the testdata has no partsupp) — the argmin-join-back shape.
 
-    Plan: the size filter semi-joins lineitem against broadcast parts;
-    min-per-part and the equality join-back both key on l_partkey — one
-    shuffle reused; supplier ties collapse deterministically to the lowest
+    Plan: the size filter semi-joins lineitem against the part slice
+    (unhinted — AQE decides); min-per-part and the equality join-back
+    both key on l_partkey — one shuffle reused; supplier ties collapse deterministically to the lowest
     suppkey.  Unit price is divided THEN e4-floored identically in both
     engines (same IEEE ops, same order).
     """
@@ -725,7 +730,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     unit_e4 = money_e4(F.col("l_extendedprice") / F.col("l_quantity"))
     offers = (
         load(spark, sf, "lineitem")
-        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_suppkey", unit_e4.alias("unit_e4"))
     )
     mins = offers.groupBy("l_partkey").agg(F.min("unit_e4").alias("min_price_e4"))
@@ -736,7 +741,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("l_suppkey").alias("s_suppkey"))
     )
     supp = load(spark, sf, "supplier").select(F.col("s_suppkey").alias("sk"), "s_name")
-    return best.join(F.broadcast(supp), best.s_suppkey == supp.sk).select(
+    return best.join(supp, best.s_suppkey == supp.sk).select(
         F.col("l_partkey").alias("p_partkey"), "min_price_e4", "s_suppkey", "s_name"
     )
 

@@ -329,8 +329,18 @@ def _unbounded_partitionless_windows(plan: str) -> list[int]:
         if not spec_partitionless(details.get(nid, "")):
             continue
         child = nodes[idx + 1][1] if idx + 1 < len(nodes) else ""
-        if child.startswith(("TakeOrderedAndProject", "LocalTableScan", "Scan ExistingRDD")):
+        if child.startswith(("TakeOrderedAndProject", "LocalTableScan")):
             continue  # bounded input: <= k rows / driver-local
+        if child.startswith("Scan ExistingRDD"):
+            # an ExistingRDD can back an arbitrarily large parallelized
+            # dataset (ADVICE r7): certify only when a limit/TakeOrdered
+            # bounds it somewhere below the window
+            rest = [n for _, n, _ in nodes[idx + 1 :]]
+            if any(
+                n.startswith(("TakeOrderedAndProject", "GlobalLimit", "LocalLimit"))
+                for n in rest
+            ):
+                continue
         flagged.append(nid)
     return flagged
 
@@ -373,16 +383,32 @@ def test_unbounded_partitionless_detector_flags_raw_window(spark):
 
 
 # Subtree shapes that certify a hinted broadcast side is bounded at any
-# corpus size.  Aggregates: output rows bounded by group-key cardinality
-# of an already-reduced side (every current use is a <=|dims|/|Q|/1-row
-# aggregate).  Limits/WindowGroupLimit: top-k capped.  LocalTableScan /
-# Scan ExistingRDD: driver-local literal data (query sets, probe pairs).
-# A scan with pushed filters or a dims-table scan (region/nation) is a
-# deliberately-reduced or fixed-size input.
+# corpus size (round-7 VERDICT #2 tightening — the old gate let ANY
+# HashAggregate certify, which blessed row-per-document aggregates, and
+# let any pushed filter certify, which blessed selectivity-proportional
+# sides like a 1/5-of-customer mktsegment slice).
+#
+# Unconditional certificates — bounded at ANY corpus size by construction:
+#   Limits/TakeOrdered/WindowGroupLimit: top-k capped.  LocalTableScan /
+#   Scan ExistingRDD: driver-local literal data (query sets, probe pairs).
+#   ReusedExchange: points at an exchange audited at its own site.
+#   Subquery: scalar (1-row) result.  Dims-table scans (region/nation):
+#   fixed-size inputs.
+#
+# CONDITIONAL certificate — an aggregate certifies ONLY when its output
+# cardinality is provably bounded:
+#   (a) no group keys (global aggregate -> 1 row), or
+#   (b) every group key is a column whose domain does not grow with the
+#       corpus (_BOUNDED_GROUP_KEYS: enumerations like band indexes and
+#       dim attributes — NOT ids), or
+#   (c) a heavy-hitter cap sits above it: Filter(agg_output > C), C >= 64
+#       — output <= N/C rows and zipfian data makes the over-cap set tiny
+#       (the shingle df-cap / mega-bucket shapes).
+# An aggregate keyed on doc_id has corpus cardinality and certifies
+# NOTHING — but deeper nodes under it may still certify (an aggregate over
+# a query-set scan stays bounded).  A pushed filter alone also certifies
+# nothing: selectivity-proportional sides scale with the corpus.
 _BROADCAST_CERT_NODES = (
-    "HashAggregate",
-    "SortAggregate",
-    "ObjectHashAggregate",
     "TakeOrderedAndProject",
     "GlobalLimit",
     "LocalLimit",
@@ -392,7 +418,76 @@ _BROADCAST_CERT_NODES = (
     "ReusedExchange",
     "Subquery",
 )
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _BROADCAST_DIMS = ("/region", "/nation")
+# Columns with corpus-independent domains: LSH band indexes/values (fixed
+# bit-width), dedup method flags, dim attributes.  Ids and free text never
+# belong here.
+_BOUNDED_GROUP_KEYS = frozenset(
+    {
+        "band",
+        "band_idx",
+        "band_val",
+        "band_hash",
+        "n_name",
+        "n_nationkey",
+        "r_name",
+        "r_regionkey",
+        # corpus-schema enumerations: a corpus has a handful of sources
+        # and languages regardless of row count
+        "source",
+        "lang",
+    }
+)
+_HEAVY_HITTER_MIN_CAP = 64
+
+
+def _agg_keys(detail: str) -> list[str] | None:
+    """Base column names of an aggregate's group keys from its detail
+    block, or None if the Keys line is missing/unparseable (fail closed).
+    Formatted-explain prints ``Keys: []`` for a global aggregate and
+    ``Keys [n]: [col#id, ...]`` otherwise."""
+    import re
+
+    if re.search(r"Keys\s*:\s*\[\]", detail):
+        return []
+    m = re.search(r"Keys \[(\d+)\]: \[(.*?)\]", detail, re.S)
+    if not m:
+        return None
+    if m.group(1) == "0":
+        return []
+    names = []
+    for tok in m.group(2).split(","):
+        t = tok.strip()
+        mm = re.match(r"(\w+)#\d+", t)
+        if not mm:
+            return None  # expression key — can't prove bounded
+        names.append(mm.group(1))
+    return names
+
+
+def _literal_bounded_cols(subtree_details: list[str]) -> set[str]:
+    """Columns whose DOMAIN inside this subtree is a literal set: a
+    Filter pins them with ``col IN (lit, ...)`` or ``col = lit`` (no
+    column reference on the right).  An aggregate keyed only on such
+    columns has output cardinality <= the literal-set size regardless of
+    corpus size — a true cardinality certificate (e.g. bm25's per-term
+    df aggregate under ``word IN (<query terms>)``), unlike a pushed
+    filter on a scan, which bounds nothing (row count stays
+    selectivity-proportional)."""
+    import re
+
+    bounded: set[str] = set()
+    for dt in subtree_details:
+        if not dt.startswith("Filter") and "Condition" not in dt:
+            continue
+        for col, lst in re.findall(r"(\w+)#\d+L?\s+IN\s+\(([^)]*)\)", dt):
+            if "#" not in lst:
+                bounded.add(col)
+        for col, rhs in re.findall(r"\((\w+)#\d+L?\s*=\s*([^()]+)\)", dt):
+            if "#" not in rhs:
+                bounded.add(col)
+    return bounded
 
 
 def _uncertified_broadcasts(plan: str) -> list[int]:
@@ -431,16 +526,33 @@ def _uncertified_broadcasts(plan: str) -> list[int]:
                 break
             sub.append((name2, nid2))
         certified = False
+        cap_filter_seen = False  # Filter(x > C) encountered ABOVE (before) an agg
+        in_bounded = _literal_bounded_cols(
+            ["\n".join(details.get(nid2, [])) for _, nid2 in sub]
+        )
         for name2, nid2 in sub:
+            dt = "\n".join(details.get(nid2, []))
             if any(c in name2 for c in _BROADCAST_CERT_NODES):
                 certified = True
                 break
-            if name2.startswith("Scan"):
-                dt = "\n".join(details.get(nid2, []))
-                pf = re.search(r"PushedFilters: \[(.*?)\]", dt)
-                if pf and pf.group(1).strip():
+            if name2.startswith("Filter"):
+                caps = [int(c) for c in re.findall(r"#\d+L?\)?\s*>\s*(\d+)", dt)]
+                if any(c >= _HEAVY_HITTER_MIN_CAP for c in caps):
+                    cap_filter_seen = True
+                continue
+            if any(a in name2 for a in _AGG_NODES):
+                keys = _agg_keys(dt)
+                if keys is not None and (
+                    keys == []
+                    or all(k in _BOUNDED_GROUP_KEYS or k in in_bounded for k in keys)
+                ):
                     certified = True
                     break
+                if cap_filter_seen:
+                    certified = True  # heavy-hitter cap bounds the output
+                    break
+                continue  # unbounded agg certifies nothing; keep scanning deeper
+            if name2.startswith("Scan"):
                 loc = re.search(r"Location:.*", dt)
                 if loc and any(d in loc.group(0) for d in _BROADCAST_DIMS):
                     certified = True
@@ -467,6 +579,54 @@ def test_broadcasts_are_bounded_anywhere(spark):
         if bad:
             offenders.append((name, bad))
     assert offenders == []
+
+
+def test_uncertified_broadcast_detector_flags_doc_keyed_aggregate(spark):
+    """The detector itself must catch the round-7 shape it was tightened
+    for: a hinted broadcast of a row-per-document aggregate (the old gate
+    certified ANY HashAggregate, which blessed dedup's per-doc size-table
+    broadcasts), and a hinted broadcast certified ONLY by a pushed filter
+    (selectivity-proportional side).  Conversely a global (keyless)
+    aggregate, a heavy-hitter-capped aggregate, and an IN-literal-bounded
+    aggregate must still certify."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        bad_agg = docs.join(F.broadcast(sizes), "doc_id")
+        assert _uncertified_broadcasts(_formatted(bad_agg))
+
+        filtered = docs.where(F.col("n_chars") > 10).select("doc_id")
+        bad_filter = docs.join(F.broadcast(filtered), "doc_id", "left_semi")
+        assert _uncertified_broadcasts(_formatted(bad_filter))
+
+        total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+        ok_global = docs.crossJoin(F.broadcast(total))
+        assert not _uncertified_broadcasts(_formatted(ok_global))
+
+        heavy = (
+            docs.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > 100)
+            .select("text")
+        )
+        ok_heavy = docs.join(F.broadcast(heavy), "text", "left_anti")
+        assert not _uncertified_broadcasts(_formatted(ok_heavy))
+
+        pinned = (
+            docs.where(F.col("lang").isin("en", "de"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ok_in = docs.join(F.broadcast(pinned), "lang")
+        assert not _uncertified_broadcasts(_formatted(ok_in))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
