@@ -686,10 +686,13 @@ def epoch_shuffle(
 
     Scale shape: one hash map stage + ONE shuffle on shard for the
     ranking window, whose partitions are corpus/n_shards — n_shards is
-    the knob that bounds per-task sort size (set ~2-3x cores at 100 TB,
-    exactly like shuffle partitions).  No global sort barrier, no
-    single-partition window: the permutation is sharded by construction.
-    Output: (doc_id, shard, pos, shuffle_key).
+    the knob that bounds per-task sort size: each window task sorts
+    corpus/n_shards rows, so on a cluster set it to ~2-3x total cores
+    (e.g. ~8-12k shards for 1000 executors x 4 cores; the default 8 is
+    a local-test value — deploy/submit_100tb.sh carries the cluster
+    setting, exactly like spark.sql.shuffle.partitions).  No global sort
+    barrier, no single-partition window: the permutation is sharded by
+    construction.  Output: (doc_id, shard, pos, shuffle_key).
     """
     key = md5_long(F.concat(F.lit(epoch + ":"), F.col(id_col).cast("string")))
     base = docs.select(
@@ -698,7 +701,9 @@ def epoch_shuffle(
         (key % F.lit(n_shards)).cast("int").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    return base.withColumn("pos", F.row_number().over(w).cast("long"))
+    return base.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        "doc_id", "shard", "pos", "shuffle_key"
+    )
 
 
 def length_trim(

@@ -96,8 +96,13 @@ def main() -> int:
         "base_ref": base_sha,
         "head": head_sha,
         "runs_each": runs,
-        "base_total_s": round(base_runs[-1]["value"], 2),
-        "head_total_s": round(head_runs[-1]["value"], 2),
+        # totals from the SAME min-per-query aggregation as per_query /
+        # shared_ratio (ADVICE r7: last-run totals vs min-based ratios
+        # could disagree when runs > 1); last raw run kept for reference
+        "base_total_s": round(sum(bq.values()), 2),
+        "head_total_s": round(sum(hq.values()), 2),
+        "base_last_run_s": round(base_runs[-1]["value"], 2),
+        "head_last_run_s": round(head_runs[-1]["value"], 2),
         "shared_queries": len(shared),
         "base_shared_s": round(base_shared, 2),
         "head_shared_s": round(head_shared, 2),
