@@ -748,3 +748,59 @@ def length_trim(
             (F.col("n_chars") <= F.col("p99_chars")).alias("keep"),
         )
     )
+
+
+def quality_deciles(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    q: int = 10,
+) -> DataFrame:
+    """EXACT global quantile-bucket assignment (deciles by default) with
+    no global sort: the curriculum/stratification pass that tags every
+    document with its corpus-wide score bucket (shortest 10% ... longest
+    10%), used for curriculum ordering, per-bucket sampling rates, and
+    before/after distribution reports.
+
+    The scale trick: a global row_number window is banned (single
+    partition), and percentile_approx is not exact — but an INTEGER
+    score's histogram is bounded by the VALUE DOMAIN, not the corpus
+    (char lengths: ~10^6 distinct values at any corpus size).  So:
+    ONE map-side-combined shuffle builds (score, count); the ~domain-row
+    histogram is a bounded collect (the rare_token_stats broadcast-
+    variable pattern, megabytes at 100 TB); the q-1 boundary order
+    statistics fold from its running sum on the driver; and the
+    assignment is a MAP-ONLY expression over the corpus — the corpus is
+    scanned once and never sorted, shuffled once as 8-byte (score, 1)
+    pairs.
+
+    Boundary rule (engine-exact, q53's convention): b_k = min{s :
+    cum(s) >= ceil(k·N/q)} — the last score value of bucket k — and
+    bucket(x) = 1 + |{k : x > b_k}|, so boundary ties stay together in
+    the lower bucket (ties are indistinguishable by score; splitting
+    them would need an arbitrary id order).  With repeated boundaries
+    (mass concentrated on one value) the numbering skips, which is the
+    honest answer for a degenerate distribution.  The oracle replays
+    the identical integer rule.
+
+    Returns (doc_id, <score_col>, decile 1..q).
+    """
+    hist = docs.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded by the score's value domain (NOT corpus size) — see above
+    rows = sorted((r[0], r[1]) for r in hist.collect())
+    total = sum(c for _, c in rows)
+    boundaries: list[int] = []
+    cum, k = 0, 1
+    for s, c in rows:
+        cum += c
+        while k < q and cum >= (k * total + q - 1) // q:
+            boundaries.append(s)
+            k += 1
+    bucket = F.lit(1)
+    for b in boundaries:
+        bucket = bucket + (F.col(score_col) > F.lit(b)).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col),
+        bucket.cast("int").alias("decile"),
+    )

@@ -53,6 +53,61 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+PREFIX_DEDUP_CHARS = 64
+
+
+def prefix_dedup(
+    docs: DataFrame,
+    n_chars: int = PREFIX_DEDUP_CHARS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-duplicate groups: documents sharing an identical first
+    ``n_chars`` characters — the truncation-artifact detector whole-doc
+    exact dedup misses.  Crawled/exported corpora are full of the same
+    document cut at different lengths (connection drops, size caps,
+    re-extraction with different limits): the copies hash differently as
+    whole texts but identically on a fixed prefix.  The standard triage:
+    a prefix group whose members have DIFFERENT lengths is a truncation
+    chain (keep the longest); identical lengths are exact_dedup's job.
+
+    Scale shape: identical to exact_dedup — one map stage hashes the
+    60-bit prefix hash (never shuffles the text), ONE shuffle groups on
+    the 8-byte key with map-side partials.  Docs shorter than ``n_chars``
+    are excluded (their "prefix" is the whole doc — exact/containment
+    territory), so every group member hashed the same char count.
+
+    Returns (prefix_hash, n_copies, keep_doc_id, max_len, n_lengths) for
+    groups with >= 2 members; keep_doc_id is the LONGEST member
+    (ties: min id) — the canonical survivor of a truncation chain.
+    """
+    eligible = docs.where(F.length(F.col(text_col)) >= n_chars)
+    hashed = eligible.select(
+        md5_long(F.substring(F.col(text_col), 1, n_chars)).alias("prefix_hash"),
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("len"),
+    )
+    # keep = longest, tie-break min id: max on (len, -id) packed as a struct
+    best = F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("nid")))
+    return (
+        hashed.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            best.alias("_best"),
+            F.max("len").alias("max_len"),
+            F.count_distinct("len").alias("n_lengths"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "prefix_hash",
+            "n_copies",
+            (-F.col("_best.nid")).alias("keep_doc_id"),
+            "max_len",
+            "n_lengths",
+        )
+    )
+
+
 def shingle_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct word n-grams — the inverted-index
     input shared by the Jaccard and MinHash paths."""

@@ -491,3 +491,55 @@ def corpus_vocab_stats(
             "hapax_share"
         ),
     )
+
+
+def source_divergence(
+    docs: DataFrame, strata_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source unigram TOTAL-VARIATION distance from the corpus
+    distribution — the mixture-health monitor a corpus build publishes
+    next to :func:`corpus_vocab_stats`: a source whose unigram
+    distribution sits far from the pooled corpus is either a genuinely
+    different register (keep, reweight) or contamination/noise (inspect);
+    a source near zero is redundant with the mix.  TV distance
+    0.5·Σ_w |P_s(w) − P_c(w)| is the standard bounded [0,1] choice (KL
+    needs smoothing for zero counts; TV doesn't).
+
+    Exact-arithmetic shape: per-(source, word) and per-word counts stay
+    BIGINT; each present-word term is |f_sw·N − f_w·n_s| (integers), and
+    the absent-word mass folds in CLOSED FORM — Σ_{w∉s} f_w·n_s =
+    n_s·(N − Σ_{w∈s} f_w) — so the full vocabulary never cross-joins the
+    source list.  The single IEEE division per source happens once, on
+    the final exact integers.  (f·N products fit int64 through ~10^9
+    tokens/word × 10^9 corpus tokens; at the 100 TB end cast the two
+    product columns to decimal(38,0) — noted here so the knob is where
+    the overflow is.)
+
+    Plan: explode words (map) → (source, word) frequencies [shuffle 1]
+    → corpus per-word frequencies re-aggregate THAT [shuffle 2,
+    word-keyed] → join back on word [reuses the word partitioning] →
+    per-source rollup [|sources|-keyed shuffle] → join the bounded
+    per-source totals [|sources| rows].  Nothing corpus-sized is ever
+    broadcast or collected; N is the rare_token_stats-style bounded
+    1-row collect.
+    """
+    terms = docs.select(
+        F.col(strata_col).alias("source"), F.explode(words(F.col(text_col))).alias("word")
+    )
+    sw = terms.groupBy("source", "word").agg(F.count(F.lit(1)).alias("f_sw"))
+    cw = sw.groupBy("word").agg(F.sum("f_sw").alias("f_w"))
+    totals = sw.groupBy("source").agg(F.sum("f_sw").alias("n_tokens"))
+    n_corpus = int(cw.agg(F.sum("f_w")).first()[0])  # bounded: 1 row
+    j = sw.join(cw, "word").join(totals, "source")
+    per_source = j.groupBy("source").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.abs(F.col("f_sw") * F.lit(n_corpus) - F.col("f_w") * F.col("n_tokens"))
+        ).alias("present_term"),
+        F.sum(F.col("f_w")).alias("present_corpus_mass"),
+    )
+    absent_term = F.col("n_tokens") * (F.lit(n_corpus) - F.col("present_corpus_mass"))
+    tv = (F.col("present_term") + absent_term).cast("double") / (
+        F.lit(2.0) * F.col("n_tokens").cast("double") * F.lit(float(n_corpus))
+    )
+    return per_source.select("source", "n_tokens", tv.alias("tv_distance"))

