@@ -1219,3 +1219,46 @@ def ann_recall_report(
         F.lit(total).cast("long").alias("total"),
         (m0.cast("double") / denom).alias("recall"),
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k_per_cluster: int = 20,
+    n_centroids: int = 16,
+    iters: int = 2,
+    salt: str = "cb0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic-balanced subsampling: tag exactly min(k, |cluster|) vectors
+    per Lloyd-refined k-means cluster, chosen by salted-hash order — the
+    diversity-preserving downsampling pass (uniform sampling keeps the
+    corpus' mode imbalance; per-cluster quotas flatten it, the D4-style
+    "sample across the embedding modes" step after prototypicality
+    filtering).  Deterministic: same salt → same sample on any engine,
+    any partitioning (the sample_stratified_k rule applied to LEARNED
+    strata instead of a metadata column).
+
+    Plan: centroid refinement reuses :func:`kmeans_refine_centroids`
+    (per-iteration shuffle is partitions×centroids×dim, corpus-
+    independent), assignment is the map-only mapInPandas stage, and the
+    quota pick is ONE window shuffle PARTITIONED by cluster with rank by
+    (60-bit salted id hash, id) — no ties possible, no global sort.
+    n_centroids is the per-task-sort knob exactly as in epoch_shuffle.
+
+    Output: every input row as (vec_id, cluster, pick_rank, is_sampled)
+    so the downstream join is a column filter, not a second pass.
+    """
+    from ..functions.hashing import md5_long
+
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col("vid").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vid").asc())
+    return assigned.select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.row_number().over(w).cast("int").alias("pick_rank"),
+    ).withColumn("is_sampled", F.col("pick_rank") <= F.lit(k_per_cluster))

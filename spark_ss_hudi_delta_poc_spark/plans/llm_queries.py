@@ -2473,3 +2473,33 @@ QUERIES.append(
         tags=("llm", "curation"),
     )
 )
+
+
+def curation_cluster_balance_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cluster_balanced_sample(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "curation_cluster_balance",
+        curation_cluster_balance_q,
+        f"""
+        {_kmeans_assigned_cte()},
+        r AS (SELECT vec_id, cluster,
+                ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY {H.format(x="'cb0:' || CAST(vec_id AS VARCHAR)")} ASC,
+                           vec_id ASC) AS pick_rank
+              FROM af)
+        SELECT vec_id, cluster, CAST(pick_rank AS INTEGER) AS pick_rank,
+               pick_rank <= 20 AS is_sampled
+        FROM r
+        """,
+        doc="topic-balanced subsample: exactly min(20, |cluster|) vectors "
+        "per Lloyd-refined k-means cluster by salted-hash order — "
+        "diversity-preserving downsampling over LEARNED strata (uniform "
+        "sampling keeps mode imbalance; per-cluster quotas flatten it); "
+        "map-only assignment + one cluster-partitioned ranking window, "
+        "centroids unrolled bit-exactly in the oracle",
+        tags=("llm", "curation", "embedding", "kmeans"),
+    )
+)

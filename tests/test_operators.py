@@ -1196,3 +1196,35 @@ def test_eval_split_cap_binds(spark):
     assert len(got) == curation.EVAL_MAX_DOCS
     assert got == sorted(got)
     assert max(got) == (curation.EVAL_MAX_DOCS - 1) * curation.EVAL_MODULUS
+
+
+def test_cluster_balanced_sample_quota_per_cluster(spark):
+    """Every cluster contributes exactly min(k, |cluster|) sampled rows,
+    pick_rank is dense 1..|cluster| within each cluster, and the pick is
+    salt-deterministic (same salt → same set; different salt → usually a
+    different set of the same size)."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    # two tight, well-separated modes in 4-d so assignment is stable
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)] + [
+        (100 + i, [0.0, 0.0, 1.0, 0.001 * i]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(emb, k_per_cluster=3, n_centroids=2).collect()
+    assert len(out) == 35  # annotated output keeps every row
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cl, rs in by_cluster.items():
+        ranks = sorted(r.pick_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense within cluster
+        assert sum(r.is_sampled for r in rs) == min(3, len(rs))
+    a = {r.vec_id for r in out if r.is_sampled}
+    again = {
+        r.vec_id
+        for r in cluster_balanced_sample(emb, k_per_cluster=3, n_centroids=2).collect()
+        if r.is_sampled
+    }
+    assert a == again  # deterministic
