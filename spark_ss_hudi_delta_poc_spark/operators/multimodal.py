@@ -333,3 +333,22 @@ def phash_closest_pairs(media: DataFrame, k: int = 20) -> DataFrame:
         [F.col("hamming").asc(), F.col("doc_id_a").asc(), F.col("doc_id_b").asc()],
         k,
     )
+
+
+def phash_clusters(media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Connected components over perceptual near-dup media pairs →
+    (doc_id, cluster_id) with cluster_id = min member id — the step that
+    turns pairwise pHash hits into an actionable keep-list for a
+    multimodal corpus (keep one representative per visual-duplicate
+    cluster; re-encode chains A~B~C group even when A and C alone miss
+    the Hamming threshold).
+
+    Reuses dedup.dedup_clusters' iterative min-label propagation over
+    the capped banded candidates — alternating small joins, state one
+    label per node, O(component diameter) rounds; near-dup media graphs
+    are star-shaped so 2-3 rounds in practice.  Nodes with no pair are
+    absent (singletons need no cluster decision).
+    """
+    from .dedup import dedup_clusters
+
+    return dedup_clusters(phash_neardup_pairs(media, max_hamming=max_hamming))

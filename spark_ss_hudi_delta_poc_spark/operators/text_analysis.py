@@ -543,3 +543,43 @@ def source_divergence(
         F.lit(2.0) * F.col("n_tokens").cast("double") * F.lit(float(n_corpus))
     )
     return per_source.select("source", "n_tokens", tv.alias("tv_distance"))
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct word
+    n-grams that occur in no other document — the inverse-boilerplate
+    quality signal (near-zero novelty = the doc is assembled from text
+    that exists elsewhere: templates, mirrors, quote compilations; high
+    novelty = original text).  The corpus-level complement of the dedup
+    family: dedup asks "which PAIRS overlap", novelty asks "how much of
+    EACH doc is unique", and it needs no pair join at all.
+
+    Plan: distinct-per-doc shingle explode (map) → per-shingle document
+    frequency [one shuffle, partial-agg'd] → join back on the shingle
+    [reuses the df aggregate's partitioning] → per-doc rollup [second
+    shuffle].  Exact integers + one IEEE division per doc.  Docs with
+    fewer than n words emit no shingles and are absent — they have no
+    n-gram identity to judge.
+    """
+    from ..operators.dedup import shingle_table
+
+    sh = shingle_table(docs, text_col=text_col, id_col=id_col, n=n)
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("novel_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        (F.col("novel_grams").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )

@@ -2503,3 +2503,101 @@ QUERIES.append(
         tags=("llm", "curation", "embedding", "kmeans"),
     )
 )
+
+
+def text_ngram_novelty_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.ngram_novelty(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "text_ngram_novelty",
+        text_ngram_novelty_q,
+        f"""
+        WITH {WS_SH_CTE},
+        d AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        p AS (SELECT doc_id, COUNT(*) AS n_grams,
+                     CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS novel_grams
+              FROM sh JOIN d USING (shingle) GROUP BY doc_id)
+        SELECT doc_id, n_grams, novel_grams,
+               CAST(novel_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+        FROM p
+        """,
+        doc="per-doc n-gram novelty: fraction of a doc's distinct 3-grams "
+        "occurring in NO other document — the inverse-boilerplate signal "
+        "(near-zero = assembled from text that exists elsewhere); one df "
+        "aggregate + join-back reusing its partitioning, no pair join",
+        tags=("llm", "text", "dedup"),
+    )
+)
+
+
+def multimodal_phash_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    # registry variant: CC over the top-20 CLOSEST candidate pairs (the
+    # triage clusters a reviewer tunes thresholds from) — the thresholded
+    # production keep-list is multimodal.phash_clusters, which correctly
+    # returns EMPTY on this corpus (min candidate Hamming is ~15 at the
+    # test SFs, above the 12-bit dup threshold; unit-tested separately)
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    pairs = multimodal.phash_closest_pairs(media, k=20).select("doc_id_a", "doc_id_b")
+    return dedup.dedup_clusters(pairs)
+
+
+QUERIES.append(
+    Query(
+        "multimodal_phash_clusters",
+        multimodal_phash_clusters_q,
+        """
+        WITH RECURSIVE
+        m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                     octet_length(encode(text)) AS L FROM documents),
+        nib AS (SELECT doc_id,
+                CAST((('0x' || substr(md5('ph:' ||
+                    substr(hx, 2 * ((i.g * L) // 15) + 1,
+                           2 * (((i.g + 1) * L) // 15) - 2 * ((i.g * L) // 15))),
+                  1, 15))::BIGINT % 16) AS BIGINT) << (4 * i.g) AS nibshift
+              FROM m, UNNEST(generate_series(0, 14)) AS i(g)),
+        p AS (SELECT doc_id, CAST(SUM(nibshift) AS BIGINT) AS phash
+              FROM nib GROUP BY doc_id),
+        b AS (SELECT doc_id, phash, t.g AS band_idx,
+                     (phash >> (12 * t.g)) & 4095 AS band_val
+              FROM p, UNNEST(generate_series(0, 4)) AS t(g)),
+        b2 AS (SELECT doc_id, phash, band_idx, band_val,
+                      COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bpop
+               FROM b),
+        c AS (SELECT DISTINCT a.doc_id AS doc_id_a, bb.doc_id AS doc_id_b,
+                     a.phash AS pa, bb.phash AS pb
+              FROM b2 a JOIN b2 bb
+                ON a.band_idx = bb.band_idx AND a.band_val = bb.band_val
+               AND a.doc_id < bb.doc_id
+              WHERE a.bpop <= 1024),
+        pairs AS (SELECT doc_id_a, doc_id_b
+                  FROM (SELECT doc_id_a, doc_id_b,
+                               ROW_NUMBER() OVER (ORDER BY
+                                   bit_count(xor(pa, pb)) ASC,
+                                   doc_id_a ASC, doc_id_b ASC) AS rn
+                        FROM c)
+                  WHERE rn <= 20),
+        edges AS (
+          SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+        """,
+        doc="connected components over the top-20 closest perceptual-hash "
+        "pairs (capped banded candidates -> Hamming rank -> min-label CC) "
+        "— the triage clusters a multimodal dedup reviewer tunes "
+        "thresholds from; the thresholded production keep-list is "
+        "multimodal.phash_clusters (unit-tested; correctly empty on this "
+        "corpus, min candidate Hamming ~15); oracle closes the same graph "
+        "with a recursive CTE",
+        tags=("llm", "multimodal", "dedup"),
+    )
+)

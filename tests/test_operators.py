@@ -1228,3 +1228,48 @@ def test_cluster_balanced_sample_quota_per_cluster(spark):
         if r.is_sampled
     }
     assert a == again  # deterministic
+
+
+def test_phash_clusters_groups_reencode_chain(spark):
+    """A~B~C re-encode chain clusters transitively under min-label CC
+    even when A and C alone could miss the pairwise threshold; unrelated
+    media stay out; singletons are absent (no cluster decision needed)."""
+    from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+        media_table,
+        phash_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "hazy")),     # near 1
+            (3, base.replace("lazy", "hazy").replace("quick", "quack")),  # near 2
+            (9, "completely different content entirely here " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in phash_clusters(media_table(docs)).collect()}
+    assert out.get(1) == 1 and out.get(2) == 1 and out.get(3) == 1
+    assert 9 not in out
+
+
+def test_ngram_novelty_scores(spark):
+    """A doc fully assembled from another doc's text scores 0 novelty;
+    a fully original doc scores 1; sub-n-word docs are absent."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import ngram_novelty
+
+    original = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, original),
+            (2, original),                      # exact copy: both score 0
+            (3, "one two three four five six"), # fully original: 1.0
+            (4, "too short"),                   # < 3 words: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0 and out[3].novel_grams == out[3].n_grams
+    assert 4 not in out
