@@ -33,80 +33,82 @@ class Query:
 # against their oracles; the rest ride on the in-repo gate
 # (tools/verify_local.py, all SFs).
 #
-# Round-7 rotation.  Slot 1: q90_stream_curation — CORRECTNESS_r06's one
-# red row (partition-column bool->string drift), fixed this round via
-# read_back; its fresh green row is the round's top goal.  Slots 2-5: the
-# only four queries whose newest green evidence is r3
-# (displaced from the r6 window: text_fingerprint + the three multimodal
-# plumbing rows).  Slots 6-9: fresh regression rows for code touched this
-# round — the winnow family (max_doc_chars guard) and the
-# global_topk_with_rank rework consumers (bm25 / corpus_ngram_stats).
-# Slots 6-13 include FIRST rows for the four operators added this round
-# (dedup_semantic, curation_epoch_shuffle, multimodal_phash_pairs,
-# corpus_dedup_report).  Slots 14-50: the 48 rows whose newest green
-# evidence is r4, minus the eleven cheapest to displace to r8
-# (unchanged map-only/function batteries, each covered by unit tests
-# AND the in-repo oracle gate: q05/q08/q11/q61 datetime, q45 histogram,
-# q74 zorder, q76 bit-aggs, q43 collect-arrays, q63 unpivot, and the
-# q47/c4 map-only rule batteries) — keeping every
-# join/window/streaming/TPC-H-topology r4 row in-window.
+# Round-8 rotation.  Slots 1-6: FIRST rows for the six operators added
+# this round (prefix dedup, source divergence, exact global deciles,
+# cluster-balanced sample, n-gram novelty, pHash triage clusters).
+# Slots 7-14: fresh rows for every plan fixed per the round-7 verdict —
+# the three dedup verify stages whose row-per-document broadcasts were
+# replaced by sizes folded through the pair aggregate (#1), the capped
+# pHash band join (#4), their composites (corpus_dedup_report), and the
+# de-hinted segment/contamination plans (#3), including the new
+# EVAL_MAX_DOCS eval-split cap (oracle applies the identical cap).
+# Slots 15-20 + 50: the ANN family after the query side gained its
+# orderBy+limit certificate (values verified identical at 3 SFs; fresh
+# external rows anyway since every plan changed).  Slots 21-32: the
+# twelve TPC-H/analytics queries whose selectivity-proportional
+# broadcast hints were dropped (#3 — plans changed, values identical).
+# Slots 33-48: the sixteen rows displaced to r8 by the round-7 rotation
+# (newest evidence r4 — the displacement queue the r7 registry comment
+# names).  Slot 49: epoch_shuffle's column-order fix.
 # After this round no registry query's newest external evidence is older
-# than r4.
+# than r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- the r6 red row, fixed this round (1) -------------------------
-    "q90_stream_curation",
-    # --- newest green row r3 (4) ----------------------------------------
-    "text_fingerprint",
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_resize",
-    # --- code touched/ADDED this round: fresh + first rows (13) ---------
-    "text_winnow_fingerprint",
-    "dedup_winnow_pairs",
-    "text_bm25_search",
-    "corpus_ngram_stats",
-    "dedup_semantic",
-    "curation_epoch_shuffle",
+    # --- first rows for this round's six new operators (6) --------------
+    "dedup_prefix",
+    "text_source_divergence",
+    "curation_quality_deciles",
+    "curation_cluster_balance",
+    "text_ngram_novelty",
+    "multimodal_phash_clusters",
+    # --- plans fixed per VERDICT r7 #1/#3/#4 (8) -------------------------
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_minhash_lsh",
     "multimodal_phash_pairs",
     "corpus_dedup_report",
-    "embedding_prototypicality",
-    "corpus_vocab_stats",
-    "dedup_semantic_diverse",
-    "curation_length_trim",
+    "dedup_segments",
+    "curation_contamination",
+    "curation_decontaminated",
+    # --- ANN family: bounded query-set certificate (6) -------------------
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_recall_report",
+    "ann_bruteforce_topk",
+    "ann_quantized_topk",
     "ann_ivf_q8_topk",
-    # --- newest green row r4 (32 of 48; 16 displaced to r8) -------------
-    "curation_gopher_rules",
-    "dedup_containment",
-    "q13_join_revenue",
-    "q14_broadcast_dims",
-    "q15_window_topn",
-    "q16_rollup",
-    "q17_asof_join",
-    "q18_semi_anti",
-    "q20_sessionize",
-    "q23_pricing_summary",
+    # --- de-hinted TPC-H/analytics plans (12) ----------------------------
     "q33_segment_topn",
     "q34_region_revenue",
-    "q48_snapshot_diff",
-    "q49_exists_daterange",
-    "q50_filter_revenue",
     "q51_returned_top_customers",
-    "q52_priority_shipmode",
-    "q53_exact_median",
-    "q55_asof_tolerance",
-    "q56_cube",
-    "q57_funnel",
-    "q58_hourly_retention",
-    "q59_sliding_window",
-    "q66_stream_ttl_dedup",
-    "q67_stream_topk",
-    "q68_volume_shipping",
     "q69_market_share",
     "q70_waiting_suppliers",
-    "q71_global_sales_opp",
     "q72_promo_revenue",
     "q73_disjunctive_join",
-    "q75_grouping_sets",
+    "q81_small_qty_revenue",
+    "q83_product_profit",
+    "q85_supplier_part_counts",
+    "q86_promo_part_suppliers",
+    "q87_min_price_supplier",
+    # --- the r4-evidence displacement queue from round 7 (16) ------------
+    "q05_ts_roundtrip",
+    "q08_epoch_roundtrip",
+    "q11_datetime_battery",
+    "q35_moving_agg",
+    "q36_resample_gapfill",
+    "q37_rank_battery",
+    "q38_lag_lead",
+    "q43_collect_arrays",
+    "q45_histogram",
+    "q47_quality_rules",
+    "q54_group_mode",
+    "q61_date_arith",
+    "q63_unpivot",
+    "q74_zorder_values",
+    "q76_bit_aggregates",
+    "curation_c4_rules",
+    # --- touched this round (2) ------------------------------------------
+    "curation_epoch_shuffle",
+    "ann_lsh_multitable_topk",
 )
 
 

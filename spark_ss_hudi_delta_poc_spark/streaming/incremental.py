@@ -751,3 +751,69 @@ def ingest_increment_phash(
         ph.unpersist()
     _write_marker(phindex_path, token)
     return n
+
+
+def ingest_increment_contamination(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    eval_docs: DataFrame,
+    n: int | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Ingest-time DECONTAMINATION gate: reject any new document whose
+    n-gram overlap with a FIXED eval benchmark reaches the contamination
+    threshold, so leaked test content never enters the training corpus —
+    the streaming complement of the batch pass (operators/curation.
+    decontaminated_corpus), which can only scrub what already landed.
+
+    Unlike the sibling ingests there is NO growing index: the reference
+    set is the benchmark itself, fixed-size by construction, so the
+    per-increment plan is exactly the batch contamination plan — batch
+    docs explode to distinct n-grams once, the eval n-gram table
+    broadcasts (bounded side), hits aggregate per (doc, eval_doc), and
+    flagged ids anti-join out.  Survivors append under the same
+    marker-atomic ``inc=<token>`` protocol as every other ingest
+    (staged dir, marker after write, replay short-circuit on the
+    content token).  Returns ingested row count (0 for a replay).
+    """
+    from ..operators.curation import (
+        CONTAMINATION_NGRAM,
+        CONTAMINATION_THRESHOLD,
+        contamination_pairs,
+    )
+
+    if n is None:
+        n = CONTAMINATION_NGRAM
+    if threshold is None:
+        threshold = CONTAMINATION_THRESHOLD
+
+    token = str(increment_id) if increment_id is not None else _content_token(
+        batch.select(md5_long(F.col(text_col)).alias("_h")), "_h"
+    )
+    committed = _committed_tokens(corpus_path)
+    if token in committed:
+        return 0
+    contaminated = (
+        contamination_pairs(
+            batch, eval_docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = batch.join(
+        contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    ).persist()
+    try:
+        cnt = survivors.count()
+        if cnt:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"inc={token}")
+            )
+    finally:
+        survivors.unpersist()
+    _write_marker(corpus_path, token)
+    return cnt

@@ -367,3 +367,30 @@ def test_incremental_phash_rejects_cross_run_perceptual_dups(spark, tmp_path):
     # replay short-circuit
     assert ingest_increment_phash(spark, b2, corpus, index) == 0
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 4]
+
+
+def test_incremental_contamination_gate_blocks_eval_leaks(spark, tmp_path):
+    """The ingest-time decontamination gate: a batch doc overlapping the
+    fixed eval benchmark at/above the contamination threshold never
+    lands in the corpus; clean docs do; a replayed batch short-circuits
+    to 0; a second increment appends under its own token."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_contamination,
+    )
+
+    DOCS = "doc_id long, text string"
+    corpus = os.path.join(tmp_path, "ccorpus")
+    eval_text = "secret benchmark question about spark joins and shuffles here"
+    ev = spark.createDataFrame([(9001, eval_text)], DOCS)
+
+    leaked = "preamble text then " + eval_text + " plus a short suffix"
+    clean = " ".join(f"original{i} content{i}" for i in range(20))
+    b1 = spark.createDataFrame([(1, leaked), (2, clean)], DOCS)
+    assert ingest_increment_contamination(spark, b1, corpus, ev) == 1
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2]
+    # replay short-circuit
+    assert ingest_increment_contamination(spark, b1, corpus, ev) == 0
+    # second increment, clean content
+    b2 = spark.createDataFrame([(3, " ".join(f"more{i} text{i}" for i in range(20)))], DOCS)
+    assert ingest_increment_contamination(spark, b2, corpus, ev) == 1
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2, 3]
