@@ -118,6 +118,19 @@ PROBE_OPS = [
     "text_bm25_search",
     "corpus_ngram_stats",
     "text_tfidf_keywords",
+    # round-8 additions: prefix dedup is exact_dedup's one-shuffle shape;
+    # novelty is a df aggregate + join-back (shuffle-join growth band);
+    # divergence is two word-keyed partial-agg'd shuffles; deciles is one
+    # shuffle + a VALUE-DOMAIN-bounded histogram collect (the probe pins
+    # that the collect does not grow with the corpus); cluster_balance is
+    # kmeans assignment + one cluster-partitioned window; the phash
+    # triage clusters run iterative CC over top-k pairs (bounded edges).
+    "dedup_prefix",
+    "text_ngram_novelty",
+    "text_source_divergence",
+    "curation_quality_deciles",
+    "curation_cluster_balance",
+    "multimodal_phash_clusters",
 ]
 
 
