@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..streaming.jobs import (
     stream_ann_serving,
     stream_curation_roundtrip,
+    stream_decontaminate_ingest,
     stream_dedup,
     stream_global_count,
     stream_materialized_latest,
@@ -19,6 +20,11 @@ from ..streaming.jobs import (
     stream_stream_join,
     stream_ttl_dedup,
     stream_windowed_agg,
+)
+from ..operators.curation import (
+    CONTAMINATION_THRESHOLD,
+    EVAL_MAX_DOCS,
+    EVAL_MODULUS,
 )
 from .llm_queries import GOPHER_ORACLE
 from .registry import Query
@@ -37,6 +43,44 @@ QUERIES = [
         doc="streaming corpus curation: Gopher quality battery per "
         "micro-batch into a keep-partitioned sink; read-back summary == "
         "batch filter (micro-batching cannot change a quality decision)",
+        tags=("streaming", "llm", "curation"),
+    ),
+    Query(
+        "q92_stream_decontaminate",
+        stream_decontaminate_ingest,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+          FROM ws WHERE len(w) >= 3
+        ),
+        evdocs AS (SELECT doc_id FROM documents
+                   WHERE doc_id % {EVAL_MODULUS} = 0
+                   ORDER BY doc_id LIMIT {EVAL_MAX_DOCS}),
+        ev AS (SELECT g.doc_id AS eval_doc_id, gram FROM g
+               JOIN evdocs ON g.doc_id = evdocs.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM g GROUP BY doc_id),
+        ov AS (
+          SELECT g.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
+          FROM g JOIN ev USING (gram) GROUP BY g.doc_id, ev.eval_doc_id
+        ),
+        bad AS (
+          SELECT DISTINCT ov.doc_id FROM ov JOIN sizes s ON s.doc_id = ov.doc_id
+          WHERE CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE)
+                >= {CONTAMINATION_THRESHOLD}
+        )
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        GROUP BY lang
+        """,
+        doc="streaming decontamination ingest: documents stream in 3 "
+        "micro-batches through the foreachBatch eval-contamination gate "
+        "(marker-atomic increments); gate decisions are per-doc vs a "
+        "FIXED capped benchmark, so the read-back per-language summary "
+        "== the batch filter; streamed eval docs reject themselves",
         tags=("streaming", "llm", "curation"),
     ),
     Query(

@@ -817,3 +817,44 @@ def ingest_increment_contamination(
         survivors.unpersist()
     _write_marker(corpus_path, token)
     return cnt
+
+
+def incremental_contamination_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    eval_docs: DataFrame,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming wrapper for :func:`ingest_increment_contamination`:
+    document file stream → foreachBatch decontamination gate against the
+    FIXED eval benchmark → marker-atomic corpus increments.  Same restart
+    contract as :func:`incremental_dedup_ingest` — a replayed batch's
+    marker makes it a no-op, a mid-stage crash re-stages the same
+    ``inc=<batch_id>`` dir before committing."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_contamination(
+            batch_df.sparkSession,
+            batch_df,
+            corpus_path,
+            eval_docs,
+            text_col=text_col,
+            id_col=id_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -535,3 +535,49 @@ def stream_ann_serving(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the ingest-time DECONTAMINATION gate composed
+    with Structured Streaming — the shape a continuously-ingesting
+    pretraining corpus runs so eval-benchmark leaks never land (the
+    batch pass, curation_decontaminated, can only scrub what already
+    did).
+
+    `documents` streams in 3 micro-batches through
+    foreachBatch(ingest_increment_contamination) against the FIXED
+    capped eval split; survivors commit marker-atomically per increment.
+    The gate decision is per-doc against a fixed benchmark, so
+    micro-batching cannot change it: the read-back per-language summary
+    must equal the batch filter over the same corpus.  (Streamed eval
+    docs reject THEMSELVES — self-overlap is 1.0 — so the gate also
+    guarantees the benchmark text itself never enters the corpus.)
+    """
+    from ..operators.curation import EVAL_MAX_DOCS, EVAL_MODULUS
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import incremental_contamination_ingest
+
+    docs = load(spark, sf_dir, "documents")
+    ev = (
+        docs.where(F.col("doc_id") % EVAL_MODULUS == 0)
+        .orderBy("doc_id")
+        .limit(EVAL_MAX_DOCS)
+    )
+    work = _workdir("qdecon")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    corpus = os.path.join(work, "corpus")
+    q = incremental_contamination_ingest(
+        spark,
+        staged,
+        corpus,
+        ev,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(corpus)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
