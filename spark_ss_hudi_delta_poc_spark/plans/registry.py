@@ -108,7 +108,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_c4_rules",
     # --- touched this round (2) ------------------------------------------
     "curation_epoch_shuffle",
-    "ann_lsh_multitable_topk",
+    "q92_stream_decontaminate",
 )
 
 
