@@ -555,7 +555,11 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.curation import EVAL_MAX_DOCS, EVAL_MODULUS
     from ..schemas import DOCUMENTS_SCHEMA
-    from .incremental import incremental_contamination_ingest
+    from .incremental import (
+        _committed_paths,
+        _committed_tokens,
+        incremental_contamination_ingest,
+    )
 
     docs = load(spark, sf_dir, "documents")
     ev = (
@@ -576,7 +580,9 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     )
     q.awaitTermination()
-    back = spark.read.parquet(corpus)
+    # read COMMITTED increments only (the ingest family's read rule — a
+    # half-staged crash must never leak into downstream reads)
+    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(corpus)))
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
