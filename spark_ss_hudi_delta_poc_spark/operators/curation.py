@@ -804,3 +804,33 @@ def quality_deciles(
         F.col(score_col),
         bucket.cast("int").alias("decile"),
     )
+
+
+def contamination_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = CONTAMINATION_NGRAM,
+    threshold: float = CONTAMINATION_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-EVAL-DOC contamination summary — the report eval owners
+    consume: which benchmark items leak into the training corpus, how
+    many training docs carry each, and how badly (the per-training-doc
+    view is :func:`contamination_pairs`; this is its transpose).  A
+    benchmark item with many high-contamination hits is compromised and
+    must be dropped from reported scores even after decontamination.
+
+    Output: (eval_doc_id, n_contaminated_docs, max_contamination,
+    total_overlap_ngrams).  Plan: the contamination_pairs plan + ONE
+    |hits|-keyed aggregate on eval_doc_id — output bounded by the
+    (fixed-size) benchmark, never by the corpus.
+    """
+    pairs = contamination_pairs(
+        train_docs, eval_docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    return pairs.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_docs"),
+        F.max("contamination").alias("max_contamination"),
+        F.sum("overlap").alias("total_overlap_ngrams"),
+    )

@@ -1262,3 +1262,29 @@ def cluster_balanced_sample(
         "cluster",
         F.row_number().over(w).cast("int").alias("pick_rank"),
     ).withColumn("is_sampled", F.col("pick_rank") <= F.lit(k_per_cluster))
+
+
+def embedding_norm_stats(embeddings: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label embedding-space health panel: vector counts, zero-norm
+    count, and exact quantized-norm² statistics — the encoder-monitoring
+    pass a pipeline runs on every embedding refresh (a label whose norms
+    collapse toward zero or spike signals encoder failures or truncated
+    inputs for that slice; zero vectors break every cosine downstream
+    and must be counted, not averaged away).
+
+    Exact arithmetic: norms are integer dot products of the quantized
+    (×1000 floor) vectors — BIGINT sums at any corpus size; the mean is
+    one IEEE division per label.  Plan: map-only quantize + dot, ONE
+    partial-agg'd shuffle on the (bounded-domain) label column.
+    """
+    nsq = F.aggregate(
+        quantize("embedding"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    per = embeddings.select(F.col(label_col).alias("label"), nsq.alias("nsq"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("nsq") == 0).cast("long")).alias("n_zero"),
+        F.min("nsq").alias("min_nsq"),
+        F.max("nsq").alias("max_nsq"),
+        (F.sum("nsq").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_nsq"),
+    )

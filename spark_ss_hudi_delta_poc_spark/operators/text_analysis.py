@@ -583,3 +583,45 @@ def ngram_novelty(
             "novelty"
         ),
     )
+
+
+def langid_confusion(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Confusion matrix of the marker-word language heuristic against the
+    corpus' own language labels — the classifier-drift QA panel a corpus
+    build publishes before trusting language-based filtering (a language
+    whose rows mostly predict 'und' needs its marker list extended; one
+    that bleeds into another signals mixed-language or mislabeled
+    slices).
+
+    Output: (lang, pred_lang, n_docs, share) — share is within the true
+    label (rows of the matrix sum to 1).  Plan: the map-only heuristic +
+    one (lang, pred_lang) aggregate; the share window runs on the
+    already-aggregated |langs|² table, free at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    # the same scoring expressions as language_id, inlined so label and
+    # prediction ride one map pass (language_id's output drops lang_col)
+    w = words(F.col(text_col))
+    scores = {lang: _marker_count(w, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    cell = (
+        docs.select(F.col(lang_col).alias("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(tot).cast("double")).alias(
+            "share"
+        ),
+    )

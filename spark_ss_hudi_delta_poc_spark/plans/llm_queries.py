@@ -2601,3 +2601,111 @@ QUERIES.append(
         tags=("llm", "multimodal", "dedup"),
     )
 )
+
+
+def text_langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.langid_confusion(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "text_langid_confusion",
+        text_langid_confusion_q,
+        f"""
+        WITH cell AS (
+          SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+          FROM documents d JOIN ({_lang_oracle()}) p ON d.doc_id = p.doc_id
+          GROUP BY 1, 2)
+        SELECT lang, pred_lang, n_docs,
+               CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
+        FROM cell
+        """,
+        doc="confusion matrix of the marker-word language heuristic vs the "
+        "corpus' own lang labels — the classifier-drift QA panel before "
+        "trusting language-based filtering; map-only scoring + one "
+        "(lang, pred_lang) aggregate, share window on the |langs|² table",
+        tags=("llm", "text", "monitoring"),
+    )
+)
+
+
+def curation_contamination_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % curation.EVAL_MODULUS != 0)
+    return curation.contamination_report(train, _eval_split(docs))
+
+
+QUERIES.append(
+    Query(
+        "curation_contamination_report",
+        curation_contamination_report_q,
+        f"""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+          FROM ws WHERE len(w) >= 3
+        ),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {curation.EVAL_MODULUS} <> 0),
+        evdocs AS (SELECT doc_id FROM documents
+                   WHERE doc_id % {curation.EVAL_MODULUS} = 0
+                   ORDER BY doc_id LIMIT {curation.EVAL_MAX_DOCS}),
+        ev AS (SELECT g.doc_id AS eval_doc_id, gram FROM g
+               JOIN evdocs ON g.doc_id = evdocs.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS train_ngrams FROM tr GROUP BY doc_id),
+        ov AS (
+          SELECT tr.doc_id, ev.eval_doc_id, COUNT(*) AS overlap
+          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id, ev.eval_doc_id
+        ),
+        hits AS (
+          SELECT ov.eval_doc_id, ov.overlap,
+                 CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE)
+                   AS contamination
+          FROM ov JOIN sizes s ON s.doc_id = ov.doc_id
+          WHERE CAST(ov.overlap AS DOUBLE) / CAST(s.train_ngrams AS DOUBLE)
+                >= {curation.CONTAMINATION_THRESHOLD}
+        )
+        SELECT eval_doc_id, COUNT(*) AS n_contaminated_docs,
+               MAX(contamination) AS max_contamination,
+               CAST(SUM(overlap) AS BIGINT) AS total_overlap_ngrams
+        FROM hits GROUP BY eval_doc_id
+        """,
+        doc="per-eval-doc contamination summary (the transpose of "
+        "curation_contamination): which benchmark items leak, into how "
+        "many training docs, and how badly — output bounded by the "
+        "fixed-size benchmark, never the corpus",
+        tags=("llm", "curation", "monitoring"),
+    )
+)
+
+
+def embedding_norm_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_norm_stats(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "embedding_norm_stats",
+        embedding_norm_stats_q,
+        f"""
+        WITH q AS (SELECT label, {QVEC} AS qv FROM embeddings),
+        n AS (SELECT label,
+                     CAST(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS BIGINT)
+                       AS nsq
+              FROM q)
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+               CAST(MIN(nsq) AS BIGINT) AS min_nsq,
+               CAST(MAX(nsq) AS BIGINT) AS max_nsq,
+               CAST(SUM(nsq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nsq
+        FROM n GROUP BY label
+        """,
+        doc="per-label embedding health panel (counts, zero-norm count, "
+        "exact quantized-norm² min/max/mean) — the encoder-monitoring "
+        "pass on every embedding refresh; map-only quantize+dot, one "
+        "partial-agg'd shuffle on the bounded label column",
+        tags=("llm", "embedding", "monitoring"),
+    )
+)

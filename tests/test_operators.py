@@ -1273,3 +1273,66 @@ def test_ngram_novelty_scores(spark):
     assert out[1].novelty == 0.0 and out[2].novelty == 0.0
     assert out[3].novelty == 1.0 and out[3].novel_grams == out[3].n_grams
     assert 4 not in out
+
+
+def test_langid_confusion_rows_sum_to_one(spark):
+    """Each true-label row of the confusion matrix sums to share 1.0;
+    en markers predict en; marker-free text lands in 'und'."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en"),
+            (2, "the quick brown fox is it", "en"),
+            (3, "zz yy xx qq", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = langid_confusion(docs).collect()
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.share
+    assert all(abs(v - 1.0) < 1e-12 for v in by_lang.values())
+    cells = {(r.lang, r.pred_lang): r.n_docs for r in rows}
+    assert cells[("en", "en")] == 2 and cells[("xx", "und")] == 1
+
+
+def test_contamination_report_transposes_pairs(spark):
+    """The per-eval-doc report counts the training docs each benchmark
+    item leaks into and carries the worst contamination ratio."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import contamination_report
+
+    ev_text = "secret benchmark question about spark joins and shuffles"
+    ev = spark.createDataFrame([(9001, ev_text)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then " + ev_text),           # heavy leak
+            (2, ev_text + " with a long suffix " + " ".join(f"w{i}" for i in range(40))),
+            (3, " ".join(f"clean{i} text{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_report(train, ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.eval_doc_id == 9001 and r.n_contaminated_docs == 2
+    assert 0.0 < r.max_contamination <= 1.0
+
+
+def test_embedding_norm_stats_flags_zero_vectors(spark):
+    """Zero vectors are counted per label (they break cosine downstream);
+    norms are exact quantized integers."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import embedding_norm_stats
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 0.0], 0),   # zero vector
+            (3, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r.label: r for r in embedding_norm_stats(emb).collect()}
+    assert out[0].n_vectors == 2 and out[0].n_zero == 1
+    assert out[0].max_nsq == 1000 * 1000 and out[0].min_nsq == 0
+    assert out[1].n_zero == 0 and out[1].min_nsq == 2 * 500 * 500
