@@ -131,6 +131,10 @@ PROBE_OPS = [
     "curation_quality_deciles",
     "curation_cluster_balance",
     "multimodal_phash_clusters",
+    # round-8 monitoring trio: map + bounded-key aggregates
+    "text_langid_confusion",
+    "curation_contamination_report",
+    "embedding_norm_stats",
 ]
 
 
