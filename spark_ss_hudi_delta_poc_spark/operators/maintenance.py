@@ -120,3 +120,64 @@ def compact(
     import shutil
 
     shutil.rmtree(backup)
+
+
+def compact_seen_to_bucketed(
+    spark: SparkSession,
+    seen_path: str,
+    table_name: str,
+    table_path: str,
+    n_buckets: int = 32,
+    hash_col: str = "h",
+) -> int:
+    """Compact the incremental ingest's accumulated ``seen`` hash
+    increments into ONE hash-bucketed metastore table — the scheduled
+    maintenance job that keeps the cross-run dedup anti-join co-located
+    at 100 TB.
+
+    The ingest protocol (streaming/incremental.py) appends one
+    ``inc=<token>`` dir of 8-byte hashes per increment; reading those
+    paths directly gives Spark no layout information, so every nightly
+    anti-join re-shuffles the ENTIRE history on the hash.  Bucketing the
+    compacted base by the hash fixes the layout in the metastore: the
+    anti-join then shuffles only the (small) nightly batch into the
+    bucket layout while the corpus-sized seen side is read in place —
+    zero exchange above its scan (plan-asserted in
+    tests/test_scale_ops.py).  Production pattern: compacted bucketed
+    BASE + recent uncompacted increments probed separately (base+delta);
+    this job builds the base.
+
+    Reads only COMMITTED increments (marker protocol).  Returns the
+    number of distinct hashes compacted.
+    """
+    from ..streaming.incremental import _committed_paths, _committed_tokens
+
+    dirs = _committed_paths(seen_path, _committed_tokens(seen_path))
+    if not dirs:
+        return 0
+    seen = spark.read.parquet(*dirs).select(hash_col).distinct()
+    (
+        seen.write.mode("overwrite")
+        .option("path", table_path)
+        .bucketBy(n_buckets, hash_col)
+        .sortBy(hash_col)
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name).count()
+
+
+def bucketed_anti_join_new(
+    batch_hashed: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    hash_col: str = "h",
+) -> DataFrame:
+    """The co-located history probe: rows of ``batch_hashed`` whose
+    ``hash_col`` is NOT in the bucketed seen table.  The bucketed side's
+    scan carries its layout, so the anti-join plans with an exchange on
+    the BATCH side only — the seen table (the side that scales with the
+    corpus) never shuffles."""
+    seen = spark.table(table_name).withColumnRenamed(hash_col, "_seen_h")
+    return batch_hashed.join(
+        seen, batch_hashed[hash_col] == seen["_seen_h"], "left_anti"
+    )

@@ -237,3 +237,99 @@ def test_zorder_layout_partitions_cover_disjoint_z_ranges(spark):
     assert len(spans) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint, ordered ranges
+
+
+def test_bucketed_seen_compaction_colocates_history_probe(spark, tmp_path):
+    """The 100 TB shape of the cross-run dedup anti-join: after
+    compacting the marker-committed seen increments into a hash-bucketed
+    table, the history probe plans with an Exchange on the BATCH side
+    only — the corpus-sized seen side is read in place (no exchange
+    above its scan) — and the probe result matches the plain-parquet
+    anti-join exactly."""
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import md5_long
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import (
+        bucketed_anti_join_new,
+        compact_seen_to_bucketed,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import ingest_increment
+
+    corpus = os.path.join(tmp_path, "corpus")
+    seen = os.path.join(tmp_path, "seen")
+    b1 = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(40)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"second run doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    assert ingest_increment(spark, b1, corpus, seen) == 40
+    assert ingest_increment(spark, b2, corpus, seen) == 30
+
+    n = compact_seen_to_bucketed(
+        spark, seen, "seen_b", os.path.join(tmp_path, "seen_b"), n_buckets=8
+    )
+    try:
+        assert n == 70
+        batch = spark.createDataFrame(
+            # 2 known (one from each run) + 3 new
+            [(1, "doc number 1 body"), (101, "second run doc 1")]
+            + [(500 + i, f"fresh content {i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        hashed = batch.withColumn("h", md5_long(F.col("text")))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            fresh = bucketed_anti_join_new(hashed, spark, "seen_b")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                fresh.explain("formatted")
+            plan = buf.getvalue()
+            # exactly one exchange: the batch side repartitioning into the
+            # bucket layout; nothing sits between the join and the bucketed scan
+            import re
+
+            assert len(re.findall(r"\bExchange \(", plan)) <= 1
+            assert sorted(r.doc_id for r in fresh.collect()) == [500, 501, 502]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime backstop deploy/submit_100tb.sh relies on when salting
+    is not applied: with AQE skew-join enabled, a join whose key
+    distribution concentrates on one value gets its hot partition SPLIT
+    at runtime — the executed plan's SortMergeJoin carries skew=true.
+    (Thresholds are lowered so the tiny fixture registers as skewed; on
+    a cluster the defaults fire at real sizes.)  Manual salting
+    (operators/joins.salted_join) remains the deterministic-layout
+    alternative; this pins that the zero-code path works too."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 200000)
+            .select((F.col("id") * 0).alias("k"), F.col("id").alias("v"))
+            .union(spark.range(1, 200).select(F.col("id").alias("k"), F.col("id").alias("v")))
+        )
+        right = spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") + 1).alias("w"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200199  # hot key joins + 199 singletons
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p  # the hot partition was split at runtime
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
