@@ -834,3 +834,68 @@ def contamination_report(
         F.max("contamination").alias("max_contamination"),
         F.sum("overlap").alias("total_overlap_ngrams"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-pretoken pair frequencies — the inner statistic of BPE
+    tokenizer TRAINING (each merge round promotes the most frequent
+    adjacent pair; corpus-side, this count is the whole distributed
+    step, the merge-table update is driver-side bookkeeping over the
+    top rows).  Run over the same GPT-2-style pre-tokenizer as
+    :func:`pretoken_counts`, so the pairs are exactly what a BPE trainer
+    would see before its first merge.
+
+    Returns the ``top_k`` pairs as (left, right, n_pairs, rank) with a
+    total order (count desc, pair asc).  Plan: map-only pretokenize +
+    pair explode, ONE partial-agg'd shuffle on the 2-string pair key,
+    lazy global top-k (TakeOrderedAndProject + bounded rank window —
+    never a single-partition sort over the pair vocabulary, which at
+    100 TB has billions of distinct pairs).
+    """
+    from .partitioning import global_topk_with_rank
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+    pairs = (
+        docs.select(toks.alias("t"))  # tokenize ONCE per row
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS left, t[i + 1] AS right))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+    )
+    counts = pairs.groupBy("left", "right").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return global_topk_with_rank(
+        counts,
+        [F.col("n_pairs").desc(), F.col("left").asc(), F.col("right").asc()],
+        top_k,
+    )
+
+
+def sample_exact_n(
+    docs: DataFrame, n: int, salt: str = "sn0", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACTLY-n deterministic global sample: the n documents with the
+    smallest salted 60-bit id hashes — the fixed-budget counterpart of
+    :func:`sample_bernoulli` (which hits a FRACTION only in expectation;
+    ablation and eval-subset builds need an exact row budget that is
+    stable across engines, runs, and re-sharding).
+
+    One TakeOrderedAndProject (per-partition heaps of n, single merge) —
+    no global sort, no RNG state; change ``salt`` for an independent
+    draw.  Returns the sampled rows with their sample_rank (1..n).
+    """
+    from .partitioning import global_topk_with_rank
+
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    ranked = global_topk_with_rank(
+        docs.withColumn("_h", h),
+        [F.col("_h").asc(), F.col(id_col).asc()],
+        n,
+    )
+    return ranked.drop("_h").withColumnRenamed("rank", "sample_rank")

@@ -2709,3 +2709,60 @@ QUERIES.append(
         tags=("llm", "embedding", "monitoring"),
     )
 )
+
+
+def corpus_bpe_pair_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.bpe_pair_counts(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "corpus_bpe_pair_counts",
+        corpus_bpe_pair_counts_q,
+        """
+        WITH t AS (SELECT regexp_extract_all(text,
+                     ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS tk
+                   FROM documents),
+        p AS (SELECT tk[i.g] AS l, tk[i.g + 1] AS r
+              FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS i(g)
+              WHERE len(tk) >= 2),
+        c AS (SELECT l, r, COUNT(*) AS n_pairs FROM p GROUP BY 1, 2)
+        SELECT l AS "left", r AS "right", n_pairs, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_pairs DESC,
+                                           l ASC, r ASC) AS rn FROM c)
+        WHERE rn <= 20
+        """,
+        doc="top-20 adjacent-pretoken pairs — the distributed inner "
+        "statistic of BPE tokenizer training (each merge round promotes "
+        "the most frequent pair); GPT-2-style pre-tokenizer, one "
+        "partial-agg'd pair shuffle, lazy global top-k (billions of "
+        "distinct pairs at 100 TB — never a single-partition sort)",
+        tags=("llm", "curation", "tokenizer"),
+    )
+)
+
+
+def curation_sample_exact_n_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.sample_exact_n(load(spark, sf, "documents"), 100)
+
+
+QUERIES.append(
+    Query(
+        "curation_sample_exact_n",
+        curation_sample_exact_n_q,
+        f"""
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(rn AS INTEGER) AS sample_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                ORDER BY {H.format(x="'sn0:' || CAST(doc_id AS VARCHAR)")} ASC,
+                         doc_id ASC) AS rn
+              FROM documents)
+        WHERE rn <= 100
+        """,
+        doc="exactly-n deterministic global sample: the n smallest salted "
+        "id hashes (fixed row budget — Bernoulli only hits a fraction in "
+        "expectation); one TakeOrderedAndProject, no RNG state, stable "
+        "across engines/runs/re-sharding",
+        tags=("llm", "curation"),
+    )
+)

@@ -1336,3 +1336,39 @@ def test_embedding_norm_stats_flags_zero_vectors(spark):
     assert out[0].n_vectors == 2 and out[0].n_zero == 1
     assert out[0].max_nsq == 1000 * 1000 and out[0].min_nsq == 0
     assert out[1].n_zero == 0 and out[1].min_nsq == 2 * 500 * 500
+
+
+def test_bpe_pair_counts_finds_top_pair(spark):
+    """The most frequent adjacent pretoken pair surfaces at rank 1 with
+    the exact count; ranks carry a total order."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low lower"), (2, "low low newest")],
+        "doc_id long, text string",
+    )
+    rows = sorted(bpe_pair_counts(docs, top_k=3).collect(), key=lambda r: r.rank)
+    # GPT-2 pretokens carry their leading space: doc1 = ["low", " low",
+    # " low", " low", " lower"], doc2 = ["low", " low", " newest"], so
+    # (" low", " low") and ("low", " low") both count 2; the total order
+    # (count desc, left asc) puts the space-prefixed pair first
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert (rows[0].left, rows[0].right, rows[0].n_pairs) == (" low", " low", 2)
+    assert (rows[1].left, rows[1].right, rows[1].n_pairs) == ("low", " low", 2)
+
+
+def test_sample_exact_n_budget_and_determinism(spark):
+    """Exactly n rows, dense 1..n ranks, same draw on re-run, different
+    draw under a different salt (same budget)."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import sample_exact_n
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    a = sample_exact_n(docs, 10)
+    rows = a.collect()
+    assert len(rows) == 10
+    assert sorted(r.sample_rank for r in rows) == list(range(1, 11))
+    assert {r.doc_id for r in sample_exact_n(docs, 10).collect()} == {r.doc_id for r in rows}
+    b = {r.doc_id for r in sample_exact_n(docs, 10, salt="sn1").collect()}
+    assert len(b) == 10 and b != {r.doc_id for r in rows}
