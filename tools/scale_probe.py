@@ -135,6 +135,10 @@ PROBE_OPS = [
     "text_langid_confusion",
     "curation_contamination_report",
     "embedding_norm_stats",
+    # round-8: pair-vocabulary top-k (partial-agg'd shuffle + TakeOrdered)
+    # and the exactly-n sampler (pure TakeOrdered)
+    "corpus_bpe_pair_counts",
+    "curation_sample_exact_n",
 ]
 
 
