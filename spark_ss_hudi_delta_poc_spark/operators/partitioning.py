@@ -129,3 +129,93 @@ def global_topk_with_rank(df: DataFrame, order, k: int) -> DataFrame:
     top = df.orderBy(*order).limit(k)
     w = Window.partitionBy(F.lit(1)).orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def zone_map(
+    df: DataFrame, col_a: str, col_b: str, n_zones: int = 64, bits: int = 16
+) -> DataFrame:
+    """Per-zone min/max statistics under the z-ordered layout — the
+    engine-side ZONE MAP (what Delta/Iceberg persist as per-file column
+    stats, computed here as a queryable table): zone = the top
+    log2(n_zones) bits of the Morton z-value, so each zone is a compact
+    rectangle of (a, b) space and its min/max are tight on BOTH columns.
+
+    Returns (zone, n_rows, min_a, max_a, min_b, max_b) — one
+    partial-agg'd shuffle, output <= n_zones rows.  Zones split the
+    OCCUPIED z-range (zone = z·n ÷ (max_z+1), exact integer division)
+    rather than the full 2^(2·bits) domain — real column domains use a
+    tiny z-prefix, and a fixed top-bit shift would put everything in
+    zone 0.  max_z is a bounded 1-row collect (the broadcast-variable
+    pattern), and the oracle computes the identical max via a scalar
+    subquery.
+    """
+    from pyspark.sql import functions as F
+
+    z = zvalue(F.col(col_a), F.col(col_b), bits)
+    max_z = int(df.agg(F.max(z)).first()[0])  # bounded: 1 row
+    zone = (z * F.lit(n_zones)) / F.lit(max_z + 1)
+    zone = F.floor(zone).cast("long")
+    return (
+        df.groupBy(zone.alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col_a).alias("min_a"),
+            F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"),
+            F.max(col_b).alias("max_b"),
+        )
+    )
+
+
+def zone_scan_summary(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    row_key,
+    lo: int,
+    hi: int,
+    n_zones: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """The data-skipping ledger: for the predicate ``col_a BETWEEN lo AND
+    hi``, how many zones (≈ files) and rows a reader must touch under
+    the Z-ORDERED layout vs a hash-SCATTERED one (the default shuffle
+    layout) — the measurable WHY of :func:`zorder_layout`: z-ordering
+    makes per-zone min/max tight so most zones prune; scattering gives
+    every zone the full value range so nothing does.
+
+    ``row_key`` is a column expression identifying the row (the scatter
+    layout hashes it).  Returns one row per layout:
+    (layout, zones_total, zones_scanned, rows_total, rows_scanned).
+    Everything is exact integers from two <= n_zones-row aggregates; the
+    scan decision (min/max vs the range) is evaluated ON the zone map,
+    exactly as a lakehouse reader evaluates file stats.
+    """
+    from ..functions.hashing import md5_long
+    from pyspark.sql import functions as F
+
+    def summarize(zm: DataFrame, layout: str) -> DataFrame:
+        scanned = ~((F.col("max_a") < F.lit(lo)) | (F.col("min_a") > F.lit(hi)))
+        return zm.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("zones_total"),
+            F.sum(scanned.cast("long")).alias("zones_scanned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+        )
+
+    zoned = zone_map(df, col_a, col_b, n_zones=n_zones, bits=bits)
+    scatter_zone = md5_long(row_key.cast("string")) % n_zones
+    scattered = (
+        df.groupBy(scatter_zone.alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col_a).alias("min_a"),
+            F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"),
+            F.max(col_b).alias("max_b"),
+        )
+    )
+    return summarize(zoned, "zorder").unionByName(summarize(scattered, "scatter"))

@@ -346,6 +346,56 @@ def _q74_sql() -> str:
         """
 
 
+# --- q93: zone-map data skipping, z-order vs scatter -------------------------
+ZONE_PRED_LO, ZONE_PRED_HI = 50, 120  # l_partkey range predicate
+
+
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """The measurable WHY of z-ordering: per-zone min/max stats (the
+    engine-side zone map — what a lakehouse persists as per-file column
+    stats) evaluated against a partkey range predicate, under the
+    z-ordered layout vs a hash-scattered one.  Z-order zones are compact
+    (a, b) rectangles, so most prune; scattered zones each span the full
+    value range, so none do.  Two <= n_zones-row aggregates over one
+    scan; the scan decision runs ON the zone map, exactly as a lakehouse
+    reader evaluates file stats."""
+    from ..operators.partitioning import zone_scan_summary
+
+    li = load(spark, sf, "lineitem")
+    return zone_scan_summary(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ZONE_PRED_LO,
+        ZONE_PRED_HI,
+    )
+
+
+def _q93_sql() -> str:
+    from ..functions.hashing import md5_long_sql_duckdb
+    from ..operators.partitioning import zvalue_sql
+
+    zexpr = zvalue_sql("l_partkey", "l_suppkey")
+    zzone = (
+        f"(({zexpr}) * 64) // ((SELECT MAX({zexpr}) FROM lineitem) + 1)"
+    )
+    scat = f"({md5_long_sql_duckdb('CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)')}) % 64"
+    def layer(zone_expr: str, layout: str) -> str:
+        return f"""
+        SELECT '{layout}' AS layout,
+               COUNT(*) AS zones_total,
+               CAST(SUM(CASE WHEN NOT (max_a < {ZONE_PRED_LO} OR min_a > {ZONE_PRED_HI})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN NOT (max_a < {ZONE_PRED_LO} OR min_a > {ZONE_PRED_HI})
+                             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        FROM (SELECT {zone_expr} AS zone, COUNT(*) AS n_rows,
+                     MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a
+              FROM lineitem GROUP BY 1)"""
+    return layer(zzone, "zorder") + "\nUNION ALL\n" + layer(scat, "scatter")
+
+
 # --- q75: explicit grouping sets --------------------------------------------
 Q75_SQL = """
         SELECT o_orderstatus, o_orderpriority,
@@ -693,6 +743,17 @@ QUERIES = [
         _q74_sql(),
         doc="Morton z-order interleave of (partkey, suppkey) — the "
         "clustering key for 2-D data skipping; pure codegen bit ops",
+        tags=("analytics", "layout"),
+    ),
+    Query(
+        "q93_zone_map_skipping",
+        q93,
+        _q93_sql(),
+        doc="zone-map data skipping ledger: zones/rows a reader touches "
+        "for a partkey range under the z-ordered layout vs hash scatter "
+        "— z-order zones are compact 2-D rectangles so most prune; "
+        "scattered zones all span the full range so none do (the "
+        "engine-side statement of per-file-stats pruning)",
         tags=("analytics", "layout"),
     ),
     Query(

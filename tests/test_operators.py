@@ -1372,3 +1372,33 @@ def test_sample_exact_n_budget_and_determinism(spark):
     assert {r.doc_id for r in sample_exact_n(docs, 10).collect()} == {r.doc_id for r in rows}
     b = {r.doc_id for r in sample_exact_n(docs, 10, salt="sn1").collect()}
     assert len(b) == 10 and b != {r.doc_id for r in rows}
+
+
+def test_zone_map_skipping_prunes_under_zorder(spark):
+    """The data-skipping ledger: under the z-ordered zoning a narrow
+    range predicate scans a strict subset of zones/rows, while the
+    hash-scattered layout scans everything — and no matching row is ever
+    in a skipped zone (pruning is sound, not just aggressive)."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import (
+        zone_map,
+        zone_scan_summary,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"), "id"
+    )
+    out = {r.layout: r for r in zone_scan_summary(df, "a", "b", F.col("id"), 10, 20).collect()}
+    z, s = out["zorder"], out["scatter"]
+    assert z.rows_total == s.rows_total == 4096
+    assert z.zones_scanned < z.zones_total          # z-order prunes
+    assert z.rows_scanned < z.rows_total
+    assert s.zones_scanned == s.zones_total         # scatter cannot
+    # soundness: every matching row lives in a scanned zone
+    zm = zone_map(df, "a", "b")
+    kept = zm.where(~((F.col("max_a") < 10) | (F.col("min_a") > 20)))
+    assert (
+        kept.agg(F.sum("n_rows")).first()[0]
+        >= df.where(F.col("a").between(10, 20)).count()
+    )
