@@ -750,6 +750,22 @@ def length_trim(
     )
 
 
+def quantile_boundaries(sorted_hist: list[tuple[int, int]], q: int) -> list[int]:
+    """The pure boundary rule of :func:`quality_deciles`, shared with its
+    property tests: given the sorted (score, count) histogram, emit the
+    q-1 boundary order statistics b_k = min{s : cum(s) >= ceil(k·N/q)}
+    (integer ceil, duplicates kept when mass concentrates)."""
+    total = sum(c for _, c in sorted_hist)
+    boundaries: list[int] = []
+    cum, k = 0, 1
+    for s, c in sorted_hist:
+        cum += c
+        while k < q and cum >= (k * total + q - 1) // q:
+            boundaries.append(s)
+            k += 1
+    return boundaries
+
+
 def quality_deciles(
     docs: DataFrame,
     score_col: str = "n_chars",
@@ -788,14 +804,7 @@ def quality_deciles(
     hist = docs.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
     # bounded by the score's value domain (NOT corpus size) — see above
     rows = sorted((r[0], r[1]) for r in hist.collect())
-    total = sum(c for _, c in rows)
-    boundaries: list[int] = []
-    cum, k = 0, 1
-    for s, c in rows:
-        cum += c
-        while k < q and cum >= (k * total + q - 1) // q:
-            boundaries.append(s)
-            k += 1
+    boundaries = quantile_boundaries(rows, q)
     bucket = F.lit(1)
     for b in boundaries:
         bucket = bucket + (F.col(score_col) > F.lit(b)).cast("int")

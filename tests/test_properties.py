@@ -354,3 +354,66 @@ def test_phash_band_pigeonhole_recall(base, edit_segments):
     bands = [(ph >> (12 * b)) & 4095 for b in range(PHASH_BANDS)]
     bands2 = [(ph2 >> (12 * b)) & 4095 for b in range(PHASH_BANDS)]
     assert any(a == b for a, b in zip(bands, bands2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=10),
+)
+def test_quantile_boundaries_rank_guarantees(scores, q):
+    """The exact order-statistic contract quality_deciles builds on: for
+    every k, at least ceil(k·N/q) of the mass sits at or below b_k, and
+    strictly less than that sits below it (b_k is MINIMAL); the induced
+    bucket 1 + |{k : x > b_k}| is monotone in x and within [1, q]."""
+    from collections import Counter
+
+    from spark_ss_hudi_delta_poc_spark.operators.curation import quantile_boundaries
+
+    hist = sorted(Counter(scores).items())
+    n = len(scores)
+    bs = quantile_boundaries(hist, q)
+    assert len(bs) == min(q - 1, len(bs))  # may stop early only if mass exhausted
+    s_sorted = sorted(scores)
+    for k, b in enumerate(bs, start=1):
+        need = (k * n + q - 1) // q
+        assert sum(1 for x in s_sorted if x <= b) >= need
+        assert sum(1 for x in s_sorted if x < b) < need  # minimal boundary
+    bucket = lambda x: 1 + sum(1 for b in bs if x > b)
+    bks = [bucket(x) for x in s_sorted]
+    assert bks == sorted(bks) and 1 <= bks[0] and bks[-1] <= q
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2000),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=150,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_zone_assignment_is_bounded_and_sound(points, n_zones):
+    """The zone-map rule q93 relies on, via the SAME SQL fragment the
+    oracle uses: zone ids land in [0, n_zones), every point's column
+    value lies within its own zone's [min, max] (so range pruning can
+    never skip a matching row), and zones split the occupied z-range."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", points)
+    z = zvalue_sql("a", "b")
+    rows = con.sql(
+        f"SELECT a, b, (({z}) * {n_zones}) // ((SELECT MAX({z}) FROM t) + 1) AS zone FROM t"
+    ).fetchall()
+    assert all(0 <= zn < n_zones for _, _, zn in rows)
+    from collections import defaultdict
+
+    mins, maxs = defaultdict(lambda: 1 << 62), defaultdict(lambda: -1)
+    for a, _, zn in rows:
+        mins[zn] = min(mins[zn], a)
+        maxs[zn] = max(maxs[zn], a)
+    for a, _, zn in rows:
+        assert mins[zn] <= a <= maxs[zn]
