@@ -52,6 +52,12 @@ class Query:
 # names).  Slot 49: epoch_shuffle's column-order fix.
 # After this round no registry query's newest external evidence is older
 # than r5.
+#
+# Round-9 rotation queue (first-row candidates — added late in round 8
+# with full in-repo 3-SF oracle evidence but no window slot left):
+# text_langid_confusion, curation_contamination_report,
+# embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
+# q93_zone_map_skipping.  Then the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- first rows for this round's six new operators (6) --------------
     "dedup_prefix",

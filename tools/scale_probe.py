@@ -139,6 +139,8 @@ PROBE_OPS = [
     # and the exactly-n sampler (pure TakeOrdered)
     "corpus_bpe_pair_counts",
     "curation_sample_exact_n",
+    # round-8: two <= n_zones-row stats aggregates over one scan
+    "q93_zone_map_skipping",
 ]
 
 
