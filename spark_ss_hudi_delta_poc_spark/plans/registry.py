@@ -57,7 +57,8 @@ class Query:
 # with full in-repo 3-SF oracle evidence but no window slot left):
 # text_langid_confusion, curation_contamination_report,
 # embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
-# q93_zone_map_skipping.  Then the rows whose newest evidence is r5.
+# q93_zone_map_skipping, q94_stream_dup_rate.  Then the rows whose
+# newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- first rows for this round's six new operators (6) --------------
     "dedup_prefix",

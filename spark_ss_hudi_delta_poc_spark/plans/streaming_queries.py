@@ -10,6 +10,7 @@ from ..streaming.jobs import (
     stream_ann_serving,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
+    stream_dup_rate,
     stream_dedup,
     stream_global_count,
     stream_materialized_latest,
@@ -141,6 +142,28 @@ QUERIES = [
         """,
         doc="event-time tumbling window + watermark == batch GROUP BY hour",
         tags=("streaming", "window"),
+    ),
+    Query(
+        "q94_stream_dup_rate",
+        stream_dup_rate,
+        """
+        WITH g AS (
+          SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2, 3)
+        SELECT window_start,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                 AS dup_rate
+        FROM g GROUP BY window_start
+        """,
+        doc="streaming duplicate-rate monitor: per event-time window, how "
+        "much of the feed is repeats of the same (user, event_type) — "
+        "the in-stream ingest-health metric; windowed composite-key "
+        "counts with watermark-bounded state, rate math on the bounded "
+        "rollup; == the batch GROUP BY hour ledger",
+        tags=("streaming", "window", "monitoring"),
     ),
     Query(
         "q21_stream_session_window",

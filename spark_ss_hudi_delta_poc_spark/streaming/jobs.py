@@ -587,3 +587,48 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: streaming DUPLICATE-RATE monitor — the ingest
+    health metric a continuously-fed corpus publishes per event-time
+    window (a dup-rate spike means an upstream producer started
+    re-sending; catching it in-stream beats discovering it in the next
+    batch dedup pass).
+
+    One windowed composite-key aggregation (window × user × event_type
+    counts, watermark-bounded state) in complete mode on an availableNow
+    pass; the per-window rollup (n_events, n_distinct, dup_rate) runs on
+    the <= |windows×keys| memory-sink table afterwards — so the
+    streaming state carries only counts, and the rate math is a bounded
+    batch step.  Equals the batch GROUP BY hour ledger exactly.
+    """
+    staged = stage_table(spark, sf_dir, "events", n_files=1)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "event_type", "cnt")
+    )
+    table = f"qdup_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_win = spark.table(table).groupBy("window_start").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    rate = (F.col("n_events") - F.col("n_distinct")).cast("double") / F.col(
+        "n_events"
+    ).cast("double")
+    return per_win.select("window_start", "n_events", "n_distinct", rate.alias("dup_rate"))
