@@ -141,6 +141,8 @@ PROBE_OPS = [
     "curation_sample_exact_n",
     # round-8: two <= n_zones-row stats aggregates over one scan
     "q93_zone_map_skipping",
+    # round-8: watermark-bounded windowed composite-key counts (stream)
+    "q94_stream_dup_rate",
 ]
 
 
