@@ -181,3 +181,39 @@ def bucketed_anti_join_new(
     return batch_hashed.join(
         seen, batch_hashed[hash_col] == seen["_seen_h"], "left_anti"
     )
+
+
+def vacuum_uncommitted(table_path: str, min_age_seconds: float = 3600.0) -> list[str]:
+    """Remove ORPHANED staged increments: ``inc=<token>`` dirs whose
+    commit marker never appeared — the debris a crash between staging
+    and marker-create leaves behind (the marker protocol already makes
+    readers ignore them; this reclaims the storage, the engine-side
+    equivalent of Delta VACUUM / Hudi cleaner for the ingest layout).
+
+    Only dirs older than ``min_age_seconds`` are touched: an increment
+    may legitimately be mid-stage RIGHT NOW, and its marker appears
+    strictly after its dir, so any sufficiently old unmarked dir is
+    garbage (age from the dir's mtime — parquet writers touch it last
+    at write completion).  Returns the removed tokens.
+    """
+    import shutil
+    import time
+
+    from ..streaming.incremental import _committed_tokens
+
+    committed = set(_committed_tokens(table_path))
+    removed: list[str] = []
+    if not os.path.isdir(table_path):
+        return removed
+    cutoff = time.time() - min_age_seconds
+    for name in os.listdir(table_path):
+        if not name.startswith("inc="):
+            continue
+        token = name[len("inc="):]
+        p = os.path.join(table_path, name)
+        if token in committed or not os.path.isdir(p):
+            continue
+        if os.path.getmtime(p) <= cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(token)
+    return removed

@@ -6,6 +6,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -333,3 +334,39 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_vacuum_removes_only_old_uncommitted_increments(spark, tmp_path):
+    """A crash between staging and marker-create leaves an unmarked
+    inc= dir; vacuum reclaims it once old enough, never touches
+    committed increments or fresh in-flight stages, and readers see the
+    same committed data before and after."""
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import vacuum_uncommitted
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _committed_paths,
+        _committed_tokens,
+        ingest_increment,
+    )
+
+    corpus = os.path.join(tmp_path, "corpus")
+    seen = os.path.join(tmp_path, "seen")
+    b1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    assert ingest_increment(spark, b1, corpus, seen) == 10
+    # simulate a crash: stage a dir, never write its marker
+    orphan = os.path.join(seen, "inc=deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    fresh_orphan = os.path.join(seen, "inc=cafe")  # in-flight: too young
+    os.makedirs(fresh_orphan)
+
+    before = _committed_paths(seen, _committed_tokens(seen))
+    removed = vacuum_uncommitted(seen, min_age_seconds=3600)
+    assert removed == ["deadbeef"]
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(fresh_orphan)  # young in-flight stage untouched
+    assert _committed_paths(seen, _committed_tokens(seen)) == before
