@@ -526,7 +526,9 @@ def _uncertified_broadcasts(plan: str) -> list[int]:
                 break
             sub.append((name2, nid2))
         certified = False
-        cap_filter_seen = False  # Filter(x > C) encountered ABOVE (before) an agg
+        # attribute ids capped by a Filter(attr > C), C >= threshold, seen
+        # ABOVE (before) the aggregate in top-down order
+        capped_ids: set[int] = set()
         in_bounded = _literal_bounded_cols(
             ["\n".join(details.get(nid2, [])) for _, nid2 in sub]
         )
@@ -536,9 +538,9 @@ def _uncertified_broadcasts(plan: str) -> list[int]:
                 certified = True
                 break
             if name2.startswith("Filter"):
-                caps = [int(c) for c in re.findall(r"#\d+L?\)?\s*>\s*(\d+)", dt)]
-                if any(c >= _HEAVY_HITTER_MIN_CAP for c in caps):
-                    cap_filter_seen = True
+                for aid, lit in re.findall(r"#(\d+)L?\)?\s*>\s*(\d+)", dt):
+                    if int(lit) >= _HEAVY_HITTER_MIN_CAP:
+                        capped_ids.add(int(aid))
                 continue
             if any(a in name2 for a in _AGG_NODES):
                 keys = _agg_keys(dt)
@@ -548,8 +550,19 @@ def _uncertified_broadcasts(plan: str) -> list[int]:
                 ):
                     certified = True
                     break
-                if cap_filter_seen:
-                    certified = True  # heavy-hitter cap bounds the output
+                # heavy-hitter certificate: the cap must sit on a COUNT
+                # output of THIS aggregate (a cap on max()/sum() bounds
+                # values, not row count) — match the capped attribute ids
+                # against the count-produced result ids in the detail
+                count_ids = {
+                    int(m)
+                    for m in re.findall(r"count\([^)]*\)#(\d+)", dt)
+                } | {
+                    int(m)
+                    for m in re.findall(r"count\([^)]*\)#\d+L? AS \w+#(\d+)", dt)
+                }
+                if capped_ids & count_ids:
+                    certified = True  # output <= N/C rows
                     break
                 continue  # unbounded agg certifies nothing; keep scanning deeper
             if name2.startswith("Scan"):
@@ -617,6 +630,17 @@ def test_uncertified_broadcast_detector_flags_doc_keyed_aggregate(spark):
         )
         ok_heavy = docs.join(F.broadcast(heavy), "text", "left_anti")
         assert not _uncertified_broadcasts(_formatted(ok_heavy))
+
+        # a > C cap on a NON-count aggregate bounds values, not rows —
+        # must NOT certify (the id-matched heavy-hitter rule)
+        long_docs = (
+            docs.groupBy("doc_id")
+            .agg(F.max("n_chars").alias("max_len"))
+            .where(F.col("max_len") > 100)
+            .select("doc_id")
+        )
+        bad_cap = docs.join(F.broadcast(long_docs), "doc_id", "left_semi")
+        assert _uncertified_broadcasts(_formatted(bad_cap))
 
         pinned = (
             docs.where(F.col("lang").isin("en", "de"))
