@@ -394,3 +394,29 @@ def test_incremental_contamination_gate_blocks_eval_leaks(spark, tmp_path):
     b2 = spark.createDataFrame([(3, " ".join(f"more{i} text{i}" for i in range(20)))], DOCS)
     assert ingest_increment_contamination(spark, b2, corpus, ev) == 1
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [2, 3]
+
+
+def test_incremental_contamination_crash_heal(spark, tmp_path):
+    """A crash between staging and marker-create must heal on replay:
+    the re-invoked increment re-stages the same inc=<token> dir
+    (overwrite) and THEN commits — no duplicates, no lost rows."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _commits_dir,
+        ingest_increment_contamination,
+    )
+
+    DOCS = "doc_id long, text string"
+    corpus = os.path.join(tmp_path, "hcorpus")
+    ev = spark.createDataFrame([(9001, "benchmark sentinel text here")], DOCS)
+    b = spark.createDataFrame(
+        [(1, " ".join(f"alpha{i} beta{i}" for i in range(15)))], DOCS
+    )
+    assert ingest_increment_contamination(spark, b, corpus, ev, increment_id="t0") == 1
+    # simulate the crash: delete the marker, leave the staged dir (the
+    # state a kill between write and marker-create produces)
+    os.remove(os.path.join(_commits_dir(corpus), "t0"))
+    # replay heals: re-stages the same dir, commits, still exactly once
+    assert ingest_increment_contamination(spark, b, corpus, ev, increment_id="t0") == 1
+    rows = spark.read.parquet(os.path.join(corpus, "inc=t0")).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert os.path.exists(os.path.join(_commits_dir(corpus), "t0"))
