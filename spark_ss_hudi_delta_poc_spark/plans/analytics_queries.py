@@ -788,3 +788,190 @@ QUERIES = [
         tags=("analytics", "sketch", "agg"),
     ),
 ]
+
+
+# --- mergeable-sketch family (operators/sketches.py) -------------------------
+# Approximate-query-processing primitives next to their exact answers; the
+# oracle reproduces every sketch bit-for-bit (shared md5 hash family, exact
+# scaled-integer register sums, shared Python double literals — no libm).
+
+from ..functions.hashing import (  # noqa: E402
+    md5_long_sql_duckdb,
+    seeded_md5_long_sql_duckdb,
+)
+from ..operators import sketches  # noqa: E402
+
+
+def sketch_hll_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.hll_distinct(load(spark, sf, "orders"), "o_custkey")
+
+
+def sketch_kmv_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.kmv_distinct(load(spark, sf, "lineitem"), "l_partkey")
+
+
+def sketch_bloom_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.bloom_membership(
+        load(spark, sf, "orders"), load(spark, sf, "customer"), "o_custkey", "c_custkey"
+    )
+
+
+def sketch_cms_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.cms_topk(load(spark, sf, "lineitem"), "l_suppkey")
+
+
+def _hll_sql() -> str:
+    h = md5_long_sql_duckdb("o_custkey")
+    m, wb = sketches.HLL_M, sketches.HLL_W_BITS
+    # the linear-counting lookup ships the SAME Python double literals the
+    # Spark side joins — neither engine evaluates ln (their libm differ)
+    lc_values = ", ".join(f"({v}, {e!r})" for v, e in sketches.hll_linear_counting_table())
+    return f"""
+    WITH k AS (SELECT ({h}) % {m} AS reg, ({h}) >> {sketches.HLL_P} AS w FROM orders),
+    r AS (SELECT reg,
+                 MAX(LEAST(length(regexp_extract(bin(w), '0*$')) + 1, {wb})) AS m_j
+          FROM k GROUP BY reg),
+    s AS (SELECT COUNT(*) AS n_hit,
+                 CAST(SUM(1::BIGINT << ({wb} - m_j)) AS BIGINT) AS sum_hit
+          FROM r),
+    e AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders),
+    lc(v, lc_est) AS (VALUES {lc_values}),
+    base AS (
+      SELECT {m} AS m,
+             CAST({m} - n_hit AS BIGINT) AS n_zero_registers,
+             CAST(sum_hit + ({m} - n_hit) * (1::BIGINT << {wb}) AS BIGINT) AS sum_scaled,
+             {sketches.HLL_NUMERATOR!r} / CAST(sum_hit + ({m} - n_hit) * (1::BIGINT << {wb}) AS BIGINT)
+               AS hll_raw_estimate,
+             exact_distinct
+      FROM s, e)
+    SELECT b.m, b.n_zero_registers, b.sum_scaled, b.hll_raw_estimate,
+           CASE WHEN b.hll_raw_estimate <= {sketches.HLL_LC_THRESHOLD!r}
+                     AND b.n_zero_registers > 0
+                THEN lc.lc_est ELSE b.hll_raw_estimate END AS hll_estimate,
+           b.exact_distinct
+    FROM base b LEFT JOIN lc ON b.n_zero_registers = lc.v
+    """
+
+
+def _kmv_sql() -> str:
+    h = md5_long_sql_duckdb("l_partkey")
+    k = sketches.KMV_K
+    return f"""
+    WITH d AS (SELECT DISTINCT {h} AS h FROM lineitem),
+    s AS (SELECT h FROM d ORDER BY h ASC LIMIT {k}),
+    a AS (SELECT COUNT(*) AS n_in, MAX(h) AS kth_hash FROM s),
+    e AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+    SELECT {k} AS k, a.n_in AS n_in_sketch, a.kth_hash,
+           CASE WHEN a.n_in < {k} THEN CAST(e.exact_distinct AS DOUBLE)
+                ELSE {sketches.KMV_NUMERATOR!r} / a.kth_hash END AS kmv_estimate,
+           e.exact_distinct
+    FROM a, e
+    """
+
+
+def _bloom_sql() -> str:
+    m, kk = sketches.BLOOM_M, sketches.BLOOM_K
+    bpos = " UNION ALL ".join(
+        f"SELECT bk, ({seeded_md5_long_sql_duckdb('bk', s)}) % {m} AS pos FROM bk"
+        for s in range(kk)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT pk, ({seeded_md5_long_sql_duckdb('pk', s)}) % {m} AS pos FROM pk"
+        for s in range(kk)
+    )
+    return f"""
+    WITH bk AS (SELECT DISTINCT o_custkey AS bk FROM orders),
+    bits AS (SELECT DISTINCT pos FROM ({bpos})),
+    pk AS (SELECT DISTINCT c_custkey AS pk FROM customer),
+    ppos AS (SELECT DISTINCT pk, pos FROM ({ppos})),
+    claimed AS (SELECT p.pk,
+                       MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+                FROM ppos p LEFT JOIN bits b ON p.pos = b.pos GROUP BY p.pk),
+    verdict AS (SELECT c.pk,
+                       CASE WHEN c.all_set = 1 THEN 1 ELSE 0 END AS claimed,
+                       CASE WHEN bk.bk IS NOT NULL THEN 1 ELSE 0 END AS member
+                FROM claimed c LEFT JOIN bk ON c.pk = bk.bk),
+    nb AS (SELECT COUNT(*) AS n_set_bits FROM bits),
+    nk AS (SELECT COUNT(*) AS n_build_keys FROM bk),
+    sm AS (SELECT COUNT(*) AS n_probes,
+                  CAST(SUM(member) AS BIGINT) AS n_members,
+                  CAST(SUM(claimed) AS BIGINT) AS n_claimed,
+                  CAST(SUM(CASE WHEN claimed = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_false_positives
+           FROM verdict)
+    SELECT {m} AS m_bits, {kk} AS k_hashes, nb.n_set_bits, nk.n_build_keys,
+           sm.n_probes, sm.n_members, sm.n_claimed, sm.n_false_positives
+    FROM sm, nb, nk
+    """
+
+
+def _cms_sql() -> str:
+    w, k = sketches.CMS_W, sketches.CMS_TOP_K
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS r, ({seeded_md5_long_sql_duckdb('key', r)}) % {w} AS c FROM src"
+        for r in range(sketches.CMS_D)
+    )
+    kc = " UNION ALL ".join(
+        f"SELECT key, {r} AS r, ({seeded_md5_long_sql_duckdb('key', r)}) % {w} AS c FROM exact"
+        for r in range(sketches.CMS_D)
+    )
+    return f"""
+    WITH src AS (SELECT l_suppkey AS key FROM lineitem),
+    cells AS ({cells}),
+    grid AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+    exact AS (SELECT key, COUNT(*) AS exact_count FROM src GROUP BY key),
+    kc AS ({kc}),
+    est AS (SELECT kc.key, MIN(g.cnt) AS est_count
+            FROM kc JOIN grid g ON kc.r = g.r AND kc.c = g.c GROUP BY kc.key)
+    SELECT e.key, e.est_count, x.exact_count
+    FROM est e JOIN exact x ON e.key = x.key
+    ORDER BY e.est_count DESC, e.key ASC LIMIT {k}
+    """
+
+
+QUERIES.extend(
+    [
+        Query(
+            "sketch_hll_distinct",
+            sketch_hll_q,
+            _hll_sql(),
+            doc="HyperLogLog distinct sketch (p=10) next to the exact "
+            "count — 1024-register bounded aggregate, harmonic-mean sum "
+            "kept as an EXACT 2^50-scaled bigint so the estimate is one "
+            "shared-literal double division; the mergeable-state pattern "
+            "(register max) that makes distinct counting a kilobyte "
+            "problem at 100 TB",
+            tags=("analytics", "sketch"),
+        ),
+        Query(
+            "sketch_kmv_distinct",
+            sketch_kmv_q,
+            _kmv_sql(),
+            doc="K-minimum-values distinct sketch (k=256): distinct "
+            "8-byte hashes → TakeOrdered k-heap → (k-1)*2^60/h_(k); "
+            "union+truncate mergeable state, exact-count fallback below k",
+            tags=("analytics", "sketch"),
+        ),
+        Query(
+            "sketch_bloom_filter",
+            sketch_bloom_q,
+            _bloom_sql(),
+            doc="Bloom-filter membership accounting (m=16384, k=3): "
+            "build-side set bits are a <= m-row bounded table (AQE "
+            "broadcasts at runtime), probe claims need ALL k bits; "
+            "reports set-bit load and false-positive count vs exact "
+            "membership — false negatives structurally zero",
+            tags=("analytics", "sketch", "join"),
+        ),
+        Query(
+            "sketch_cms_topk",
+            sketch_cms_q,
+            _cms_sql(),
+            doc="Count-Min frequency sketch (4x2048 grid): bounded "
+            "counter aggregate, per-key estimate = min over d cells "
+            "(always >= truth), top-20 next to exact counts so the "
+            "collision overestimate is measurable",
+            tags=("analytics", "sketch", "agg"),
+        ),
+    ]
+)

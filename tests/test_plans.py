@@ -127,6 +127,10 @@ def test_sessionize_single_shuffle(spark):
 # text_bm25_search carries the same 1-row stats cross join (now visible
 # in its public plan since global_topk_with_rank went lazy); the shape is
 # additionally pinned by test_bm25_has_no_corpus_sized_join_side.
+# The sketch summaries (hll/kmv/bloom) cross-join their 1-row sketch
+# aggregate with the 1-row exact-count aggregate (and bloom its 1-row
+# bit/build counts) — every cross side is a single reduced row, pinned
+# by test_sketch_cross_joins_are_single_row.
 CROSS_JOIN_EXEMPT: set[str] = {
     "q71_global_sales_opp",
     "text_bm25_search",
@@ -134,6 +138,9 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "q80_top_supplier",
     "q84_important_parts",
     "text_tfidf_keywords",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_bloom_filter",
 }
 
 
@@ -176,6 +183,29 @@ def test_sampling_is_map_only(spark):
     — filter over the scan, nothing else."""
     p = plan_of(spark, "curation_sample_bernoulli")
     assert "Exchange" not in p
+
+
+def test_sketch_cross_joins_are_single_row(spark):
+    """The sketch summaries' cross joins must stay the scalar-subquery
+    shape: every BroadcastNestedLoopJoin is a 1-row reduced aggregate
+    side (constant work per probe row at any scale) — their exact count
+    is pinned so a corpus-sized side can never slip in under the
+    CROSS_JOIN_EXEMPT entries."""
+    import re
+
+    expected = {
+        "sketch_hll_distinct": 1,  # sketch x exact  (LC lookup is an equi-join)
+        "sketch_kmv_distinct": 1,  # sketch x exact
+        "sketch_bloom_filter": 2,  # summary x n_set_bits x n_build_keys
+    }
+    for name, n_bnlj in expected.items():
+        p = plan_of(spark, name)
+        got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert got == n_bnlj, f"{name}: {got} nested-loop joins, expected {n_bnlj}"
+        # each cross side is a global (no-group-key) aggregate: formatted
+        # explain prints `Keys: []` for partial+final of every scalar agg
+        scalar_aggs = len(re.findall(r"Keys\s*:\s*\[\]", p))
+        assert scalar_aggs >= n_bnlj, f"{name}: cross side without a scalar aggregate"
 
 
 def test_no_cartesian_anywhere(spark):
