@@ -82,6 +82,16 @@ def hll_distinct(df: DataFrame, key_col: str) -> DataFrame:
     Output (1 row): m, n_zero_registers, sum_scaled, hll_raw_estimate,
     hll_estimate, exact_distinct.
     """
+    regs = hll_register_updates(df, key_col).groupBy("reg").agg(F.max("rho").alias("m_j"))
+    exact = df.agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
+    return hll_from_registers(regs, exact)
+
+
+def hll_register_updates(df: DataFrame, key_col: str) -> DataFrame:
+    """(reg, rho) update rows — the map-side half of the sketch, shared
+    by the batch operator and the streaming register-max aggregate (a
+    groupBy('reg').max('rho') over these rows is HLL state in EITHER
+    execution model; max-merge makes micro-batch order irrelevant)."""
     h = md5_long(F.col(key_col))
     keyed = df.select(h.alias("h")).select(
         (F.col("h") % F.lit(HLL_M)).alias("reg"),
@@ -91,15 +101,19 @@ def hll_distinct(df: DataFrame, key_col: str) -> DataFrame:
     )
     tz = F.length(F.regexp_extract(F.bin(F.col("w")), "0*$", 0))
     rho = F.least(tz + F.lit(1), F.lit(HLL_W_BITS))
-    regs = keyed.select("reg", rho.alias("rho")).groupBy("reg").agg(F.max("rho").alias("m_j"))
+    return keyed.select("reg", rho.alias("rho"))
+
+
+def hll_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Assemble the 1-row summary from a (reg, m_j) register table and a
+    1-row (exact_distinct) aggregate — the merge-then-finalize step."""
     sketch = regs.agg(
         F.count(F.lit(1)).alias("n_hit"),
         # SQL-expr shift: pyspark's F.shiftleft only takes a literal numBits
         F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS} - m_j)")).alias("sum_hit"),
     )
-    exact = df.agg(F.count_distinct(F.col(key_col)).alias("exact_distinct"))
     lc = F.broadcast(
-        df.sparkSession.createDataFrame(hll_linear_counting_table(), "v long, lc_est double")
+        regs.sparkSession.createDataFrame(hll_linear_counting_table(), "v long, lc_est double")
     )
     base = (
         sketch.crossJoin(F.broadcast(exact))

@@ -625,3 +625,73 @@ def langid_confusion(
             "share"
         ),
     )
+
+
+def ngram_lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document fluency score from a corpus-trained bigram language
+    model — the perplexity-style quality filter (CCNet/KenLM family)
+    re-expressed in this repo's log-free exact-arithmetic form.
+
+    Model: add-one-smoothed bigram probabilities over the corpus itself,
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V),
+    V = distinct unigram count.  Each token's partial is fixed-point
+    scaled BEFORE the per-doc sum — floor(1e9 * p) with the numerator
+    (c+1)*1e9 exact below 2^53 — so double summation order can never
+    flip a hash, and the mean is one final division.  Low mean ⇒ locally
+    improbable token sequences (OCR noise, mojibake, word salad); high
+    mean ⇒ repetitive boilerplate.  The standard log-perplexity is a
+    monotone transform of per-token surprise; ranking behavior for
+    filtering is preserved while staying bit-identical cross-engine
+    (libm log differs between engines — measured in operators/sketches.py).
+
+    Plan: one explode of adjacent word pairs feeds BOTH the bigram-count
+    aggregate and the per-doc score rows; unigram counts are a second
+    explode+aggregate.  The count tables are corpus-vocabulary-sized, so
+    both joins back onto the doc bigrams are plain SHUFFLE hash joins
+    (broadcasting a row-per-ngram table is the round-5 anti-pattern);
+    the only broadcast is the 1-row V aggregate.  ~4 linear shuffles,
+    all partial-agg'd; survives 100x corpus growth unchanged.
+
+    Output: (doc_id, n_bigrams, sum_p_e9, mean_p_e9) for docs with >= 2
+    tokens.
+    """
+    from .partitioning import spread
+
+    w = words(F.col(text_col))
+    ws = spread(docs).where(F.size(w) >= 2).select(
+        F.col(id_col).alias("doc_id"), w.alias("w")
+    )
+    bi = ws.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    uni = spread(docs).select(F.explode(words(F.col(text_col))).alias("word"))
+    c2 = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count_distinct("word").alias("v"))
+    scored = (
+        bi.join(c2, "bigram")
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(c1.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                ((F.col("c2") + F.lit(1)) * F.lit(1_000_000_000)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            )
+            .cast("long")
+            .alias("p_e9"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_e9").alias("sum_p_e9"),
+        (F.sum("p_e9").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_p_e9"),
+    )

@@ -2766,3 +2766,43 @@ QUERIES.append(
         tags=("llm", "curation"),
     )
 )
+
+
+def text_ngram_lm_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.ngram_lm_score(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "text_ngram_lm_score",
+        text_ngram_lm_q,
+        """
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bi AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1])) AS bigram
+               FROM ws WHERE len(w) >= 2),
+        uni AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
+        c1 AS (SELECT word, COUNT(*) AS c1 FROM uni GROUP BY word),
+        v AS (SELECT COUNT(DISTINCT word) AS v FROM uni),
+        sc AS (SELECT b.doc_id,
+                      CAST(FLOOR(CAST((c2.c2 + 1) * 1000000000 AS DOUBLE)
+                                 / CAST(c1.c1 + v.v AS DOUBLE)) AS BIGINT) AS p_e9
+               FROM bi b
+               JOIN c2 ON b.bigram = c2.bigram
+               JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.word
+               CROSS JOIN v)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(p_e9) AS BIGINT) AS sum_p_e9,
+               CAST(SUM(p_e9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_p_e9
+        FROM sc GROUP BY doc_id
+        """,
+        doc="corpus-trained bigram-LM fluency score per document "
+        "(add-one smoothing, log-free rational form, e9 fixed-point "
+        "partials) — the perplexity-filter stage of CCNet-style "
+        "pipelines; count tables shuffle-joined (never broadcast), "
+        "1-row vocab broadcast only",
+        tags=("llm", "text", "curation"),
+    )
+)

@@ -11,6 +11,7 @@ from ..streaming.jobs import (
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
+    stream_hll_distinct,
     stream_dedup,
     stream_global_count,
     stream_materialized_latest,
@@ -281,3 +282,53 @@ QUERIES = [
         tags=("streaming", "stateful", "topk"),
     ),
 ]
+
+
+def _q95_hll_sql() -> str:
+    from ..operators import sketches
+    from ..functions.hashing import md5_long_sql_duckdb
+
+    h = md5_long_sql_duckdb("user_id")
+    m, wb = sketches.HLL_M, sketches.HLL_W_BITS
+    lc_values = ", ".join(f"({v}, {e!r})" for v, e in sketches.hll_linear_counting_table())
+    return f"""
+    WITH k AS (SELECT ({h}) % {m} AS reg, ({h}) >> {sketches.HLL_P} AS w FROM events),
+    r AS (SELECT reg,
+                 MAX(LEAST(length(regexp_extract(bin(w), '0*$')) + 1, {wb})) AS m_j
+          FROM k GROUP BY reg),
+    s AS (SELECT COUNT(*) AS n_hit,
+                 CAST(SUM(1::BIGINT << ({wb} - m_j)) AS BIGINT) AS sum_hit
+          FROM r),
+    e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+    lc(v, lc_est) AS (VALUES {lc_values}),
+    base AS (
+      SELECT {m} AS m,
+             CAST({m} - n_hit AS BIGINT) AS n_zero_registers,
+             CAST(sum_hit + ({m} - n_hit) * (1::BIGINT << {wb}) AS BIGINT) AS sum_scaled,
+             {sketches.HLL_NUMERATOR!r} / CAST(sum_hit + ({m} - n_hit) * (1::BIGINT << {wb}) AS BIGINT)
+               AS hll_raw_estimate,
+             exact_distinct
+      FROM s, e)
+    SELECT b.m, b.n_zero_registers, b.sum_scaled, b.hll_raw_estimate,
+           CASE WHEN b.hll_raw_estimate <= {sketches.HLL_LC_THRESHOLD!r}
+                     AND b.n_zero_registers > 0
+                THEN lc.lc_est ELSE b.hll_raw_estimate END AS hll_estimate,
+           b.exact_distinct
+    FROM base b LEFT JOIN lc ON b.n_zero_registers = lc.v
+    """
+
+
+QUERIES.append(
+    Query(
+        "q95_stream_hll_distinct",
+        stream_hll_distinct,
+        _q95_hll_sql(),
+        doc="streaming HyperLogLog: distinct users over the event feed "
+        "with a FIXED 1024-row state (vs per-key state for streaming "
+        "count_distinct); register max-merge is associative/commutative/"
+        "idempotent so micro-batch boundaries cannot change the sketch — "
+        "final registers equal the batch sketch bit-for-bit (the batch "
+        "oracle checks full sketch state, not just the count)",
+        tags=("streaming", "sketch", "monitoring"),
+    )
+)

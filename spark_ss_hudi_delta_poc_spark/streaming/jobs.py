@@ -632,3 +632,45 @@ def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events"
     ).cast("double")
     return per_win.select("window_start", "n_events", "n_distinct", rate.alias("dup_rate"))
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: streaming HYPERLOGLOG — distinct users over an
+    unbounded event feed with BOUNDED state.  A streaming
+    count_distinct needs state per key (unbounded); the HLL register
+    aggregate needs exactly 1024 rows of state forever, and because the
+    merge is a register-wise MAX — associative, commutative, idempotent —
+    the result is independent of micro-batch boundaries: the final
+    registers equal the batch sketch bit-for-bit, so the batch oracle
+    checks the stream exactly (the strongest stream-vs-batch equivalence
+    in the suite: not just counts, the full sketch state).
+
+    Pipeline: events staged as 8 files → parquet file stream
+    (maxFilesPerTrigger=2 → 4 micro-batches) → map-side (reg, rho)
+    updates → groupBy(reg).max(rho) in complete mode (state = 1024
+    rows) → memory sink; finalization + exact-distinct comparison run
+    as the bounded batch step on the 1024-row result.
+    """
+    from ..operators.sketches import hll_from_registers, hll_register_updates
+
+    staged = stage_table(spark, sf_dir, "events", n_files=8)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
+    regs = (
+        hll_register_updates(stream.select("user_id"), "user_id")
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    table = f"qhll_mem_{_uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    exact = (
+        load(spark, sf_dir, "events")
+        .agg(F.count_distinct(F.col("user_id")).alias("exact_distinct"))
+    )
+    return hll_from_registers(spark.table(table), exact)

@@ -1402,3 +1402,38 @@ def test_zone_map_skipping_prunes_under_zorder(spark):
         kept.agg(F.sum("n_rows")).first()[0]
         >= df.where(F.col("a").between(10, 20)).count()
     )
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Exact hand-check of the add-one bigram model: corpus
+    {d1: 'a b a b', d2: 'a b c', d3: 'solo'} → c(a b)=3, c(b a)=1,
+    c(b c)=1, c1(a)=3, c1(b)=3, and V=4 (unigram training INCLUDES the
+    bigram-less doc's token); p_e9('a b')=floor(4e9/7), etc."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_score(docs).collect()}
+    ab = (3 + 1) * 1_000_000_000 // 7   # 571428571
+    ba = (1 + 1) * 1_000_000_000 // 7   # 285714285
+    bc = (1 + 1) * 1_000_000_000 // 7
+    assert out[1].n_bigrams == 3 and out[1].sum_p_e9 == 2 * ab + ba
+    assert out[2].n_bigrams == 2 and out[2].sum_p_e9 == ab + bc
+    assert out[2].mean_p_e9 == (ab + bc) / 2
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_ngram_lm_score_ranks_gibberish_below_fluent(spark):
+    """A doc of corpus-typical bigrams must outscore a doc of one-off
+    token sequences — the filtering signal the operator exists for."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import ngram_lm_score
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(10)] + [(99, "qq zz pp ww yy xx")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_p_e9 for r in ngram_lm_score(docs).collect()}
+    assert out[0] > out[99]

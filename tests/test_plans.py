@@ -138,6 +138,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "q80_top_supplier",
     "q84_important_parts",
     "text_tfidf_keywords",
+    "text_ngram_lm_score",  # 1-row V (vocab size) aggregate, tfidf's shape
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_bloom_filter",

@@ -278,3 +278,18 @@ def test_stream_curation_roundtrip_dtypes_match_batch(spark):
     skey = {tuple(sorted(r.asDict().items())) for r in streamed.collect()}
     bkey = {tuple(sorted(r.asDict().items())) for r in batch.collect()}
     assert skey == bkey
+
+
+def test_stream_hll_equals_batch_sketch(spark):
+    """The streaming HLL must reproduce the batch sketch EXACTLY — same
+    registers, same scaled sum, same estimate — because register
+    max-merge is associative/commutative/idempotent, so micro-batch
+    boundaries cannot be observable in the final state."""
+    from spark_ss_hudi_delta_poc_spark.operators.sketches import hll_distinct
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_hll_distinct
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_hll_distinct(spark, sf).collect()
+    batch = hll_distinct(load(spark, sf, "events").select("user_id"), "user_id").collect()
+    assert streamed == batch
