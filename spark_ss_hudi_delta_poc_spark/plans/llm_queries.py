@@ -2806,3 +2806,56 @@ QUERIES.append(
         tags=("llm", "text", "curation"),
     )
 )
+
+
+def graph_pagerank_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = similarity.knn_graph_bucketed(load(spark, sf, "embeddings"), k=KNN_K)
+    return pagerank(edges)
+
+
+def _pagerank_sql() -> str:
+    from ..operators.graph import PAGERANK_DAMPING_E2, PAGERANK_ITERS
+
+    d = PAGERANK_DAMPING_E2
+    ctes = [
+        f"e AS (SELECT src_id AS src, dst_id AS dst FROM ({_oracle_of('embedding_knn_graph_lsh')}))",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT COUNT(*) AS n_nodes FROM nodes)",
+        "nb AS (SELECT node, 1000000000 // n_nodes AS p0_e9,"
+        " 150000000 // n_nodes AS base_e9 FROM nodes, n)",
+        "p0 AS (SELECT node, p0_e9 AS pr_e9 FROM nb)",
+    ]
+    for t in range(PAGERANK_ITERS):
+        ctes.append(
+            f"c{t + 1} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(p.pr_e9 // o.outdeg) AS BIGINT) AS s"
+            f" FROM e JOIN p{t} p ON e.src = p.node"
+            f" JOIN od o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{t + 1} AS (SELECT nb.node,"
+            f" CAST(nb.base_e9 + (({d} * COALESCE(c.s, 0)) // 100) AS BIGINT) AS pr_e9"
+            f" FROM nb LEFT JOIN c{t + 1} c ON nb.node = c.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr_e9 FROM p{PAGERANK_ITERS}"
+    )
+
+
+QUERIES.append(
+    Query(
+        "graph_pagerank",
+        graph_pagerank_q,
+        _pagerank_sql(),
+        doc="fixed-3-iteration PageRank over the LSH kNN graph, e9 "
+        "integer fixed-point (floor divisions only — bit-exact, no "
+        "float drift): neighborhood centrality as a prototypicality / "
+        "coreset-selection signal; per-iteration work is O(|E|) "
+        "shuffle-join + dst-keyed partial agg, rank table never "
+        "broadcast, iterations unrolled into one AQE-optimized DAG",
+        tags=("llm", "graph", "embedding"),
+    )
+)

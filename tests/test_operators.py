@@ -1437,3 +1437,34 @@ def test_ngram_lm_score_ranks_gibberish_below_fluent(spark):
     )
     out = {r.doc_id: r.mean_p_e9 for r in ngram_lm_score(docs).collect()}
     assert out[0] > out[99]
+
+
+def test_pagerank_cycle_and_star(spark):
+    """3-cycle: perfect symmetry → identical ranks.  Star (all → hub):
+    the hub must outrank every leaf; total mass stays ~1e9 (floor-loss
+    bounded by N per division step)."""
+    from spark_ss_hudi_delta_poc_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src_id long, dst_id long"
+    )
+    ranks = {r.node: r.pr_e9 for r in pagerank(cycle).collect()}
+    assert len(set(ranks.values())) == 1  # symmetric → equal
+    assert abs(sum(ranks.values()) - 1_000_000_000) < 100
+
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2)], "src_id long, dst_id long"
+    )
+    sranks = {r.node: r.pr_e9 for r in pagerank(star).collect()}
+    assert sranks[1] > sranks[2] > sranks[3] == sranks[4]
+
+
+def test_pagerank_no_inedge_node_keeps_teleport_mass(spark):
+    """A source-only node (no in-edges) must retain exactly the teleport
+    term, not drop out of the result."""
+    from spark_ss_hudi_delta_poc_spark.operators.graph import pagerank
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 2)], "src_id long, dst_id long")
+    ranks = {r.node: r.pr_e9 for r in pagerank(chain).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] == 150_000_000 // 3  # base only, N=3

@@ -139,6 +139,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "q84_important_parts",
     "text_tfidf_keywords",
     "text_ngram_lm_score",  # 1-row V (vocab size) aggregate, tfidf's shape
+    "graph_pagerank",  # 1-row node-count aggregate (teleport constants)
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_bloom_filter",

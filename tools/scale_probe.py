@@ -143,6 +143,25 @@ PROBE_OPS = [
     "q93_zone_map_skipping",
     # round-8: watermark-bounded windowed composite-key counts (stream)
     "q94_stream_dup_rate",
+    # round-8 sketch family: every sketch state is CONSTANT-size (1024
+    # registers / k minima / <= m set bits / d*w counters), so probe time
+    # must track the linear scan+partial-agg only; a super-linear ratio
+    # here would mean sketch state leaked into a corpus-sized exchange.
+    # CMS additionally pins its per-distinct-key estimate join (bounded
+    # grid side); bloom pins the probe-side position join.
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_bloom_filter",
+    "sketch_cms_topk",
+    # round-8: bigram-LM scoring — two vocab-keyed partial-agg'd shuffles
+    # + two shuffle joins back onto doc bigrams, all linear in tokens
+    "text_ngram_lm_score",
+    # round-8: streaming HLL — fixed 1024-row state at any feed size
+    "q95_stream_hll_distinct",
+    # round-8: 3 unrolled O(|E|) shuffle-join iterations over the LSH kNN
+    # edge set — edge count grows ~linearly under content-distinct
+    # replication (bucket occupancy held by the n_planes sizing rule)
+    "graph_pagerank",
 ]
 
 
