@@ -1288,3 +1288,76 @@ def embedding_norm_stats(embeddings: DataFrame, label_col: str = "label") -> Dat
         F.max("nsq").alias("max_nsq"),
         (F.sum("nsq").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_nsq"),
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangular covariance matrix of the embedding space — the
+    d x d statistic behind PCA projection, ZCA whitening, and the
+    anisotropy diagnostics run on every encoder refresh (a covariance
+    collapsing onto few directions flags representation collapse before
+    any downstream recall drop shows it).
+
+    Exact arithmetic: components quantized (x1000 floor, the repo-wide
+    vector convention), so the Gram entries S_ij = sum q_i q_j and the
+    per-dimension sums S_i are BIGINT-exact in any summation order, and
+        cov_ij = (n*S_ij - S_i*S_j) / n^2
+    is integer math down to ONE IEEE division — bit-identical to the
+    oracle.
+
+    Plan: the Gram matrix is the textbook mergeable statistic — one
+    Arrow batch pass computes a d x d partial `Q.T @ Q` per batch
+    (mapInPandas; numpy int64 matmul) and emits only the d(d+1)/2 upper
+    triangle, so the exchange is ~2080 rows per TASK regardless of row
+    count; a (i, j)-keyed partial-agg'd sum merges partials.  The
+    per-dim sums ride a posexplode + 64-value groupBy (same bounded
+    shape), n is a 1-row broadcast.  At 100 TB this moves kilobytes per
+    executor — the covariance never sees a corpus-sized exchange.
+
+    Output: (i, j, s_ij, cov) for 1 <= i <= j <= d (1-based dims).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vector import QUANT, quantize
+
+    vecs = embeddings.select(F.col(vec_col).alias("v"))
+
+    def gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.floor(np.stack(pdf["v"].to_numpy()).astype("float64") * QUANT).astype(
+                "int64"
+            )
+            g = q.T @ q
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {"i": (iu[0] + 1).astype("int32"), "j": (iu[1] + 1).astype("int32"), "p": g[iu]}
+            )
+
+    gram_df = (
+        vecs.mapInPandas(gram, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s_ij"))
+    )
+    comp = vecs.select(F.posexplode(quantize(F.col("v"))).alias("pos", "c"))
+    sums = comp.groupBy("pos").agg(F.sum("c").alias("s"))
+    n = vecs.agg(F.count(F.lit(1)).alias("n"))
+    si = sums.select((F.col("pos") + 1).alias("i"), F.col("s").alias("s_i"))
+    sj = sums.select((F.col("pos") + 1).alias("j"), F.col("s").alias("s_j"))
+    return (
+        gram_df.join(si, "i")
+        .join(sj, "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "s_ij",
+            (
+                (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("cov"),
+        )
+    )

@@ -2859,3 +2859,38 @@ QUERIES.append(
         tags=("llm", "graph", "embedding"),
     )
 )
+
+
+def embedding_covariance_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_covariance(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "embedding_covariance",
+        embedding_covariance_q,
+        f"""
+        WITH q AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        x AS (SELECT vec_id, u.i AS i, u.v AS v FROM
+              (SELECT vec_id,
+                      unnest(list_transform(range(1, len(qv) + 1),
+                             i -> {{'i': i, 'v': qv[i]}})) AS u
+               FROM q)),
+        g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s_ij
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY a.i, b.i),
+        s AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s_i FROM x GROUP BY i),
+        n AS (SELECT COUNT(*) AS n FROM q)
+        SELECT g.i, g.j, g.s_ij,
+               CAST(n.n * g.s_ij - sa.s_i * sb.s_i AS DOUBLE)
+                 / CAST(n.n * n.n AS DOUBLE) AS cov
+        FROM g JOIN s sa ON g.i = sa.i JOIN s sb ON g.j = sb.i CROSS JOIN n
+        """,
+        doc="exact upper-triangular covariance of the embedding space "
+        "(quantized-integer Gram + per-dim sums, one IEEE division per "
+        "cell) — the PCA/whitening/anisotropy statistic; per-batch "
+        "numpy Q^T Q partials emit d(d+1)/2 rows per task, so the "
+        "exchange is KB-sized at any corpus size",
+        tags=("llm", "embedding", "monitoring"),
+    )
+)

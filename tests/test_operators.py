@@ -1468,3 +1468,26 @@ def test_pagerank_no_inedge_node_keeps_teleport_mass(spark):
     ranks = {r.node: r.pr_e9 for r in pagerank(chain).collect()}
     assert set(ranks) == {1, 2, 3}
     assert ranks[1] == 150_000_000 // 3  # base only, N=3
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed Gram/covariance must equal a single-box numpy
+    computation on the quantized vectors exactly (integer Gram, one
+    final division)."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import embedding_covariance
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_covariance(emb).collect()
+    vecs = np.stack([np.array(r.embedding, dtype="float64") for r in emb.collect()])
+    q = np.floor(vecs * 1000).astype("int64")
+    n = q.shape[0]
+    g = q.T @ q
+    s = q.sum(axis=0)
+    assert len(rows) == q.shape[1] * (q.shape[1] + 1) // 2
+    for r in rows[:50] + rows[-50:]:
+        i, j = r.i - 1, r.j - 1
+        assert r.s_ij == g[i, j]
+        assert r.cov == float(n * g[i, j] - s[i] * s[j]) / float(n * n)

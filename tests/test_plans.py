@@ -140,6 +140,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "text_tfidf_keywords",
     "text_ngram_lm_score",  # 1-row V (vocab size) aggregate, tfidf's shape
     "graph_pagerank",  # 1-row node-count aggregate (teleport constants)
+    "embedding_covariance",  # 1-row n aggregate closing the cov formula
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_bloom_filter",

@@ -162,6 +162,9 @@ PROBE_OPS = [
     # edge set — edge count grows ~linearly under content-distinct
     # replication (bucket occupancy held by the n_planes sizing rule)
     "graph_pagerank",
+    # round-8: per-batch d x d Gram partials — exchange is d(d+1)/2 rows
+    # per task at ANY corpus size; only the Arrow scan grows
+    "embedding_covariance",
 ]
 
 
