@@ -834,3 +834,55 @@ def corpus_dedup_report(
         + F.col("winnow_dup").cast("int")
     )
     return out.withColumn("n_methods", n.cast("int"))
+
+
+def source_dup_matrix(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-source duplicate-leakage matrix: for every unordered source
+    pair, how many duplicate-content families span both sources and how
+    many duplicate document pairs that is — the provenance-level view of
+    dedup (a high (web, books) cell means one slice is re-hosting the
+    other; a hot diagonal means a crawler re-fetched its own corpus).
+    This is the artifact mixture decisions read, since cross-source
+    leakage double-counts a slice's effective weight.
+
+    Families are keyed by the :func:`prefix_dedup` content key (hash of
+    the first PREFIX_DEDUP_CHARS chars, eligibility len >= that) rather
+    than the whole-text hash: truncation chains — the same page cut at
+    different lengths by different crawls — are exactly the duplication
+    that leaks ACROSS sources, and whole-text equality misses all of it.
+
+    Plan: one map-side 60-bit prefix hash → (hash, source) counts [1
+    shuffle, partial-agg'd]; the within-hash self-join pairs AGGREGATED
+    per-source rows, so its fanout per hash is bounded by |sources|^2
+    (a handful), never group size; one final pair-keyed aggregate.
+    Duplicate-pair math is exact integers (n_a*n_b cross, C(n,2)
+    diagonal).
+
+    Output: (source_a, source_b, n_dup_groups, n_doc_pairs) with
+    source_a <= source_b and n_doc_pairs > 0.
+    """
+    per = (
+        docs.where(F.length(F.col(text_col)) >= PREFIX_DEDUP_CHARS)
+        .select(
+            md5_long(F.substring(F.col(text_col), 1, PREFIX_DEDUP_CHARS)).alias("th"),
+            F.col("source"),
+        )
+        .groupBy("th", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = per.select(F.col("th"), F.col("source").alias("source_a"), F.col("cnt").alias("cnt_a"))
+    b = per.select(F.col("th"), F.col("source").alias("source_b"), F.col("cnt").alias("cnt_b"))
+    pairs = a.join(b, "th").where(F.col("source_a") <= F.col("source_b"))
+    doc_pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("(cnt_a * (cnt_a - 1)) div 2"),
+    ).otherwise(F.col("cnt_a") * F.col("cnt_b"))
+    return (
+        pairs.select("source_a", "source_b", doc_pairs.alias("dp"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("dp") > 0).cast("long")).alias("n_dup_groups"),
+            F.sum("dp").alias("n_doc_pairs"),
+        )
+        .where(F.col("n_doc_pairs") > 0)
+    )

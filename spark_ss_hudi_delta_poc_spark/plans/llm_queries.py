@@ -2894,3 +2894,39 @@ QUERIES.append(
         tags=("llm", "embedding", "monitoring"),
     )
 )
+
+
+def dedup_source_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.source_dup_matrix(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_source_matrix",
+        dedup_source_matrix_q,
+        f"""
+        WITH per AS (
+          SELECT {H.format(x=f"substr(text, 1, {dedup.PREFIX_DEDUP_CHARS})")} AS th,
+                 source, COUNT(*) AS cnt
+          FROM documents WHERE length(text) >= {dedup.PREFIX_DEDUP_CHARS}
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CASE WHEN a.source = b.source
+                      THEN (a.cnt * (a.cnt - 1)) // 2
+                      ELSE a.cnt * b.cnt END AS dp
+          FROM per a JOIN per b ON a.th = b.th AND a.source <= b.source)
+        SELECT source_a, source_b,
+               CAST(SUM(CASE WHEN dp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_groups,
+               CAST(SUM(dp) AS BIGINT) AS n_doc_pairs
+        FROM pairs GROUP BY 1, 2 HAVING SUM(dp) > 0
+        """,
+        doc="cross-source duplicate-leakage matrix over prefix-dup families "
+        "(spanning-family count + exact duplicate-pair count per "
+        "unordered source pair) — the provenance view mixture decisions "
+        "read; within-hash self-join over per-source AGGREGATED rows, "
+        "fanout bounded by |sources|^2 per hash",
+        tags=("llm", "dedup", "monitoring"),
+    )
+)

@@ -53,12 +53,24 @@ class Query:
 # After this round no registry query's newest external evidence is older
 # than r5.
 #
+# Late-round-8 amendment: ten NEW operators landed after the window
+# above was set (sketch_hll/kmv/bloom/cms, text_ngram_lm_score,
+# q95_stream_hll_distinct, graph_pagerank, embedding_covariance,
+# dedup_source_matrix, q96_stream_hll_ingest) — new operators need a
+# first external row, so they take the slots of ten of the twelve
+# de-hinted TPC-H queries (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87):
+# those plans changed only by DROPPING broadcast hints, values verified
+# identical at 3 SFs, and the tightened broadcast gate + bench already
+# evidence them; q33/q34 (named in the verdict) stay as the family's
+# fresh external rows.
+#
 # Round-9 rotation queue (first-row candidates — added late in round 8
 # with full in-repo 3-SF oracle evidence but no window slot left):
 # text_langid_confusion, curation_contamination_report,
 # embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
-# q93_zone_map_skipping, q94_stream_dup_rate.  Then the rows whose
-# newest evidence is r5.
+# q93_zone_map_skipping, q94_stream_dup_rate.  Then the ten displaced
+# de-hinted TPC-H rows (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87), then
+# the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- first rows for this round's six new operators (6) --------------
     "dedup_prefix",
@@ -83,19 +95,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_ivf_q8_topk",
-    # --- de-hinted TPC-H/analytics plans (12) ----------------------------
+    # --- de-hinted TPC-H/analytics plans (2 of 12; see amendment note) ---
     "q33_segment_topn",
     "q34_region_revenue",
-    "q51_returned_top_customers",
-    "q69_market_share",
-    "q70_waiting_suppliers",
-    "q72_promo_revenue",
-    "q73_disjunctive_join",
-    "q81_small_qty_revenue",
-    "q83_product_profit",
-    "q85_supplier_part_counts",
-    "q86_promo_part_suppliers",
-    "q87_min_price_supplier",
+    # --- first rows for the late-round-8 operators (8) -------------------
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_bloom_filter",
+    "sketch_cms_topk",
+    "text_ngram_lm_score",
+    "q95_stream_hll_distinct",
+    "graph_pagerank",
+    "embedding_covariance",
+    "dedup_source_matrix",
+    "q96_stream_hll_ingest",
     # --- the r4-evidence displacement queue from round 7 (16) ------------
     "q05_ts_roundtrip",
     "q08_epoch_roundtrip",

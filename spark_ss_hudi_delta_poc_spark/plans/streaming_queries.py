@@ -12,6 +12,7 @@ from ..streaming.jobs import (
     stream_decontaminate_ingest,
     stream_dup_rate,
     stream_hll_distinct,
+    stream_hll_ingest,
     stream_dedup,
     stream_global_count,
     stream_materialized_latest,
@@ -330,5 +331,21 @@ QUERIES.append(
         "final registers equal the batch sketch bit-for-bit (the batch "
         "oracle checks full sketch state, not just the count)",
         tags=("streaming", "sketch", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q96_stream_hll_ingest",
+        stream_hll_ingest,
+        _q95_hll_sql(),
+        doc="cross-run HyperLogLog ingest: 3 marker-atomic increments "
+        "each persist ONLY their 1024-register sketch; merged registers "
+        "answer lifetime-distinct without re-scanning history, and "
+        "idempotent max-merge makes the merged sketch equal the "
+        "single-pass batch sketch bit-for-bit (q95's oracle verifies "
+        "full sketch state)",
+        tags=("streaming", "sketch", "incremental"),
     )
 )

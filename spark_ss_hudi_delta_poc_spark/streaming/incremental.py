@@ -858,3 +858,76 @@ def incremental_contamination_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_hll(
+    spark: SparkSession,
+    batch: DataFrame,
+    sketch_path: str,
+    key_col: str,
+    increment_id: int | str | None = None,
+) -> int:
+    """Cross-RUN HyperLogLog: persist this increment's 1024-register
+    sketch under ``inc=<token>`` with the family's marker-atomic commit,
+    so a corpus ingested over many runs keeps a running distinct-count
+    sketch without ever re-scanning history.  Register max-merge is
+    idempotent, so a replayed increment (marker present) is a no-op and
+    a crash between stage and marker re-stages the same dir (overwrite)
+    — the merged sketch can never double-count or tear.
+
+    Returns the number of register rows staged (0 for a replay).
+    """
+    from ..operators.sketches import hll_register_updates
+
+    hashed = batch.withColumn("_h", md5_long(F.col(key_col)))
+    token = str(increment_id) if increment_id is not None else _content_token(hashed)
+    committed = _committed_tokens(sketch_path)
+    if token in committed:
+        return 0
+    regs = (
+        hll_register_updates(batch.select(key_col), key_col)
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    regs.write.mode("overwrite").parquet(os.path.join(sketch_path, f"inc={token}"))
+    _write_marker(sketch_path, token)
+    return spark.read.parquet(os.path.join(sketch_path, f"inc={token}")).count()
+
+
+def hll_merged_registers(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Union committed increments' registers, max-merge — <= 1024 rows
+    per increment in, <= 1024 rows out; uncommitted stage dirs are
+    invisible (the family's read rule)."""
+    paths = _committed_paths(sketch_path, _committed_tokens(sketch_path))
+    return (
+        spark.read.parquet(*paths).groupBy("reg").agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def incremental_hll_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint: str,
+    schema,
+    key_col: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming wrapper: file stream → foreachBatch(ingest_increment_hll)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_hll(
+            batch_df.sparkSession, batch_df, sketch_path, key_col, increment_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

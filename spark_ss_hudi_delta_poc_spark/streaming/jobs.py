@@ -674,3 +674,36 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("exact_distinct"))
     )
     return hll_from_registers(spark.table(table), exact)
+
+
+def stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: cross-RUN HyperLogLog ingest — the events feed
+    streams in 3 marker-committed increments, each persisting only its
+    1024-register sketch; the merged registers answer "how many distinct
+    users ever" without re-scanning any prior increment.  Because
+    register max-merge is idempotent and associative, the merged sketch
+    equals the single-pass batch sketch bit-for-bit (same oracle as
+    q95), and replays/crash-restages cannot tear it.
+    """
+    from ..schemas import EVENTS_SCHEMA
+    from ..operators.sketches import hll_from_registers
+    from .incremental import hll_merged_registers, incremental_hll_ingest
+
+    work = _workdir("qhllingest")
+    staged = stage_table(spark, sf_dir, "events", n_files=3)
+    sketch_path = os.path.join(work, "sketch")
+    q = incremental_hll_ingest(
+        spark,
+        staged,
+        sketch_path,
+        os.path.join(work, "ckpt"),
+        EVENTS_SCHEMA,
+        "user_id",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    exact = (
+        load(spark, sf_dir, "events")
+        .agg(F.count_distinct(F.col("user_id")).alias("exact_distinct"))
+    )
+    return hll_from_registers(hll_merged_registers(spark, sketch_path), exact)

@@ -420,3 +420,57 @@ def test_incremental_contamination_crash_heal(spark, tmp_path):
     rows = spark.read.parquet(os.path.join(corpus, "inc=t0")).collect()
     assert [r.doc_id for r in rows] == [1]
     assert os.path.exists(os.path.join(_commits_dir(corpus), "t0"))
+
+
+def test_incremental_hll_merge_replay_and_crash_heal(spark, tmp_path):
+    """Cross-run HLL: (1) two increments' merged registers equal the
+    single-pass batch sketch exactly; (2) a replayed increment is a
+    no-op; (3) a crash after staging but BEFORE the marker leaves the
+    stage dir invisible, and the healed re-run converges to the same
+    sketch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.sketches import (
+        hll_distinct,
+        hll_from_registers,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        hll_merged_registers,
+        ingest_increment_hll,
+    )
+
+    sketch = str(tmp_path / "sketch")
+    b1 = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b2 = spark.range(2000, 6000).select(F.col("id").alias("k"))  # overlaps b1
+    assert ingest_increment_hll(spark, b1, sketch, "k", increment_id=0) > 0
+    assert ingest_increment_hll(spark, b2, sketch, "k", increment_id=1) > 0
+    # replay of increment 1 is a committed no-op
+    assert ingest_increment_hll(spark, b2, sketch, "k", increment_id=1) == 0
+
+    both = b1.union(b2)
+    exact = both.agg(F.count_distinct("k").alias("exact_distinct"))
+    merged = hll_from_registers(hll_merged_registers(spark, sketch), exact).collect()
+    batch = hll_distinct(both, "k").collect()
+    assert merged == batch
+
+    # crash: a third increment staged without its marker must be invisible
+    b3 = spark.range(50_000, 60_000).select(F.col("id").alias("k"))
+    from spark_ss_hudi_delta_poc_spark.operators.sketches import hll_register_updates
+
+    (
+        hll_register_updates(b3.select("k"), "k")
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_j"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(sketch, "inc=2"))
+    )
+    merged2 = hll_from_registers(hll_merged_registers(spark, sketch), exact).collect()
+    assert merged2 == batch  # uncommitted stage invisible
+    # healed re-run of increment 2 commits and extends the sketch
+    assert ingest_increment_hll(spark, b3, sketch, "k", increment_id=2) > 0
+    exact3 = both.union(b3).agg(F.count_distinct("k").alias("exact_distinct"))
+    merged3 = hll_from_registers(hll_merged_registers(spark, sketch), exact3).collect()
+    batch3 = hll_distinct(both.union(b3), "k").collect()
+    assert merged3 == batch3

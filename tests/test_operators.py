@@ -1491,3 +1491,27 @@ def test_embedding_covariance_matches_numpy(spark):
         i, j = r.i - 1, r.j - 1
         assert r.s_ij == g[i, j]
         assert r.cov == float(n * g[i, j] - s[i] * s[j]) / float(n * n)
+
+
+def test_source_dup_matrix_counts(spark):
+    """Hand graph: sources A and B share one prefix family (2x1 docs →
+    2 cross pairs... verify exact pair math: cross = n_a*n_b, diagonal
+    = C(n,2)); a singleton family contributes nothing."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import source_dup_matrix
+
+    pfx = "p" * 64
+    docs = spark.createDataFrame(
+        [
+            (1, pfx + " tail one", "A"),
+            (2, pfx + " tail two", "A"),
+            (3, pfx + " tail three", "B"),
+            (4, "q" * 64 + " unique", "B"),
+            (5, "short", "A"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in source_dup_matrix(docs).collect()}
+    assert out[("A", "A")].n_doc_pairs == 1       # C(2,2) within A
+    assert out[("A", "B")].n_doc_pairs == 2       # 2x1 cross
+    assert ("B", "B") not in out                  # no within-B pairs
+    assert out[("A", "B")].n_dup_groups == 1

@@ -165,6 +165,10 @@ PROBE_OPS = [
     # round-8: per-batch d x d Gram partials — exchange is d(d+1)/2 rows
     # per task at ANY corpus size; only the Arrow scan grows
     "embedding_covariance",
+    # round-8: per-(hash, source) aggregate then |sources|^2-bounded
+    # self-join; cross-run HLL ingest = 3 bounded-state increments
+    "dedup_source_matrix",
+    "q96_stream_hll_ingest",
 ]
 
 
