@@ -2930,3 +2930,42 @@ QUERIES.append(
         tags=("llm", "dedup", "monitoring"),
     )
 )
+
+
+def dedup_minhash_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-pair Jaccard distribution at threshold 0 — every
+    LSH-surfaced candidate with its EXACT verified similarity, bucketed
+    into width-0.1 bins.  This is the artifact that TUNES the dedup
+    threshold: a bimodal histogram (noise hump near 0, dup hump near 1)
+    says where to cut; mass piling against the current threshold says
+    the S-curve is mis-sized.  Same capped-bucket candidate plan as
+    dedup_minhash_lsh; the histogram itself is one 10-key aggregate."""
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.0)
+    bin_col = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return pairs.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+QUERIES.append(
+    Query(
+        "dedup_minhash_histogram",
+        dedup_minhash_histogram_q,
+        f"""
+        WITH p AS ({_minhash_oracle(dedup.MINHASH_K, dedup.MINHASH_BANDS, 0.0)})
+        SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS INTEGER) AS bin,
+               COUNT(*) AS n_pairs,
+               MIN(jaccard) AS min_jaccard,
+               MAX(jaccard) AS max_jaccard
+        FROM p GROUP BY 1
+        """,
+        doc="threshold-tuning histogram: exact Jaccard of EVERY LSH "
+        "candidate pair (threshold 0) in width-0.1 bins with per-bin "
+        "min/max — bimodality locates the cut, mass at the threshold "
+        "flags a mis-sized S-curve; bounded 10-key aggregate over the "
+        "capped candidate plan",
+        tags=("llm", "dedup", "monitoring"),
+    )
+)

@@ -68,7 +68,8 @@ class Query:
 # with full in-repo 3-SF oracle evidence but no window slot left):
 # text_langid_confusion, curation_contamination_report,
 # embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
-# q93_zone_map_skipping, q94_stream_dup_rate.  Then the ten displaced
+# q93_zone_map_skipping, q94_stream_dup_rate, dedup_minhash_histogram.
+# Then the ten displaced
 # de-hinted TPC-H rows (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87), then
 # the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
