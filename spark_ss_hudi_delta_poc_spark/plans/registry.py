@@ -68,8 +68,8 @@ class Query:
 # with full in-repo 3-SF oracle evidence but no window slot left):
 # text_langid_confusion, curation_contamination_report,
 # embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
-# q93_zone_map_skipping, q94_stream_dup_rate, dedup_minhash_histogram.
-# Then the ten displaced
+# q93_zone_map_skipping, q94_stream_dup_rate, dedup_minhash_histogram,
+# q97_stream_bloom_ingest.  Then the ten displaced
 # de-hinted TPC-H rows (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87), then
 # the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -99,7 +99,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- de-hinted TPC-H/analytics plans (2 of 12; see amendment note) ---
     "q33_segment_topn",
     "q34_region_revenue",
-    # --- first rows for the late-round-8 operators (8) -------------------
+    # --- first rows for the late-round-8 operators (10) ------------------
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_bloom_filter",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..streaming.jobs import (
     stream_ann_serving,
+    stream_bloom_dedup_ingest,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -347,5 +348,26 @@ QUERIES.append(
         "single-pass batch sketch bit-for-bit (q95's oracle verifies "
         "full sketch state)",
         tags=("streaming", "sketch", "incremental"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q97_stream_bloom_ingest",
+        stream_bloom_dedup_ingest,
+        """
+        WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS th,
+                          MAX(n_chars) AS nc
+                   FROM documents GROUP BY 1)
+        SELECT COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS total_chars
+        FROM h
+        """,
+        doc="Bloom-prefiltered streaming dedup ingest: 3 marker-atomic "
+        "increments, each batch consults the bounded set-bit table so "
+        "only bloom-claimed rows pay the exact anti-join vs history; no "
+        "false negatives ⇒ committed corpus == exact one-per-hash dedup "
+        "(hash-set summary, micro-batch-boundary independent)",
+        tags=("streaming", "sketch", "incremental", "dedup"),
     )
 )

@@ -44,7 +44,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long
+from ..functions.hashing import md5_long, seeded_md5_long
 
 
 def _commits_dir(txn_root: str) -> str:
@@ -923,6 +923,138 @@ def incremental_hll_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_increment_hll(
             batch_df.sparkSession, batch_df, sketch_path, key_col, increment_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_increment_bloom(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    seen_path: str,
+    bloom_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Bloom-PREFILTERED exact-dedup ingest — the production pattern for
+    continuous dedup at scale: a bounded (<= BLOOM_M rows) set-bit table
+    answers "definitely never seen" for most of each batch WITHOUT
+    touching the ever-growing seen-hash history; only the bloom-claimed
+    minority pays the exact anti-join.  Bloom false negatives are
+    structurally impossible, so the ingested corpus is IDENTICAL to the
+    plain ingest_increment result — the sketch buys speed, never
+    correctness (the false-positive rate only moves rows onto the exact
+    path).
+
+    Three tables stage under one token — corpus rows, seen hashes, and
+    the new hashes' bloom positions — and the single marker in
+    ``seen_path`` commits all three atomically; replays are no-ops and a
+    crash before the marker leaves every stage dir invisible.
+
+    Returns the number of newly ingested rows (0 for a replay).
+    """
+    from ..operators.sketches import BLOOM_K, BLOOM_M
+
+    hashed = batch.withColumn("_h", md5_long(F.col(text_col)))
+    token = str(increment_id) if increment_id is not None else _content_token(hashed)
+    committed = _committed_tokens(seen_path)
+    if token in committed:
+        return 0
+    keepers = (
+        hashed.groupBy("_h")
+        .agg(F.min(id_col).alias("_keep"))
+        .select(F.col("_h").alias("_kh"), F.col("_keep"))
+    )
+    firsts = hashed.join(
+        keepers, (F.col("_h") == F.col("_kh")) & (F.col(id_col) == F.col("_keep"))
+    ).drop("_kh", "_keep")
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "_h",
+            F.explode(
+                F.array(
+                    *[(seeded_md5_long(F.col("_h"), s) % F.lit(BLOOM_M)) for s in range(BLOOM_K)]
+                )
+            ).alias("pos"),
+        )
+
+    bloom_dirs = _committed_paths(bloom_path, committed)
+    if bloom_dirs:
+        bits = spark.read.parquet(*bloom_dirs).select("pos").distinct().withColumn(
+            "_set", F.lit(1)
+        )
+        probe = (
+            positions(firsts.select("_h").distinct())
+            .join(bits, "pos", "left")
+            .groupBy("_h")
+            .agg(F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all_set"))
+        )
+        firsts = firsts.join(probe, "_h")
+        fast = firsts.where(F.col("_all_set") == 0).drop("_all_set")
+        suspect = firsts.where(F.col("_all_set") == 1).drop("_all_set")
+        seen = spark.read.parquet(*_committed_paths(seen_path, committed)).select(
+            F.col("h").alias("_seen_h")
+        )
+        slow = suspect.join(seen, suspect["_h"] == seen["_seen_h"], "left_anti")
+        fresh = fast.unionByName(slow)
+    else:
+        fresh = firsts
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.drop("_h").write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"inc={token}")
+            )
+            fresh.select(F.col("_h").alias("h")).write.mode("overwrite").parquet(
+                os.path.join(seen_path, f"inc={token}")
+            )
+            positions(fresh.select("_h").distinct()).select("pos").distinct().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(bloom_path, f"inc={token}"))
+    finally:
+        fresh.unpersist()
+    _write_marker(seen_path, token)
+    return n
+
+
+def incremental_bloom_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    seen_path: str,
+    bloom_path: str,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming wrapper: file stream → foreachBatch(ingest_increment_bloom)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_bloom(
+            batch_df.sparkSession,
+            batch_df,
+            corpus_path,
+            seen_path,
+            bloom_path,
+            text_col,
+            id_col,
+            increment_id=batch_id,
         )
 
     return (

@@ -707,3 +707,41 @@ def stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("user_id")).alias("exact_distinct"))
     )
     return hll_from_registers(hll_merged_registers(spark, sketch_path), exact)
+
+
+def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: Bloom-prefiltered streaming dedup ingest —
+    documents stream in 3 marker-committed increments; each batch
+    consults the bounded set-bit table first, so only bloom-claimed rows
+    pay the exact anti-join against the growing seen-hash history.  No
+    false negatives ⇒ the committed corpus is EXACTLY the dedup result:
+    one kept doc per distinct text hash, independent of micro-batch
+    boundaries (summary columns are hash-set functions, so the batch
+    oracle needs no knowledge of the file split).
+    """
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import (
+        _committed_paths,
+        _committed_tokens,
+        incremental_bloom_ingest,
+    )
+
+    work = _workdir("qbloomingest")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    corpus = os.path.join(work, "corpus")
+    q = incremental_bloom_ingest(
+        spark,
+        staged,
+        corpus,
+        os.path.join(work, "seen"),
+        os.path.join(work, "bloom"),
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    seen_root = os.path.join(work, "seen")
+    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(seen_root)))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

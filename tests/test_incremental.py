@@ -474,3 +474,62 @@ def test_incremental_hll_merge_replay_and_crash_heal(spark, tmp_path):
     merged3 = hll_from_registers(hll_merged_registers(spark, sketch), exact3).collect()
     batch3 = hll_distinct(both.union(b3), "k").collect()
     assert merged3 == batch3
+
+
+def test_bloom_ingest_equals_plain_ingest(spark, tmp_path):
+    """The bloom prefilter must be pure acceleration: the committed
+    corpus after overlapping increments equals plain ingest_increment's
+    corpus exactly, replays are no-ops, and the bloom bits stay bounded
+    by BLOOM_M."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.sketches import BLOOM_M
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _committed_paths,
+        _committed_tokens,
+        ingest_increment,
+        ingest_increment_bloom,
+    )
+
+    def mk(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"text {tag} "), (F.col("id") % 400).cast("string")).alias("text"),
+        )
+
+    b1 = mk(0, 500, "x")          # 400 distinct texts (id%400 wraps)
+    b2 = mk(500, 1000, "x")       # same 400 texts → all dups vs history
+    b3 = mk(1000, 1200, "y")      # 200 brand-new texts
+
+    bw, pw = str(tmp_path / "bloom_v"), str(tmp_path / "plain_v")
+    for root, fn in ((bw, "bloom"), (pw, "plain")):
+        corpus, seen = os.path.join(root, "c"), os.path.join(root, "s")
+        for i, b in enumerate((b1, b2, b3)):
+            if fn == "bloom":
+                ingest_increment_bloom(
+                    spark, b, corpus, seen, os.path.join(root, "bl"), increment_id=i
+                )
+            else:
+                ingest_increment(spark, b, corpus, seen, increment_id=i)
+
+    def corpus_rows(root):
+        c, s = os.path.join(root, "c"), os.path.join(root, "s")
+        df = spark.read.parquet(*_committed_paths(c, _committed_tokens(s)))
+        return sorted((r.doc_id, r.text) for r in df.collect())
+
+    assert corpus_rows(bw) == corpus_rows(pw)
+    assert len(corpus_rows(bw)) == 600  # 400 + 0 + 200
+
+    # replay no-op
+    corpus, seen = os.path.join(bw, "c"), os.path.join(bw, "s")
+    assert (
+        ingest_increment_bloom(spark, b2, corpus, seen, os.path.join(bw, "bl"), increment_id=1)
+        == 0
+    )
+    # bits bounded
+    bits = spark.read.parquet(
+        *_committed_paths(os.path.join(bw, "bl"), _committed_tokens(seen))
+    )
+    assert bits.select("pos").distinct().count() <= BLOOM_M

@@ -169,6 +169,11 @@ PROBE_OPS = [
     # self-join; cross-run HLL ingest = 3 bounded-state increments
     "dedup_source_matrix",
     "q96_stream_hll_ingest",
+    # round-8: threshold-0 candidate histogram (bounded 10-key agg over
+    # the capped candidate plan); bloom-prefiltered dedup ingest (the
+    # prefilter keeps the anti-join side bloom-claimed-only)
+    "dedup_minhash_histogram",
+    "q97_stream_bloom_ingest",
 ]
 
 
