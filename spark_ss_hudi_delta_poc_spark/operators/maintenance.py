@@ -217,3 +217,49 @@ def vacuum_uncommitted(table_path: str, min_age_seconds: float = 3600.0) -> list
             shutil.rmtree(p, ignore_errors=True)
             removed.append(token)
     return removed
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build from an event
+    stream — the lakehouse MERGE pattern's batch equivalent (Delta/Hudi
+    users materialize exactly this table with `MERGE ... WHEN MATCHED
+    UPDATE valid_to`): for each user, collapse consecutive events with
+    the SAME state (event_type) into one versioned validity interval
+    [valid_from, valid_to), open-ended for the current state.
+
+    Gaps-and-islands: lag() marks state changes, a running sum numbers
+    the islands, one groupBy collapses each island, lead() closes each
+    interval with the next island's start.  Total order inside a user is
+    (ts, event_id) so same-timestamp events can never flip the history
+    between runs.  ONE shuffle: the windows and the groupBy all key on
+    user_id, so Catalyst reuses the exchange; at 100 TB this is a single
+    user-partitioned pass, no global sort.
+
+    Output: (user_id, version, event_type, valid_from, valid_to,
+    n_events, is_current); valid_to is NULL on the current row.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    marked = events.select("user_id", "event_id", "event_type", "ts").withColumn(
+        "is_new",
+        (F.lag("event_type").over(w).isNull() | (F.lag("event_type").over(w) != F.col("event_type"))).cast(
+            "int"
+        ),
+    )
+    islands = marked.withColumn(
+        "version", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    collapsed = islands.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("event_type"),  # constant within an island
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("version").asc())
+    return collapsed.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )

@@ -122,3 +122,68 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def category_drift(events: DataFrame, type_col: str = "event_type", ts_col: str = "ts") -> DataFrame:
+    """Two-sample categorical drift panel — the feed-health monitor run
+    before every retraining cut: split the feed at the midpoint of its
+    event-time range (reference = first half, current = second half) and
+    compare the category distribution across the halves, per-cell.
+
+    Exact arithmetic end-to-end: the split boundary is an integer
+    comparison on floor-epoch seconds (2·epoch ≤ min+max — no division,
+    no timezone), shares are e9 fixed-point integer divisions, and the
+    chi-square cell contribution ((N·O − r·c)² / (N·r·c), the homogeneity
+    test's summand) divides two EXACT integers with deterministic IEEE
+    ops, so every row hash-matches the oracle.  The statistic is
+    published PER CELL rather than as one float total — cell
+    contributions are what drift dashboards plot, and a float sum would
+    be summation-order dependent.
+
+    Plan: one 2-row bounded agg for the time bounds (runtime-broadcast),
+    one partial-agg'd groupBy on (category, half) — cells are bounded by
+    the category domain; margins derive from the cells themselves
+    (a second tiny agg), never from a re-scan.
+
+    Output per (event_type, half): n_obs, n_type_total, n_half_total,
+    n_total, share_e9, chi2_cell.
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    bounds = events.agg(
+        F.min(ep).alias("mn"), F.max(ep).alias("mx")
+    )
+    tagged = events.select(F.col(type_col).alias("event_type"), ep.alias("ep")).crossJoin(
+        F.broadcast(bounds)
+    )
+    cells = (
+        tagged.select(
+            "event_type",
+            F.when(F.col("ep") * 2 <= F.col("mn") + F.col("mx"), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("half"),
+        )
+        .groupBy("event_type", "half")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    type_tot = cells.groupBy("event_type").agg(F.sum("n_obs").alias("n_type_total"))
+    half_tot = cells.groupBy("half").agg(F.sum("n_obs").alias("n_half_total"))
+    total = cells.agg(F.sum("n_obs").alias("n_total"))
+    diff = F.col("n_total") * F.col("n_obs") - F.col("n_type_total") * F.col("n_half_total")
+    return (
+        cells.join(type_tot, "event_type")
+        .join(half_tot, "half")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "half",
+            "n_obs",
+            "n_type_total",
+            "n_half_total",
+            "n_total",
+            F.expr("n_obs * 1000000000 div n_half_total").alias("share_e9"),
+            (
+                (diff.cast("double") * diff.cast("double"))
+                / (F.col("n_total") * F.col("n_type_total") * F.col("n_half_total")).cast("double")
+            ).alias("chi2_cell"),
+        )
+    )

@@ -1361,3 +1361,279 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+# --- Product quantization (PQ) ------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 8 dims per subspace
+PQ_CODES = 16  # codebook entries per subspace → 4 bits/code, 4 bytes/vector
+
+
+def pq_codebooks(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Driver-side PQ codebooks: for each of the PQ_M subspaces, the
+    sub-vectors (in the exact 1000-quantized space) of the first
+    PQ_CODES corpus vectors — deterministic, so the DuckDB oracle
+    reproduces the identical codebooks from the table itself.  Bounded
+    collect: PQ_CODES rows (the broadcast-variable pattern; a production
+    build would k-means each subspace — kmeans_refine_centroids shows
+    that refinement is itself a bounded-exchange plan).
+
+    Returns (code_ids, books) with books shaped (PQ_M, PQ_CODES, PQ_SUBDIM).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.where(F.col(id_col) < PQ_CODES)
+        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("qv"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.cid)
+    code_ids = np.array([r.cid for r in rows], dtype=np.int64)
+    full = np.array([r.qv for r in rows], dtype=np.int64)
+    books = np.stack(
+        [full[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] for s in range(PQ_M)]
+    )  # (M, CODES, SUBDIM)
+    return code_ids, books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books,
+    code_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus as PQ codes — the index-build step that turns a
+    256-byte float32 vector into PQ_M small codes (4 bits each here).
+    Pure map stage (mapInPandas): per subspace, the nearest codebook
+    entry by EXACT integer squared L2 distance in the quantized space;
+    ties break toward the lowest code id (matches the oracle's
+    ROW_NUMBER ORDER BY dist ASC, code ASC).
+
+    Output: (neighbor_id, codes array<long>) — PQ_M entries, each a
+    POSITION 0..PQ_CODES-1 into that subspace's codebook.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books_f = books.astype(np.float64)  # exact: small ints
+    code_order = np.argsort(code_ids)  # already sorted; defensive
+
+    def per_batch(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+            codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                sub = v[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                cb = books_f[s]  # (CODES, SUBDIM)
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; all terms exact
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                # argmin with (dist asc, code asc) tie-break
+                codes[:, s] = np.array(
+                    [code_order[np.lexsort((code_order, row[code_order]))[0]] for row in d2],
+                    dtype=np.int64,
+                )
+            yield pd.DataFrame(
+                {"neighbor_id": ids, "codes": [c.tolist() for c in codes]}
+            )
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
+    ).mapInPandas(per_batch, schema="neighbor_id long, codes array<long>")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k — the OTHER production compression
+    axis next to int8 scalar quantization (quantized_topk): instead of
+    narrowing each component, PQ replaces the vector with PQ_M codebook
+    codes (4 bytes/vector here vs 256 float32 bytes — 64×), and scores
+    by Asymmetric Distance Computation (ADC): the query stays exact, a
+    per-query lookup table LUT[s][c] = <q_s, codebook[s][c]> turns each
+    candidate's score into PQ_M table adds.  This is the FAISS IVFPQ
+    scoring kernel re-expressed on Spark.
+
+    Plan: codebooks = bounded collect (PQ_CODES rows); encode = pure map
+    stage over the corpus (pq_encode); scoring = second map stage over
+    the CODES table only (the scan never rereads the vectors — that is
+    the 64× I/O story), local top-k per partition, then the one
+    ≤ partitions×|Q|×k-row exchange + global window.  Cosine under ADC:
+    approx_dot / sqrt(|q|² · |reconstruction|²), every term an exact
+    integer, one sqrt + one division (engine-identical IEEE).
+
+    Returns (query_id, neighbor_id, cosine_pq, rank); self-matches
+    excluded; zero-reconstruction rows dropped on both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    code_ids, books = pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col)
+    books_f = books.astype(np.float64)
+    cb_nsq = (books_f * books_f).sum(axis=2)  # (M, CODES) reconstruction norm² parts
+
+    q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_pq double, rank int"
+        )
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_nsq = (q_mat * q_mat).sum(axis=1)
+    # per-query ADC lookup tables: (|Q|, M, CODES), exact integer dots
+    lut = np.stack(
+        [
+            q_mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] @ books_f[s].T
+            for s in range(PQ_M)
+        ],
+        axis=1,
+    )
+
+    def score_partition(batches):
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # ADC: sum LUT entries along subspaces → (|Q|, rows)
+            num = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            rec_nsq = np.zeros(len(ids), dtype=np.float64)
+            for s in range(PQ_M):
+                num += lut[:, s, :][:, codes[:, s]]
+                rec_nsq += cb_nsq[s][codes[:, s]]
+            ok = rec_nsq > 0
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                if q_nsq[qi] <= 0:
+                    continue
+                mask = ok & (ids != q_ids[qi])
+                cand_n = ids[mask]
+                cand_c = num[qi][mask] / np.sqrt(q_nsq[qi] * rec_nsq[mask])
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine_pq": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    codes_df = pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col)
+    local = codes_df.mapInPandas(
+        score_partition, schema="query_id long, neighbor_id long, cosine_pq double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id").asc())
+    return local.select(
+        "query_id", "neighbor_id", "cosine_pq", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the production serving topology: a CHEAP
+    coarse scan (int8 scalar quantization, quantized_topk) nominates
+    ``n_candidates`` per query, then ONLY those ≤ |Q|·n_candidates rows
+    are re-scored at full precision (exact quantized cosine) for the
+    final top-k.  The rerank join touches a candidate-sized slice of the
+    corpus — at 100 TB the full-precision vectors are read for a few
+    hundred rows per query, never scanned.
+
+    Plan: stage 1 is quantized_topk's broadcast-queries map scan; the
+    candidate set (bounded: |Q|·n_candidates) then equi-joins the corpus
+    on id — candidate side is tiny, AQE broadcasts it at runtime (no
+    hint: the gate's certificate rules treat a runtime choice as the
+    honest default) — and the exact cosine reranks under a per-query
+    window (input bounded by stage 1).
+
+    Returns (query_id, neighbor_id, cosine, rank) — exact cosines, so a
+    stage-1 miss is visible next to ann_recall_report's exact baseline.
+    """
+    cand = quantized_topk(
+        embeddings, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv_c"))
+    qs = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv_q"))
+    exact = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return exact.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def embedding_top_direction(
+    embeddings: DataFrame, iters: int = 3, vec_col: str = "embedding"
+) -> DataFrame:
+    """Dominant corpus direction by distributed power iteration — the
+    top principal axis used for anisotropy removal ("all-but-the-top"
+    embedding post-processing) and PCA sanity checks, computed without
+    ever materializing pairwise anything.
+
+    Iteration t: y = Σ_rows q·(q·v_t) (= (QᵀQ)v_t without forming QᵀQ),
+    then v_{t+1} = trunc(y·1000 / max|y|) — renormalized back to small
+    integers so every product stays BIGINT-exact and the DuckDB oracle
+    replays the identical arithmetic (Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, the kmeans_refine_centroids precedent).
+    v_0 = (1, 1, …, 1).
+
+    Plan per iteration: one map stage computes s_i = q_i·v as a JVM
+    aggregate expression, a posexplode + pos-keyed partial-agg'd sum
+    reduces to d=64 rows (bounded exchange, independent of corpus
+    size), and the 64-row collect re-seeds the next closure — the
+    broadcast-variable pattern, 3 bounded collects total.  Magnitudes:
+    |y_j| ≤ n·QUANT²·d·QUANT ≈ n·6.4e10 — BIGINT-safe beyond 10⁷ rows;
+    the 100 TB deploy rescales s_i by a constant power of two first
+    (documented knob, deploy/submit_100tb.sh pattern).
+
+    Output: (pos, component) — the 64 components of v_iters in
+    [-1000, 1000], sign-pinned so component of pos 0 is ≥ 0 (eigvectors
+    are sign-ambiguous; both engines pin identically).
+    """
+    vecs = embeddings.select(quantize(vec_col).alias("qv"))
+    v = [1] * DIM
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(int(c)) for c in v])
+        s = F.aggregate(
+            F.zip_with(F.col("qv"), v_lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        y = (
+            vecs.select(F.posexplode(F.transform(F.col("qv"), lambda q: q * s)).alias("pos", "p"))
+            .groupBy("pos")
+            .agg(F.sum("p").alias("y"))
+            .collect()  # bounded: d rows
+        )
+        y_by_pos = {r.pos: r.y for r in y}
+        yv = [y_by_pos.get(p, 0) for p in range(DIM)]
+        m = max(abs(c) for c in yv)
+        if m == 0:
+            break
+        # trunc toward zero, exactly DuckDB's // on BIGINT
+        v = [int((c * 1000) // m) if c >= 0 else -int((-c * 1000) // m) for c in yv]
+    if v[0] < 0:
+        v = [-c for c in v]
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(p, int(c)) for p, c in enumerate(v)], "pos int, component long"
+    )

@@ -322,3 +322,209 @@ def cms_topk(df: DataFrame, key_col: str, top_k: int = CMS_TOP_K) -> DataFrame:
         .limit(top_k)
         .select("key", "est_count", "exact_count")
     )
+
+
+# --- KMV set operations (cross-source overlap) --------------------------------
+
+KMV_PAIR_K = 128
+KMV_PAIR_NUMERATOR = float((KMV_PAIR_K - 1) * (1 << 60))
+
+
+def kmv_source_jaccard(docs: DataFrame, k: int = KMV_PAIR_K) -> DataFrame:
+    """Cross-source content-overlap panel from MERGED KMV sketches — the
+    set-operation face of the KMV family: union cardinality and Jaccard
+    similarity for every source pair, estimated from two k-row sketches
+    (the standard KMV estimators: merged = k smallest of the union;
+    D_union ≈ (k-1)·2^60/h_(k); J ≈ |{h ∈ merged: h in BOTH sketches}|/
+    |merged|), shown NEXT TO the exact values so the sketch error is
+    measurable — the monitor pattern every sketch in this module follows.
+
+    Item domain: distinct word-3-gram hashes per source (the same
+    shingles the dedup family indexes), so "overlap" here means shared
+    CONTENT, not shared doc ids — the statistic mixture planners read
+    before merging two crawls.
+
+    Plan: distinct (source, h) [1 shuffle] → per-source k-smallest via a
+    PARTITIONED ranking window [1 shuffle, output ≤ |sources|·k rows —
+    a bounded sketch table from then on]; the pair stage runs entirely
+    on sketches (≤ |sources|²·k rows); the EXACT side is a shingle-hash
+    keyed self-join (a.source < b.source) — the scale-correct shape, the
+    per-hash join never broadcasts a corpus-sized table.  When the
+    merged sketch holds fewer than k hashes it IS the union, and the
+    estimators return the exact values (asserted by the in-repo test).
+
+    Output per (source_a < source_b): n_a, n_b, inter_exact,
+    union_exact, union_est, jacc_exact, jacc_est.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles
+
+    hashes = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(F.col("source"), F.explode(shingles(F.col("text"))).alias("sh"))
+        .select("source", md5_long(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    n_exact = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    sketch = (
+        hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    )
+
+    pairs = (
+        n_exact.alias("a")
+        .crossJoin(n_exact.alias("b"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+    sk_a = sketch.select(F.col("source").alias("source_a"), "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    sk_b = sketch.select(F.col("source").alias("source_b"), "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    tagged = pairs.select("source_a", "source_b").join(sk_a, "source_a").unionByName(
+        pairs.select("source_a", "source_b").join(sk_b, "source_b").select(
+            "source_a", "source_b", "h", "in_a", "in_b"
+        )
+    )
+    merged_rows = tagged.groupBy("source_a", "source_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy(F.col("h").asc())
+    merged = (
+        merged_rows.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.max("h").alias("m_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_sketch"),
+        )
+    )
+    inter = (
+        hashes.alias("x")
+        .join(hashes.alias("y"), "h")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    return (
+        pairs.join(merged, ["source_a", "source_b"])
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("inter_exact"), F.lit(0)).alias("inter_exact"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter_exact"), F.lit(0))).alias(
+                "union_exact"
+            ),
+            F.when(F.col("n_merged") < k, F.col("n_merged").cast("double"))
+            .otherwise(F.lit(KMV_PAIR_NUMERATOR) / F.col("m_k").cast("double"))
+            .alias("union_est"),
+            (
+                F.coalesce(F.col("inter_exact"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter_exact"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("jacc_exact"),
+            (F.col("inter_in_sketch").cast("double") / F.col("n_merged").cast("double")).alias(
+                "jacc_est"
+            ),
+        )
+    )
+
+
+# --- Bloom semi-join reduction -------------------------------------------------
+
+def bloom_join_reduction(
+    lineitem: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """Bloom-prefiltered fact-dim join — the batch face of the runtime
+    row-level filter (Spark's own InjectRuntimeFilter / Parquet bloom
+    skipping do exactly this): build an m-bit Bloom filter over the
+    FILTERED dim keys (urgent orders), test every fact key against the
+    BOUNDED (≤ m-row) bit table map-side, and run the exact join only on
+    the claimed rows.  No false negatives ⇒ the join result is provably
+    identical to the unfiltered join; the payoff at 100 TB is that the
+    fact shuffle carries only the claimed fraction (here the bloom-pass
+    selectivity is REPORTED, so the reduction is measurable, not
+    asserted).
+
+    Plan: bit table = distinct positions of k seeded hashes [bounded
+    ≤ m rows — AQE broadcasts at runtime, no hint needed]; fact keys
+    deduped once, verdict joined back on the key [the fact never crosses
+    the wire un-reduced]; exact semi-join only on survivors.
+
+    Output (1 row): n_fact_rows, n_fact_keys, n_build_keys,
+    n_pass_keys, n_pass_rows, n_joined_rows, revenue_e4 (exact integer
+    money over the truly-joined rows).
+    """
+    from ..operators.joins import money_e4
+
+    build = (
+        orders.where(F.col("o_orderpriority") == priority)
+        .select(F.col("o_orderkey").alias("bk"))
+        .distinct()
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[(seeded_md5_long(F.col("bk"), s) % F.lit(BLOOM_M)) for s in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("is_set", F.lit(1))
+    )
+    fact = lineitem.select(
+        F.col("l_orderkey").alias("pk"),
+        money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("rev_e4"),
+    )
+    pkeys = fact.select("pk").distinct()
+    ppos = pkeys.select(
+        "pk",
+        F.explode(
+            F.array(*[(seeded_md5_long(F.col("pk"), s) % F.lit(BLOOM_M)) for s in range(BLOOM_K)])
+        ).alias("pos"),
+    ).distinct()
+    verdict = (
+        ppos.join(bits, "pos", "left")
+        .groupBy("pk")
+        .agg(F.min(F.coalesce(F.col("is_set"), F.lit(0))).alias("all_set"))
+        .where(F.col("all_set") == 1)
+        .select("pk")
+    )
+    passed = fact.join(verdict, "pk")
+    joined = passed.join(build, passed.pk == build.bk)
+
+    n_fact = fact.agg(
+        F.count(F.lit(1)).alias("n_fact_rows"),
+        F.count_distinct(F.col("pk")).alias("n_fact_keys"),
+    )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_pass = passed.agg(
+        F.count_distinct(F.col("pk")).alias("n_pass_keys"),
+        F.count(F.lit(1)).alias("n_pass_rows"),
+    )
+    n_join = joined.agg(
+        F.count(F.lit(1)).alias("n_joined_rows"),
+        F.sum("rev_e4").cast("long").alias("revenue_e4"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_join))
+        .select(
+            "n_fact_rows",
+            "n_fact_keys",
+            "n_build_keys",
+            "n_pass_keys",
+            "n_pass_rows",
+            "n_joined_rows",
+            "revenue_e4",
+        )
+    )

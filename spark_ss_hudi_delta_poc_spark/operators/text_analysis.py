@@ -695,3 +695,60 @@ def ngram_lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.sum("p_e9").alias("sum_p_e9"),
         (F.sum("p_e9").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_p_e9"),
     )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, top_k: int = 20) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the association statistic behind phrase mining / tokenizer merge
+    inspection (a high-PMI bigram is a phrase the tokenizer should
+    probably keep whole).
+
+    Log-free rational form (the repo's ngram_lm_score convention): PMI
+    ranks identically to its exponential N·c(xy)/(c(x)·c(y)), so the
+    score is that ratio — two exact BIGINT products and ONE IEEE
+    division, bit-identical across engines; `min_count` keeps the
+    classic low-frequency PMI blowup out of the top-k.
+
+    Plan: bigram counts and unigram counts are two partial-agg'd
+    shuffles; the count joins key on the WORD (vocab-sized sides, plain
+    shuffle joins — a unigram table is corpus-proportional and must
+    never broadcast: round-5 rule); the top-k is orderBy+limit
+    (TakeOrdered — lazy, no global sort).
+
+    Output: (x, y, n_xy, n_x, n_y, n_pairs, pmi_ratio) — top_k rows by
+    (pmi_ratio desc, x asc, y asc).
+    """
+    w = words(F.col("text"))
+    toks = docs.where(F.size(w) >= 2).select(w.alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS x, w[i + 1] AS y))")
+        ).alias("b")
+    ).select("b.x", "b.y")
+    pc = bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = docs.select(F.explode(words(F.col("text"))).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    n_pairs = bigrams.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ux = uni.select(F.col("t").alias("x"), F.col("n_t").alias("n_x"))
+    uy = uni.select(F.col("t").alias("y"), F.col("n_t").alias("n_y"))
+    return (
+        pc.where(F.col("n_xy") >= min_count)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n_pairs",
+            (
+                (F.col("n_pairs") * F.col("n_xy")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(top_k)
+    )

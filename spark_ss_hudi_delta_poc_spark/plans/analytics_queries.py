@@ -975,3 +975,174 @@ QUERIES.extend(
         ),
     ]
 )
+
+
+# --- round-8 late additions: KMV set ops, Bloom join reduction, drift --------
+
+
+def sketch_kmv_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.kmv_source_jaccard(load(spark, sf, "documents"))
+
+
+def _kmv_jaccard_sql() -> str:
+    k = sketches.KMV_PAIR_K
+    h = md5_long_sql_duckdb("sg")
+    return f"""
+    WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT source, ({h}) AS h FROM (
+             SELECT source,
+                    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sg
+             FROM ws WHERE len(w) >= 3)),
+    n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    sk AS (SELECT source, h FROM
+             (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY h ASC) AS rn FROM sh)
+           WHERE rn <= {k}),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM n a JOIN n b ON a.source < b.source),
+    tagged AS (
+      SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+      FROM pairs p JOIN sk s ON s.source = p.source_a
+      UNION ALL
+      SELECT p.source_a, p.source_b, s.h, 0, 1
+      FROM pairs p JOIN sk s ON s.source = p.source_b),
+    mr AS (SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+           FROM tagged GROUP BY 1, 2, 3),
+    mtop AS (SELECT * FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                       ORDER BY h ASC) AS rn FROM mr)
+             WHERE rn <= {k}),
+    m AS (SELECT source_a, source_b, COUNT(*) AS n_merged, MAX(h) AS m_k,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_sketch
+          FROM mtop GROUP BY 1, 2),
+    inter AS (SELECT x.source AS source_a, y.source AS source_b,
+                     COUNT(*) AS inter_exact
+              FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+              GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+           COALESCE(i.inter_exact, 0) AS inter_exact,
+           p.n_a + p.n_b - COALESCE(i.inter_exact, 0) AS union_exact,
+           CASE WHEN m.n_merged < {k} THEN CAST(m.n_merged AS DOUBLE)
+                ELSE {sketches.KMV_PAIR_NUMERATOR!r} / m.m_k END AS union_est,
+           CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+             / CAST(p.n_a + p.n_b - COALESCE(i.inter_exact, 0) AS DOUBLE) AS jacc_exact,
+           CAST(m.inter_in_sketch AS DOUBLE) / CAST(m.n_merged AS DOUBLE) AS jacc_est
+    FROM pairs p
+    JOIN m ON m.source_a = p.source_a AND m.source_b = p.source_b
+    LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+    """
+
+
+def bloom_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.bloom_join_reduction(
+        load(spark, sf, "lineitem"), load(spark, sf, "orders")
+    )
+
+
+def _bloom_join_sql() -> str:
+    m, kk = sketches.BLOOM_M, sketches.BLOOM_K
+    bpos = " UNION ALL ".join(
+        f"SELECT bk, ({seeded_md5_long_sql_duckdb('bk', s)}) % {m} AS pos FROM bk"
+        for s in range(kk)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT pk, ({seeded_md5_long_sql_duckdb('pk', s)}) % {m} AS pos FROM pkeys"
+        for s in range(kk)
+    )
+    return f"""
+    WITH bk AS (SELECT DISTINCT o_orderkey AS bk FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+    bits AS (SELECT DISTINCT pos FROM ({bpos})),
+    fact AS (SELECT l_orderkey AS pk,
+                    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev_e4
+             FROM lineitem),
+    pkeys AS (SELECT DISTINCT pk FROM fact),
+    ppos AS (SELECT DISTINCT pk, pos FROM ({ppos})),
+    claimed AS (SELECT p.pk,
+                       MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+                FROM ppos p LEFT JOIN bits b ON p.pos = b.pos GROUP BY p.pk),
+    passk AS (SELECT pk FROM claimed WHERE all_set = 1),
+    passed AS (SELECT f.pk, f.rev_e4 FROM fact f JOIN passk USING (pk)),
+    joined AS (SELECT f.pk, f.rev_e4 FROM passed f JOIN bk ON f.pk = bk.bk),
+    a AS (SELECT COUNT(*) AS n_fact_rows, COUNT(DISTINCT pk) AS n_fact_keys FROM fact),
+    b AS (SELECT COUNT(*) AS n_build_keys FROM bk),
+    c AS (SELECT COUNT(DISTINCT pk) AS n_pass_keys, COUNT(*) AS n_pass_rows FROM passed),
+    d AS (SELECT COUNT(*) AS n_joined_rows,
+                 CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4 FROM joined)
+    SELECT a.n_fact_rows, a.n_fact_keys, b.n_build_keys,
+           c.n_pass_keys, c.n_pass_rows, d.n_joined_rows, d.revenue_e4
+    FROM a, b, c, d
+    """
+
+
+def monitor_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import category_drift
+
+    return category_drift(load(spark, sf, "events"))
+
+
+QUERIES.extend(
+    [
+        Query(
+            "sketch_kmv_jaccard",
+            sketch_kmv_jaccard_q,
+            _kmv_jaccard_sql(),
+            doc="cross-source content overlap from MERGED KMV sketches "
+            "(k=128 over word-3-gram hashes): union cardinality + Jaccard "
+            "per source pair from two k-row sketches, shown next to the "
+            "exact values — the set-operation face of KMV; pair stage "
+            "runs on bounded sketch tables, exact side is an h-keyed "
+            "shuffle self-join",
+            tags=("analytics", "sketch", "llm"),
+        ),
+        Query(
+            "bloom_join_reduction",
+            bloom_join_q,
+            _bloom_join_sql(),
+            doc="Bloom-prefiltered fact-dim join (the runtime row-filter "
+            "pattern): bounded <= m-row bit table tests every fact key "
+            "map-side, exact join runs only on claimed rows — result "
+            "provably identical (no false negatives), pass selectivity "
+            "REPORTED so the shuffle reduction is measurable",
+            tags=("analytics", "sketch", "join"),
+        ),
+        Query(
+            "monitor_category_drift",
+            monitor_drift_q,
+            """
+            WITH e AS (SELECT event_type,
+                              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+            b AS (SELECT MIN(ep) AS mn, MAX(ep) AS mx FROM e),
+            cells AS (
+              SELECT event_type,
+                     CASE WHEN ep * 2 <= b.mn + b.mx THEN 'ref' ELSE 'cur' END AS half,
+                     COUNT(*) AS n_obs
+              FROM e, b GROUP BY 1, 2
+            ),
+            tt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_type_total
+                   FROM cells GROUP BY 1),
+            ht AS (SELECT half, CAST(SUM(n_obs) AS BIGINT) AS n_half_total
+                   FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cells)
+            SELECT c.event_type, c.half, c.n_obs,
+                   tt.n_type_total, ht.n_half_total, tot.n_total,
+                   (c.n_obs * 1000000000) // ht.n_half_total AS share_e9,
+                   (CAST(tot.n_total * c.n_obs - tt.n_type_total * ht.n_half_total AS DOUBLE)
+                    * CAST(tot.n_total * c.n_obs - tt.n_type_total * ht.n_half_total AS DOUBLE))
+                   / CAST(tot.n_total * tt.n_type_total * ht.n_half_total AS DOUBLE) AS chi2_cell
+            FROM cells c
+            JOIN tt ON c.event_type = tt.event_type
+            JOIN ht ON c.half = ht.half, tot
+            """,
+            doc="two-sample categorical drift panel: feed split at the "
+            "integer epoch midpoint (2*ep <= mn+mx, no division), per-cell "
+            "chi-square homogeneity contribution from EXACT integers (one "
+            "deterministic IEEE square + division per cell, no float "
+            "sums), e9 fixed-point shares — the retraining-cut health "
+            "check",
+            tags=("analytics", "monitoring"),
+        ),
+    ]
+)

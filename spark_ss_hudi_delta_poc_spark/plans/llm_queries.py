@@ -2969,3 +2969,214 @@ QUERIES.append(
         tags=("llm", "dedup", "monitoring"),
     )
 )
+
+
+# --- Product-quantization ANN, two-stage rerank, power iteration (round 8) ----
+
+
+def ann_pq_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.pq_topk(emb, _ann_queries(emb), k=ANN_K)
+
+
+def _pq_oracle() -> str:
+    m, sd, codes = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_CODES
+    return f"""
+    WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+    ss AS (SELECT unnest(range({m})) AS s),
+    sub AS (SELECT c.vec_id, ss.s, c.qv[ss.s*{sd}+1 : (ss.s+1)*{sd}] AS sv FROM c, ss),
+    cb AS (SELECT s, vec_id AS code, sv AS cv,
+                  list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS cvn
+           FROM sub WHERE vec_id < {codes}),
+    enc AS (
+      SELECT vec_id, s, cv, cvn FROM (
+        SELECT sub.vec_id, sub.s, cb.cv, cb.cvn,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 list_dot_product(sub.sv::DOUBLE[], sub.sv::DOUBLE[])
+                 - 2 * list_dot_product(sub.sv::DOUBLE[], cb.cv::DOUBLE[])
+                 + cb.cvn ASC, cb.code ASC) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, qv,
+                 list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) AS qn
+          FROM c WHERE vec_id < {ANN_QUERY_MAX_ID}
+            AND list_dot_product(qv::DOUBLE[], qv::DOUBLE[]) > 0),
+    qsub AS (SELECT q.query_id, ss.s,
+                    q.qv[ss.s*{sd}+1 : (ss.s+1)*{sd}] AS qsv, q.qn
+             FROM q, ss),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             SUM(list_dot_product(qs.qsv::DOUBLE[], e.cv::DOUBLE[])) AS num,
+             SUM(e.cvn) AS rec_nsq, qs.qn AS qn
+      FROM qsub qs JOIN enc e ON qs.s = e.s AND qs.query_id <> e.vec_id
+      GROUP BY qs.query_id, e.vec_id, qs.qn
+    ),
+    fin AS (SELECT query_id, neighbor_id, num / sqrt(qn * rec_nsq) AS cosine_pq
+            FROM scored WHERE rec_nsq > 0)
+    SELECT query_id, neighbor_id, cosine_pq, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_pq DESC, neighbor_id ASC) AS rn FROM fin)
+    WHERE rn <= {ANN_K}
+    """
+
+
+QUERIES.append(
+    Query(
+        "ann_pq_topk",
+        ann_pq_q,
+        _pq_oracle(),
+        doc="product-quantization ANN top-k (8 subspaces x 16 codes, "
+        "4 bytes/vector vs 256 — the 64x compression axis next to int8): "
+        "codebooks bounded-collected, corpus encoded in one map stage, "
+        "ADC scoring reads ONLY the codes table (per-query lookup "
+        "tables, FAISS IVFPQ's scoring kernel) with local top-k before "
+        "the one bounded exchange; exact-integer LUTs, one sqrt + one "
+        "division — bit-identical to the oracle",
+        tags=("llm", "ann", "similarity"),
+    )
+)
+
+
+def ann_rerank_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.rerank_topk(emb, _ann_queries(emb), k=ANN_K, n_candidates=25)
+
+
+QUERIES.append(
+    Query(
+        "ann_rerank_topk",
+        ann_rerank_q,
+        f"""
+        WITH raw AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        ),
+        c8 AS (
+          SELECT vec_id,
+                 list_transform(v, x -> floor((x * 127.0) / scale)) AS qv
+          FROM raw WHERE scale > 0
+        ),
+        q8 AS (SELECT vec_id, qv FROM c8 WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        s1 AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {COS.format(a="q.qv", b="c.qv")} AS cq8
+          FROM q8 q CROSS JOIN c8 c WHERE q.vec_id <> c.vec_id
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cq8 DESC, neighbor_id ASC) AS rn FROM s1)
+          WHERE rn <= 25
+        ),
+        ex AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 {COS.format(a="qq.qv", b="cc.qv")} AS cosine
+          FROM cand JOIN ex cc ON cand.neighbor_id = cc.vec_id
+                    JOIN ex qq ON cand.query_id = qq.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored)
+        WHERE rn <= {ANN_K}
+        """,
+        doc="two-stage retrieval (the production serving topology): int8 "
+        "coarse scan nominates 25 candidates/query, full-precision exact "
+        "cosine reranks ONLY those — the rerank join touches a "
+        "candidate-sized corpus slice, never a scan; candidate side "
+        "un-hinted (AQE runtime-broadcasts)",
+        tags=("llm", "ann", "similarity"),
+    )
+)
+
+
+def embedding_top_direction_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_top_direction(load(spark, sf, "embeddings"))
+
+
+def _power_iter_oracle(iters: int = 3) -> str:
+    dim = similarity.DIM
+    ctes = [f"c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings)"]
+    ctes.append(f"p AS (SELECT unnest(range({dim})) AS pos)")
+    ctes.append("v0 AS (SELECT pos, 1 AS component FROM p)")
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"r{t} AS (SELECT c.vec_id, CAST(SUM(c.qv[v.pos+1] * v.component) AS BIGINT) AS s"
+            f" FROM c CROSS JOIN v{t-1} v GROUP BY c.vec_id)"
+        )
+        ctes.append(
+            f"y{t} AS (SELECT p.pos, CAST(SUM(c.qv[p.pos+1] * r.s) AS BIGINT) AS y"
+            f" FROM c JOIN r{t} r USING (vec_id) CROSS JOIN p GROUP BY p.pos)"
+        )
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(y)) AS m FROM y{t})")
+        ctes.append(
+            f"v{t} AS (SELECT pos, CASE WHEN y >= 0 THEN (y*1000)//m"
+            f" ELSE -((-y*1000)//m) END AS component FROM y{t}, m{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sgn AS (SELECT CASE WHEN (SELECT component FROM v{iters} WHERE pos = 0) < 0
+                        THEN -1 ELSE 1 END AS s)
+    SELECT CAST(v.pos AS INTEGER) AS pos,
+           CAST(v.component * sgn.s AS BIGINT) AS component
+    FROM v{iters} v, sgn
+    """
+    )
+
+
+QUERIES.append(
+    Query(
+        "embedding_top_direction",
+        embedding_top_direction_q,
+        _power_iter_oracle(),
+        doc="dominant corpus direction by distributed power iteration "
+        "(3 iterations, e9-free integer renormalization — trunc toward "
+        "zero on both engines): y = Q'(Qv) without forming Q'Q, one "
+        "bounded d-row exchange + collect per iteration (the broadcast-"
+        "variable pattern); the anisotropy axis all-but-the-top "
+        "post-processing removes",
+        tags=("llm", "embedding", "similarity"),
+    )
+)
+
+
+def text_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.pmi_collocations(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "text_pmi_collocations",
+        text_pmi_q,
+        f"""
+        WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+        bg AS (SELECT w[i] AS x, w[i+1] AS y
+               FROM ws, unnest(range(1, len(w))) AS t(i)),
+        pc AS (SELECT x, y, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2
+               HAVING COUNT(*) >= 5),
+        uni AS (SELECT t, COUNT(*) AS n_t FROM
+                  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                GROUP BY 1),
+        np AS (SELECT COUNT(*) AS n_pairs FROM bg)
+        SELECT pc.x, pc.y, pc.n_xy,
+               ux.n_t AS n_x, uy.n_t AS n_y, np.n_pairs,
+               CAST(np.n_pairs * pc.n_xy AS DOUBLE)
+                 / CAST(ux.n_t * uy.n_t AS DOUBLE) AS pmi_ratio
+        FROM pc JOIN uni ux ON pc.x = ux.t
+                JOIN uni uy ON pc.y = uy.t, np
+        ORDER BY pmi_ratio DESC, pc.x ASC, pc.y ASC LIMIT 20
+        """,
+        doc="top-20 adjacent-word collocations by PMI in the log-free "
+        "rational form (N*c(xy)/(c(x)*c(y)) ranks identically to PMI — "
+        "exact BIGINT products, ONE division): two partial-agg'd count "
+        "shuffles, vocab-sized unigram joins stay shuffle joins (never "
+        "broadcast), lazy orderBy+limit top-k",
+        tags=("llm", "text"),
+    )
+)

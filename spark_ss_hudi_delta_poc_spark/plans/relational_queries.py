@@ -399,3 +399,51 @@ QUERIES = [
         tags=("relational", "join", "range"),
     ),
 ]
+
+
+def scd2_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.maintenance import scd2_history
+
+    return scd2_history(load(spark, sf, "events"))
+
+
+QUERIES.append(
+    Query(
+        "scd2_history",
+        scd2_q,
+        """
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        islands AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+          FROM marked
+        ),
+        collapsed AS (
+          SELECT user_id, version, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM islands GROUP BY user_id, version
+        )
+        SELECT user_id, version, event_type, valid_from,
+               LEAD(valid_from) OVER wv AS valid_to,
+               n_events,
+               LEAD(valid_from) OVER wv IS NULL AS is_current
+        FROM collapsed
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
+        """,
+        doc="SCD Type 2 history from an event stream (the lakehouse MERGE "
+        "pattern batch-side): consecutive same-state events collapse into "
+        "versioned [valid_from, valid_to) intervals, open-ended current "
+        "row; gaps-and-islands with (ts, event_id) total order — ONE "
+        "user-keyed shuffle reused by both windows and the groupBy",
+        tags=("relational", "window", "maintenance"),
+    )
+)

@@ -1515,3 +1515,191 @@ def test_source_dup_matrix_counts(spark):
     assert out[("A", "B")].n_doc_pairs == 2       # 2x1 cross
     assert ("B", "B") not in out                  # no within-B pairs
     assert out[("A", "B")].n_dup_groups == 1
+
+
+# --- round-8 late batch: PQ / rerank / power iteration / drift / SCD2 / PMI ---
+
+
+def test_pq_topk_beats_random_and_caps_k(spark):
+    """PQ is lossy but not random: on the sf0.001 corpus the ADC top-5
+    must overlap the exact top-5 (recall > 0) and respect rank/k bounds."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import pq_topk
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pq = pq_topk(emb, queries, k=5).collect()
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    assert len(pq) == 25 and all(1 <= r.rank <= 5 for r in pq)
+    assert all(r.query_id != r.neighbor_id for r in pq)
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq}
+    ex_set = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(pq_set & ex_set) > 0  # lossy, but correlated with truth
+
+
+def test_pq_encode_is_codebook_argmin(spark):
+    """Hand-check one vector: its code in every subspace must be the
+    codebook entry with the smallest exact L2 distance (lowest id wins
+    ties)."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        pq_codebooks,
+        pq_encode,
+    )
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    code_ids, books = pq_codebooks(emb)
+    row = pq_encode(emb.where(F.col("vec_id") == 42), books, code_ids).collect()[0]
+    vec = emb.where(F.col("vec_id") == 42).collect()[0].embedding
+    qv = np.floor(np.asarray(vec, dtype=np.float64) * 1000.0)
+    for s in range(PQ_M):
+        sub = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        d2 = ((books[s].astype(np.float64) - sub) ** 2).sum(axis=1)
+        assert row.codes[s] == int(np.argmin(d2))  # argmin returns first min
+
+
+def test_rerank_recovers_exact_topk_when_candidates_cover(spark):
+    """With n_candidates == corpus size the rerank stage sees everything,
+    so the result must EQUAL the exact brute-force top-k."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import rerank_topk
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    n = emb.count()
+    rr = {(r.query_id, r.neighbor_id, r.rank) for r in rerank_topk(emb, queries, k=5, n_candidates=n).collect()}
+    ex = {(r.query_id, r.neighbor_id, r.rank) for r in brute_force_topk(emb, queries, k=5).collect()}
+    assert rr == ex
+
+
+def test_power_iteration_bit_exact_numpy_replica(spark):
+    """The distributed iteration must reproduce the integer reference
+    algorithm bit-for-bit (same trunc-toward-zero renormalization)."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import embedding_top_direction
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_top_direction(emb).collect()
+    got = [r.component for r in sorted(rows, key=lambda r: r.pos)]
+    mat = np.stack(
+        [np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000.0) for r in emb.collect()]
+    ).astype(object)  # python ints: exact, overflow-free
+    v = [1] * 64
+    for _ in range(3):
+        s = mat @ np.array(v, dtype=object)
+        y = mat.T @ s
+        m = max(abs(int(c)) for c in y)
+        v = [int((int(c) * 1000) // m) if c >= 0 else -int((-int(c) * 1000) // m) for c in y]
+    if v[0] < 0:
+        v = [-c for c in v]
+    assert got == v
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """On an ANISOTROPIC corpus (one strong planted axis + small noise)
+    3 iterations must align with the planted direction (|cos| > 0.99) —
+    the regime the anisotropy monitor exists for."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import embedding_top_direction
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    data = []
+    for i in range(200):
+        x = (3.0 * rng.randn()) * u + 0.1 * rng.randn(64)
+        data.append((i, [float(c) for c in x]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    rows = embedding_top_direction(df).collect()
+    v = np.array([r.component for r in sorted(rows, key=lambda r: r.pos)], dtype=np.float64)
+    cos = abs(u @ v) / np.linalg.norm(v)
+    assert cos > 0.99
+
+
+def test_category_drift_margins_consistent(spark):
+    """Cells must sum to the margins; chi2 contribution is zero iff the
+    cell matches its expectation exactly; shares are e9 fixed-point."""
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import category_drift
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    rows = category_drift(ev).collect()
+    n_total = rows[0].n_total
+    assert sum(r.n_obs for r in rows) == n_total
+    halves = {}
+    for r in rows:
+        halves.setdefault(r.half, 0)
+        halves[r.half] += r.n_obs
+        assert 0 <= r.share_e9 <= 1_000_000_000
+        assert r.chi2_cell >= 0.0
+    for r in rows:
+        assert halves[r.half] == r.n_half_total
+
+
+def test_scd2_history_intervals(spark):
+    """Hand-built stream: A A B A for one user must collapse to 3
+    versions with adjacent [valid_from, valid_to) intervals and one
+    open-ended current row; n_events counts the collapsed rows."""
+    from datetime import datetime as dt
+
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 0), 7, "A"),
+            (2, dt(2024, 1, 1, 1, 0), 7, "A"),
+            (3, dt(2024, 1, 1, 2, 0), 7, "B"),
+            (4, dt(2024, 1, 1, 3, 0), 7, "A"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = sorted(scd2_history(df).collect(), key=lambda r: r.version)
+    assert [r.event_type for r in rows] == ["A", "B", "A"]
+    assert [r.n_events for r in rows] == [2, 1, 1]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[2].valid_to is None and rows[2].is_current
+    assert not rows[0].is_current and not rows[1].is_current
+
+
+def test_scd2_same_timestamp_tiebreak(spark):
+    """Two different states at the SAME ts: event_id breaks the tie, so
+    the history is deterministic across runs."""
+    from datetime import datetime as dt
+
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1), 7, "X"),
+            (11, dt(2024, 1, 1), 7, "Y"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = sorted(scd2_history(df).collect(), key=lambda r: r.version)
+    assert [r.event_type for r in rows] == ["X", "Y"]
+
+
+def test_pmi_hand_computed(spark):
+    """4 docs where 'new york' always co-occurs: its ratio must equal
+    N*c(xy)/(c(x)c(y)) exactly and beat a frequent-but-independent pair."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + ("the cat " * 5).strip()) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    by_pair = {(r.x, r.y): r for r in rows}
+    ny = by_pair[("new", "york")]
+    assert ny.n_xy == 5 and ny.n_x == 5 and ny.n_y == 5
+    assert ny.pmi_ratio == ny.n_pairs * 5 / 25.0
+    # 'the cat' occurs 25x but its unigrams are everywhere → lower ratio
+    assert by_pair[("the", "cat")].pmi_ratio < ny.pmi_ratio

@@ -132,3 +132,55 @@ def test_hll_lc_table_covers_full_domain():
     assert len(tab) == sketches.HLL_M
     assert tab[0][0] == 1 and tab[-1][0] == sketches.HLL_M
     assert tab[-1][1] == 0.0  # V == m → ln(1) == 0
+
+
+def test_kmv_jaccard_exact_when_under_k(spark):
+    """Sources with fewer than k distinct shingles per pair-union must
+    return the EXACT union and Jaccard (merged sketch IS the union)."""
+    docs = load(spark, SF, "documents")
+    rows = sketches.kmv_source_jaccard(docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.union_exact == r.n_a + r.n_b - r.inter_exact
+        assert 0.0 <= r.jacc_est <= 1.0
+        if r.union_exact < sketches.KMV_PAIR_K:
+            # under-k: estimators must be exact, not approximate
+            assert r.union_est == float(r.union_exact)
+            assert r.jacc_est == r.jacc_exact
+
+
+def test_kmv_jaccard_estimator_quality(spark):
+    """Above-k pairs: union estimate within KMV error (se ~ 1/sqrt(k-1)
+    ≈ 8.9% at k=128; assert 4 sigma), Jaccard estimate within 0.25
+    absolute (binomial on k draws)."""
+    docs = load(spark, SF, "documents")
+    rows = [r for r in sketches.kmv_source_jaccard(docs).collect()
+            if r.union_exact >= sketches.KMV_PAIR_K]
+    for r in rows:
+        assert abs(r.union_est - r.union_exact) / r.union_exact < 0.36
+        assert abs(r.jacc_est - r.jacc_exact) < 0.25
+
+
+def test_bloom_join_reduction_identical_to_plain_join(spark):
+    """No false negatives ⇒ the bloom-prefiltered join result must equal
+    the plain join, row count and revenue both."""
+    li, orders = load(spark, SF, "lineitem"), load(spark, SF, "orders")
+    r = sketches.bloom_join_reduction(li, orders).collect()[0]
+    from spark_ss_hudi_delta_poc_spark.operators.joins import money_e4
+
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey").distinct()
+    plain = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money_e4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("rev"),
+        )
+        .collect()[0]
+    )
+    assert r.n_joined_rows == plain.n
+    assert r.revenue_e4 == plain.rev
+    # the filter may pass extra keys (false positives) but never fewer
+    assert r.n_pass_rows >= r.n_joined_rows
+    assert r.n_pass_keys >= r.n_build_keys - (r.n_fact_keys - r.n_pass_keys)  # sanity
+    # and it must actually reduce the fact side on this selective build
+    assert r.n_pass_rows < r.n_fact_rows
