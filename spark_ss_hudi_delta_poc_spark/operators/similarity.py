@@ -1196,6 +1196,9 @@ def ann_recall_report(
         ("lsh_x4", lsh_topk(embeddings, queries, k, id_col, vec_col, n_tables=4)),
         ("ivf", ivf_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
         ("quantized", quantized_topk(embeddings, queries, k, id_col, vec_col)),
+        ("pq", pq_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
+        ("ivfpq", ivfpq_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
+        ("rerank", rerank_topk(embeddings, queries, k, id_col=id_col, vec_col=vec_col)),
     ]
     tagged = None
     for name, df in methods:
@@ -1637,3 +1640,116 @@ def embedding_top_direction(
     return spark.createDataFrame(
         [(p, int(c)) for p, c in enumerate(v)], "pos int, component long"
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the full FAISS-IVFPQ topology on Spark: the inverted
+    file bounds WHICH vectors are scored (nprobe=1: only the query's
+    cluster) and product quantization bounds the BYTES each scored
+    vector costs (PQ_M codes ≈ 4 bytes vs 256).  This composes
+    :func:`ivf_topk`'s pruning with :func:`pq_topk`'s ADC scoring the
+    way production vector indexes ship.
+
+    Plan: ONE Arrow map stage per corpus partition computes the cluster
+    assignment (exact 1000-space argmax, identical to _assign_clusters)
+    AND the PQ codes, then scores rows against only the queries probing
+    that row's cluster via the per-(query, subspace) lookup tables —
+    no corpus shuffle at all; the single exchange is the
+    ≤ partitions×|Q|×k local-top-k union under the global rank window.
+    Centroids and codebooks are bounded collects (n_centroids / PQ_CODES
+    rows).  All arithmetic exact-integer up to one sqrt + one division.
+
+    Returns (query_id, neighbor_id, cosine_pq, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+    code_ids, books = pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col)
+    books_f = books.astype(np.float64)
+    cb_nsq = (books_f * books_f).sum(axis=2)
+
+    def assign(mat: "np.ndarray") -> "np.ndarray":
+        nsq = (mat * mat).sum(axis=1)
+        cos = (mat @ cent_mat.T) / np.sqrt(nsq[:, None] * cent_nsq[None, :])
+        return np.array(
+            [cent_ids[np.lexsort((cent_ids, -row))[0]] for row in cos], dtype=np.int64
+        )
+
+    def encode(mat: "np.ndarray") -> "np.ndarray":
+        codes = np.empty((len(mat), PQ_M), dtype=np.int64)
+        for s in range(PQ_M):
+            sub = mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            cb = books_f[s]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)  # first min == lowest code id
+        return codes
+
+    q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_pq double, rank int"
+        )
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_nsq = (q_mat * q_mat).sum(axis=1)
+    q_cl = assign(q_mat)
+    lut = np.stack(
+        [q_mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] @ books_f[s].T for s in range(PQ_M)],
+        axis=1,
+    )
+
+    def per_partition(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            cl = assign(mat)
+            codes = encode(mat)
+            rec_nsq = np.zeros(len(ids), dtype=np.float64)
+            for s in range(PQ_M):
+                rec_nsq += cb_nsq[s][codes[:, s]]
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                if q_nsq[qi] <= 0:
+                    continue
+                mask = (cl == q_cl[qi]) & (ids != q_ids[qi]) & (rec_nsq > 0)
+                if not mask.any():
+                    continue
+                num = np.zeros(int(mask.sum()), dtype=np.float64)
+                sub_codes = codes[mask]
+                for s in range(PQ_M):
+                    num += lut[qi, s, :][sub_codes[:, s]]
+                cand_n = ids[mask]
+                cand_c = num / np.sqrt(q_nsq[qi] * rec_nsq[mask])
+                order = np.lexsort((cand_n, -cand_c))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(out_q, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
+                    "cosine_pq": np.asarray(out_c, dtype=np.float64),
+                }
+            )
+
+    corpus = embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+    local = corpus.mapInPandas(
+        per_partition, schema="query_id long, neighbor_id long, cosine_pq double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_pq").desc(), F.col("neighbor_id").asc())
+    return local.select(
+        "query_id", "neighbor_id", "cosine_pq", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

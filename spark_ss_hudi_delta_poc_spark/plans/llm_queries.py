@@ -3180,3 +3180,131 @@ QUERIES.append(
         tags=("llm", "text"),
     )
 )
+
+
+
+
+def ann_ivfpq_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.ivfpq_topk(emb, _ann_queries(emb), k=ANN_K)
+
+
+def _ivfpq_oracle() -> str:
+    m, sd, codes = similarity.PQ_M, similarity.PQ_SUBDIM, similarity.PQ_CODES
+    return f"""
+    WITH c AS (SELECT vec_id, {QVEC} AS qv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS qvc FROM c WHERE vec_id < 16),
+    af AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT c.vec_id, cents.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {COS.format(a="c.qv", b="cents.qvc")} DESC, cents.cid ASC) AS rn
+        FROM c CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    ss AS (SELECT unnest(range({m})) AS s),
+    sub AS (SELECT c.vec_id, ss.s, c.qv[ss.s*{sd}+1 : (ss.s+1)*{sd}] AS sv FROM c, ss),
+    cb AS (SELECT s, vec_id AS code, sv AS cv,
+                  list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS cvn
+           FROM sub WHERE vec_id < {codes}),
+    enc AS (
+      SELECT vec_id, s, cv, cvn FROM (
+        SELECT sub.vec_id, sub.s, cb.cv, cb.cvn,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 list_dot_product(sub.sv::DOUBLE[], sub.sv::DOUBLE[])
+                 - 2 * list_dot_product(sub.sv::DOUBLE[], cb.cv::DOUBLE[])
+                 + cb.cvn ASC, cb.code ASC) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT c.vec_id AS query_id, c.qv,
+                 list_dot_product(c.qv::DOUBLE[], c.qv::DOUBLE[]) AS qn,
+                 af.cluster
+          FROM c JOIN af ON af.vec_id = c.vec_id
+          WHERE c.vec_id < {ANN_QUERY_MAX_ID}
+            AND list_dot_product(c.qv::DOUBLE[], c.qv::DOUBLE[]) > 0),
+    qsub AS (SELECT q.query_id, ss.s,
+                    q.qv[ss.s*{sd}+1 : (ss.s+1)*{sd}] AS qsv, q.qn, q.cluster
+             FROM q, ss),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             SUM(list_dot_product(qs.qsv::DOUBLE[], e.cv::DOUBLE[])) AS num,
+             SUM(e.cvn) AS rec_nsq, qs.qn AS qn
+      FROM qsub qs
+      JOIN enc e ON qs.s = e.s AND qs.query_id <> e.vec_id
+      JOIN af a ON a.vec_id = e.vec_id AND a.cluster = qs.cluster
+      GROUP BY qs.query_id, e.vec_id, qs.qn
+    ),
+    fin AS (SELECT query_id, neighbor_id, num / sqrt(qn * rec_nsq) AS cosine_pq
+            FROM scored WHERE rec_nsq > 0)
+    SELECT query_id, neighbor_id, cosine_pq, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_pq DESC, neighbor_id ASC) AS rn FROM fin)
+    WHERE rn <= {ANN_K}
+    """
+
+
+QUERIES.append(
+    Query(
+        "ann_ivfpq_topk",
+        ann_ivfpq_q,
+        _ivfpq_oracle(),
+        doc="IVF x PQ — the full FAISS-IVFPQ topology: inverted file "
+        "bounds WHICH vectors are scored (nprobe=1), PQ codes bound the "
+        "BYTES each costs (ADC lookup tables); one Arrow map stage "
+        "computes assignment + codes + probed-cluster scores, no corpus "
+        "shuffle, bounded local-top-k exchange",
+        tags=("llm", "ann", "similarity"),
+    )
+)
+
+
+# The PQ and rerank paths are approximate too — fold them into the recall
+# monitor (every approximate path reports next to the exact baseline).
+# Rebuilt HERE because their component oracles are defined above, after the
+# original monitor entry.
+_ANN_RECALL_ORACLE_V2 = f"""
+WITH exact AS ({_oracle_of("ann_bruteforce_topk")}),
+lsh AS ({_oracle_of("ann_lsh_topk")}),
+lshx4 AS ({_oracle_of("ann_lsh_multitable_topk")}),
+ivf AS ({_oracle_of("ann_ivf_topk")}),
+quant AS ({_oracle_of("ann_quantized_topk")}),
+pq AS ({_oracle_of("ann_pq_topk")}),
+ivfpq AS ({_oracle_of("ann_ivfpq_topk")}),
+rr AS ({_oracle_of("ann_rerank_topk")}),
+u AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'lsh_x4', query_id, neighbor_id FROM lshx4
+  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'quantized', query_id, neighbor_id FROM quant
+  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pq
+  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq
+  UNION ALL SELECT 'rerank', query_id, neighbor_id FROM rr
+),
+m AS (
+  SELECT method, CAST(COUNT(*) AS BIGINT) AS matched FROM u
+  JOIN exact e ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
+  GROUP BY method
+),
+names AS (SELECT * FROM (VALUES ('lsh'), ('lsh_x4'), ('ivf'), ('quantized'),
+                                ('pq'), ('ivfpq'), ('rerank')) t(method))
+SELECT names.method, CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
+       CAST(COALESCE(m.matched, 0) AS DOUBLE)
+         / CAST(NULLIF((SELECT COUNT(*) FROM exact), 0) AS DOUBLE) AS recall
+FROM names LEFT JOIN m ON m.method = names.method
+"""
+
+for _i, _q in enumerate(QUERIES):
+    if _q.name == "ann_recall_report":
+        QUERIES[_i] = Query(
+            _q.name,
+            _q.fn,
+            _ANN_RECALL_ORACLE_V2,
+            doc="recall@k of every approximate ANN method (LSH / IVF / "
+            "int8 / PQ / IVFPQ / two-stage rerank) vs the exact baseline — the "
+            "index-drift monitoring job; intersections are broadcast "
+            "joins against the bounded exact set",
+            tags=_q.tags,
+        )
+        break

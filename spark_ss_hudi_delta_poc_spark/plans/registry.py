@@ -69,7 +69,13 @@ class Query:
 # text_langid_confusion, curation_contamination_report,
 # embedding_norm_stats, corpus_bpe_pair_counts, curation_sample_exact_n,
 # q93_zone_map_skipping, q94_stream_dup_rate, dedup_minhash_histogram,
-# q97_stream_bloom_ingest.  Then the ten displaced
+# q97_stream_bloom_ingest, ann_pq_topk, ann_ivfpq_topk,
+# ann_rerank_topk, embedding_top_direction, text_pmi_collocations,
+# sketch_kmv_jaccard, bloom_join_reduction, monitor_category_drift,
+# scd2_history (the last nine are the final round-8 batch), plus a
+# FRESH row for
+# ann_recall_report (its output gained pq/rerank rows this round — it
+# holds a window slot already, so r8 covers it).  Then the ten displaced
 # de-hinted TPC-H rows (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87), then
 # the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..streaming.jobs import (
     stream_ann_serving,
+    stream_late_data,
     stream_bloom_dedup_ingest,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
@@ -369,5 +370,35 @@ QUERIES.append(
         "false negatives ⇒ committed corpus == exact one-per-hash dedup "
         "(hash-set summary, micro-batch-boundary independent)",
         tags=("streaming", "sketch", "incremental", "dedup"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q98_stream_late_data",
+        stream_late_data,
+        """
+        WITH e AS (SELECT event_type, ts,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+        b AS (SELECT MIN(ep) AS mn, MAX(ep) AS mx FROM e),
+        r AS (SELECT e.event_type, e.ts, e.ep FROM e, b
+              WHERE e.ep * 2 > b.mn + b.mx),
+        w AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     COUNT(*) AS cnt,
+                     (MIN(ep) // 3600) * 3600 AS wstart_ep
+              FROM r GROUP BY 1, 2)
+        SELECT window_start, event_type, cnt FROM w, b
+        WHERE wstart_ep + 7200 <= mx
+        """,
+        doc="watermark late-data semantics pinned as a hash row: the "
+        "recent half of the feed arrives first (run 1), the old half a "
+        "whole run LATE (run 2, same checkpoint — the watermark "
+        "persists in the commit log); append-mode 1h windows with a 1h "
+        "watermark drop every late row, and the sink holds exactly the "
+        "recent-half windows whose end the final watermark passed — "
+        "late data neither resurrects a closed window nor creates an "
+        "old one",
+        tags=("streaming", "window", "monitoring"),
     )
 )

@@ -745,3 +745,79 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: WATERMARK LATE-DATA SEMANTICS as a hash-checked
+    artifact — what actually happens to late rows is the part of
+    streaming nobody can reconcile by counts alone, so this query pins
+    it: the recent HALF of the events feed arrives first (run 1), then
+    the old half arrives a whole run LATE (run 2).  Append-mode 1-hour
+    windows with a 1-hour watermark mean run 2's rows are ALL below the
+    watermark run 1 established (the feed spans ~30 days): every late
+    row is dropped, and the sink holds exactly the recent-half windows
+    whose end the final watermark passed — late data can neither
+    resurrect a closed window nor create an old one.
+
+    Determinism: batch order is pinned by TWO separate availableNow runs
+    against the SAME checkpoint (the watermark persists in the commit
+    log — the restart-safety contract), not by file-listing order; the
+    split boundary is the integer epoch-midpoint rule
+    (2·ep > mn+mx = recent).  The oracle reproduces emission exactly:
+    hour windows of recent-half rows with window_end <= final watermark
+    (max event time truncated to MILLISECONDS — Spark's event-time
+    clock — minus the 1-hour delay).
+
+    Returns (window_start, event_type, cnt) from the sink read-back.
+    """
+    from ..schemas import EVENTS_SCHEMA
+
+    work = _workdir("qlate")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ep = F.unix_timestamp(F.col("ts"))
+    b = ev.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).collect()[0]
+    recent = ev.where(ep * 2 > F.lit(b.mn + b.mx))
+    old = ev.where(ep * 2 <= F.lit(b.mn + b.mx))
+
+    staged = os.path.join(work, "staged")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_once() -> None:
+        stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import glob as _glob
+    import shutil as _shutil
+
+    os.makedirs(staged, exist_ok=True)
+
+    def arrive(df: DataFrame, tag: str) -> None:
+        tmp = os.path.join(work, f"tmp_{tag}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            _shutil.move(f, os.path.join(staged, f"{tag}-{i}.parquet"))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    # run 1: the recent half arrives on time and sets the watermark
+    arrive(recent, "t1")
+    run_once()
+    # run 2: the old half arrives one whole run late — all below watermark
+    arrive(old, "t2")
+    run_once()
+
+    return spark.read.schema("window_start timestamp, event_type string, cnt long").parquet(sink)

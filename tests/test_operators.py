@@ -1703,3 +1703,32 @@ def test_pmi_hand_computed(spark):
     assert ny.pmi_ratio == ny.n_pairs * 5 / 25.0
     # 'the cat' occurs 25x but its unigrams are everywhere → lower ratio
     assert by_pair[("the", "cat")].pmi_ratio < ny.pmi_ratio
+
+
+def test_ivfpq_subset_of_ivf_candidates(spark):
+    """IVFPQ scores only the query's inverted list, so every reported
+    neighbor must share the query's cluster (same assignment rule as
+    ivf_topk); ranks bounded by k; self excluded."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        _collect_centroids,
+        ivfpq_topk,
+    )
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = ivfpq_topk(emb, queries, k=5).collect()
+    assert rows and all(1 <= r.rank <= 5 and r.query_id != r.neighbor_id for r in rows)
+    cent_ids, cent_mat = _collect_centroids(emb, 16, "vec_id", "embedding")
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+    vecs = {r.vec_id: np.floor(np.asarray(r.embedding, np.float64) * 1000.0) for r in emb.collect()}
+
+    def cluster_of(v):
+        nsq = (v * v).sum()
+        cos = (cent_mat @ v) / np.sqrt(cent_nsq * nsq)
+        return int(cent_ids[np.lexsort((cent_ids, -cos))[0]])
+
+    for r in rows:
+        assert cluster_of(vecs[r.query_id]) == cluster_of(vecs[r.neighbor_id])

@@ -293,3 +293,31 @@ def test_stream_hll_equals_batch_sketch(spark):
     streamed = stream_hll_distinct(spark, sf).collect()
     batch = hll_distinct(load(spark, sf, "events").select("user_id"), "user_id").collect()
     assert streamed == batch
+
+
+def test_stream_late_data_drops_all_late_rows(spark):
+    """q98 contract: the old half arrives a run late and must be fully
+    dropped — no emitted window may start before the split boundary, and
+    open windows near the stream head must be withheld (end > final
+    watermark)."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_late_data
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_late_data(spark, sf).collect()
+    assert out
+    ev = load(spark, sf, "events")
+    ep = F.unix_timestamp(F.col("ts"))
+    b = ev.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).collect()[0]
+    boundary = (b.mn + b.mx) / 2.0
+    import datetime as _dt
+
+    for r in out:
+        assert r.window_start.timestamp() * 2 > b.mn + b.mx  # no old-half window
+        # emitted only when the final watermark passed the window end
+        assert r.window_start.timestamp() + 7200 <= b.mx
+    # and the head-of-stream windows were withheld: the max emitted start
+    # is at least one full window before the max event time
+    assert max(r.window_start.timestamp() for r in out) + 3600 <= b.mx - 3600 + 3600

@@ -174,6 +174,24 @@ PROBE_OPS = [
     # prefilter keeps the anti-join side bloom-claimed-only)
     "dedup_minhash_histogram",
     "q97_stream_bloom_ingest",
+    # round-8 final batch: PQ = map encode + codes-only scan with local
+    # top-k (the exchange is partitions*|Q|*k rows at any size); rerank =
+    # int8 coarse scan + candidate-sized exact join; power iteration =
+    # three bounded d-row exchanges over a linear scan; KMV jaccard pins
+    # the h-keyed exact self-join (content-distinct replicas collide only
+    # within a replica) next to constant-size sketch stages; bloom join
+    # pins the <= m-row bit-table probe; drift is a bounded-cell agg;
+    # SCD2 is one user-keyed shuffle; PMI is two vocab-keyed shuffles +
+    # lazy top-k
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_rerank_topk",
+    "embedding_top_direction",
+    "sketch_kmv_jaccard",
+    "bloom_join_reduction",
+    "monitor_category_drift",
+    "scd2_history",
+    "text_pmi_collocations",
 ]
 
 
