@@ -77,3 +77,66 @@ def pagerank(
             ).alias("pr_e9"),
         )
     return p
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src_id", dst_col: str = "dst_id"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected view of the edge list — the graph-health panel run on
+    corpus kNN graphs: a node whose neighborhood closes into triangles
+    sits in a dense semantic clump (dedup/coreset candidate); a hub with
+    zero closure is a hubness artifact of the embedding space.
+
+    Exact and deterministic: triangles are counted once each with the
+    canonical orientation a < b < c (each triangle's minimum node is the
+    wedge center), the coefficient is 2T/(deg·(deg−1)) — exact integers
+    into ONE IEEE division (0.0 when deg < 2).
+
+    Plan: canonical edge set = least/greatest projection + distinct
+    [1 shuffle]; wedges = edge⋈edge on the shared MIN node with b < c —
+    fanout bounded by per-node degree (k-bounded on kNN graphs, so
+    wedges ≤ N·k²/2, never corpus²); closure = one more equi-join of the
+    wedge's (b, c) against the edge set; per-node participation = one
+    posexplode + partial-agg'd count.  Every join keys on node ids —
+    nothing broadcast (node tables are corpus-sized).
+
+    Output: (node, degree, n_triangles, clustering) per node.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).where(
+        F.col("e1.b") < F.col("e2.b")
+    ).select(F.col("e1.a").alias("ctr"), F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+    closer = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closer, ["x", "y"])
+    per_node = (
+        tris.select(F.explode(F.array("ctr", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

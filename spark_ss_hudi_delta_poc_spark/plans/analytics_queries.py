@@ -1146,3 +1146,52 @@ QUERIES.extend(
         ),
     ]
 )
+
+
+def monitor_outliers_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import mad_outliers
+
+    return mad_outliers(load(spark, sf, "events"))
+
+
+QUERIES.append(
+    Query(
+        "monitor_value_outliers",
+        monitor_outliers_q,
+        """
+        WITH v AS (SELECT event_type,
+                          CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
+                   FROM events),
+        r AS (SELECT event_type, v_e4,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY v_e4 ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v),
+        med AS (SELECT event_type, v_e4 AS median_e4, n FROM r
+                WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) / 2) AS BIGINT)),
+        dev AS (SELECT v.event_type, med.median_e4, med.n,
+                       ABS(v.v_e4 - med.median_e4) AS ad_e4
+                FROM v JOIN med ON v.event_type = med.event_type),
+        rd AS (SELECT event_type, ad_e4,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ad_e4 ASC) AS rn, n
+               FROM dev),
+        mad AS (SELECT event_type, ad_e4 AS mad_e4 FROM rd
+                WHERE rn = CAST(CEIL(CAST(n AS DOUBLE) / 2) AS BIGINT))
+        SELECT d.event_type, MAX(d.n) AS n, MAX(d.median_e4) AS median_e4,
+               MAX(m.mad_e4) AS mad_e4,
+               CAST(SUM(CASE WHEN d.ad_e4 > 5 * m.mad_e4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               (CAST(SUM(CASE WHEN d.ad_e4 > 5 * m.mad_e4 THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000000) // MAX(d.n) AS outlier_share_e9
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+        """,
+        doc="robust per-category outlier panel: exact lower-median and "
+        "MAD (two q53-shape ranking windows, e4 integers), outliers = "
+        "|x - med| > 5*MAD as a pure integer test, e9 share — the "
+        "broken-upstream monitor mean/stddev can't provide (the "
+        "outliers would drag the threshold with them)",
+        tags=("analytics", "monitoring", "orderstat"),
+    )
+)

@@ -3308,3 +3308,47 @@ for _i, _q in enumerate(QUERIES):
             tags=_q.tags,
         )
         break
+
+
+def graph_triangles_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+
+    edges = similarity.knn_graph_bucketed(load(spark, sf, "embeddings"), k=KNN_K)
+    return triangle_stats(edges)
+
+
+QUERIES.append(
+    Query(
+        "graph_triangles",
+        graph_triangles_q,
+        f"""
+        WITH e0 AS (SELECT src_id AS s, dst_id AS d
+                    FROM ({_oracle_of('embedding_knn_graph_lsh')})),
+        und AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                FROM e0 WHERE s <> d),
+        deg AS (SELECT node, COUNT(*) AS degree FROM
+                  (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                GROUP BY node),
+        w AS (SELECT e1.a AS ctr, e1.b AS x, e2.b AS y
+              FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b),
+        t AS (SELECT ctr, x, y FROM w JOIN und u ON w.x = u.a AND w.y = u.b),
+        pn AS (SELECT node, COUNT(*) AS n_triangles FROM
+                 (SELECT ctr AS node FROM t UNION ALL SELECT x FROM t
+                  UNION ALL SELECT y FROM t)
+               GROUP BY node)
+        SELECT deg.node, deg.degree,
+               COALESCE(pn.n_triangles, 0) AS n_triangles,
+               CASE WHEN deg.degree >= 2
+                    THEN CAST(2 * COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                         / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN pn ON deg.node = pn.node
+        """,
+        doc="per-node triangle count + local clustering coefficient over "
+        "the LSH kNN graph (canonical a<b<c orientation, exact integers, "
+        "one division): dense-clump vs hubness-artifact diagnostic; "
+        "wedge fanout bounded by the k-bounded degree, all joins keyed "
+        "on node ids, nothing broadcast",
+        tags=("llm", "graph", "embedding", "monitoring"),
+    )
+)

@@ -72,10 +72,11 @@ class Query:
 # q97_stream_bloom_ingest, ann_pq_topk, ann_ivfpq_topk,
 # ann_rerank_topk, embedding_top_direction, text_pmi_collocations,
 # sketch_kmv_jaccard, bloom_join_reduction, monitor_category_drift,
-# scd2_history (the last nine are the final round-8 batch), plus a
-# FRESH row for
-# ann_recall_report (its output gained pq/rerank rows this round — it
-# holds a window slot already, so r8 covers it).  Then the ten displaced
+# scd2_history, q98_stream_late_data, graph_triangles,
+# monitor_value_outliers (the last twelve are the final round-8 batch),
+# plus a FRESH row for ann_recall_report (its output gained
+# pq/ivfpq/rerank rows this round — it holds a window slot already, so
+# r8 covers it).  Then the ten displaced
 # de-hinted TPC-H rows (q51/q69/q70/q72/q73/q81/q83/q85/q86/q87), then
 # the rows whose newest evidence is r5.
 DRIVER_PRIORITY: tuple[str, ...] = (

@@ -1732,3 +1732,51 @@ def test_ivfpq_subset_of_ivf_candidates(spark):
 
     for r in rows:
         assert cluster_of(vecs[r.query_id]) == cluster_of(vecs[r.neighbor_id])
+
+
+def test_triangle_stats_hand_built(spark):
+    """K4 minus one edge: nodes 1-2-3-4 with all edges except (1,4).
+    Triangles: (1,2,3) and (2,3,4).  Degrees 2,3,3,2; clustering:
+    node1 = 2*1/(2*1)=1.0, node2 = 2*2/(3*2)=0.667, node4 = 1.0."""
+    from spark_ss_hudi_delta_poc_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 3)],  # one duplicate reversed
+        "src_id long, dst_id long",
+    )
+    rows = {r.node: r for r in triangle_stats(edges).collect()}
+    assert rows[1].degree == 2 and rows[1].n_triangles == 1 and rows[1].clustering == 1.0
+    assert rows[2].degree == 3 and rows[2].n_triangles == 2
+    assert abs(rows[2].clustering - 2 / 3) < 1e-12
+    assert rows[4].degree == 2 and rows[4].n_triangles == 1 and rows[4].clustering == 1.0
+
+
+def test_triangle_stats_no_triangles(spark):
+    """A path graph has zero triangles everywhere; isolated low-degree
+    nodes report clustering 0.0, not NULL."""
+    from spark_ss_hudi_delta_poc_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src_id long, dst_id long")
+    rows = triangle_stats(edges).collect()
+    assert all(r.n_triangles == 0 and r.clustering == 0.0 for r in rows)
+
+
+def test_mad_outliers_hand_built(spark):
+    """9 unit values + one 100x spike: median 1.0, MAD 0, spike counted;
+    a second group with spread checks the integer k*MAD threshold."""
+    from datetime import datetime as dt
+
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import mad_outliers
+
+    rows = [(i, dt(2024, 1, 1), 1, "a", 1.0, "") for i in range(9)]
+    rows.append((9, dt(2024, 1, 1), 1, "a", 100.0, ""))
+    # group b: values 1..7 — median 4, MAD 2, threshold 5*2=10 → none outside
+    rows += [(10 + i, dt(2024, 1, 1), 1, "b", float(i + 1), "") for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_type: r for r in mad_outliers(df).collect()}
+    a, b = out["a"], out["b"]
+    assert a.median_e4 == 10000 and a.mad_e4 == 0 and a.n_outliers == 1
+    assert a.outlier_share_e9 == 100_000_000
+    assert b.median_e4 == 40000 and b.mad_e4 == 20000 and b.n_outliers == 0

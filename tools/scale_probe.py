@@ -192,6 +192,13 @@ PROBE_OPS = [
     "monitor_category_drift",
     "scd2_history",
     "text_pmi_collocations",
+    # round-8 final batch (cont.): q98 pins the two-run watermark
+    # machinery's cost; triangles = degree-bounded wedge joins over the
+    # k-bounded kNN edge set; MAD outliers = two q53-shape ranking
+    # windows + bounded joins
+    "q98_stream_late_data",
+    "graph_triangles",
+    "monitor_value_outliers",
 ]
 
 
