@@ -255,3 +255,99 @@ def mad_outliers(events: DataFrame, k_mad: int = 5) -> DataFrame:
             F.expr("n_outliers * 1000000000 div n").alias("outlier_share_e9"),
         )
     )
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    phi_num: int = 1,
+    phi_den: int = 10,
+    capacity: int = 24,
+) -> DataFrame:
+    """Exact φ-heavy hitters PER GROUP — :func:`heavy_hitters` extended
+    with a group key, the shape production monitoring actually runs
+    ("top talkers per event type / per tenant") where a plain
+    groupBy(group, key).count() would shuffle the full (group × key)
+    cardinality.
+
+    Same two-scan sketch-then-verify plan: each partition keeps an
+    independent Misra-Gries summary PER GROUP seen in that partition
+    (state ≤ groups-per-partition × capacity — bounded when the group
+    domain is a category column); the pigeonhole guarantee applies per
+    group unchanged.  Candidates (≤ partitions × groups × capacity) are
+    exactly counted in a candidate-filtered second scan and thresholded
+    against the GROUP's total by integer cross-multiplication.
+
+    Output: (group, key, cnt, n_group) rows where cnt·den > num·n_group.
+    """
+    if capacity * phi_num < phi_den:
+        raise ValueError("capacity must be >= phi_den/phi_num for the MG guarantee")
+    import pandas as pd
+
+    def mg_partition(batches):
+        per_group: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False):
+                counters = per_group.setdefault(g, {})
+                _mg_update(counters, sub["k"], capacity)
+        rows = {"g": [], "k": []}
+        for g, counters in per_group.items():
+            for key in counters:
+                rows["g"].append(g)
+                rows["k"].append(key)
+        yield pd.DataFrame(rows)
+
+    proj = df.select(F.col(group_col).alias("g"), F.col(col).alias("k"))
+    cand = proj.mapInPandas(mg_partition, schema=proj.schema).collect()
+    candidates = list({(r.g, r.k) for r in cand})
+    totals = df.groupBy(F.col(group_col).alias("g")).agg(F.count(F.lit(1)).alias("n_group"))
+    cand_df = df.sparkSession.createDataFrame(candidates, proj.schema)
+    counted = (
+        proj.join(F.broadcast(cand_df), ["g", "k"])  # bounded candidate set
+        .groupBy("g", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.join(totals, "g")
+        .where(F.col("cnt") * phi_den > phi_num * F.col("n_group"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").alias(col),
+            "cnt",
+            "n_group",
+        )
+    )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    privacy-governance gate run before a table ships to a training
+    pipeline: every row must share its quasi-identifier tuple with at
+    least k-1 others, else the tuple is re-identifiable and must be
+    suppressed or generalized.
+
+    Pure exact aggregates: one partial-agg'd groupBy on the quasi
+    columns, then a bounded per-equivalence-class verdict.  Output one
+    row per equivalence class: the quasi values, class size, meets_k,
+    plus the suppression share the table would pay (rows in sub-k
+    classes, e9 fixed-point) — constant across rows, so the panel is
+    self-contained.
+
+    Plan: ONE shuffle on the quasi tuple; the global suppression scalar
+    is a 1-row bounded aggregate joined back by a literal cross join.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    tot = classes.agg(
+        F.sum("class_size").alias("n_rows"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(F.lit(0))).alias(
+            "n_suppressed"
+        ),
+    )
+    return classes.crossJoin(F.broadcast(tot)).select(
+        *quasi_cols,
+        "class_size",
+        (F.col("class_size") >= k).alias("meets_k"),
+        F.lit(k).alias("k"),
+        F.expr("n_suppressed * 1000000000 div n_rows").alias("suppressed_share_e9"),
+    )

@@ -1421,7 +1421,6 @@ def pq_encode(
     import pandas as pd
 
     books_f = books.astype(np.float64)  # exact: small ints
-    code_order = np.argsort(code_ids)  # already sorted; defensive
 
     def per_batch(batches):
         for pdf in batches:
@@ -1437,11 +1436,10 @@ def pq_encode(
                     - 2.0 * (sub @ cb.T)
                     + (cb * cb).sum(axis=1)[None, :]
                 )
-                # argmin with (dist asc, code asc) tie-break
-                codes[:, s] = np.array(
-                    [code_order[np.lexsort((code_order, row[code_order]))[0]] for row in d2],
-                    dtype=np.int64,
-                )
+                # vectorized argmin: first occurrence of the min == the
+                # LOWEST code position == lowest code id (code_ids are
+                # sorted ascending) — the (dist asc, code asc) tie-break
+                codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {"neighbor_id": ids, "codes": [c.tolist() for c in codes]}
             )

@@ -1195,3 +1195,118 @@ QUERIES.append(
         tags=("analytics", "monitoring", "orderstat"),
     )
 )
+
+
+def sketch_hll_by_type_q(spark: SparkSession, sf: str) -> DataFrame:
+    return sketches.hll_distinct_by(load(spark, sf, "events"), "event_type", "user_id")
+
+
+def _hll_by_type_sql() -> str:
+    h = md5_long_sql_duckdb("user_id")
+    m, wb = sketches.HLL_M, sketches.HLL_W_BITS
+    lc_values = ", ".join(f"({v}, {e!r})" for v, e in sketches.hll_linear_counting_table())
+    return f"""
+    WITH src AS (SELECT event_type AS g, ({h}) AS h FROM events),
+    k AS (SELECT g, h % {m} AS reg, h >> {sketches.HLL_P} AS w FROM src),
+    r AS (SELECT g, reg,
+                 MAX(LEAST(length(regexp_extract(bin(w), '0*$')) + 1, {wb})) AS m_j
+          FROM k GROUP BY g, reg),
+    s AS (SELECT g, COUNT(*) AS n_hit,
+                 CAST(SUM(1::BIGINT << ({wb} - m_j)) AS BIGINT) AS sum_hit
+          FROM r GROUP BY g),
+    e AS (SELECT event_type AS g, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type),
+    lc(v, lc_est) AS (VALUES {lc_values}),
+    base AS (
+      SELECT s.g, {m} AS m,
+             CAST({m} - s.n_hit AS BIGINT) AS n_zero_registers,
+             CAST(s.sum_hit + ({m} - s.n_hit) * (1::BIGINT << {wb}) AS BIGINT) AS sum_scaled,
+             {sketches.HLL_NUMERATOR!r}
+               / CAST(s.sum_hit + ({m} - s.n_hit) * (1::BIGINT << {wb}) AS BIGINT)
+               AS hll_raw_estimate,
+             e.exact_distinct
+      FROM s JOIN e ON s.g = e.g)
+    SELECT b.g AS event_type, b.m, b.n_zero_registers, b.sum_scaled,
+           b.hll_raw_estimate,
+           CASE WHEN b.hll_raw_estimate <= {sketches.HLL_LC_THRESHOLD!r}
+                     AND b.n_zero_registers > 0
+                THEN lc.lc_est ELSE b.hll_raw_estimate END AS hll_estimate,
+           b.exact_distinct
+    FROM base b LEFT JOIN lc ON b.n_zero_registers = lc.v
+    """
+
+
+def q99_group_hh_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import words
+    from ..operators.profiling import grouped_heavy_hitters
+
+    toks = (
+        load(spark, sf, "documents")
+        .select(F.col("source"), F.explode(words(F.col("text"))).alias("word"))
+    )
+    return grouped_heavy_hitters(toks, "source", "word", phi_num=1, phi_den=50, capacity=64)
+
+
+def privacy_k_anon_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import k_anonymity
+
+    return k_anonymity(load(spark, sf, "customer"), ["c_nationkey", "c_mktsegment"], k=5)
+
+
+QUERIES.extend(
+    [
+        Query(
+            "sketch_hll_by_type",
+            sketch_hll_by_type_q,
+            _hll_by_type_sql(),
+            doc="GROUPED HyperLogLog: distinct users per event type, one "
+            "1024-register sketch per group (state |groups|x1024 at any "
+            "feed size) next to each group's exact count — the distinct-"
+            "per-dimension production shape; same shared-literal linear "
+            "counting, exact scaled-integer harmonic sums",
+            tags=("analytics", "sketch", "agg"),
+        ),
+        Query(
+            "q99_group_heavy_hitters",
+            q99_group_hh_q,
+            """
+            WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+            n AS (SELECT source, COUNT(*) AS n_group FROM t GROUP BY source),
+            c AS (SELECT source, word, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+            SELECT c.source, c.word, c.cnt, n.n_group
+            FROM c JOIN n ON c.source = n.source
+            WHERE c.cnt * 50 > n.n_group
+            """,
+            doc="exact per-GROUP φ-heavy hitters (top tokens per source, "
+            "φ=1/50) via per-partition per-group Misra-Gries candidates + "
+            "candidate-only exact verify — the top-talkers-per-tenant "
+            "shape that never shuffles the (group x key) cold tail",
+            tags=("analytics", "sketch", "llm", "monitoring"),
+        ),
+        Query(
+            "privacy_k_anonymity",
+            privacy_k_anon_q,
+            """
+            WITH c AS (SELECT c_nationkey, c_mktsegment,
+                              COUNT(*) AS class_size
+                       FROM customer GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                         CAST(SUM(CASE WHEN class_size < 5
+                                       THEN class_size ELSE 0 END) AS BIGINT)
+                           AS n_suppressed
+                  FROM c)
+            SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
+                   c.class_size >= 5 AS meets_k, 5 AS k,
+                   (t.n_suppressed * 1000000000) // t.n_rows
+                     AS suppressed_share_e9
+            FROM c, t
+            """,
+            doc="k-anonymity audit (k=5) over the (nation, segment) quasi-"
+            "identifier: one shuffle on the quasi tuple, per-equivalence-"
+            "class verdict + the table's suppression share in e9 fixed "
+            "point — the privacy-governance gate before training export",
+            tags=("analytics", "monitoring", "privacy"),
+        ),
+    ]
+)

@@ -1780,3 +1780,45 @@ def test_mad_outliers_hand_built(spark):
     assert a.median_e4 == 10000 and a.mad_e4 == 0 and a.n_outliers == 1
     assert a.outlier_share_e9 == 100_000_000
     assert b.median_e4 == 40000 and b.mad_e4 == 20000 and b.n_outliers == 0
+
+
+def test_grouped_heavy_hitters_exact_vs_groupby(spark):
+    """The sketch-then-verify path must return EXACTLY the plain
+    groupBy answer (MG candidates are a superset of true heavy hitters;
+    the verify scan makes the final set exact)."""
+    from spark_ss_hudi_delta_poc_spark.functions.text import words
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import grouped_heavy_hitters
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    toks = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.col("source"), F.explode(words(F.col("text"))).alias("word"))
+    )
+    got = {
+        (r.source, r.word, r.cnt)
+        for r in grouped_heavy_hitters(toks, "source", "word", 1, 50, 64).collect()
+    }
+    plain = (
+        toks.groupBy("source", "word")
+        .count()
+        .join(toks.groupBy("source").count().withColumnRenamed("count", "n"), "source")
+        .where(F.col("count") * 50 > F.col("n"))
+        .collect()
+    )
+    assert got == {(r.source, r.word, r["count"]) for r in plain}
+    assert got  # the φ boundary actually selects something on this corpus
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    """Hand-built table: a 6-row class passes k=5, a 2-row class fails;
+    suppression share counts the failing class's rows."""
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, "A")] * 6 + [(2, "B")] * 2,
+        "c_nationkey int, c_mktsegment string",
+    )
+    rows = {(r.c_nationkey, r.c_mktsegment): r for r in k_anonymity(df, ["c_nationkey", "c_mktsegment"]).collect()}
+    assert rows[(1, "A")].meets_k and rows[(1, "A")].class_size == 6
+    assert not rows[(2, "B")].meets_k
+    assert rows[(1, "A")].suppressed_share_e9 == 250_000_000  # 2 of 8 rows

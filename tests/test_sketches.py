@@ -184,3 +184,21 @@ def test_bloom_join_reduction_identical_to_plain_join(spark):
     assert r.n_pass_keys >= r.n_build_keys - (r.n_fact_keys - r.n_pass_keys)  # sanity
     # and it must actually reduce the fact side on this selective build
     assert r.n_pass_rows < r.n_fact_rows
+
+
+def test_hll_by_group_matches_global_hll_math(spark):
+    """Per-group estimates must obey the same error bound as the global
+    sketch, and a single-group input must equal hll_distinct exactly."""
+    ev = load(spark, SF, "events")
+    rows = sketches.hll_distinct_by(ev, "event_type", "user_id").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct < 0.13
+    one = ev.where(F.col("event_type") == rows[0].event_type)
+    g = sketches.hll_distinct_by(one, "event_type", "user_id").collect()[0]
+    base = sketches.hll_distinct(one, "user_id").collect()[0]
+    assert (g.sum_scaled, g.hll_estimate, g.exact_distinct) == (
+        base.sum_scaled,
+        base.hll_estimate,
+        base.exact_distinct,
+    )

@@ -199,6 +199,12 @@ PROBE_OPS = [
     "q98_stream_late_data",
     "graph_triangles",
     "monitor_value_outliers",
+    # round-8 final batch (cont. 2): grouped HLL state is |groups|x1024;
+    # grouped MG candidates bounded by partitions*groups*capacity;
+    # k-anonymity is one quasi-tuple shuffle
+    "sketch_hll_by_type",
+    "q99_group_heavy_hitters",
+    "privacy_k_anonymity",
 ]
 
 
