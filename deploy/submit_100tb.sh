@@ -74,3 +74,15 @@ spark-submit "${ARGS[@]}" "$JOB" "$@"
 # - checkpoint()/localCheckpoint(): the iterative operators flag the
 #   trade in their docstrings — on a cluster prefer checkpoint() to
 #   durable storage for executor-loss resilience.
+# - PQ / IVFPQ: codebooks are bounded driver collects (PQ_CODES rows);
+#   the codes table is ~4 B/vector — persist it bucketed by cluster id
+#   (build_ivf_index pattern) so serving scans only probed lists.
+# - power iteration (embedding_top_direction): s_i = q_i.v peaks at
+#   n*QUANT^2*d*QUANT — beyond ~10^7 rows rescale s_i by a constant
+#   power of two per iteration (exactness survives: both engines shift
+#   identically) before the d-row aggregate.
+# - grouped sketches/monitors (hll_by_type, grouped heavy hitters,
+#   drift, MAD): state is |groups| x constant — size executors by the
+#   CATEGORY domain, not the feed; MAD's ranking windows are per-type
+#   sorts (q53 trade) — swap to percentile_approx (q78) when a category
+#   exceeds one task's sort budget.

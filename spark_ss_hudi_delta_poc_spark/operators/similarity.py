@@ -1394,9 +1394,13 @@ def pq_codebooks(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "
     rows.sort(key=lambda r: r.cid)
     code_ids = np.array([r.cid for r in rows], dtype=np.int64)
     full = np.array([r.qv for r in rows], dtype=np.int64)
+    # subspace count follows the ACTUAL dim (PQ_M at the repo-standard
+    # dim 64); any tail dims short of a full subspace are ignored
+    n_sub = max(1, full.shape[1] // PQ_SUBDIM)
+    sd = min(PQ_SUBDIM, full.shape[1])
     books = np.stack(
-        [full[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] for s in range(PQ_M)]
-    )  # (M, CODES, SUBDIM)
+        [full[:, s * sd : (s + 1) * sd] for s in range(n_sub)]
+    )  # (n_sub, CODES, sd)
     return code_ids, books
 
 
@@ -1422,13 +1426,15 @@ def pq_encode(
 
     books_f = books.astype(np.float64)  # exact: small ints
 
+    n_sub, sd = books_f.shape[0], books_f.shape[2]
+
     def per_batch(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
-            codes = np.empty((len(ids), PQ_M), dtype=np.int64)
-            for s in range(PQ_M):
-                sub = v[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            codes = np.empty((len(ids), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                sub = v[:, s * sd : (s + 1) * sd]
                 cb = books_f[s]  # (CODES, SUBDIM)
                 # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; all terms exact
                 d2 = (
@@ -1481,7 +1487,8 @@ def pq_topk(
 
     code_ids, books = pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col)
     books_f = books.astype(np.float64)
-    cb_nsq = (books_f * books_f).sum(axis=2)  # (M, CODES) reconstruction norm² parts
+    n_sub, sd = books_f.shape[0], books_f.shape[2]
+    cb_nsq = (books_f * books_f).sum(axis=2)  # (n_sub, CODES) reconstruction norm² parts
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
     if not q_rows:
@@ -1494,8 +1501,8 @@ def pq_topk(
     # per-query ADC lookup tables: (|Q|, M, CODES), exact integer dots
     lut = np.stack(
         [
-            q_mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] @ books_f[s].T
-            for s in range(PQ_M)
+            q_mat[:, s * sd : (s + 1) * sd] @ books_f[s].T
+            for s in range(n_sub)
         ],
         axis=1,
     )
@@ -1507,7 +1514,7 @@ def pq_topk(
             # ADC: sum LUT entries along subspaces → (|Q|, rows)
             num = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
             rec_nsq = np.zeros(len(ids), dtype=np.float64)
-            for s in range(PQ_M):
+            for s in range(n_sub):
                 num += lut[:, s, :][:, codes[:, s]]
                 rec_nsq += cb_nsq[s][codes[:, s]]
             ok = rec_nsq > 0
@@ -1673,6 +1680,7 @@ def ivfpq_topk(
     cent_nsq = (cent_mat * cent_mat).sum(axis=1)
     code_ids, books = pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col)
     books_f = books.astype(np.float64)
+    n_sub, sd = books_f.shape[0], books_f.shape[2]
     cb_nsq = (books_f * books_f).sum(axis=2)
 
     def assign(mat: "np.ndarray") -> "np.ndarray":
@@ -1683,9 +1691,9 @@ def ivfpq_topk(
         )
 
     def encode(mat: "np.ndarray") -> "np.ndarray":
-        codes = np.empty((len(mat), PQ_M), dtype=np.int64)
-        for s in range(PQ_M):
-            sub = mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        codes = np.empty((len(mat), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            sub = mat[:, s * sd : (s + 1) * sd]
             cb = books_f[s]
             d2 = (
                 (sub * sub).sum(axis=1)[:, None]
@@ -1705,7 +1713,7 @@ def ivfpq_topk(
     q_nsq = (q_mat * q_mat).sum(axis=1)
     q_cl = assign(q_mat)
     lut = np.stack(
-        [q_mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] @ books_f[s].T for s in range(PQ_M)],
+        [q_mat[:, s * sd : (s + 1) * sd] @ books_f[s].T for s in range(n_sub)],
         axis=1,
     )
 
@@ -1716,7 +1724,7 @@ def ivfpq_topk(
             cl = assign(mat)
             codes = encode(mat)
             rec_nsq = np.zeros(len(ids), dtype=np.float64)
-            for s in range(PQ_M):
+            for s in range(n_sub):
                 rec_nsq += cb_nsq[s][codes[:, s]]
             out_q, out_n, out_c = [], [], []
             for qi in range(len(q_ids)):
@@ -1727,7 +1735,7 @@ def ivfpq_topk(
                     continue
                 num = np.zeros(int(mask.sum()), dtype=np.float64)
                 sub_codes = codes[mask]
-                for s in range(PQ_M):
+                for s in range(n_sub):
                     num += lut[qi, s, :][sub_codes[:, s]]
                 cand_n = ids[mask]
                 cand_c = num / np.sqrt(q_nsq[qi] * rec_nsq[mask])

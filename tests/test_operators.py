@@ -816,7 +816,9 @@ def test_ann_recall_report_keeps_zero_match_methods(spark):
     rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = ann_recall_report(emb, emb.where("vec_id < 0"), k=3).collect()
-    assert sorted(r.method for r in out) == ["ivf", "lsh", "lsh_x4", "quantized"]
+    assert sorted(r.method for r in out) == [
+        "ivf", "ivfpq", "lsh", "lsh_x4", "pq", "quantized", "rerank",
+    ]
     assert all(r.matched == 0 and r.total == 0 and r.recall is None for r in out)
 
 
