@@ -1824,3 +1824,34 @@ def test_k_anonymity_flags_small_classes(spark):
     assert rows[(1, "A")].meets_k and rows[(1, "A")].class_size == 6
     assert not rows[(2, "B")].meets_k
     assert rows[(1, "A")].suppressed_share_e9 == 250_000_000  # 2 of 8 rows
+
+
+def test_triangle_stats_random_graph_vs_bruteforce(spark):
+    """Two seeded Erdős–Rényi graphs: the distributed wedge-join count
+    must equal a pure-Python brute force per node."""
+    import itertools
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.graph import triangle_stats
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        nodes = list(range(18))
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.25]
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for n in nodes:
+            if not adj[n]:
+                continue
+            t = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[n]), 2)
+                if y in adj[x]
+            )
+            want[n] = (len(adj[n]), t)
+        df = spark.createDataFrame(edges, "src_id long, dst_id long")
+        got = {r.node: (r.degree, r.n_triangles) for r in triangle_stats(df).collect()}
+        assert got == want
