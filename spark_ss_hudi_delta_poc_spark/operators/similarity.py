@@ -1495,10 +1495,25 @@ def pq_topk(
         return queries.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_pq double, rank int"
         )
+    codes_df = pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col)
+    return _pq_adc_score(codes_df, books, q_rows, k)
+
+
+def _pq_adc_score(codes_df: DataFrame, books, q_rows, k: int) -> DataFrame:
+    """The shared ADC scoring stage: per-query lookup tables over a
+    (neighbor_id, codes) table — one map stage with local top-k, then
+    the single bounded exchange + global rank window.  Used by the
+    inline pq_topk and the persisted-index pq_index_topk."""
+    import numpy as np
+    import pandas as pd
+
+    books_f = books.astype(np.float64)
+    n_sub, sd = books_f.shape[0], books_f.shape[2]
+    cb_nsq = (books_f * books_f).sum(axis=2)
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_nsq = (q_mat * q_mat).sum(axis=1)
-    # per-query ADC lookup tables: (|Q|, M, CODES), exact integer dots
+    # per-query ADC lookup tables: (|Q|, n_sub, CODES), exact integer dots
     lut = np.stack(
         [
             q_mat[:, s * sd : (s + 1) * sd] @ books_f[s].T
@@ -1537,7 +1552,6 @@ def pq_topk(
                 }
             )
 
-    codes_df = pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col)
     local = codes_df.mapInPandas(
         score_partition, schema="query_id long, neighbor_id long, cosine_pq double"
     )
@@ -1545,6 +1559,71 @@ def pq_topk(
     return local.select(
         "query_id", "neighbor_id", "cosine_pq", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a PQ index on disk: codebooks parquet (n_sub × 16
+    rows) + the corpus as a CODES-ONLY parquet (~4 B of payload per
+    vector) — build once, serve many.  Serving never rereads the float
+    vectors: the scan cost of every subsequent query is the codes table,
+    64× smaller than the embedding column it replaces (the same
+    lifecycle split as build_ivf_index / ivf_index_topk).
+    """
+    import os
+
+    code_ids, books = pq_codebooks(embeddings, id_col=id_col, vec_col=vec_col)
+    spark = embeddings.sparkSession
+    cb_rows = [
+        (int(s), int(code_ids[c]), [int(x) for x in books[s][c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(cb_rows, "s int, code long, cv array<long>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebooks"))
+    pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted PQ index (:func:`build_pq_index`): bounded
+    codebook load (n_sub × 16 rows), then the shared ADC scoring stage
+    over the codes-only scan — identical results to the inline
+    :func:`pq_topk` on the same corpus (asserted by test), but the
+    serving plan reads ~4 B/vector and never touches the embeddings.
+    """
+    import os
+
+    import numpy as np
+
+    cb_rows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    cb_rows.sort(key=lambda r: (r.s, r.code))
+    n_sub = max(r.s for r in cb_rows) + 1
+    per_sub = len(cb_rows) // n_sub
+    books = np.array(
+        [[cb_rows[s * per_sub + c].cv for c in range(per_sub)] for s in range(n_sub)],
+        dtype=np.int64,
+    )
+    q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_pq double, rank int"
+        )
+    codes_df = spark.read.parquet(os.path.join(path, "codes"))
+    return _pq_adc_score(codes_df, books, q_rows, k)
 
 
 def rerank_topk(

@@ -3352,3 +3352,27 @@ QUERIES.append(
         tags=("llm", "graph", "embedding", "monitoring"),
     )
 )
+
+
+def ann_pq_index_q(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    emb = load(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_index_")
+    similarity.build_pq_index(emb, path)
+    return similarity.pq_index_topk(spark, path, _ann_queries(emb), k=ANN_K)
+
+
+QUERIES.append(
+    Query(
+        "ann_pq_index_topk",
+        ann_pq_index_q,
+        _pq_oracle(),
+        doc="persisted PQ index: build once (codebooks + codes-only "
+        "parquet, ~4 B payload/vector), serve many — every query's scan "
+        "cost is the 64x-smaller codes table, the embeddings are never "
+        "reread; identical results to the inline ann_pq_topk (shared "
+        "ADC scorer, same oracle)",
+        tags=("llm", "ann", "similarity"),
+    )
+)

@@ -1855,3 +1855,24 @@ def test_triangle_stats_random_graph_vs_bruteforce(spark):
         df = spark.createDataFrame(edges, "src_id long, dst_id long")
         got = {r.node: (r.degree, r.n_triangles) for r in triangle_stats(df).collect()}
         assert got == want
+
+
+def test_pq_index_matches_inline_pq(spark):
+    """The persisted-index query path must return EXACTLY the inline
+    pq_topk result (shared ADC scorer over the same codes)."""
+    import tempfile
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        build_pq_index,
+        pq_index_topk,
+        pq_topk,
+    )
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    path = tempfile.mkdtemp(prefix="pq_index_test_")
+    build_pq_index(emb, path)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in pq_index_topk(spark, path, queries, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in pq_topk(emb, queries, k=5).collect()}
+    assert a == b and a

@@ -205,6 +205,9 @@ PROBE_OPS = [
     "sketch_hll_by_type",
     "q99_group_heavy_hitters",
     "privacy_k_anonymity",
+    # persisted PQ index: build (map encode + two bounded writes) +
+    # codes-only serving scan
+    "ann_pq_index_topk",
 ]
 
 
