@@ -352,3 +352,81 @@ def phash_clusters(media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> Da
     from .dedup import dedup_clusters
 
     return dedup_clusters(phash_neardup_pairs(media, max_hamming=max_hamming))
+
+
+AUDIO_FRAME_BYTES = 64
+AUDIO_FRAME_STRIDE = 32
+AUDIO_FP_BITS = 20  # frame-hash domain 2^20
+AUDIO_MAX_FRAME_DF = 64  # inverted-index df cap (stop-frame rule, winnow's shape)
+AUDIO_MIN_SHARED = 2
+
+
+def audio_fingerprint_table(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fh): overlapping frame fingerprints over the
+    binary payload — the Shazam-style landmark index re-expressed on
+    bytes.  Frames are 64-byte windows at stride 32 (each byte sits in
+    2 frames), frame hash = md5 over the frame's hex slice mod 2^20 —
+    deterministic and SQL-reproducible like fake_phash; a real audio
+    fingerprint (spectral peaks) swaps in per-frame with everything
+    downstream unchanged.  Payloads shorter than one frame emit no
+    rows.  Pure map stage (Arrow batches), no shuffle.
+    """
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fhs = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                hx = b.hex()
+                L = len(b)
+                if L < AUDIO_FRAME_BYTES:
+                    continue
+                n = (L - AUDIO_FRAME_BYTES) // AUDIO_FRAME_STRIDE + 1
+                for j in range(n):
+                    lo = j * AUDIO_FRAME_STRIDE
+                    sl = hx[2 * lo : 2 * (lo + AUDIO_FRAME_BYTES)]
+                    fh = int(_hl.md5(f"af:{sl}".encode()).hexdigest()[:15], 16) % (
+                        1 << AUDIO_FP_BITS
+                    )
+                    ids.append(int(doc_id))
+                    idxs.append(j)
+                    fhs.append(fh)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "fh": fhs})
+
+    from .partitioning import spread
+
+    return spread(media).mapInPandas(_frames, schema="doc_id long, frame_idx long, fh long")
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame,
+    min_shared: int = AUDIO_MIN_SHARED,
+    max_frame_df: int = AUDIO_MAX_FRAME_DF,
+) -> DataFrame:
+    """Audio near-dup pairs from the fingerprint index: documents sharing
+    >= ``min_shared`` DISTINCT frame hashes — re-encoded/clipped copies
+    share long byte runs and therefore frames, unrelated audio collides
+    on ~|frames|²/2^20 pairs only.  The dedup family's standard
+    scale discipline applies: the inverted index drops frame hashes
+    with document frequency > ``max_frame_df`` (stop-frames — silence
+    padding, container headers; the winnow/minhash df-cap rule), so the
+    candidate join's fanout per hash is bounded and the ONE pair-keyed
+    aggregate sees candidate-sized input, never corpus².
+
+    Output: (doc_id_a, doc_id_b, n_shared), doc_id_a < doc_id_b.
+    """
+    fp = audio_fingerprint_table(media).select("doc_id", "fh").distinct()
+    df_ = fp.groupBy("fh").agg(F.count(F.lit(1)).alias("df"))
+    capped = fp.join(df_.where(F.col("df") <= max_frame_df), "fh")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.fh") == F.col("b.fh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -3376,3 +3376,43 @@ QUERIES.append(
         tags=("llm", "ann", "similarity"),
     )
 )
+
+
+def mm_audio_fp_q(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.media_table(load(spark, sf, "documents"))
+    return multimodal.audio_fingerprint_pairs(media)
+
+
+QUERIES.append(
+    Query(
+        "multimodal_audio_pairs",
+        mm_audio_fp_q,
+        f"""
+        WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                          octet_length(encode(text)) AS L FROM documents),
+        fr AS (SELECT doc_id,
+                      ('0x' || substr(md5('af:' ||
+                          substr(hx, 2 * j.g * {multimodal.AUDIO_FRAME_STRIDE} + 1,
+                                 2 * {multimodal.AUDIO_FRAME_BYTES})),
+                        1, 15))::BIGINT % {1 << multimodal.AUDIO_FP_BITS} AS fh
+               FROM m, UNNEST(generate_series(0,
+                      (L - {multimodal.AUDIO_FRAME_BYTES}) // {multimodal.AUDIO_FRAME_STRIDE})) AS j(g)
+               WHERE L >= {multimodal.AUDIO_FRAME_BYTES}),
+        fp AS (SELECT DISTINCT doc_id, fh FROM fr),
+        capped AS (SELECT doc_id, fh FROM fp
+                   WHERE fh IN (SELECT fh FROM fp GROUP BY fh
+                                HAVING COUNT(*) <= {multimodal.AUDIO_MAX_FRAME_DF}))
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               COUNT(*) AS n_shared
+        FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {multimodal.AUDIO_MIN_SHARED}
+        """,
+        doc="audio near-dup pairs from a Shazam-style frame-fingerprint "
+        "inverted index (64-byte windows, stride 32, 20-bit frame "
+        "hashes; codec stubbed deterministically — a real spectral "
+        "fingerprint swaps in per-frame): df-capped index join + ONE "
+        "pair-keyed aggregate, the winnow scale discipline on the "
+        "audio modality",
+        tags=("llm", "multimodal", "dedup"),
+    )
+)

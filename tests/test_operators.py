@@ -1876,3 +1876,38 @@ def test_pq_index_matches_inline_pq(spark):
     a = {(r.query_id, r.neighbor_id, r.rank) for r in pq_index_topk(spark, path, queries, k=5).collect()}
     b = {(r.query_id, r.neighbor_id, r.rank) for r in pq_topk(emb, queries, k=5).collect()}
     assert a == b and a
+
+
+def test_audio_fingerprint_pairs_clip_robust(spark):
+    """A clipped copy (prefix kept) must still pair with the original
+    (shared frames survive); unrelated payloads must not pair."""
+    from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+    )
+
+    base = bytes(range(256)) * 4  # 1024 bytes
+    clipped = base[:512]
+    other = bytes(reversed(base))
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(clipped)), (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b): r.n_shared for r in audio_fingerprint_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_short_payload_emits_nothing(spark):
+    """Payloads shorter than one frame produce no fingerprints — and the
+    pair query handles an all-short corpus without error."""
+    from spark_ss_hudi_delta_poc_spark.operators.multimodal import (
+        audio_fingerprint_pairs,
+        audio_fingerprint_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"tiny")), (2, bytearray(b"also tiny"))],
+        "doc_id long, payload binary",
+    )
+    assert audio_fingerprint_table(df).count() == 0
+    assert audio_fingerprint_pairs(df).count() == 0

@@ -208,6 +208,9 @@ PROBE_OPS = [
     # persisted PQ index: build (map encode + two bounded writes) +
     # codes-only serving scan
     "ann_pq_index_topk",
+    # audio frame-fingerprint index: df-capped inverted join, winnow's
+    # fanout-bound argument on the binary modality
+    "multimodal_audio_pairs",
 ]
 
 
