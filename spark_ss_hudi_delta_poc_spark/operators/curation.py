@@ -908,3 +908,51 @@ def sample_exact_n(
         n,
     )
     return ranked.drop("_h").withColumnRenamed("rank", "sample_rank")
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing (Wenzek et al. 2020):
+    per LANGUAGE, rank documents by their LM fluency score and split
+    into exact terciles — "head" feeds high-quality training mixes,
+    "tail" gets dropped or down-weighted, "middle" is the knob.  Scores
+    come from the repo's log-free bigram LM (text_analysis.
+    ngram_lm_score — same ranking as perplexity, bit-exact cross-engine).
+
+    Exact terciles, no floats: rank rn over (lang, score desc, doc_id)
+    with the language's doc count n riding the same window partition —
+    bucket = head iff 3·rn ≤ n, middle iff 3·rn ≤ 2n, else tail (pure
+    integer comparisons; every engine splits identically, ties broken
+    by doc_id so reruns never flip a bucket).
+
+    Plan: the LM score's ~4 linear shuffles, then ONE lang-partitioned
+    ranking window (per-language sort — languages are a bounded
+    category; within-language size is the q53 trade, documented there).
+
+    Output: (doc_id, lang, mean_p_e9, bucket) for docs with ≥ 2 tokens.
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import ngram_lm_score
+
+    scored = ngram_lm_score(docs).select("doc_id", "mean_p_e9")
+    langs = docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.col("mean_p_e9").desc(), F.col("doc_id").asc())
+    ranked = (
+        scored.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_p_e9",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "mean_p_e9",
+        F.when(3 * F.col("rn") <= F.col("n"), F.lit("head"))
+        .when(3 * F.col("rn") <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

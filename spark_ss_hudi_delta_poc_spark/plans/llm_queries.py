@@ -3416,3 +3416,38 @@ QUERIES.append(
         tags=("llm", "multimodal", "dedup"),
     )
 )
+
+
+def curation_ccnet_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import ccnet_buckets
+
+    return ccnet_buckets(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "curation_ccnet_buckets",
+        curation_ccnet_q,
+        f"""
+        WITH lm AS ({_oracle_of("text_ngram_lm_score")}),
+        r AS (
+          SELECT lm.doc_id, d.lang, lm.mean_p_e9,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                      ORDER BY lm.mean_p_e9 DESC, lm.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY d.lang) AS n
+          FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, mean_p_e9,
+               CASE WHEN 3 * rn <= n THEN 'head'
+                    WHEN 3 * rn <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+        """,
+        doc="CCNet head/middle/tail bucketing (Wenzek et al. 2020): per-"
+        "language exact terciles of the log-free bigram-LM fluency score "
+        "(3*rn <= n integer splits, doc_id tie-break) — the quality-"
+        "stratified mixture stage; one lang-partitioned ranking window "
+        "over the LM score's linear shuffles",
+        tags=("llm", "curation", "text"),
+    )
+)

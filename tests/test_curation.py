@@ -322,3 +322,28 @@ def test_sample_weighted_respects_per_row_probability(spark):
     # weights outside [0,1] clamp instead of erroring
     odd = spark.createDataFrame([(1, -3.0), (2, 7.0)], ["doc_id", "w"])
     assert {r.doc_id for r in sample_weighted(odd, "w").collect()} == {2}
+
+
+def test_ccnet_buckets_exact_terciles(spark):
+    """Per language the head/middle/tail split must be exact thirds
+    (remainder rows fall toward the tail) and ordered by score: every
+    head doc scores >= every middle doc >= every tail doc."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import ccnet_buckets
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    rows = ccnet_buckets(load(spark, "/root/testdata/sf0.001", "documents")).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+        assert counts["head"] == n // 3
+        assert counts["head"] + counts["middle"] == (2 * n) // 3
+        lo_head = min(r.mean_p_e9 for r in rs if r.bucket == "head") if counts["head"] else None
+        hi_tail = max(r.mean_p_e9 for r in rs if r.bucket == "tail")
+        if lo_head is not None:
+            assert lo_head >= hi_tail

@@ -211,6 +211,9 @@ PROBE_OPS = [
     # audio frame-fingerprint index: df-capped inverted join, winnow's
     # fanout-bound argument on the binary modality
     "multimodal_audio_pairs",
+    # CCNet bucketing: the LM score's linear shuffles + one
+    # lang-partitioned ranking window (bounded category)
+    "curation_ccnet_buckets",
 ]
 
 
