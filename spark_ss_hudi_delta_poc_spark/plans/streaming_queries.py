@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..streaming.jobs import (
     stream_ann_serving,
     stream_late_data,
+    stream_scd2_history,
     stream_bloom_dedup_ingest,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
@@ -400,5 +401,50 @@ QUERIES.append(
         "late data neither resurrects a closed window nor creates an "
         "old one",
         tags=("streaming", "window", "monitoring"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q100_stream_scd2",
+        stream_scd2_history,
+        """
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        islands AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+          FROM marked
+        ),
+        collapsed AS (
+          SELECT user_id, version, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM islands GROUP BY user_id, version
+        )
+        SELECT user_id, version, event_type, valid_from,
+               LEAD(valid_from) OVER wv AS valid_to,
+               n_events,
+               LEAD(valid_from) OVER wv IS NULL AS is_current
+        FROM collapsed
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
+        """,
+        doc="incremental SCD Type 2 maintenance: events stream in 3 "
+        "micro-batches; each batch appends to the log and recomputes "
+        "ONLY its touched users (user-keyed semi-join against the log, "
+        "never a driver collect), swapping their rows into the history "
+        "by anti-join + atomic rename (the MERGE pattern on parquet); "
+        "batch-boundary invariance by construction — the final table "
+        "must equal the one-shot batch scd2_history, which is what the "
+        "oracle checks",
+        tags=("streaming", "window", "maintenance"),
     )
 )

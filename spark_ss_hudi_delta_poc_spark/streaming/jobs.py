@@ -821,3 +821,69 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
 
     return spark.read.schema("window_start timestamp, event_type string, cnt long").parquet(sink)
+
+
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: INCREMENTAL SCD Type 2 maintenance — the
+    history table (operators/maintenance.scd2_history) kept current by a
+    stream without ever recomputing untouched users: each micro-batch
+    appends its events to the log, recomputes histories for ONLY the
+    users it touched (their full event set via a user-keyed semi-join
+    against the log — never a driver collect), and swaps those users'
+    rows into the history table (read-stale / anti-join / union /
+    atomic-rename — the MERGE pattern on plain parquet).
+
+    Batch-boundary invariance BY CONSTRUCTION: a user's history is
+    recomputed from their complete logged event set the last time they
+    appear, so ANY micro-batch split yields the same final table — the
+    result must equal the one-shot batch scd2_history, which is exactly
+    what the oracle checks.
+
+    Returns the final history (user_id, version, event_type, valid_from,
+    valid_to, n_events, is_current).
+    """
+    import shutil
+
+    from ..operators.maintenance import scd2_history
+    from ..schemas import EVENTS_SCHEMA
+
+    work = _workdir("qscd2")
+    staged = stage_table(spark, sf_dir, "events", n_files=3)
+    log_dir = os.path.join(work, "log")
+    hist_dir = os.path.join(work, "hist")
+    hist_schema = (
+        "user_id long, version long, event_type string, valid_from timestamp, "
+        "valid_to timestamp, n_events long, is_current boolean"
+    )
+
+    def upsert(batch_df, epoch_id):
+        b = batch_df.select("event_id", "ts", "user_id", "event_type")
+        b.write.mode("append").parquet(log_dir)
+        touched = b.select("user_id").distinct()
+        log = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(log_dir)
+        their_events = log.join(touched, "user_id")
+        new_hist = scd2_history(their_events)
+        if os.path.isdir(hist_dir):
+            old = spark.read.schema(hist_schema).parquet(hist_dir).join(
+                touched, "user_id", "left_anti"
+            )
+            out = old.unionByName(new_hist.select(*old.columns))
+        else:
+            out = new_hist
+        staging = hist_dir + ".staging"
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(hist_dir):
+            shutil.rmtree(hist_dir)
+        os.rename(staging, hist_dir)
+
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(hist_schema).parquet(hist_dir)

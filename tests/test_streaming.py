@@ -321,3 +321,23 @@ def test_stream_late_data_drops_all_late_rows(spark):
     # and the head-of-stream windows were withheld: the max emitted start
     # is at least one full window before the max event time
     assert max(r.window_start.timestamp() for r in out) + 3600 <= b.mx - 3600 + 3600
+
+
+def test_stream_scd2_equals_batch_and_is_incremental(spark):
+    """q100 contract: the streamed history equals the one-shot batch
+    scd2_history row-for-row; versions stay 1..n per user after the
+    touched-user swaps (no duplicate or phantom versions from the
+    anti-join/union merge)."""
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import scd2_history
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_scd2_history
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in stream_scd2_history(spark, sf).collect()}
+    want = {tuple(r) for r in scd2_history(load(spark, sf, "events")).collect()}
+    assert got == want
+    per_user: dict = {}
+    for r in got:
+        per_user.setdefault(r[0], []).append(r[1])
+    for u, versions in per_user.items():
+        assert sorted(versions) == list(range(1, len(versions) + 1))

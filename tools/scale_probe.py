@@ -214,6 +214,9 @@ PROBE_OPS = [
     # CCNet bucketing: the LM score's linear shuffles + one
     # lang-partitioned ranking window (bounded category)
     "curation_ccnet_buckets",
+    # incremental SCD2: per-batch touched-user semi-join recompute +
+    # anti-join swap — the MERGE pattern's cost under replication
+    "q100_stream_scd2",
 ]
 
 
