@@ -1838,3 +1838,62 @@ def ivfpq_topk(
     return local.select(
         "query_id", "neighbor_id", "cosine_pq", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+def centroid_classifier_confusion(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-label-centroid classifier probe + confusion matrix — the
+    cheapest label-quality / embedding-quality eval a pipeline runs: if
+    a prototype classifier can't separate the labels, either the labels
+    are noisy or the encoder collapsed; the confusion matrix says which
+    pairs bleed into each other.
+
+    Centroids are truncated integer means of the quantized vectors
+    (comp_sum div n — Spark div == DuckDB // toward zero here, the
+    kmeans_refine_centroids precedent), so prediction arithmetic stays
+    exact; prediction = argmax cosine over the |labels|-row centroid
+    matrix as a pure map stage (closure-embedded, the broadcast-variable
+    pattern — labels are a bounded category), tie toward the lowest
+    label.  One bounded (|labels|²-max) aggregate closes the matrix.
+
+    Output: (label, predicted, n_vecs) — one row per observed
+    (true, predicted) pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sums = label_centroid_sums(embeddings, label_col=label_col, vec_col=vec_col)
+    rows = (
+        sums.select(
+            "label", "dim", F.expr("comp_sum div n_vecs").alias("cv")
+        ).collect()
+    )  # bounded: |labels| x dim
+    by_label: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.dim] = r.cv
+    labels = sorted(by_label)
+    cent_ids = np.array(labels, dtype=np.int64)
+    cent_mat = np.array(
+        [[by_label[lab][d] for d in range(len(by_label[lab]))] for lab in labels],
+        dtype=np.float64,
+    )
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+
+    def per_batch(batches):
+        for pdf in batches:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+            nsq = (v * v).sum(axis=1)
+            cos = (v @ cent_mat.T) / np.sqrt(nsq[:, None] * cent_nsq[None, :])
+            pred = np.array(
+                [cent_ids[np.lexsort((cent_ids, -row))[0]] for row in cos], dtype=np.int64
+            )
+            yield pd.DataFrame({"label": pdf["label"], "predicted": pred})
+
+    assigned = embeddings.select(
+        F.col(label_col).alias("label"), quantize(vec_col).alias("qv")
+    ).mapInPandas(per_batch, schema="label int, predicted long")
+    return assigned.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -3451,3 +3451,51 @@ QUERIES.append(
         tags=("llm", "curation", "text"),
     )
 )
+
+
+def centroid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.centroid_classifier_confusion(load(spark, sf, "embeddings"))
+
+
+QUERIES.append(
+    Query(
+        "embedding_centroid_confusion",
+        centroid_confusion_q,
+        f"""
+        WITH q AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
+                          {QVEC} AS qv FROM embeddings),
+        x AS (SELECT label, u.i AS dim, u.v AS comp FROM
+              (SELECT label,
+                      unnest(list_transform(range(1, len(qv) + 1),
+                             i -> {{'i': i, 'v': qv[i]}})) AS u
+               FROM q)),
+        cent AS (SELECT label, dim, SUM(comp) // COUNT(*) AS cv
+                 FROM x GROUP BY label, dim),
+        cl AS (SELECT label AS clab,
+                      list(cv ORDER BY dim ASC) AS cvec
+               FROM cent GROUP BY label),
+        scored AS (
+          SELECT q.vec_id, q.label, cl.clab,
+                 list_dot_product(q.qv::DOUBLE[], cl.cvec::DOUBLE[])
+                   / sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+                          * list_dot_product(cl.cvec::DOUBLE[], cl.cvec::DOUBLE[]))
+                   AS cos
+          FROM q CROSS JOIN cl
+        ),
+        pred AS (
+          SELECT vec_id, label, clab AS predicted FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, clab ASC) AS rn FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT label, CAST(predicted AS BIGINT) AS predicted,
+               COUNT(*) AS n_vecs
+        FROM pred GROUP BY 1, 2
+        """,
+        doc="nearest-label-centroid classifier probe + confusion matrix "
+        "(the cheapest label/encoder-quality eval): truncated-integer "
+        "label centroids (grouped-map Arrow sums, bounded collect), "
+        "map-only argmax prediction, |labels|^2-bounded matrix aggregate",
+        tags=("llm", "embedding", "monitoring"),
+    )
+)

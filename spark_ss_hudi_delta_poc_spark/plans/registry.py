@@ -75,8 +75,8 @@ class Query:
 # scd2_history, q98_stream_late_data, graph_triangles,
 # monitor_value_outliers, ann_ivfpq_topk, sketch_hll_by_type,
 # q99_group_heavy_hitters, privacy_k_anonymity, ann_pq_index_topk,
-# multimodal_audio_pairs, curation_ccnet_buckets, q100_stream_scd2
-# (everything from
+# multimodal_audio_pairs, curation_ccnet_buckets, q100_stream_scd2,
+# embedding_centroid_confusion (everything from
 # ann_pq_topk on is the final round-8 batch),
 # plus a FRESH row for ann_recall_report (its output gained
 # pq/ivfpq/rerank rows this round — it holds a window slot already, so

@@ -1911,3 +1911,26 @@ def test_audio_fingerprint_short_payload_emits_nothing(spark):
     )
     assert audio_fingerprint_table(df).count() == 0
     assert audio_fingerprint_pairs(df).count() == 0
+
+
+def test_centroid_confusion_perfectly_separable(spark):
+    """Two well-separated synthetic clusters must classify perfectly
+    (diagonal confusion matrix); counts must sum to the corpus."""
+    import random
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        centroid_classifier_confusion,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        lab = i % 2
+        base = 1.0 if lab == 0 else -1.0
+        vec = [base + rng.uniform(-0.05, 0.05) for _ in range(64)]
+        rows.append((i, vec, lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_classifier_confusion(df).collect()
+    assert sum(r.n_vecs for r in out) == 60
+    assert all(r.label == r.predicted for r in out)
+    assert {r.label for r in out} == {0, 1}

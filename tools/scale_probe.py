@@ -217,6 +217,9 @@ PROBE_OPS = [
     # incremental SCD2: per-batch touched-user semi-join recompute +
     # anti-join swap — the MERGE pattern's cost under replication
     "q100_stream_scd2",
+    # centroid classifier probe: grouped-map sums (bounded exchange) +
+    # map-only argmax + |labels|^2-bounded matrix aggregate
+    "embedding_centroid_confusion",
 ]
 
 
