@@ -150,6 +150,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "monitor_category_drift",  # 1-row time bounds + 1-row total (branch-replicated)
     "privacy_k_anonymity",  # 1-row suppression totals
     "text_pmi_collocations",  # 1-row N aggregate, tfidf's shape
+    "curation_ccnet_buckets",  # inherits text_ngram_lm_score's 1-row V aggregate
     # kmv_jaccard's cross side is NOT 1 row but a per-SOURCE aggregate —
     # bounded by the source domain (a category dimension, like nation):
     # the inequality pair join (a.source < b.source) over |sources| rows
@@ -216,6 +217,7 @@ def test_sketch_cross_joins_are_single_row(spark):
         "monitor_category_drift": 5,  # 1-row bounds/total, replicated per margin branch
         "privacy_k_anonymity": 1,  # classes x 1-row suppression totals
         "text_pmi_collocations": 1,  # pair counts x 1-row N aggregate
+        "curation_ccnet_buckets": 1,  # the composed LM score's 1-row V
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)
