@@ -152,22 +152,33 @@ QUERIES = [
         "q94_stream_dup_rate",
         stream_dup_rate,
         """
-        WITH g AS (
-          SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
-                 COUNT(*) AS cnt
-          FROM events GROUP BY 1, 2, 3)
-        SELECT window_start,
-               CAST(SUM(cnt) AS BIGINT) AS n_events,
-               COUNT(*) AS n_distinct,
-               CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+        WITH e AS (SELECT user_id, event_type, ts,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+        b AS (SELECT MAX(ep) AS mx FROM e),
+        g AS (
+          SELECT date_trunc('hour', ts) AS window_start,
+                 (MIN(ep) // 3600) * 3600 AS wstart_ep,
+                 user_id, event_type, COUNT(*) AS cnt
+          FROM e GROUP BY 1, user_id, event_type),
+        w AS (
+          SELECT window_start,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 COUNT(*) AS n_distinct
+          FROM g, b WHERE wstart_ep + 3600 + 1800 <= mx
+          GROUP BY window_start)
+        SELECT window_start, n_events, n_distinct,
+               CAST(n_events - n_distinct AS DOUBLE) / CAST(n_events AS DOUBLE)
                  AS dup_rate
-        FROM g GROUP BY window_start
+        FROM w
         """,
         doc="streaming duplicate-rate monitor: per event-time window, how "
         "much of the feed is repeats of the same (user, event_type) — "
-        "the in-stream ingest-health metric; windowed composite-key "
-        "counts with watermark-bounded state, rate math on the bounded "
-        "rollup; == the batch GROUP BY hour ledger",
+        "the in-stream ingest-health metric; append-mode windowed "
+        "composite-key counts into a file sink (watermark EVICTS closed "
+        "windows — state holds only the watermark horizon), rate math "
+        "on the bounded read-back; == the batch GROUP BY hour ledger "
+        "restricted to windows the final watermark closed (q98's "
+        "emission rule)",
         tags=("streaming", "window", "monitoring"),
     ),
     Query(
@@ -188,14 +199,21 @@ QUERIES = [
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
           FROM flagged
         )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL 30 MINUTE AS session_end_plus_gap,
-               COUNT(*) AS n_events
-        FROM numbered GROUP BY user_id, sid
+        SELECT user_id, session_start, session_end_plus_gap, n_events
+        FROM (
+          SELECT user_id,
+                 MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL 30 MINUTE AS session_end_plus_gap,
+                 COUNT(*) AS n_events
+          FROM numbered GROUP BY user_id, sid
+        ), (SELECT date_trunc('millisecond', MAX(ts)) AS mxts FROM events)
+        WHERE session_end_plus_gap <= mxts - INTERVAL 30 MINUTE
         """,
-        doc="streaming session_window (30-min gap) == batch gaps-and-islands "
-        "(session end = last event + gap; new session at gap >= G)",
+        doc="streaming session_window (30-min gap, APPEND mode + file "
+        "sink: the watermark evicts each closed session, so state holds "
+        "only open sessions in the watermark horizon) == batch "
+        "gaps-and-islands (session end = last event + gap; new session "
+        "at gap >= G) restricted to sessions the final watermark closed",
         tags=("streaming", "session"),
     ),
     Query(
@@ -217,18 +235,16 @@ QUERIES = [
         "q44_stream_static_join",
         stream_static_join,
         """
-        WITH dim AS (
-          SELECT DISTINCT user_id,
-                 CASE WHEN user_id % 3 = 0 THEN 'a'
-                      WHEN user_id % 3 = 1 THEN 'b' ELSE 'c' END AS segment
-          FROM events
-        )
+        WITH dim(seg_idx, segment) AS (VALUES (0, 'a'), (1, 'b'), (2, 'c'))
         SELECT segment, COUNT(*) AS cnt,
                CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
-        FROM events JOIN dim USING (user_id)
+        FROM events JOIN dim ON events.user_id % 3 = dim.seg_idx
         GROUP BY segment
         """,
-        doc="stream-static broadcast join (per-batch dim enrichment) == batch join",
+        doc="stream-static broadcast join (per-batch enrichment against a "
+        "BOUNDED |segments|-row dim; the bucket key is derived map-side "
+        "on the stream — a row-per-user dim broadcast is the banned "
+        "corpus-cardinality shape) == batch join",
         tags=("streaming", "join"),
     ),
     Query(
