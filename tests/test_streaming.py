@@ -333,7 +333,8 @@ def test_stream_scd2_equals_batch_and_is_incremental(spark):
     from spark_ss_hudi_delta_poc_spark.tables import load
 
     sf = "/root/testdata/sf0.001"
-    got = {tuple(r) for r in stream_scd2_history(spark, sf).collect()}
+    stats: list = []
+    got = {tuple(r) for r in stream_scd2_history(spark, sf, stats=stats).collect()}
     want = {tuple(r) for r in scd2_history(load(spark, sf, "events")).collect()}
     assert got == want
     per_user: dict = {}
@@ -341,3 +342,61 @@ def test_stream_scd2_equals_batch_and_is_incremental(spark):
         per_user.setdefault(r[0], []).append(r[1])
     for u, versions in per_user.items():
         assert sorted(versions) == list(range(1, len(versions) + 1))
+    # the write footprint is per-bucket: every batch rewrote only the
+    # buckets its users hash into (batch 1 finds no existing buckets)
+    assert stats and stats[0]["existing_buckets"] == []
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import SCD2_N_BUCKETS
+
+    for s in stats:
+        assert set(s["existing_buckets"]) <= set(s["touched_buckets"])
+        assert len(s["touched_buckets"]) <= SCD2_N_BUCKETS
+
+
+def test_scd2_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The q100 write-amplification contract, asserted directly: a
+    follow-up batch touching ONE user must rewrite exactly that user's
+    bucket — every other bucket dir's files are bit-identical untouched
+    (same paths, same mtimes), so per-batch bytes written scale with the
+    batch's user footprint, not with |history|."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        SCD2_N_BUCKETS,
+        read_scd2_history,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 40, "click") for i in range(200)],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, base, log_dir, hist_dir)
+
+    def snapshot(root):
+        out = {}
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot(hist_dir)
+    one_user = spark.createDataFrame(
+        [(10_000, "2024-01-02 00:00:00", 7, "purchase")],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    stats: list = []
+    scd2_apply_batch(spark, one_user, log_dir, hist_dir, stats=stats)
+    assert stats[0]["touched_buckets"] == [7 % SCD2_N_BUCKETS]
+    after = snapshot(hist_dir)
+    touched_prefix = os.path.join(hist_dir, f"bkt={7 % SCD2_N_BUCKETS}") + os.sep
+    for p, mt in before.items():
+        if not p.startswith(touched_prefix):
+            assert after.get(p) == mt, f"untouched bucket file rewritten: {p}"
+    # and the merge is still correct: user 7 gained a purchase version
+    hist = read_scd2_history(spark, hist_dir)
+    u7 = sorted(
+        (r.version, r.event_type, r.is_current) for r in hist.where("user_id = 7").collect()
+    )
+    assert u7[-1][1] == "purchase" and u7[-1][2] is True
