@@ -751,10 +751,18 @@ def winnow_overlap_pairs(
     from .text_analysis import winnow_fingerprints
 
     fp = winnow_fingerprints(docs, text_col=text_col, id_col=id_col)
-    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= max_fp_df
+    # drop stop-fingerprints via a broadcast ANTI-join against the tiny
+    # FREQUENT set (df > cap; heavy-hitter-capped aggregate — zipfian
+    # data keeps it kilobytes at any corpus size), never a semi-join
+    # against the near-universal RARE set — the same shape as
+    # _shingle_pair_overlaps' df-cap above (round-9: was one
+    # |all-fingerprints|-sized shuffle join heavier than its sibling)
+    frequent = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_fp_df)
     )
-    fpr = fp.join(rare.select("fp"), "fp")
+    fpr = fp.join(F.broadcast(frequent.select("fp")), "fp", "left_anti")
     sizes = fpr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     fpn = fpr.join(sizes, "doc_id")  # hash join on doc_id, reuses sizes' exchange
     a = fpn.select(

@@ -302,7 +302,9 @@ def grouped_heavy_hitters(
     cand = proj.mapInPandas(mg_partition, schema=proj.schema).collect()
     candidates = list({(r.g, r.k) for r in cand})
     totals = df.groupBy(F.col(group_col).alias("g")).agg(F.count(F.lit(1)).alias("n_group"))
-    cand_df = df.sparkSession.createDataFrame(candidates, proj.schema)
+    cand_df = df.sparkSession.createDataFrame(candidates, proj.schema).limit(
+        len(candidates)
+    )  # plan-level bound: <= partitions x capacity driver-local rows
     counted = (
         proj.join(F.broadcast(cand_df), ["g", "k"])  # bounded candidate set
         .groupBy("g", "k")

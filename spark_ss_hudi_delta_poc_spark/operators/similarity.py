@@ -462,7 +462,7 @@ def ivf_quantized_topk(
     qdf = queries.sparkSession.createDataFrame(
         [(int(i), [int(x) for x in v], int(c)) for i, v, c in zip(qi, qq8, qcl)],
         "query_id long, qv8_q array<long>, cluster long",
-    )
+    ).limit(len(q_rows))  # plan-level bound: |Q| driver-local rows
     scored = (
         corpus.join(F.broadcast(qdf), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -575,7 +575,7 @@ def embedding_prototypicality(
     cent_df = spark.createDataFrame(
         [(int(c), [int(x) for x in row]) for c, row in zip(cent_ids, cent_mat)],
         "cluster long, qvc array<long>",
-    )
+    ).limit(len(cent_ids))  # plan-level bound: n_centroids driver-local rows
     proto = cosine_q(F.col("qv"), F.col("qvc"))
     return (
         assigned.join(F.broadcast(cent_df), "cluster")
@@ -1149,7 +1149,9 @@ def ivf_index_topk(
         .where(F.col("cluster").isin(probed))
         .withColumn("cluster", F.col("cluster").cast("long"))
     )
-    qdf = spark.createDataFrame(probe_pairs, "query_id long, cluster long, qv_q array<long>")
+    qdf = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster long, qv_q array<long>"
+    ).limit(len(probe_pairs))  # plan-level bound: |Q| x nprobe driver-local rows
     scored = (
         lists.join(F.broadcast(qdf), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -112,8 +112,9 @@ def hll_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
         # SQL-expr shift: pyspark's F.shiftleft only takes a literal numBits
         F.sum(F.expr(f"shiftleft(1L, {HLL_W_BITS} - m_j)")).alias("sum_hit"),
     )
+    lc_rows = hll_linear_counting_table()
     lc = F.broadcast(
-        regs.sparkSession.createDataFrame(hll_linear_counting_table(), "v long, lc_est double")
+        regs.sparkSession.createDataFrame(lc_rows, "v long, lc_est double").limit(len(lc_rows))
     )
     base = (
         sketch.crossJoin(F.broadcast(exact))
@@ -563,8 +564,9 @@ def hll_distinct_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     exact = df.groupBy(F.col(group_col).alias("g")).agg(
         F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )
+    lc_rows = hll_linear_counting_table()
     lc = F.broadcast(
-        df.sparkSession.createDataFrame(hll_linear_counting_table(), "v long, lc_est double")
+        df.sparkSession.createDataFrame(lc_rows, "v long, lc_est double").limit(len(lc_rows))
     )
     base = (
         sketch.join(exact, "g")

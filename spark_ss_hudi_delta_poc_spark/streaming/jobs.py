@@ -177,7 +177,12 @@ def stream_roundtrip_battery(spark: SparkSession, sf_dir: str, fmt: str = "parqu
         trigger_available_now=True,
     )
     q.awaitTermination()
-    back = spark.read.format(fmt).load(sink)
+    return roundtrip_battery(spark.read.format(fmt).load(sink))
+
+
+def roundtrip_battery(back: DataFrame) -> DataFrame:
+    """q12's read-back validation battery (shared with the plan-audit
+    shadow): row count, distinct part keys, duplicated order keys."""
     rows = back.agg(F.count(F.lit(1)).alias("n")).select(F.lit("rows").alias("metric"), "n")
     partkeys = (
         back.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("n"))
@@ -245,6 +250,19 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def interval_pair_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Core of q31 (shared with the plan-audit shadow): equi-join on the
+    user plus an event-time range condition — an EQUI join with a range
+    residual, never a pure range join (which would plan a nested-loop
+    blowup)."""
+    return purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"
+        ),
+    ).select("purchase_id", "user_id", F.col("cts").alias("click_ts"))
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: STREAM-STREAM inner join with an event-time range
     condition — purchases joined to same-user clicks in the preceding 30
@@ -265,12 +283,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
         .withWatermark("cts", "1 hour")
     )
-    joined = purchases.join(
-        clicks,
-        F.expr(
-            "user_id = c_user AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"
-        ),
-    ).select("purchase_id", "user_id", F.col("cts").alias("click_ts"))
+    joined = interval_pair_join(purchases, clicks)
     table = f"qssj_mem_{_uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
@@ -311,6 +324,23 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def session_agg(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Core of q21 (shared with the plan-audit shadow): per-user
+    gap-merged session windows with event counts — one exchange on the
+    user key."""
+    return (
+        df.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_plus_gap"),
+            "n_events",
+        )
+    )
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Beyond-reference: event-time SESSION windows (dynamic-length,
     gap-merged) per user — `F.session_window`, the built-in stateful
@@ -330,17 +360,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
     work = _workdir("qsess")
     staged = stage_time_ordered_halves(spark, sf_dir, "events", work)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end_plus_gap"),
-            "n_events",
-        )
-    )
+    agg = session_agg(stream, gap_minutes)
     sink = os.path.join(work, "sink")
     q = (
         agg.writeStream.format("parquet")
@@ -357,6 +377,32 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
     ).parquet(sink)
 
 
+def latest_incoming(batch_df: DataFrame) -> DataFrame:
+    """Core of q60's per-batch step (shared with the plan-audit shadow):
+    project to the upsert payload with a single total-order version key
+    (unix_seconds * 2^32 + event_id), then keep the in-batch latest row
+    per user — one user-keyed window pass."""
+    from pyspark.sql import Window
+
+    ver = (
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))) * F.lit(2**32)
+        + F.col("event_id")
+    ).alias("ver")
+    incoming = batch_df.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
+        ver,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ver").desc())
+    return (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: a continuously-maintained LATEST-STATE-PER-KEY
     table — each micro-batch upserts into a snapshot (foreachBatch +
@@ -367,28 +413,16 @@ def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table equals the batch argmax regardless of how files split into
     micro-batches.  Output: (user_id, last_event_id, last_type, v_e4).
     """
-    from pyspark.sql import Window
-
     from ..operators.maintenance import upsert_snapshot
 
     work = _workdir("qmatview")
     staged = stage_table(spark, sf_dir, "events", n_files=4)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
     state_dir = os.path.join(work, "state")
-    ver = (F.unix_timestamp(F.date_trunc("second", F.col("ts"))) * F.lit(2**32) + F.col("event_id")).alias("ver")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        incoming = batch_df.select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            F.floor(F.col("value") * 10000).cast("long").alias("v_e4"),
-            ver,
-        )
-        # in-batch latest per user first (deterministic total order)
-        w = Window.partitionBy("user_id").orderBy(F.col("ver").desc())
-        incoming = incoming.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        incoming = latest_incoming(batch_df)
         if os.path.isdir(state_dir):
             current = s.read.parquet(state_dir)
             merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
@@ -412,6 +446,21 @@ def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir).drop("ver")
 
 
+def windowed_value_agg(df: DataFrame) -> DataFrame:
+    """Core of q19 (shared with the plan-audit shadow): 1-hour tumbling
+    windows per event_type with count + integer-scaled value sum —
+    partial+final hash aggregate on (window, event_type)."""
+    return (
+        df.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_e4")
+    )
+
+
 def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: event-time tumbling-window aggregation with a
     watermark (the streaming feature the reference lacks — SURVEY.md §2.7).
@@ -423,15 +472,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     staged = stage_table(spark, sf_dir, "events", n_files=1)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "value_e4")
-    )
+    agg = windowed_value_agg(stream)
     table = f"qwin_mem_{_uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
@@ -668,6 +709,33 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_rate_window_agg(df: DataFrame) -> DataFrame:
+    """Core of q94's streaming half (shared with the plan-audit shadow):
+    watermarked (window, user, event_type) counts."""
+    return (
+        df.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("user_id"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "event_type", "cnt")
+    )
+
+
+def dup_rate_rollup(back: DataFrame) -> DataFrame:
+    """q94's bounded batch rollup over the sink read-back."""
+    per_win = back.groupBy("window_start").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    rate = (F.col("n_events") - F.col("n_distinct")).cast("double") / F.col(
+        "n_events"
+    ).cast("double")
+    return per_win.select("window_start", "n_events", "n_distinct", rate.alias("dup_rate"))
+
+
 def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: streaming DUPLICATE-RATE monitor — the ingest
     health metric a continuously-fed corpus publishes per event-time
@@ -695,16 +763,7 @@ def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _workdir("qdup")
     staged = stage_time_ordered_halves(spark, sf_dir, "events", work)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(
-            F.window("ts", "1 hour").alias("w"),
-            F.col("user_id"),
-            F.col("event_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "user_id", "event_type", "cnt")
-    )
+    agg = dup_rate_window_agg(stream)
     sink = os.path.join(work, "sink")
     q = (
         agg.writeStream.format("parquet")
@@ -718,14 +777,7 @@ def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "window_start timestamp, user_id long, event_type string, cnt long"
     ).parquet(sink)
-    per_win = back.groupBy("window_start").agg(
-        F.sum("cnt").alias("n_events"),
-        F.count(F.lit(1)).alias("n_distinct"),
-    )
-    rate = (F.col("n_events") - F.col("n_distinct")).cast("double") / F.col(
-        "n_events"
-    ).cast("double")
-    return per_win.select("window_start", "n_events", "n_distinct", rate.alias("dup_rate"))
+    return dup_rate_rollup(back)
 
 
 def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +893,17 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_window_agg(df: DataFrame) -> DataFrame:
+    """Core of q98 (shared with the plan-audit shadow): 1-hour windows
+    per event_type under a 1-hour watermark."""
+    return (
+        df.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: WATERMARK LATE-DATA SEMANTICS as a hash-checked
     artifact — what actually happens to late rows is the part of
@@ -879,12 +942,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_once() -> None:
         stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
-        )
+        agg = late_window_agg(stream)
         q = (
             agg.writeStream.format("parquet")
             .option("path", sink)
@@ -924,6 +982,29 @@ SCD2_HIST_SCHEMA = (
 )
 
 
+def scd2_merge_frames(
+    log: DataFrame,
+    touched: DataFrame,
+    old: DataFrame | None,
+    n_buckets: int = SCD2_N_BUCKETS,
+) -> DataFrame:
+    """The MERGE plan of one SCD2 micro-batch (shared with the plan-audit
+    shadow): recompute touched users' histories from their complete
+    logged event set (user-keyed semi-join — shuffle joins only, nothing
+    broadcast), anti-join them out of the old touched-bucket rows, union
+    the recomputed rows back in."""
+    from ..operators.maintenance import scd2_history
+
+    their_events = log.join(touched, "user_id")
+    new_hist = scd2_history(their_events).withColumn(
+        "bkt", (F.col("user_id") % n_buckets).cast("int")
+    )
+    if old is None:
+        return new_hist
+    kept = old.join(touched, "user_id", "left_anti")
+    return kept.unionByName(new_hist.select(*kept.columns))
+
+
 def scd2_apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -954,8 +1035,6 @@ def scd2_apply_batch(
     """
     import shutil
 
-    from ..operators.maintenance import scd2_history
-
     b = batch_df.select("event_id", "ts", "user_id", "event_type")
     b.write.mode("append").parquet(log_dir)
     touched = b.select("user_id").distinct()
@@ -969,25 +1048,19 @@ def scd2_apply_batch(
     log = spark.read.schema(
         "event_id long, ts timestamp, user_id long, event_type string"
     ).parquet(log_dir)
-    their_events = log.join(touched, "user_id")
-    new_hist = scd2_history(their_events).withColumn(
-        "bkt", (F.col("user_id") % n_buckets).cast("int")
-    )
     existing = [
         bk
         for bk in touched_bkts
         if os.path.isdir(os.path.join(hist_dir, f"bkt={bk}"))
     ]
-    if existing:
-        old = (
-            spark.read.option("basePath", hist_dir)
-            .schema(SCD2_HIST_SCHEMA + ", bkt int")
-            .parquet(*[os.path.join(hist_dir, f"bkt={bk}") for bk in existing])
-            .join(touched, "user_id", "left_anti")
-        )
-        out = old.unionByName(new_hist.select(*old.columns))
-    else:
-        out = new_hist
+    old = (
+        spark.read.option("basePath", hist_dir)
+        .schema(SCD2_HIST_SCHEMA + ", bkt int")
+        .parquet(*[os.path.join(hist_dir, f"bkt={bk}") for bk in existing])
+        if existing
+        else None
+    )
+    out = scd2_merge_frames(log, touched, old, n_buckets)
     staging = hist_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     out.write.mode("overwrite").partitionBy("bkt").parquet(staging)

@@ -12,11 +12,36 @@ import io
 import pytest
 
 from spark_ss_hudi_delta_poc_spark.plans import all_queries
+from spark_ss_hudi_delta_poc_spark.streaming.shadows import STREAM_SHADOWS
 
 SF = "/root/testdata/sf0.001"
 QS = all_queries()
 
 _PLAN_CACHE: dict = {}  # (name, conf_key) -> formatted plan text
+
+
+def shadow_plans_of(spark, name: str, no_auto_broadcast: bool = False) -> dict:
+    """Formatted plans of a STREAMING query's batch shadow stages
+    (streaming/shadows.py), cached like plan_of.  Streaming registry fns
+    execute their streams and return a sink read-back, so the global
+    audits inspect the shadow graph — the same per-trigger DataFrame
+    graph built on batch tables — instead of skipping streaming queries
+    (the round-8 exemption that hid q44's row-per-user broadcast)."""
+    key = ("shadow", name, no_auto_broadcast)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        if no_auto_broadcast:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = {
+            stage: _formatted(df)
+            for stage, df in STREAM_SHADOWS[name](spark, SF).items()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    _PLAN_CACHE[key] = out
+    return out
 
 
 def plan_of(spark, name: str, no_auto_broadcast: bool = False) -> str:
@@ -245,18 +270,21 @@ def test_kmv_jaccard_cross_sides_are_source_bounded(spark):
 
 
 def test_no_cartesian_anywhere(spark):
-    """Global plan audit: no batch query in the registry may plan a
-    CartesianProduct or BroadcastNestedLoopJoin — the two shapes that
-    never survive a scale-up — unless explicitly exempted with a
-    justification above.  (Streaming queries execute in fn() and are
-    covered by their own oracle runs.)"""
+    """Global plan audit: no registry query — batch plan or streaming
+    shadow — may plan a CartesianProduct or BroadcastNestedLoopJoin,
+    the two shapes that never survive a scale-up, unless explicitly
+    exempted with a justification above."""
     offenders = []
     for name, q in sorted(QS.items()):
-        if "streaming" in q.tags or name in CROSS_JOIN_EXEMPT:
+        if name in CROSS_JOIN_EXEMPT:
             continue
-        p = plan_of(spark, name)
-        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
-            offenders.append(name)
+        if "streaming" in q.tags:
+            plans = shadow_plans_of(spark, name).items()
+        else:
+            plans = [("", plan_of(spark, name))]
+        for stage, p in plans:
+            if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+                offenders.append(f"{name}/{stage}" if stage else name)
     assert offenders == []
 
 
@@ -394,19 +422,29 @@ def _unbounded_partitionless_windows(plan: str) -> list[int]:
             continue
         if not spec_partitionless(details.get(nid, "")):
             continue
-        child = nodes[idx + 1][1] if idx + 1 < len(nodes) else ""
-        if child.startswith(("TakeOrderedAndProject", "LocalTableScan")):
-            continue  # bounded input: <= k rows / driver-local
-        if child.startswith("Scan ExistingRDD"):
-            # an ExistingRDD can back an arbitrarily large parallelized
-            # dataset (ADVICE r7): certify only when a limit/TakeOrdered
-            # bounds it somewhere below the window
-            rest = [n for _, n, _ in nodes[idx + 1 :]]
-            if any(
-                n.startswith(("TakeOrderedAndProject", "GlobalLimit", "LocalLimit"))
-                for n in rest
-            ):
-                continue
+        # walk the window's input chain past cardinality-preserving (or
+        # cardinality-reducing) plumbing; certify iff the first
+        # cardinality-RELEVANT node bounds the input to <= k rows
+        j = idx + 1
+        while j < len(nodes) and nodes[j][1].startswith(
+            ("Sort", "Project", "Exchange", "ShuffleQueryStage", "AQEShuffleRead",
+             "Filter", "Coalesce", "InputAdapter", "WholeStageCodegen", "ColumnarToRow")
+        ):
+            j += 1
+        child = nodes[j][1] if j < len(nodes) else ""
+        if child.startswith(
+            ("TakeOrderedAndProject", "LocalTableScan", "GlobalLimit", "LocalLimit",
+             "WindowGroupLimit")
+        ):
+            # bounded input: <= k rows by construction / driver-local
+            # literal rows.  ``Scan ExistingRDD`` certifies NOTHING
+            # (round-9 tightening, ADVICE r8: it can back an arbitrarily
+            # large parallelized dataset, and the old anywhere-below
+            # limit scan could match a limit in a DIFFERENT branch) — a
+            # bounded driver-local frame must carry its own ``.limit``
+            # so the first cardinality-relevant node below the window IS
+            # a limit.
+            continue
         flagged.append(nid)
     return flagged
 
@@ -420,10 +458,15 @@ def test_no_partitionless_window_anywhere(spark):
     bounded shape via the window's child node."""
     offenders = []
     for name, q in sorted(QS.items()):
-        if "streaming" in q.tags or name in PARTITIONLESS_WINDOW_EXEMPT:
+        if name in PARTITIONLESS_WINDOW_EXEMPT:
             continue
-        if _unbounded_partitionless_windows(plan_of(spark, name)):
-            offenders.append(name)
+        if "streaming" in q.tags:
+            plans = shadow_plans_of(spark, name).items()
+        else:
+            plans = [("", plan_of(spark, name))]
+        for stage, p in plans:
+            if _unbounded_partitionless_windows(p):
+                offenders.append(f"{name}/{stage}" if stage else name)
     assert offenders == []
 
 
@@ -455,11 +498,16 @@ def test_unbounded_partitionless_detector_flags_raw_window(spark):
 # sides like a 1/5-of-customer mktsegment slice).
 #
 # Unconditional certificates — bounded at ANY corpus size by construction:
-#   Limits/TakeOrdered/WindowGroupLimit: top-k capped.  LocalTableScan /
-#   Scan ExistingRDD: driver-local literal data (query sets, probe pairs).
-#   ReusedExchange: points at an exchange audited at its own site.
-#   Subquery: scalar (1-row) result.  Dims-table scans (region/nation):
-#   fixed-size inputs.
+#   Limits/TakeOrdered/WindowGroupLimit: top-k capped.  LocalTableScan:
+#   literal rows embedded in the plan (a big one would have OOMed the
+#   driver at plan build).  ReusedExchange: points at an exchange audited
+#   at its own site.  Subquery: scalar (1-row) result.  Dims-table scans
+#   (region/nation): fixed-size inputs.
+#   NOT a certificate (round-9 tightening, ADVICE r8): ``Scan
+#   ExistingRDD`` — it can back an arbitrarily large parallelized
+#   dataset.  Driver-local frames that are genuinely bounded must SAY so
+#   in the plan: construct them with ``.limit(n)`` so a GlobalLimit sits
+#   above the scan (segment_dim's shape).
 #
 # CONDITIONAL certificate — an aggregate certifies ONLY when its output
 # cardinality is provably bounded:
@@ -480,7 +528,6 @@ _BROADCAST_CERT_NODES = (
     "LocalLimit",
     "WindowGroupLimit",
     "LocalTableScan",
-    "Scan ExistingRDD",
     "ReusedExchange",
     "Subquery",
 )
@@ -652,11 +699,13 @@ def test_broadcasts_are_bounded_anywhere(spark):
     offenders = []
     for name, q in sorted(QS.items()):
         if "streaming" in q.tags:
-            continue
-        p = plan_of(spark, name, no_auto_broadcast=True)
-        bad = _uncertified_broadcasts(p)
-        if bad:
-            offenders.append((name, bad))
+            plans = shadow_plans_of(spark, name, no_auto_broadcast=True).items()
+        else:
+            plans = [("", plan_of(spark, name, no_auto_broadcast=True))]
+        for stage, p in plans:
+            bad = _uncertified_broadcasts(p)
+            if bad:
+                offenders.append((f"{name}/{stage}" if stage else name, bad))
     assert offenders == []
 
 
@@ -719,6 +768,35 @@ def test_uncertified_broadcast_detector_flags_doc_keyed_aggregate(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_existing_rdd_is_not_a_certificate(spark):
+    """Round-9 tightening (ADVICE r8): a raw parallelized frame plans as
+    ``Scan ExistingRDD`` and can be ANY size — it must not certify a
+    hinted broadcast or a partitionless window.  The same frame with an
+    explicit ``.limit(n)`` at the construction site carries a GlobalLimit
+    in the plan and certifies both."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    raw = spark.createDataFrame([(i, f"w{i}") for i in range(8)], "id long, w string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad_b = docs.join(F.broadcast(raw), docs.doc_id == raw.id)
+        assert _uncertified_broadcasts(_formatted(bad_b))
+        ok_b = docs.join(F.broadcast(raw.limit(8)), docs.doc_id == raw.id)
+        assert not _uncertified_broadcasts(_formatted(ok_b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    bad_w = raw.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert _unbounded_partitionless_windows(_formatted(bad_w))
+    ok_w = raw.limit(8).withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert not _unbounded_partitionless_windows(_formatted(ok_w))
+
+
 def test_no_row_at_a_time_python_anywhere(spark):
     """Global plan audit: Python may appear in a plan only as an
     Arrow-batched stage (ArrowEvalPython / MapInPandas /
@@ -728,7 +806,54 @@ def test_no_row_at_a_time_python_anywhere(spark):
     offenders = []
     for name, q in sorted(QS.items()):
         if "streaming" in q.tags:
-            continue
-        if "BatchEvalPython" in plan_of(spark, name):
-            offenders.append(name)
+            plans = shadow_plans_of(spark, name).items()
+        else:
+            plans = [("", plan_of(spark, name))]
+        for stage, p in plans:
+            if "BatchEvalPython" in p:
+                offenders.append(f"{name}/{stage}" if stage else name)
     assert offenders == []
+
+
+def test_every_streaming_query_has_shadow():
+    """Coverage pin for the streaming plan audits: every streaming-tagged
+    registry query must have a batch shadow (streaming/shadows.py), and
+    no shadow may be stale (naming a query the registry dropped)."""
+    streaming = {n for n, q in QS.items() if "streaming" in q.tags}
+    assert set(STREAM_SHADOWS) == streaming
+
+
+def test_shadow_gate_flags_row_per_user_stream_static_broadcast(spark):
+    """The round-8 q44 bug, pinned as a negative case: a stream-static
+    join that hint-broadcasts a DISTINCT-user dim (aggregate keyed on
+    user_id — corpus cardinality) must be flagged by the broadcast
+    certificate detector.  This is the exact shape the streaming
+    exemption used to hide (streaming/jobs.py round-9 fix)."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        user_dim = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn(
+                "segment",
+                F.when(F.col("user_id") % 3 == 0, "a")
+                .when(F.col("user_id") % 3 == 1, "b")
+                .otherwise("c"),
+            )
+        )
+        bad = ev.join(F.broadcast(user_dim), "user_id").groupBy("segment").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        assert _uncertified_broadcasts(_formatted(bad))
+        # and the FIXED q44 shadow passes: bounded segments dim only
+        fixed = shadow_plans_of(spark, "q44_stream_static_join", no_auto_broadcast=True)
+        for stage, p in fixed.items():
+            assert not _uncertified_broadcasts(p), stage
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
