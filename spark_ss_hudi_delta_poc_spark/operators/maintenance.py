@@ -263,3 +263,34 @@ def scd2_history(events: DataFrame) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+def scd2_as_of(events: DataFrame, as_of_ep) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history — "what
+    was every user's state AT time T": the version whose
+    [valid_from, valid_to) interval contains T.  This is the query the
+    lakehouse formats answer with snapshot time travel (Delta
+    ``timestampAsOf`` / Hudi point-in-time); on the engine-side history
+    it is a filter over :func:`scd2_history`'s intervals — no snapshot
+    log needed, any T answerable from one table.
+
+    ``as_of_ep`` is a Column of epoch SECONDS (integer); users whose
+    first event is after T have no row, exactly like a snapshot read.
+
+    Plan: scd2_history's single user-keyed shuffle, then a map-side
+    interval filter — the scalar T (typically a 1-row aggregate)
+    broadcasts via cross join.  Output: (user_id, version, state,
+    since, n_events).
+    """
+    hist = scd2_history(events)
+    t = F.to_timestamp(F.from_unixtime(as_of_ep))
+    return hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("since"),
+        "n_events",
+    )

@@ -219,3 +219,45 @@ def zone_scan_summary(
         )
     )
     return summarize(zoned, "zorder").unionByName(summarize(scattered, "scatter"))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    salt_source_col: str | None = None,
+) -> DataFrame:
+    """SKEW-SALTED equi-join — the standard fix when a join key's hot
+    values overload single reducers: a plain hash join sends every row
+    of a hot key to ONE task, so a zipfian key (one user with 1% of a
+    100 TB feed) turns into a straggler that dominates the stage.
+
+    Left rows get a deterministic salt (hash of ``salt_source_col``, a
+    high-cardinality column, mod ``salt_buckets``) so each hot key's
+    rows spread over ``salt_buckets`` tasks; the right side is
+    replicated once per salt value (an explode of a literal
+    ``salt_buckets``-element array — NOT a broadcast: the right side
+    may be corpus-sized).  The join keys become (key..., _salt) and the
+    result equals the plain join row-for-row.
+
+    The tradeoff is explicit: right-side shuffle volume multiplies by
+    ``salt_buckets`` in exchange for bounding any task's share of a hot
+    key at 1/salt_buckets — worth it exactly when the hot key's row
+    count dwarfs |right| x salt_buckets.  (AQE's skew-join split handles
+    sort-merge stragglers adaptively; salting is the plan-level
+    guarantee, and the two compose.)  Salt determinism (a hash, never
+    rand()) keeps the result replay-stable and lets retried tasks land
+    identical output.
+    """
+    from pyspark.sql import functions as F
+
+    src = F.col(salt_source_col) if salt_source_col else F.spark_partition_id()
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets)).cast("int")
+    )
+    salted_r = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
+    )
+    return salted_l.join(salted_r, [*on, "_salt"]).drop("_salt")

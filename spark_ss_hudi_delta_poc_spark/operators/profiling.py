@@ -353,3 +353,93 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
         F.lit(k).alias("k"),
         F.expr("n_suppressed * 1000000000 div n_rows").alias("suppressed_share_e9"),
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col, l_min: int = 3
+) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's sibling gate: a class
+    of k identical quasi-identifier tuples still leaks the sensitive
+    attribute when all k rows SHARE it (the homogeneity attack), so
+    every equivalence class must carry at least ``l_min`` DISTINCT
+    sensitive values before the table ships to training.
+
+    Output one row per equivalence class: the quasi values, class size,
+    distinct sensitive count, meets_l, plus the share of rows sitting in
+    below-l classes (e9 fixed point, constant across rows — the number
+    the governance dashboard tracks).  ``sensitive_col`` may be any
+    Column expression (bucket continuous sensitives first — raw
+    near-unique values make l-diversity trivially pass while still
+    leaking).
+
+    Plan: ONE shuffle on the quasi tuple (count + count_distinct in the
+    same partial-agg'd pass); the global scalar is a 1-row aggregate
+    joined back by a broadcast cross join.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(sensitive_col).alias("l_distinct"),
+    )
+    tot = classes.agg(
+        F.sum("class_size").alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_distinct") < l_min, F.col("class_size")).otherwise(F.lit(0))
+        ).alias("n_below_l"),
+    )
+    return classes.crossJoin(F.broadcast(tot)).select(
+        *quasi_cols,
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") >= l_min).alias("meets_l"),
+        F.lit(l_min).alias("l_min"),
+        F.expr("n_below_l * 1000000000 div n_rows").alias("below_l_share_e9"),
+    )
+
+
+def freshness_panel(
+    events: DataFrame, type_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Ingest-FRESHNESS panel per category — the feed-health monitor that
+    catches a stalled producer: for each category, when did its last
+    event land relative to the feed's watermark (the global max event
+    time), and how much of its volume arrived in the trailing 24 h /
+    7 d of the feed.
+
+    A producer that died yesterday shows lag_seconds ~ 86400 and a
+    trailing-24h count of 0 while the global feed looks healthy — the
+    per-category panel is what surfaces it.
+
+    Exact integer arithmetic throughout: floor-epoch seconds for lags,
+    e9 fixed-point for trailing shares.  Plan: ONE partial-agg'd shuffle
+    on the (bounded) category column; the feed watermark is a 1-row
+    aggregate broadcast back by a cross join.
+    """
+    ep = F.unix_timestamp(F.col(ts_col))
+    wm = events.agg(F.max(ep).alias("feed_max_ep"))
+    # the watermark scalar rides the rows into ONE partial-agg'd groupBy
+    # (second scan avoided; the broadcast side is a 1-row aggregate)
+    per_cat = (
+        events.crossJoin(F.broadcast(wm))
+        .groupBy(F.col(type_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ep).alias("last_ep"),
+            F.max("feed_max_ep").alias("feed_max_ep"),
+            F.sum(
+                F.when(ep >= F.col("feed_max_ep") - F.lit(86400), 1).otherwise(0)
+            ).alias("n_last_24h"),
+            F.sum(
+                F.when(ep >= F.col("feed_max_ep") - F.lit(7 * 86400), 1).otherwise(0)
+            ).alias("n_last_7d"),
+        )
+    )
+    return per_cat.select(
+        "category",
+        "n_events",
+        F.to_timestamp(F.from_unixtime(F.col("last_ep"))).alias("last_event"),
+        (F.col("feed_max_ep") - F.col("last_ep")).alias("lag_seconds"),
+        "n_last_24h",
+        "n_last_7d",
+        F.expr("n_last_24h * 1000000000 div n_events").alias("share_24h_e9"),
+        F.expr("n_last_7d * 1000000000 div n_events").alias("share_7d_e9"),
+    )

@@ -1310,3 +1310,79 @@ QUERIES.extend(
         ),
     ]
 )
+
+
+def privacy_l_diversity_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import l_diversity
+
+    cust = load(spark, sf, "customer")
+    sensitive = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], sensitive, l_min=3)
+
+
+def monitor_freshness_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import freshness_panel
+
+    return freshness_panel(load(spark, sf, "events"))
+
+
+QUERIES.append(
+    Query(
+        "privacy_l_diversity",
+        privacy_l_diversity_q,
+        """
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+                 COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                   AS l_distinct
+          FROM customer GROUP BY 1, 2),
+        t AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN l_distinct < 3
+                                   THEN class_size ELSE 0 END) AS BIGINT)
+                       AS n_below_l
+              FROM c)
+        SELECT c.c_nationkey, c.c_mktsegment, c.class_size, c.l_distinct,
+               c.l_distinct >= 3 AS meets_l, 3 AS l_min,
+               (t.n_below_l * 1000000000) // t.n_rows AS below_l_share_e9
+        FROM c, t
+        """,
+        doc="distinct l-diversity audit (l=3) over the (nation, segment) "
+        "quasi-identifier with banded account balance as the sensitive "
+        "attribute — k-anonymity's homogeneity-attack sibling: one "
+        "shuffle on the quasi tuple (count + count_distinct in the same "
+        "pass), below-l row share in e9 fixed point",
+        tags=("analytics", "monitoring", "privacy"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "monitor_freshness",
+        monitor_freshness_q,
+        """
+        WITH e AS (SELECT event_type,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+        b AS (SELECT MAX(ep) AS mx FROM e),
+        c AS (SELECT event_type AS category, COUNT(*) AS n_events,
+                     MAX(ep) AS last_ep,
+                     CAST(SUM(CASE WHEN ep >= mx - 86400 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_last_24h,
+                     CAST(SUM(CASE WHEN ep >= mx - 604800 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_last_7d
+              FROM e, b GROUP BY event_type, mx)
+        SELECT category, n_events,
+               make_timestamp(last_ep * 1000000) AS last_event,
+               mx - last_ep AS lag_seconds, n_last_24h, n_last_7d,
+               (n_last_24h * 1000000000) // n_events AS share_24h_e9,
+               (n_last_7d * 1000000000) // n_events AS share_7d_e9
+        FROM c, b
+        """,
+        doc="per-category ingest-freshness panel: lag of each category's "
+        "last event behind the feed watermark plus trailing-24h/7d "
+        "volume shares (e9 fixed point) — the stalled-producer monitor; "
+        "one partial-agg'd shuffle on the bounded category column, "
+        "watermark as a 1-row broadcast",
+        tags=("analytics", "monitoring", "streaming-adjacent"),
+    )
+)

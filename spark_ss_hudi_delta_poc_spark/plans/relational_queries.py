@@ -447,3 +447,120 @@ QUERIES.append(
         tags=("relational", "window", "maintenance"),
     )
 )
+
+
+# SCD2 interval CTEs shared by scd2_history's oracle (above, inline) and
+# the time-travel read below
+_SCD2_CTES = """
+        marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        islands AS (
+          SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+          FROM marked
+        ),
+        collapsed AS (
+          SELECT user_id, version, MIN(event_type) AS event_type,
+                 MIN(ts) AS valid_from, COUNT(*) AS n_events
+          FROM islands GROUP BY user_id, version
+        ),
+        hist AS (
+          SELECT user_id, version, event_type, valid_from,
+                 LEAD(valid_from) OVER wv AS valid_to, n_events
+          FROM collapsed
+          WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
+        )
+"""
+
+
+def scd2_as_of_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.maintenance import scd2_as_of
+
+    ev = load(spark, sf, "events")
+    ep = F.unix_timestamp(F.col("ts"))
+    # bounded driver collect: two ints fix T = the event-time midpoint
+    b = ev.agg(F.min(ep).alias("mn"), F.max(ep).alias("mx")).collect()[0]
+    return scd2_as_of(ev, F.lit((b.mn + b.mx) // 2))
+
+
+def salted_skew_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.partitioning import salted_join
+
+    ev = load(spark, sf, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("user_total_e4"),
+        F.count(F.lit(1)).alias("user_n"),
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        totals,
+        ["user_id"],
+        salt_buckets=8,
+        salt_source_col="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("user_total_e4").alias("tot_e4"),
+        F.sum("user_n").alias("tot_n"),
+    )
+
+
+QUERIES.append(
+    Query(
+        "scd2_as_of",
+        scd2_as_of_q,
+        f"""
+        WITH b AS (SELECT (CAST(FLOOR(epoch(MIN(ts))) AS BIGINT)
+                         + CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)) // 2 AS t_ep
+                   FROM events),
+        {_SCD2_CTES}
+        SELECT user_id, version, event_type AS state, valid_from AS since,
+               n_events
+        FROM hist, b
+        WHERE valid_from <= make_timestamp(t_ep * 1000000)
+          AND (valid_to IS NULL OR valid_to > make_timestamp(t_ep * 1000000))
+        """,
+        doc="point-in-time (time-travel) read over the SCD2 history: every "
+        "user's state AS OF the event-time midpoint — the Delta "
+        "timestampAsOf / Hudi point-in-time query answered engine-side "
+        "from interval containment; scd2_history's single user-keyed "
+        "shuffle plus a map-side filter",
+        tags=("relational", "window", "maintenance"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q101_salted_skew_join",
+        salted_skew_join_q,
+        """
+        WITH t AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS user_total_e4,
+                 COUNT(*) AS user_n
+          FROM events GROUP BY user_id)
+        SELECT e.event_type, COUNT(*) AS cnt,
+               CAST(SUM(t.user_total_e4) AS BIGINT) AS tot_e4,
+               CAST(SUM(t.user_n) AS BIGINT) AS tot_n
+        FROM events e JOIN t USING (user_id)
+        GROUP BY e.event_type
+        """,
+        doc="skew-salted equi-join (operators/partitioning.salted_join): "
+        "the hot-key fix — left rows deterministically salted mod 8, the "
+        "corpus-sized right side replicated once per salt (never "
+        "broadcast), join on (user_id, _salt) == the plain join exactly; "
+        "bounds any task's share of a hot key at 1/8 for 8x right-side "
+        "shuffle volume, composing with AQE's adaptive skew split",
+        tags=("relational", "join", "skew"),
+    )
+)

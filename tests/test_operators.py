@@ -1934,3 +1934,83 @@ def test_centroid_confusion_perfectly_separable(spark):
     assert sum(r.n_vecs for r in out) == 60
     assert all(r.label == r.predicted for r in out)
     assert {r.label for r in out} == {0, 1}
+
+
+def test_salted_join_equals_plain_join_and_salts_the_shuffle(spark):
+    """q101 contract: the skew-salted join returns exactly the plain
+    join's rows (salt is internal), and its physical plan exchanges on
+    (key, _salt) — the hot key genuinely spreads over salt_buckets
+    tasks instead of one."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import salted_join
+
+    # zipf-ish: user 0 owns half the rows (the hot key)
+    rows = [(i, i % 7 if i % 2 else 0, f"t{i % 3}") for i in range(600)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    salted = salted_join(ev, totals, ["user_id"], salt_buckets=4, salt_source_col="event_id")
+    plain = ev.join(totals, "user_id")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted.explain("formatted")
+    p = buf.getvalue()
+    assert "_salt" in p and "hashpartitioning(user_id" in p
+    # the left exchange keys on (user_id, _salt), not bare user_id
+    import re
+
+    assert re.search(r"hashpartitioning\(user_id#\d+L, _salt#\d+", p)
+
+
+def test_scd2_as_of_returns_interval_containing_t(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import scd2_as_of
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click"),
+            (2, "2024-01-03 00:00:00", 7, "purchase"),
+            (3, "2024-01-01 12:00:00", 8, "view"),
+            (4, "2024-01-05 00:00:00", 9, "click"),  # first event after T
+        ],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    t_ep = 1704153600  # 2024-01-02 00:00:00 UTC
+    got = {r.user_id: (r.state, r.version) for r in scd2_as_of(ev, F.lit(t_ep)).collect()}
+    assert got == {7: ("click", 1), 8: ("view", 1)}  # user 9 not yet born at T
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import l_diversity
+
+    rows = [("a", "x", i % 3) for i in range(9)] + [("b", "y", 0)] * 6
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
+    out = {(r.q1, r.q2): r for r in l_diversity(df, ["q1", "q2"], F.col("s"), l_min=2).collect()}
+    assert out[("a", "x")].meets_l and out[("a", "x")].l_distinct == 3
+    assert not out[("b", "y")].meets_l and out[("b", "y")].l_distinct == 1
+    # 6 of 15 rows sit in the homogeneous class
+    assert out[("b", "y")].below_l_share_e9 == 6 * 1_000_000_000 // 15
+
+
+def test_freshness_panel_detects_stalled_category(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import freshness_panel
+
+    rows = [(i, "live", f"2024-01-{10 + i % 5:02d} 00:00:00") for i in range(10)]
+    rows += [(100 + i, "stalled", "2024-01-01 00:00:00") for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, tss string"
+    ).selectExpr("event_id", "event_type", "to_timestamp(tss) AS ts")
+    out = {r.category: r for r in freshness_panel(ev).collect()}
+    assert out["live"].lag_seconds == 0 and out["live"].n_last_24h > 0
+    # stalled producer: 13 days behind the feed watermark, empty windows
+    assert out["stalled"].lag_seconds == 13 * 86400
+    assert out["stalled"].n_last_24h == 0 and out["stalled"].n_last_7d == 0
+    assert out["stalled"].share_24h_e9 == 0

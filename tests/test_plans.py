@@ -176,6 +176,9 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "privacy_k_anonymity",  # 1-row suppression totals
     "text_pmi_collocations",  # 1-row N aggregate, tfidf's shape
     "curation_ccnet_buckets",  # inherits text_ngram_lm_score's 1-row V aggregate
+    # round 9:
+    "privacy_l_diversity",  # 1-row below-l totals (k_anonymity's shape)
+    "monitor_freshness",  # 1-row feed-watermark aggregate riding the rows
     # kmv_jaccard's cross side is NOT 1 row but a per-SOURCE aggregate —
     # bounded by the source domain (a category dimension, like nation):
     # the inequality pair join (a.source < b.source) over |sources| rows
@@ -243,6 +246,8 @@ def test_sketch_cross_joins_are_single_row(spark):
         "privacy_k_anonymity": 1,  # classes x 1-row suppression totals
         "text_pmi_collocations": 1,  # pair counts x 1-row N aggregate
         "curation_ccnet_buckets": 1,  # the composed LM score's 1-row V
+        "privacy_l_diversity": 1,  # classes x 1-row below-l totals
+        "monitor_freshness": 1,  # rows x 1-row feed watermark
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)

@@ -220,6 +220,21 @@ PROBE_OPS = [
     # centroid classifier probe: grouped-map sums (bounded exchange) +
     # map-only argmax + |labels|^2-bounded matrix aggregate
     "embedding_centroid_confusion",
+    # round-9 additions: time-travel read = scd2's one user-keyed shuffle
+    # + a map-side interval filter; skew-salted join = left shuffle on
+    # (key, _salt) with the right side replicated x8 (volume x8 at ANY
+    # size — constant factor, so the ratio must stay ~K); l-diversity =
+    # one quasi-tuple shuffle (count+count_distinct same pass);
+    # freshness = one bounded-category shuffle + 1-row watermark; and the
+    # round-9 FIXED streaming plans re-probed: q44's bounded 3-row dim
+    # broadcast, q21's append-mode session eviction, q100's bucketed
+    # merge (per-batch write ~ touched buckets, not |history|)
+    "scd2_as_of",
+    "q101_salted_skew_join",
+    "privacy_l_diversity",
+    "monitor_freshness",
+    "q44_stream_static_join",
+    "q21_stream_session_window",
 ]
 
 
