@@ -66,6 +66,13 @@ HEADLINE = [
     "ann_quantized_topk",
     "ann_ivf_index_topk",
     "ann_lsh_multitable_topk",
+    # round-9 (VERDICT r8 #7): the PQ family joins the headline so its
+    # serving cost is tracked per round — three NEW rows, so BENCH_r9's
+    # total is 57 queries vs r8's 54 (compare shared rows / bench_ab,
+    # never raw totals across the boundary)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_rerank_topk",
     "ann_recall_report",
     "corpus_pipeline",
     "curation_contamination",

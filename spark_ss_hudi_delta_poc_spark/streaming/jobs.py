@@ -284,16 +284,22 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("cts", "1 hour")
     )
     joined = interval_pair_join(purchases, clicks)
-    table = f"qssj_mem_{_uuid.uuid4().hex[:8]}"
+    # file sink: the join output is corpus-sized — a memory sink would
+    # materialize it all on the driver (round-9 sweep)
+    work = _workdir("qssj")
+    sink = os.path.join(work, "sink")
     q = (
-        joined.writeStream.format("memory")
-        .queryName(table)
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.schema(
+        "purchase_id long, user_id long, click_ts timestamp"
+    ).parquet(sink)
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,16 +318,19 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
     deduped = stream.dropDuplicates(["event_id"])
     counted = deduped.select("event_id")
-    table = f"qdedup_mem_{_uuid.uuid4().hex[:8]}"
+    # file sink, not a memory sink: append output is corpus-sized and a
+    # memory sink would materialize it all on the driver (round-9 sweep)
+    sink = os.path.join(work, "sink")
     q = (
-        counted.writeStream.format("memory")
-        .queryName(table)
+        counted.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.schema("event_id long").parquet(sink)
 
 
 def session_agg(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -403,38 +412,91 @@ def latest_incoming(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+MATVIEW_N_BUCKETS = 16
+
+
+def matview_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    n_buckets: int = MATVIEW_N_BUCKETS,
+    stats: list | None = None,
+) -> None:
+    """One micro-batch of the latest-state materialized view against a
+    BUCKETED snapshot (``state_dir/bkt=<user_id % n_buckets>/``): the
+    in-batch latest per user (latest_incoming) upserts into ONLY the
+    buckets the batch touched — old rows of those buckets merge via
+    upsert_snapshot, write partitionBy(bkt) to staging, per-bucket dir
+    swap.  Per-batch bytes written ≈ touched_users × |snapshot| /
+    n_buckets (q100's bucketed-merge shape; round-9 fix of the
+    per-trigger full-snapshot rewrite).  Untouched bucket dirs are never
+    opened.
+    """
+    import shutil
+
+    from ..operators.maintenance import upsert_snapshot
+
+    incoming = latest_incoming(batch_df).withColumn(
+        "bkt", (F.col("user_id") % n_buckets).cast("int")
+    )
+    touched_bkts = sorted(
+        r.bkt for r in incoming.select("bkt").distinct().collect()
+    )  # bounded collect: <= n_buckets ints
+    existing = [
+        bk for bk in touched_bkts if os.path.isdir(os.path.join(state_dir, f"bkt={bk}"))
+    ]
+    if existing:
+        current = (
+            spark.read.option("basePath", state_dir)
+            .schema(
+                "user_id long, last_event_id long, last_type string, v_e4 long, "
+                "ver long, bkt int"
+            )
+            .parquet(*[os.path.join(state_dir, f"bkt={bk}") for bk in existing])
+        )
+        merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
+    else:
+        merged = incoming
+    staging = state_dir + "._new"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("bkt").parquet(staging)
+    os.makedirs(state_dir, exist_ok=True)
+    for bk in touched_bkts:
+        src = os.path.join(staging, f"bkt={bk}")
+        dst = os.path.join(state_dir, f"bkt={bk}")
+        if not os.path.isdir(src):
+            continue
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    if stats is not None:
+        stats.append({"touched_buckets": touched_bkts, "existing_buckets": existing})
+
+
+def stream_materialized_latest(
+    spark: SparkSession, sf_dir: str, stats: list | None = None
+) -> DataFrame:
     """Beyond-reference: a continuously-maintained LATEST-STATE-PER-KEY
     table — each micro-batch upserts into a snapshot (foreachBatch +
-    upsert_snapshot), the streaming materialized-view pattern.
+    upsert_snapshot), the streaming materialized-view pattern, against a
+    snapshot BUCKETED by user_id % MATVIEW_N_BUCKETS so each batch
+    rewrites only the buckets it touched (matview_apply_batch; round-9
+    fix of the per-trigger full-snapshot rewrite — the same
+    write-amplification class as q100's history merge).
 
     Precombine is a single total-order key (unix_seconds * 2^32 +
     event_id) so the winner per user is batching-independent: the final
     table equals the batch argmax regardless of how files split into
     micro-batches.  Output: (user_id, last_event_id, last_type, v_e4).
     """
-    from ..operators.maintenance import upsert_snapshot
-
     work = _workdir("qmatview")
     staged = stage_table(spark, sf_dir, "events", n_files=4)
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=2)
     state_dir = os.path.join(work, "state")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        incoming = latest_incoming(batch_df)
-        if os.path.isdir(state_dir):
-            current = s.read.parquet(state_dir)
-            merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
-        else:
-            merged = incoming
-        staging = state_dir + "._new"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(state_dir):
-            import shutil
-
-            shutil.rmtree(state_dir)
-        os.rename(staging, state_dir)
+        matview_apply_batch(spark, batch_df, state_dir, stats=stats)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -443,7 +505,15 @@ def stream_materialized_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir).drop("ver")
+    return (
+        spark.read.option("basePath", state_dir)
+        .schema(
+            "user_id long, last_event_id long, last_type string, v_e4 long, "
+            "ver long, bkt int"
+        )
+        .parquet(state_dir)
+        .drop("ver", "bkt")
+    )
 
 
 def windowed_value_agg(df: DataFrame) -> DataFrame:
@@ -513,16 +583,19 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id")
     )
-    table = f"qttldedup_mem_{_uuid.uuid4().hex[:8]}"
+    # file sink, not a memory sink: corpus-sized append output must not
+    # materialize on the driver (round-9 sweep)
+    sink = os.path.join(work, "sink")
     q = (
-        deduped.writeStream.format("memory")
-        .queryName(table)
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.schema("event_id long").parquet(sink)
 
 
 def stream_running_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

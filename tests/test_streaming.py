@@ -400,3 +400,102 @@ def test_scd2_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
         (r.version, r.event_type, r.is_current) for r in hist.where("user_id = 7").collect()
     )
     assert u7[-1][1] == "purchase" and u7[-1][2] is True
+
+
+def test_complete_mode_and_memory_sinks_are_pinned_bounded():
+    """VERDICT r8 #2's gate: complete output mode never evicts state and
+    a memory sink materializes its table on the driver — both are safe
+    ONLY when the aggregation key domain is bounded by construction.
+    Pin exactly which jobs may use each, with the bound that justifies
+    them; a new complete-mode/memory-sink job (or an id-keyed groupBy
+    sneaking into a pinned one) fails here and must either switch to the
+    append-mode + file-sink pattern (q94/q21/q98) or justify its bound.
+    """
+    import inspect
+
+    from spark_ss_hudi_delta_poc_spark.streaming import jobs
+
+    # fn name -> the bounded key domain that justifies complete mode
+    complete_ok = {
+        "stream_global_count": "keyless global aggregate (1 row)",
+        "stream_static_join": "|SEGMENT_LABELS| = 3 groups",
+        "stream_windowed_agg": "event_type x 1h windows of the test feed",
+        "stream_hll_distinct": "fixed 1024 HLL registers",
+    }
+    memory_ok = set(complete_ok) | {
+        # emissions <= groups x salt_buckets x k per batch — state-capped
+        "stream_running_topk",
+    }
+    id_cols = ("user_id", "doc_id", "event_id", "vec_id")
+    complete_found, memory_found = set(), set()
+    for name, fn in inspect.getmembers(jobs, inspect.isfunction):
+        if fn.__module__ != jobs.__name__:
+            continue
+        src = inspect.getsource(fn)
+        if 'outputMode("complete")' in src:
+            complete_found.add(name)
+            for c in id_cols:
+                # an id column may appear in projections, but never as a
+                # complete-mode aggregation key
+                assert f'groupBy("{c}"' not in src and f"groupBy(F.col(\"{c}\"" not in src, (
+                    f"{name}: complete-mode aggregate keyed on {c}"
+                )
+        if 'format("memory")' in src:
+            memory_found.add(name)
+    assert complete_found == set(complete_ok), complete_found
+    assert memory_found == memory_ok, memory_found
+
+
+def test_matview_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """q60's write-amplification contract (the q100 fix applied to the
+    materialized view): a follow-up batch touching one user rewrites
+    exactly that user's bucket; every other bucket dir is bit-identical
+    untouched."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        MATVIEW_N_BUCKETS,
+        matview_apply_batch,
+    )
+
+    state_dir = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 40, "click", 1.0, "{}") for i in range(200)],
+        "event_id long, tss string, user_id long, event_type string, value double, payload string",
+    ).selectExpr(
+        "event_id", "to_timestamp(tss) AS ts", "user_id", "event_type", "value", "payload"
+    )
+    matview_apply_batch(spark, base, state_dir)
+
+    def snapshot(root):
+        out = {}
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot(state_dir)
+    one = spark.createDataFrame(
+        [(10_000, "2024-01-02 00:00:00", 7, "purchase", 2.0, "{}")],
+        "event_id long, tss string, user_id long, event_type string, value double, payload string",
+    ).selectExpr(
+        "event_id", "to_timestamp(tss) AS ts", "user_id", "event_type", "value", "payload"
+    )
+    stats: list = []
+    matview_apply_batch(spark, one, state_dir, stats=stats)
+    assert stats[0]["touched_buckets"] == [7 % MATVIEW_N_BUCKETS]
+    touched_prefix = os.path.join(state_dir, f"bkt={7 % MATVIEW_N_BUCKETS}") + os.sep
+    after = snapshot(state_dir)
+    for p, mt in before.items():
+        if not p.startswith(touched_prefix):
+            assert after.get(p) == mt, f"untouched bucket file rewritten: {p}"
+    latest = (
+        spark.read.option("basePath", state_dir)
+        .schema(
+            "user_id long, last_event_id long, last_type string, v_e4 long, ver long, bkt int"
+        )
+        .parquet(state_dir)
+    )
+    u7 = latest.where("user_id = 7").collect()
+    assert len(u7) == 1 and u7[0].last_type == "purchase"
