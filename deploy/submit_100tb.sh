@@ -27,7 +27,10 @@ ARGS=(
   --conf spark.sql.shuffle.partitions=10000
   --conf spark.sql.adaptive.enabled=true
   --conf spark.sql.adaptive.coalescePartitions.enabled=true
-  # runtime skew backstop; hot keys are also salted in-plan (operators/joins.py)
+  # runtime skew backstop; hot keys can also be salted in-plan
+  # (operators/partitioning.py salted_join — the q101 operator), and the
+  # two compose: salting bounds any task's hot-key share at 1/salt_buckets
+  # by construction, AQE splits whatever residual skew remains
   --conf spark.sql.adaptive.skewJoin.enabled=true
   --conf spark.sql.files.maxPartitionBytes=134217728
 
