@@ -894,3 +894,98 @@ def source_dup_matrix(docs: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .where(F.col("n_doc_pairs") > 0)
     )
+
+
+# fuzzy-join banding: 3 x 12-char segments over a 36-char normalized prefix.
+FUZZY_PREFIX_CHARS = 36
+FUZZY_BANDS = 3
+FUZZY_BAND_CHARS = FUZZY_PREFIX_CHARS // FUZZY_BANDS
+FUZZY_MAX_BUCKET = 1024  # mega-bucket guard, same rule as minhash/phash
+
+
+def fuzzy_edit_pairs(
+    docs: DataFrame,
+    max_dist: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = FUZZY_MAX_BUCKET,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: document pairs whose normalized
+    36-char prefixes are within Levenshtein distance ``max_dist`` —
+    the record-linkage pass (near-identical titles/boilerplate headers
+    that hash dedup misses because one character differs) built as
+    banded candidate generation + exact edit-distance verify.
+
+    Blocking is positional q-gram banding: the prefix splits into 3
+    fixed 12-char segments and candidates are pairs sharing ANY segment
+    at the same position.  Pigeonhole: substitution-only edits <= 2
+    leave at least one segment exact, so recall is 1.0 there; an INDEL
+    shifts the alignment of every later segment, so indel-heavy pairs
+    can be missed — the same honest limitation the fixed-grid pHash
+    banding documents, and why this complements (not replaces) the
+    shingle-Jaccard path.  Documents shorter than 36 normalized chars
+    are excluded (truncation chains are dedup_prefix's job).
+
+    Scale shape (the pHash grouped-expansion plan): ONE shuffle on
+    (band_idx, band_val) with buckets over ``max_bucket`` dropped —
+    boilerplate prefixes that shared are exact-dedup's job, and the
+    oracle applies the identical cap — then in-bucket pair expansion on
+    post-aggregation rows only and the O(36^2) levenshtein verify on
+    candidates, never all-pairs.  Verify is JVM-side (built-in
+    levenshtein), map-only after the expansion.
+    """
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")), " +", " "
+    )
+    pfx = (
+        docs.select(F.col(id_col).alias("doc_id"), F.substring(canon, 1, FUZZY_PREFIX_CHARS).alias("pfx"))
+        .where(F.length("pfx") >= FUZZY_PREFIX_CHARS)
+    )
+    bands = pfx.select(
+        "doc_id",
+        "pfx",
+        F.explode(F.sequence(F.lit(0), F.lit(FUZZY_BANDS - 1))).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "pfx",
+        "band_idx",
+        F.expr(f"substring(pfx, band_idx * {FUZZY_BAND_CHARS} + 1, {FUZZY_BAND_CHARS})").alias(
+            "band_val"
+        ),
+    )
+    grouped = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    cand = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    "  filter(transform(ids, (y, j) ->"
+                    "    IF(j > i,"
+                    "       IF(x.doc_id < y.doc_id,"
+                    "          struct(x.doc_id AS da, y.doc_id AS db, x.pfx AS pa, y.pfx AS pb),"
+                    "          struct(y.doc_id AS da, x.doc_id AS db, y.pfx AS pa, x.pfx AS pb)),"
+                    "       null)),"
+                    "  s -> s IS NOT NULL)))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.da").alias("doc_id_a"),
+            F.col("p.db").alias("doc_id_b"),
+            F.col("p.pa").alias("pa"),
+            F.col("p.pb").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= F.lit(max_dist))
+    )

@@ -261,3 +261,45 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
     )
     return salted_l.join(salted_r, [*on, "_salt"]).drop("_salt")
+
+
+def salted_distinct_agg(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """SKEW-SALTED exact count-distinct — salted_join's aggregation
+    sibling.  Spark plans ``count_distinct`` as two aggregates: partial
+    on (group, value), then a FINAL merge keyed on group alone — and
+    that final exchange ships every distinct value of a hot group to
+    ONE reducer (a group holding 10^9 distinct users at 100 TB is a
+    single-task straggler no AQE split can help, because the rows are
+    already correctly partitioned — just all on one key).
+
+    The fix salts by the DISTINCT key itself: hash(value) mod
+    ``salt_buckets`` partitions each group's distinct domain into
+    DISJOINT slices, so per-(group, salt) distinct counts are exactly
+    additive — stage 1 computes count_distinct per (group, salt) with
+    the hot group spread over ``salt_buckets`` reducers, stage 2 sums
+    the ≤salt_buckets partial counts per group.  Result == plain
+    count_distinct row-for-row (the oracle runs the plain form); the
+    salt never reaches the output.
+
+    Plan: two exchanges — (group, salt, value) partial distinct, then
+    (group) over ≤salt_buckets rows per group.  Plain row counts ride
+    stage 1 as a sum.
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets)).cast("int")
+    )
+    stage1 = salted.groupBy(group_col, "_salt").agg(
+        F.count_distinct(F.col(distinct_col)).alias("part_distinct"),
+        F.count(F.lit(1)).alias("part_rows"),
+    )
+    return stage1.groupBy(group_col).agg(
+        F.sum("part_distinct").alias("n_distinct"),
+        F.sum("part_rows").alias("n_rows"),
+    )

@@ -443,3 +443,154 @@ def freshness_panel(
         F.expr("n_last_24h * 1000000000 div n_events").alias("share_24h_e9"),
         F.expr("n_last_7d * 1000000000 div n_events").alias("share_7d_e9"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    band_col,
+    n_bands: int,
+    t_e9: int = 250_000_000,
+) -> DataFrame:
+    """t-closeness audit — the third member of the privacy-gate trio
+    (k-anonymity → l-diversity → t-closeness): an equivalence class can
+    be k-anonymous AND l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION is skewed relative to the table (the skewness attack:
+    "everyone in this class is in the top balance band").  The class
+    passes only when the earth-mover's distance between its distribution
+    and the global one stays below t.
+
+    ``band_col`` must be an ordinal bucket expression clamped to
+    [0, n_bands) by construction (``least(greatest(...))``) — EMD over
+    ordered bands is the standard numeric-attribute formulation, and the
+    bounded band domain is what keeps every distribution a ≤n_bands
+    array regardless of corpus size.
+
+    Exact cross-engine arithmetic: EMD is computed as
+        sum_i |cum_qb(i)·N − cum_b(i)·n_q|  ·  1e9
+        div  (n_q · N · (n_bands−1))
+    entirely in DECIMAL(38,0) (products reach N² ≈ 2e20 at 100 TB —
+    past int64 — and decimal/HUGEINT keep both engines exact; `div`
+    truncation is identical for the all-positive operands).
+
+    Plan: ONE shuffle keyed (quasi, band), re-aggregated to (quasi) —
+    per-class distributions are ≤n_bands-element collected arrays, never
+    a densified grid join; the global distribution and the above-t
+    totals are 1-row scalar aggregates broadcast back (the two pinned
+    BNLJs).  Per-row EMD is a bounded O(n_bands²) higher-order-function
+    fold — map-side, no extra exchange.
+    """
+    banded = df.select(*quasi_cols, band_col.cast("int").alias("band"))
+    cls_band = banded.groupBy(*quasi_cols, "band").agg(F.count(F.lit(1)).alias("n_qb"))
+    classes = cls_band.groupBy(*quasi_cols).agg(
+        F.sum("n_qb").alias("class_size"),
+        F.array_sort(F.collect_list(F.struct("band", "n_qb"))).alias("dist"),
+    )
+    glob = (
+        cls_band.groupBy("band")
+        .agg(F.sum("n_qb").alias("n_qb"))
+        .agg(
+            F.sum("n_qb").alias("n_rows"),
+            F.array_sort(F.collect_list(F.struct("band", "n_qb"))).alias("gdist"),
+        )
+    )
+    cum = (
+        "CAST(aggregate(filter({arr}, p -> p.band <= i), 0L, (s, p) -> s + p.n_qb)"
+        " AS DECIMAL(38,0))"
+    )
+    num = (
+        f"aggregate(sequence(0, {n_bands - 2}), CAST(0 AS DECIMAL(38,0)),"
+        f" (acc, i) -> acc + abs({cum.format(arr='dist')} * n_rows"
+        f" - {cum.format(arr='gdist')} * class_size))"
+    )
+    emd = (
+        f"CAST(({num}) * 1000000000 div (CAST(class_size AS DECIMAL(38,0))"
+        f" * n_rows * {n_bands - 1}) AS BIGINT)"
+    )
+    scored = classes.crossJoin(F.broadcast(glob)).select(
+        *quasi_cols, "class_size", F.expr(emd).alias("t_emd_e9")
+    )
+    tot = scored.agg(
+        F.sum("class_size").alias("n_rows"),
+        F.sum(
+            F.when(F.col("t_emd_e9") > t_e9, F.col("class_size")).otherwise(F.lit(0))
+        ).alias("n_above_t"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        *quasi_cols,
+        "class_size",
+        "t_emd_e9",
+        (F.col("t_emd_e9") <= t_e9).alias("meets_t"),
+        F.lit(t_e9).alias("t_e9"),
+        F.expr("n_above_t * 1000000000 div n_rows").alias("above_t_share_e9"),
+    )
+
+
+# schema-drift panel: (column kind, old-half expr, new-half expr) stats are
+# all conditional aggregates, so the WHOLE panel is one global (group-less)
+# aggregation pass — partial-agg'd on every executor, 1 row exchanged.
+def schema_drift(
+    df: DataFrame, columns: list[str], split_predicate, split_desc: str = "split"
+) -> DataFrame:
+    """Schema/profile-drift panel between two snapshots of one table —
+    the monitor that catches a producer silently changing semantics: a
+    column whose null rate jumps, whose distinct cardinality collapses
+    (an enum replaced by a constant), or whose volume share moves.
+
+    ``split_predicate`` is a boolean Column: True rows are the OLD
+    snapshot, False the NEW (e.g. ``ts < lit(cutover)``).  For each
+    column: row count, null count + e9 null share, and exact distinct
+    count per side, plus the drift deltas the dashboard alerts on.
+
+    Plan: ONE global aggregate (no group keys — partial-agg'd map-side,
+    a single ~4·|columns|-cell row crosses the wire; the per-column
+    DISTINCTs plan as Spark's Expand over the distinct columns, still
+    keyed on values, never collected); the 1-row result is unpivoted to
+    |columns| panel rows with a literal stack — no joins at all.
+    """
+    old = split_predicate
+    aggs = []
+    for c in columns:
+        aggs.extend(
+            [
+                F.sum(F.when(old, 1).otherwise(0)).alias(f"{c}__old_n"),
+                F.sum(F.when(~old, 1).otherwise(0)).alias(f"{c}__new_n"),
+                F.sum(F.when(old & F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"{c}__old_nulls"
+                ),
+                F.sum(F.when(~old & F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"{c}__new_nulls"
+                ),
+                F.count_distinct(F.when(old, F.col(c))).alias(f"{c}__old_distinct"),
+                F.count_distinct(F.when(~old, F.col(c))).alias(f"{c}__new_distinct"),
+            ]
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__old_n, {c}__new_n, {c}__old_nulls, {c}__new_nulls,"
+        f" {c}__old_distinct, {c}__new_distinct"
+        for c in columns
+    )
+    panel = one.select(
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) AS "
+            "(column_name, old_n, new_n, old_nulls, new_nulls,"
+            " old_distinct, new_distinct)"
+        )
+    )
+    return panel.select(
+        "column_name",
+        "old_n",
+        "new_n",
+        F.expr("old_nulls * 1000000000 div old_n").alias("old_null_e9"),
+        F.expr("new_nulls * 1000000000 div new_n").alias("new_null_e9"),
+        "old_distinct",
+        "new_distinct",
+        F.expr(
+            "abs(new_nulls * 1000000000 div new_n - old_nulls * 1000000000 div old_n)"
+        ).alias("null_drift_e9"),
+        F.expr("new_distinct * 1000000000 div greatest(old_distinct, 1)").alias(
+            "distinct_ratio_e9"
+        ),
+        F.lit(split_desc).alias("split"),
+    )

@@ -1386,3 +1386,150 @@ QUERIES.append(
         tags=("analytics", "monitoring", "streaming-adjacent"),
     )
 )
+
+
+def privacy_t_closeness_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import t_closeness
+
+    cust = load(spark, sf, "customer")
+    band = F.expr("least(greatest(CAST(floor(c_acctbal / 1000.0) AS INT) + 1, 0), 10)")
+    return t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], band, n_bands=11, t_e9=100_000_000
+    )
+
+
+def monitor_schema_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import schema_drift
+
+    ev = load(spark, sf, "events")
+    return schema_drift(
+        ev,
+        ["user_id", "event_type", "value", "props"],
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        split_desc="ts<2024-01-16",
+    )
+
+
+QUERIES.append(
+    Query(
+        "privacy_t_closeness",
+        privacy_t_closeness_q,
+        """
+        WITH b AS (
+          SELECT c_nationkey, c_mktsegment,
+                 LEAST(GREATEST(CAST(FLOOR(c_acctbal / 1000.0) AS INTEGER) + 1,
+                                0), 10) AS band
+          FROM customer),
+        cb AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n_qb
+               FROM b GROUP BY 1, 2, 3),
+        cls AS (SELECT c_nationkey, c_mktsegment,
+                       CAST(SUM(n_qb) AS BIGINT) AS class_size
+                FROM cb GROUP BY 1, 2),
+        gb AS (SELECT band, CAST(SUM(n_qb) AS BIGINT) AS n_b
+               FROM cb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_rows FROM gb),
+        grid AS (SELECT c.c_nationkey, c.c_mktsegment, c.class_size, t.i AS pos
+                 FROM cls c, generate_series(0, 9) t(i)),
+        cum AS (
+          SELECT g.c_nationkey, g.c_mktsegment, g.class_size, g.pos,
+                 (SELECT COALESCE(SUM(x.n_qb), 0) FROM cb x
+                   WHERE x.c_nationkey = g.c_nationkey
+                     AND x.c_mktsegment = g.c_mktsegment
+                     AND x.band <= g.pos) AS cum_qb,
+                 (SELECT COALESCE(SUM(y.n_b), 0) FROM gb y
+                   WHERE y.band <= g.pos) AS cum_b
+          FROM grid g),
+        emd AS (
+          SELECT c_nationkey, c_mktsegment, class_size,
+                 CAST(SUM(ABS(CAST(cum_qb AS HUGEINT) * t.n_rows
+                              - CAST(cum_b AS HUGEINT) * class_size))
+                      * 1000000000
+                      // (CAST(class_size AS HUGEINT) * t.n_rows * 10)
+                      AS BIGINT) AS t_emd_e9
+          FROM cum, tot t
+          GROUP BY 1, 2, 3, t.n_rows),
+        above AS (SELECT CAST(SUM(class_size) AS BIGINT) AS a_rows,
+                         CAST(SUM(CASE WHEN t_emd_e9 > 100000000
+                                       THEN class_size ELSE 0 END) AS BIGINT)
+                           AS n_above
+                  FROM emd)
+        SELECT e.c_nationkey, e.c_mktsegment, e.class_size, e.t_emd_e9,
+               e.t_emd_e9 <= 100000000 AS meets_t, 100000000 AS t_e9,
+               (a.n_above * 1000000000) // a.a_rows AS above_t_share_e9
+        FROM emd e, above a
+        """,
+        doc="t-closeness audit (t=0.1, EMD over 11 ordered balance bands) "
+        "— the skewness-attack gate completing the k-anon/l-div/t-close "
+        "privacy trio: per-class earth-mover's distance to the global "
+        "sensitive distribution in exact DECIMAL(38,0)/HUGEINT integer "
+        "arithmetic (products reach N^2, past int64 at 100 TB); one "
+        "(quasi, band) shuffle, distributions as bounded 11-element "
+        "arrays, O(bands^2) map-side fold — never a densified grid join",
+        tags=("analytics", "monitoring", "privacy"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "monitor_schema_drift",
+        monitor_schema_drift_q,
+        """
+        WITH s AS (SELECT *, (ts < TIMESTAMP '2024-01-16') AS old
+                   FROM events),
+        m AS (
+          SELECT 'user_id' AS column_name,
+                 COUNT(*) FILTER (old) AS old_n,
+                 COUNT(*) FILTER (NOT old) AS new_n,
+                 COUNT(*) FILTER (old AND user_id IS NULL) AS old_nulls,
+                 COUNT(*) FILTER (NOT old AND user_id IS NULL) AS new_nulls,
+                 COUNT(DISTINCT CASE WHEN old THEN user_id END)
+                   AS old_distinct,
+                 COUNT(DISTINCT CASE WHEN NOT old THEN user_id END)
+                   AS new_distinct
+          FROM s
+          UNION ALL
+          SELECT 'event_type',
+                 COUNT(*) FILTER (old), COUNT(*) FILTER (NOT old),
+                 COUNT(*) FILTER (old AND event_type IS NULL),
+                 COUNT(*) FILTER (NOT old AND event_type IS NULL),
+                 COUNT(DISTINCT CASE WHEN old THEN event_type END),
+                 COUNT(DISTINCT CASE WHEN NOT old THEN event_type END)
+          FROM s
+          UNION ALL
+          SELECT 'value',
+                 COUNT(*) FILTER (old), COUNT(*) FILTER (NOT old),
+                 COUNT(*) FILTER (old AND value IS NULL),
+                 COUNT(*) FILTER (NOT old AND value IS NULL),
+                 COUNT(DISTINCT CASE WHEN old THEN value END),
+                 COUNT(DISTINCT CASE WHEN NOT old THEN value END)
+          FROM s
+          UNION ALL
+          SELECT 'props',
+                 COUNT(*) FILTER (old), COUNT(*) FILTER (NOT old),
+                 COUNT(*) FILTER (old AND props IS NULL),
+                 COUNT(*) FILTER (NOT old AND props IS NULL),
+                 COUNT(DISTINCT CASE WHEN old THEN props END),
+                 COUNT(DISTINCT CASE WHEN NOT old THEN props END)
+          FROM s
+        )
+        SELECT column_name, old_n, new_n,
+               (old_nulls * 1000000000) // old_n AS old_null_e9,
+               (new_nulls * 1000000000) // new_n AS new_null_e9,
+               old_distinct, new_distinct,
+               ABS((new_nulls * 1000000000) // new_n
+                   - (old_nulls * 1000000000) // old_n) AS null_drift_e9,
+               (new_distinct * 1000000000) // GREATEST(old_distinct, 1)
+                 AS distinct_ratio_e9,
+               'ts<2024-01-16' AS split
+        FROM m
+        """,
+        doc="schema/profile-drift panel between two snapshots of the feed "
+        "(before/after a literal cutover): per-column row counts, null "
+        "shares, exact distincts and the drift deltas — the silent-"
+        "producer-change monitor; ONE group-less aggregate (partial-"
+        "agg'd, a single row crosses the wire) unpivoted by a literal "
+        "stack, zero joins",
+        tags=("analytics", "monitoring"),
+    )
+)

@@ -3499,3 +3499,46 @@ QUERIES.append(
         tags=("llm", "embedding", "monitoring"),
     )
 )
+
+
+def dedup_fuzzy_edit_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.fuzzy_edit_pairs(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_fuzzy_edit",
+        dedup_fuzzy_edit_q,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 substr(regexp_replace(trim(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g'),
+                        1, 36) AS pfx
+          FROM documents),
+        q AS (SELECT * FROM p WHERE length(pfx) >= 36),
+        b AS (SELECT doc_id, pfx, t.i AS band_idx,
+                     substr(pfx, t.i * 12 + 1, 12) AS band_val
+              FROM q, generate_series(0, 2) t(i)),
+        g AS (SELECT band_idx, band_val FROM b
+              GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1024),
+        c AS (SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+                     a.pfx AS pa, b2.pfx AS pb
+              FROM b a
+              JOIN b b2 USING (band_idx, band_val)
+              JOIN g USING (band_idx, band_val)
+              WHERE a.doc_id < b2.doc_id)
+        SELECT doc_id_a, doc_id_b,
+               CAST(levenshtein(pa, pb) AS INTEGER) AS edit_distance
+        FROM c WHERE levenshtein(pa, pb) <= 4
+        """,
+        doc="entity-resolution fuzzy join: doc pairs within Levenshtein 4 "
+        "over normalized 36-char prefixes — banded positional blocking "
+        "(3 x 12-char segments; substitution-only edits <=2 guaranteed "
+        "by pigeonhole, indel shift documented as the fixed-grid "
+        "limitation) + exact JVM-side levenshtein verify on candidates; "
+        "one (band_idx, band_val) shuffle with the minhash/phash "
+        "mega-bucket cap, in-bucket expansion on post-agg rows only",
+        tags=("llm", "dedup", "similarity"),
+    )
+)

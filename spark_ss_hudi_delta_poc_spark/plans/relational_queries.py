@@ -564,3 +564,34 @@ QUERIES.append(
         tags=("relational", "join", "skew"),
     )
 )
+
+
+def salted_distinct_agg_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.partitioning import salted_distinct_agg
+
+    return salted_distinct_agg(
+        load(spark, sf, "events"), "event_type", "user_id", salt_buckets=16
+    )
+
+
+QUERIES.append(
+    Query(
+        "q102_salted_distinct_agg",
+        salted_distinct_agg_q,
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type
+        """,
+        doc="skew-salted exact count-distinct (operators/partitioning."
+        "salted_distinct_agg): q101's aggregation sibling — Spark's "
+        "count_distinct final merge ships a hot group's ENTIRE distinct "
+        "domain to one reducer; salting by hash(value) mod 16 splits "
+        "that domain into disjoint, exactly-additive slices, so stage 1 "
+        "spreads the hot group over 16 reducers and stage 2 sums <=16 "
+        "partials per group == plain COUNT(DISTINCT) row-for-row (the "
+        "oracle runs the plain form)",
+        tags=("relational", "agg", "skew"),
+    )
+)

@@ -2014,3 +2014,99 @@ def test_freshness_panel_detects_stalled_category(spark):
     assert out["stalled"].lag_seconds == 13 * 86400
     assert out["stalled"].n_last_24h == 0 and out["stalled"].n_last_7d == 0
     assert out["stalled"].share_24h_e9 == 0
+
+
+def test_t_closeness_exact_emd_and_share(spark):
+    """Hand-computed EMD check: a near-uniform class vs a class
+    concentrated in the top band, exact integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import t_closeness
+
+    # class A: 2 rows per band (8 rows); class B: 4 rows all in band 3
+    rows = [("a", "x", b) for b in (0, 1, 2, 3) for _ in range(2)]
+    rows += [("b", "y", 3)] * 4
+    df = spark.createDataFrame(rows, "q1 string, q2 string, band int")
+    out = {
+        (r.q1, r.q2): r
+        for r in t_closeness(
+            df, ["q1", "q2"], F.col("band"), n_bands=4, t_e9=200_000_000
+        ).collect()
+    }
+    # N=12, global cum = 2,4,6; A: n_q=8, cum=2,4,6 -> num=8+16+24=48
+    assert out[("a", "x")].t_emd_e9 == 48 * 10**9 // (8 * 12 * 3)  # 166_666_666
+    # B: n_q=4, cum=0,0,0 -> num=8+16+24=48
+    assert out[("b", "y")].t_emd_e9 == 48 * 10**9 // (4 * 12 * 3)  # 333_333_333
+    assert out[("a", "x")].meets_t and not out[("b", "y")].meets_t
+    assert out[("b", "y")].above_t_share_e9 == 4 * 10**9 // 12
+
+
+def test_schema_drift_flags_null_jump_and_distinct_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import schema_drift
+
+    rows = [(True, i % 5, "v") for i in range(10)]
+    rows += [(False, 0, None if i < 5 else "v") for i in range(10)]
+    df = spark.createDataFrame(rows, "is_old boolean, c1 int, c2 string")
+    out = {
+        r.column_name: r
+        for r in schema_drift(df, ["c1", "c2"], F.col("is_old"), "t").collect()
+    }
+    assert out["c1"].old_n == 10 and out["c1"].new_n == 10
+    # enum collapsed to a constant: 5 -> 1 distinct
+    assert out["c1"].old_distinct == 5 and out["c1"].new_distinct == 1
+    assert out["c1"].distinct_ratio_e9 == 10**9 // 5
+    # null rate jumped 0 -> 50%
+    assert out["c2"].old_null_e9 == 0 and out["c2"].new_null_e9 == 5 * 10**9 // 10
+    assert out["c2"].null_drift_e9 == 5 * 10**9 // 10
+
+
+def test_salted_distinct_agg_equals_plain_and_salts_stage1(spark):
+    """q102 contract: salted exact count-distinct == plain
+    count_distinct row-for-row, and stage 1 exchanges on
+    (group, _salt) — the hot group's distinct domain genuinely spreads."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.partitioning import (
+        salted_distinct_agg,
+    )
+
+    # hot group: 'hot' sees 300 distinct users, others 3 each
+    rows = [(i, "hot") for i in range(300)]
+    rows += [(i % 3, f"cold{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = salted_distinct_agg(df, "event_type", "user_id", salt_buckets=8)
+    plain = df.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    assert re.search(r"hashpartitioning\(event_type#\d+, _salt#\d+", p)
+
+
+def test_fuzzy_edit_pairs_finds_substituted_prefix(spark):
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import fuzzy_edit_pairs
+
+    base = "abcdefghijkl" + "mnopqrstuvwx" + "yz0123456789"
+    # 2 substitutions in bands 0 and 1; band 2 identical -> candidate.
+    # Uppercase exercises the normalizer (same canon prefix).
+    edited = ("aXcdefghijkl" + "mnopqrstuvwY" + "yz0123456789").upper()
+    other = "0123456789zy" + "xwvutsrqponm" + "lkjihgfedcba"
+    rows = [
+        (1, base + " trailing text"),
+        (2, edited + " MORE TAIL"),
+        (3, other + " tail"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id_a, r.doc_id_b): r.edit_distance for r in fuzzy_edit_pairs(df).collect()}
+    assert got == {(1, 2): 2}

@@ -179,6 +179,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # round 9:
     "privacy_l_diversity",  # 1-row below-l totals (k_anonymity's shape)
     "monitor_freshness",  # 1-row feed-watermark aggregate riding the rows
+    "privacy_t_closeness",  # 1-row global distribution + 1-row above-t totals
     # kmv_jaccard's cross side is NOT 1 row but a per-SOURCE aggregate —
     # bounded by the source domain (a category dimension, like nation):
     # the inequality pair join (a.source < b.source) over |sources| rows
@@ -248,6 +249,10 @@ def test_sketch_cross_joins_are_single_row(spark):
         "curation_ccnet_buckets": 1,  # the composed LM score's 1-row V
         "privacy_l_diversity": 1,  # classes x 1-row below-l totals
         "monitor_freshness": 1,  # rows x 1-row feed watermark
+        # classes x 1-row global distribution (replicated into the
+        # above-t totals branch, like monitor_category_drift's margins)
+        # + classes x 1-row above-t totals
+        "privacy_t_closeness": 3,
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)

@@ -235,6 +235,16 @@ PROBE_OPS = [
     "monitor_freshness",
     "q44_stream_static_join",
     "q21_stream_session_window",
+    # late-round-9 additions: t-closeness = (quasi, band) shuffle +
+    # bounded-array EMD fold (per-class work constant in corpus size);
+    # schema drift = ONE group-less conditional aggregate (the distinct
+    # Expand is the only volume term); salted distinct = two balanced
+    # exchanges, hot group spread 1/16; fuzzy edit join = capped banded
+    # buckets + in-bucket expansion (the phash fanout-bound argument)
+    "privacy_t_closeness",
+    "monitor_schema_drift",
+    "q102_salted_distinct_agg",
+    "dedup_fuzzy_edit",
 ]
 
 
