@@ -417,3 +417,72 @@ def test_zone_assignment_is_bounded_and_sound(points, n_zones):
         maxs[zn] = max(maxs[zn], a)
     for a, _, zn in rows:
         assert mins[zn] <= a <= maxs[zn]
+
+
+def _emd_e9_model(class_counts: dict[int, int], all_counts: dict[int, int], n_bands: int) -> int:
+    """Pure-Python replica of t_closeness's integer EMD (profiling.py):
+    num = sum_{i=0}^{B-2} |cum_qb(i)*N - cum_b(i)*n_q|, then
+    emd_e9 = num * 1e9 // (n_q * N * (B-1)) — all floor divisions on
+    positive integers, so Python // == Spark `div` == DuckDB //."""
+    n_q = sum(class_counts.values())
+    n_rows = sum(all_counts.values())
+    num = 0
+    cq = cb = 0
+    for i in range(n_bands - 1):
+        cq += class_counts.get(i, 0)
+        cb += all_counts.get(i, 0)
+        num += abs(cq * n_rows - cb * n_q)
+    return num * 10**9 // (n_q * n_rows * (n_bands - 1))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_t_closeness_integer_emd_properties(bands_a, bands_b):
+    """The integer EMD is (1) zero when the class IS the whole table,
+    (2) bounded in [0, 1e9], and (3) within truncation error of the
+    float earth-mover's distance between the normalized cumulative
+    distributions."""
+    B = 8
+    ca = {b: bands_a.count(b) for b in set(bands_a)}
+    call = {b: bands_a.count(b) + bands_b.count(b) for b in range(B)}
+    # (1) class == global -> exactly 0
+    assert _emd_e9_model(ca, ca, B) == 0
+    got = _emd_e9_model(ca, call, B)
+    # (2) bounds
+    assert 0 <= got <= 10**9
+    # (3) float reference: mean |P_cum - Q_cum| over positions 0..B-2
+    n_q, n_rows = sum(ca.values()), sum(call.values())
+    cq = cb = 0
+    terms = []
+    for i in range(B - 1):
+        cq += ca.get(i, 0)
+        cb += call.get(i, 0)
+        terms.append(abs(cq / n_q - cb / n_rows))
+    ref = sum(terms) / (B - 1)
+    assert abs(got / 1e9 - ref) < 1e-9 + 1.0 / (n_q * n_rows)
+
+
+@given(
+    st.text(alphabet="abcdefgh", min_size=36, max_size=36),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=35), st.sampled_from("xyz")),
+        min_size=0,
+        max_size=2,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_fuzzy_banding_pigeonhole_for_substitutions(prefix, subs):
+    """dedup_fuzzy_edit's recall guarantee: <=2 substitutions over a
+    36-char prefix leave at least one of the 3 fixed 12-char bands
+    EXACTLY equal (3 bands, 2 edits — pigeonhole), so the banded
+    blocking always surfaces the pair as a candidate."""
+    edited = list(prefix)
+    for pos, ch in subs:
+        edited[pos] = ch
+    edited = "".join(edited)
+    bands_a = [prefix[i * 12 : (i + 1) * 12] for i in range(3)]
+    bands_b = [edited[i * 12 : (i + 1) * 12] for i in range(3)]
+    assert any(a == b for a, b in zip(bands_a, bands_b))
