@@ -464,3 +464,4 @@ QUERIES.append(
         tags=("streaming", "window", "maintenance"),
     )
 )
+

@@ -314,3 +314,124 @@ def finalize_topk(emissions: DataFrame, group_col: str, k: int = 10) -> DataFram
         .where(F.col("_rn") <= k)
         .select(F.col("grp").alias(group_col), "item", "cnt")
     )
+
+
+# --- transformWithState (Spark 4 native stateful API) -------------------------
+#
+# user_profile_stream demonstrates the modern replacement for
+# applyInPandasWithState: a StatefulProcessor with a typed, named
+# ValueState slot managed by the state-store handle (the API that adds
+# per-state TTL, timers, and multiple independent state variables per
+# key — none of which GroupState offers).  Semantics here: a running
+# per-user ingest profile (first/last event micros, event count,
+# exact-integer value sum) re-emitted per touched user per micro-batch
+# with a monotone per-key seq, so the LAST emission per user equals the
+# whole-corpus GROUP BY regardless of how files were batched — the same
+# replay-stable contract as running_topk_stream.
+PROFILE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_e4", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+PROFILE_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_e4", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _profile_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        """State per user: (first_us, last_us, n_events, value_e4, seq).
+        All fields are order-independent reductions (min/max/sum over
+        exact integers), so the final state — and therefore the final
+        emission — is identical under ANY partitioning of events into
+        micro-batches."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", PROFILE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            first_us = last_us = None
+            n = val = 0
+            for pdf in rows:
+                us = pdf["ts_us"]
+                f, l = int(us.min()), int(us.max())
+                first_us = f if first_us is None else min(first_us, f)
+                last_us = l if last_us is None else max(last_us, l)
+                n += int(len(pdf))
+                val += int(pdf["value_e4"].sum())
+            prev = self._state.get() if self._state.exists() else None
+            if prev is not None:
+                first_us = min(first_us, int(prev[0]))
+                last_us = max(last_us, int(prev[1]))
+                n += int(prev[2])
+                val += int(prev[3])
+                seq = int(prev[4]) + 1
+            else:
+                seq = 1
+            self._state.update((first_us, last_us, n, val, seq))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                    "n_events": [n],
+                    "value_e4": [val],
+                    "seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserProfileProcessor()
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user ingest profile via ``transformWithStateInPandas``
+    — Spark 4's native arbitrary-stateful operator (StatefulProcessor +
+    named ValueState), the successor API to applyInPandasWithState.
+
+    Plan shape: one exchange on user_id into the Arrow-batched
+    TransformWithStateInPandas stage; state is ONE fixed-width row per
+    user (5 longs — state size = |users| x 40 bytes at any corpus
+    size), emissions are one row per TOUCHED user per micro-batch
+    (append mode, file-sink safe)."""
+    prepared = events.select(
+        F.col("user_id"),
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        F.floor(F.col("value") * 10000).cast("long").alias("value_e4"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_profile_processor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def finalize_profiles(emissions: DataFrame) -> DataFrame:
+    """Latest emission per user == the whole-run profile (monotone seq)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        emissions.withColumn("_max_seq", F.max("seq").over(w))
+        .where(F.col("seq") == F.col("_max_seq"))
+        .select("user_id", "first_us", "last_us", "n_events", "value_e4")
+    )

@@ -176,3 +176,82 @@ def test_transform_with_state_env_gate(module):
     same way the lakehouse jars are (VERDICT r2).  This test documents the
     gate: it only runs where the dependency exists."""
     pytest.importorskip(module)
+
+
+def test_user_profile_processor_fold_logic_without_spark():
+    """The transformWithState StatefulProcessor's per-key fold is pure
+    Python over Arrow batches — testable against a fake handle without
+    the (env-blocked) state-server protocol: state merges across calls
+    exactly like min/max/sum, and seq is monotone per key."""
+    import pandas as pd
+
+    from spark_ss_hudi_delta_poc_spark.streaming.stateful import _profile_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = _profile_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame({"ts_us": [100, 50], "value_e4": [10, 20]})
+    b2 = pd.DataFrame({"ts_us": [200], "value_e4": [5]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "first_us": 50, "last_us": 100,
+        "n_events": 2, "value_e4": 30, "seq": 1,
+    }
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "first_us": 50, "last_us": 200,
+        "n_events": 3, "value_e4": 35, "seq": 2,
+    }
+    proc.close()
+
+
+def test_stream_user_profile_end_to_end_when_protobuf_present(spark):
+    """Full transformWithStateInPandas run — activates the moment the
+    protobuf dependency exists (same env-gate ruling as the lakehouse
+    jars); until then the fold logic above and the finalize window are
+    the tested surface."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_user_profile
+
+    got = stream_user_profile(spark, "/root/testdata/sf0.001").toPandas()
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    exp = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+        .toPandas()
+    )
+    key = lambda df: df.sort_values("user_id").reset_index(drop=True)  # noqa: E731
+    pd_got, pd_exp = key(got), key(exp)
+    assert pd_got.equals(pd_exp[pd_got.columns])
