@@ -594,3 +594,72 @@ def schema_drift(
         ),
         F.lit(split_desc).alias("split"),
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    low_e9: int = 500_000_000,
+    high_e9: int = 2_000_000_000,
+) -> DataFrame:
+    """SEASONAL anomaly panel — the monitor category_drift (two-halves
+    chi²) and freshness (watermark lag) don't cover: traffic with a
+    daily shape.  For each (category, hour-of-day) cell, compare the
+    FINAL day's actual count against the per-day baseline built from
+    every prior day, flagging cells whose actual falls outside
+    [low, high] × the baseline average — the "checkout events at 3 am
+    doubled" alert, where a global daily total would still look normal.
+
+    Exact integer arithmetic: ratio_e9 = actual · n_baseline_days · 1e9
+    div max(baseline_total, 1) compares the actual against the per-day
+    average without ever forming a fractional average; a cell with NO
+    baseline traffic reports ratio against the max(·,1) floor (loud, as
+    an unprecedented cell should be).  Hours with baseline traffic but
+    no final-day events report actual=0 — silence is also an anomaly.
+
+    Plan: one partial-agg'd shuffle to the (category, hour, date) daily
+    ledger (bounded: |categories| × 24 × days), everything downstream
+    re-aggregates that ledger — the final-day/baseline-day bounds are a
+    1-row scalar aggregate broadcast back (the pinned BNLJ), and the
+    panel is a second bounded-key aggregate.  No corpus-sized side ever
+    ships.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("category"),
+        F.hour(F.col(ts_col)).alias("hour"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = daily.agg(
+        F.max("day").alias("final_day"),
+        (F.count_distinct("day") - 1).alias("n_baseline_days"),
+    )
+    panel = (
+        daily.crossJoin(F.broadcast(bounds))
+        .groupBy("category", "hour")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("final_day"), F.col("cnt")).otherwise(0)).alias(
+                "baseline_total"
+            ),
+            F.sum(F.when(F.col("day") == F.col("final_day"), F.col("cnt")).otherwise(0)).alias(
+                "actual"
+            ),
+            F.max("n_baseline_days").alias("n_baseline_days"),
+        )
+    )
+    # DECIMAL(38,0): actual * n_days * 1e9 passes int64 around 1e9
+    # events/cell (a real number at 100 TB); `div` truncation identical
+    # to DuckDB HUGEINT // for the all-positive operands
+    ratio = F.expr(
+        "CAST(CAST(actual AS DECIMAL(38,0)) * n_baseline_days * 1000000000"
+        " div greatest(baseline_total, 1) AS BIGINT)"
+    )
+    return panel.select(
+        "category",
+        "hour",
+        "baseline_total",
+        "n_baseline_days",
+        "actual",
+        ratio.alias("ratio_e9"),
+        ((ratio < low_e9) | (ratio > high_e9)).alias("is_anomaly"),
+    )

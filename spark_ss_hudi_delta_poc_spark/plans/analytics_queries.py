@@ -1533,3 +1533,56 @@ QUERIES.append(
         tags=("analytics", "monitoring"),
     )
 )
+
+
+def monitor_seasonal_anomaly_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profiling import seasonal_anomaly
+
+    return seasonal_anomaly(load(spark, sf, "events"))
+
+
+QUERIES.append(
+    Query(
+        "monitor_seasonal_anomaly",
+        monitor_seasonal_anomaly_q,
+        """
+        WITH d AS (
+          SELECT event_type AS category,
+                 CAST(date_part('hour', ts) AS INTEGER) AS hour,
+                 CAST(ts AS DATE) AS day,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2, 3),
+        b AS (SELECT MAX(day) AS final_day,
+                     CAST(COUNT(DISTINCT day) - 1 AS BIGINT)
+                       AS n_baseline_days
+              FROM d),
+        p AS (
+          SELECT category, hour,
+                 CAST(SUM(CASE WHEN day < b.final_day THEN cnt ELSE 0 END)
+                      AS BIGINT) AS baseline_total,
+                 CAST(SUM(CASE WHEN day = b.final_day THEN cnt ELSE 0 END)
+                      AS BIGINT) AS actual,
+                 MAX(b.n_baseline_days) AS n_baseline_days
+          FROM d, b GROUP BY 1, 2),
+        r AS (
+          SELECT *, CAST((CAST(actual AS HUGEINT) * n_baseline_days
+                          * 1000000000)
+                         // GREATEST(baseline_total, 1) AS BIGINT)
+                      AS ratio_e9
+          FROM p)
+        SELECT category, hour, baseline_total, n_baseline_days, actual,
+               ratio_e9,
+               (ratio_e9 < 500000000 OR ratio_e9 > 2000000000) AS is_anomaly
+        FROM r
+        """,
+        doc="seasonal (hour-of-day) anomaly panel: final day's actual per "
+        "(category, hour) cell vs the per-day baseline average from every "
+        "prior day, ratio in exact DECIMAL/HUGEINT e9 fixed point, flag "
+        "outside [0.5x, 2x] — the daily-shape monitor category_drift's "
+        "two-halves chi-square and freshness' watermark lag don't cover; "
+        "one bounded (category, hour, day) daily-ledger shuffle, "
+        "everything downstream re-aggregates that ledger, 1-row bounds "
+        "broadcast",
+        tags=("analytics", "monitoring", "timeseries"),
+    )
+)

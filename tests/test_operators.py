@@ -2110,3 +2110,31 @@ def test_fuzzy_edit_pairs_finds_substituted_prefix(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.doc_id_a, r.doc_id_b): r.edit_distance for r in fuzzy_edit_pairs(df).collect()}
     assert got == {(1, 2): 2}
+
+
+def test_seasonal_anomaly_flags_spike_and_silence(spark):
+    """Two baseline days of steady traffic, then a final day where one
+    hour triples and another goes silent — both cells flag, the steady
+    cell doesn't."""
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import seasonal_anomaly
+
+    rows = []
+    eid = 0
+    for day in (10, 11):  # baseline: 2/day at hours 3 and 4
+        for hour in (3, 4):
+            for _ in range(2):
+                rows.append((eid, "click", f"2024-01-{day} {hour:02d}:00:00"))
+                eid += 1
+    for _ in range(6):  # final day: hour 3 spikes x3, hour 4 silent
+        rows.append((eid, "click", "2024-01-12 03:00:00"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, tss string"
+    ).selectExpr("event_id", "event_type", "to_timestamp(tss) AS ts")
+    out = {(r.category, r.hour): r for r in seasonal_anomaly(ev).collect()}
+    spike = out[("click", 3)]
+    # baseline 4 over 2 days -> avg 2/day; actual 6 -> ratio 3.0
+    assert spike.baseline_total == 4 and spike.actual == 6
+    assert spike.ratio_e9 == 6 * 2 * 10**9 // 4 and spike.is_anomaly
+    silent = out[("click", 4)]
+    assert silent.actual == 0 and silent.ratio_e9 == 0 and silent.is_anomaly

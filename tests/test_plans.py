@@ -180,6 +180,7 @@ CROSS_JOIN_EXEMPT: set[str] = {
     "privacy_l_diversity",  # 1-row below-l totals (k_anonymity's shape)
     "monitor_freshness",  # 1-row feed-watermark aggregate riding the rows
     "privacy_t_closeness",  # 1-row global distribution + 1-row above-t totals
+    "monitor_seasonal_anomaly",  # 1-row final-day/baseline-day bounds
     # kmv_jaccard's cross side is NOT 1 row but a per-SOURCE aggregate —
     # bounded by the source domain (a category dimension, like nation):
     # the inequality pair join (a.source < b.source) over |sources| rows
@@ -253,6 +254,7 @@ def test_sketch_cross_joins_are_single_row(spark):
         # above-t totals branch, like monitor_category_drift's margins)
         # + classes x 1-row above-t totals
         "privacy_t_closeness": 3,
+        "monitor_seasonal_anomaly": 1,  # daily ledger x 1-row day bounds
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)

@@ -245,6 +245,9 @@ PROBE_OPS = [
     "monitor_schema_drift",
     "q102_salted_distinct_agg",
     "dedup_fuzzy_edit",
+    # seasonal anomaly: one bounded (category, hour, day) daily-ledger
+    # shuffle; downstream work re-aggregates the bounded ledger
+    "monitor_seasonal_anomaly",
 ]
 
 
