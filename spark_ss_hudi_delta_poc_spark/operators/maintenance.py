@@ -283,7 +283,12 @@ def scd2_as_of(events: DataFrame, as_of_ep) -> DataFrame:
     since, n_events).
     """
     hist = scd2_history(events)
-    t = F.to_timestamp(F.from_unixtime(as_of_ep))
+    # direct epoch->timestamp cast: to_timestamp(from_unixtime(ep)) is a
+    # string round-trip through the SESSION timezone — correct only
+    # because this repo pins UTC, and not injective under a DST zone
+    # (fall-back overlap); timestamp_seconds is tz-independent and one
+    # cast instead of two per-row string conversions
+    t = F.timestamp_seconds(as_of_ep)
     return hist.where(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

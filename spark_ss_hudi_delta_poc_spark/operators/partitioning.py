@@ -252,9 +252,19 @@ def salted_join(
     """
     from pyspark.sql import functions as F
 
-    src = F.col(salt_source_col) if salt_source_col else F.spark_partition_id()
+    # default salt source: a hash of the ENTIRE left row — deterministic
+    # under task retries (spark_partition_id() is not: a recomputed map
+    # task can land rows in different partitions than the copies already
+    # fetched by completed reducers, duplicating/dropping join rows).
+    # Identical rows collide to one salt, which is deterministic and
+    # still spreads any hot KEY whose rows differ anywhere.
+    src = (
+        F.xxhash64(F.col(salt_source_col))
+        if salt_source_col
+        else F.xxhash64(F.struct(*left.columns))
+    )
     salted_l = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets)).cast("int")
+        "_salt", F.pmod(src, F.lit(salt_buckets)).cast("int")
     )
     salted_r = right.withColumn(
         "_salt",

@@ -351,7 +351,10 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
         "class_size",
         (F.col("class_size") >= k).alias("meets_k"),
         F.lit(k).alias("k"),
-        F.expr("n_suppressed * 1000000000 div n_rows").alias("suppressed_share_e9"),
+        # DECIMAL(38,0): n_suppressed * 1e9 passes int64 near 9.2e9 rows
+        F.expr(
+            "CAST(CAST(n_suppressed AS DECIMAL(38,0)) * 1000000000 div n_rows AS BIGINT)"
+        ).alias("suppressed_share_e9"),
     )
 
 
@@ -392,7 +395,10 @@ def l_diversity(
         "l_distinct",
         (F.col("l_distinct") >= l_min).alias("meets_l"),
         F.lit(l_min).alias("l_min"),
-        F.expr("n_below_l * 1000000000 div n_rows").alias("below_l_share_e9"),
+        # DECIMAL(38,0): n_below_l * 1e9 passes int64 near 9.2e9 rows
+        F.expr(
+            "CAST(CAST(n_below_l AS DECIMAL(38,0)) * 1000000000 div n_rows AS BIGINT)"
+        ).alias("below_l_share_e9"),
     )
 
 
@@ -433,15 +439,23 @@ def freshness_panel(
             ).alias("n_last_7d"),
         )
     )
+    # timestamp_seconds, not to_timestamp(from_unixtime(...)): the latter
+    # is a session-tz string round-trip (safe only under pinned UTC).
+    # Shares in DECIMAL(38,0): count * 1e9 passes int64 near 9.2e9 rows
+    # per category — a real number at 100 TB (the t_closeness rule).
     return per_cat.select(
         "category",
         "n_events",
-        F.to_timestamp(F.from_unixtime(F.col("last_ep"))).alias("last_event"),
+        F.timestamp_seconds(F.col("last_ep")).alias("last_event"),
         (F.col("feed_max_ep") - F.col("last_ep")).alias("lag_seconds"),
         "n_last_24h",
         "n_last_7d",
-        F.expr("n_last_24h * 1000000000 div n_events").alias("share_24h_e9"),
-        F.expr("n_last_7d * 1000000000 div n_events").alias("share_7d_e9"),
+        F.expr(
+            "CAST(CAST(n_last_24h AS DECIMAL(38,0)) * 1000000000 div n_events AS BIGINT)"
+        ).alias("share_24h_e9"),
+        F.expr(
+            "CAST(CAST(n_last_7d AS DECIMAL(38,0)) * 1000000000 div n_events AS BIGINT)"
+        ).alias("share_7d_e9"),
     )
 
 
@@ -522,7 +536,10 @@ def t_closeness(
         "t_emd_e9",
         (F.col("t_emd_e9") <= t_e9).alias("meets_t"),
         F.lit(t_e9).alias("t_e9"),
-        F.expr("n_above_t * 1000000000 div n_rows").alias("above_t_share_e9"),
+        # DECIMAL(38,0): n_above_t * 1e9 passes int64 near 9.2e9 rows
+        F.expr(
+            "CAST(CAST(n_above_t AS DECIMAL(38,0)) * 1000000000 div n_rows AS BIGINT)"
+        ).alias("above_t_share_e9"),
     )
 
 
@@ -578,18 +595,22 @@ def schema_drift(
             " old_distinct, new_distinct)"
         )
     )
+    # all e9 shares in DECIMAL(38,0): count * 1e9 passes int64 near
+    # 9.2e9 rows per side — a real number at 100 TB (the t_closeness
+    # rule); `div` truncation identical to DuckDB HUGEINT //
+    d9 = "CAST(CAST({n} AS DECIMAL(38,0)) * 1000000000 div {d} AS BIGINT)"
+    old9 = d9.format(n="old_nulls", d="old_n")
+    new9 = d9.format(n="new_nulls", d="new_n")
     return panel.select(
         "column_name",
         "old_n",
         "new_n",
-        F.expr("old_nulls * 1000000000 div old_n").alias("old_null_e9"),
-        F.expr("new_nulls * 1000000000 div new_n").alias("new_null_e9"),
+        F.expr(old9).alias("old_null_e9"),
+        F.expr(new9).alias("new_null_e9"),
         "old_distinct",
         "new_distinct",
-        F.expr(
-            "abs(new_nulls * 1000000000 div new_n - old_nulls * 1000000000 div old_n)"
-        ).alias("null_drift_e9"),
-        F.expr("new_distinct * 1000000000 div greatest(old_distinct, 1)").alias(
+        F.expr(f"abs({new9} - {old9})").alias("null_drift_e9"),
+        F.expr(d9.format(n="new_distinct", d="greatest(old_distinct, 1)")).alias(
             "distinct_ratio_e9"
         ),
         F.lit(split_desc).alias("split"),

@@ -1298,7 +1298,7 @@ QUERIES.extend(
                   FROM c)
             SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
                    c.class_size >= 5 AS meets_k, 5 AS k,
-                   (t.n_suppressed * 1000000000) // t.n_rows
+                   CAST((CAST(t.n_suppressed AS HUGEINT) * 1000000000) // t.n_rows AS BIGINT)
                      AS suppressed_share_e9
             FROM c, t
             """,
@@ -1343,7 +1343,7 @@ QUERIES.append(
               FROM c)
         SELECT c.c_nationkey, c.c_mktsegment, c.class_size, c.l_distinct,
                c.l_distinct >= 3 AS meets_l, 3 AS l_min,
-               (t.n_below_l * 1000000000) // t.n_rows AS below_l_share_e9
+               CAST((CAST(t.n_below_l AS HUGEINT) * 1000000000) // t.n_rows AS BIGINT) AS below_l_share_e9
         FROM c, t
         """,
         doc="distinct l-diversity audit (l=3) over the (nation, segment) "
@@ -1374,8 +1374,8 @@ QUERIES.append(
         SELECT category, n_events,
                make_timestamp(last_ep * 1000000) AS last_event,
                mx - last_ep AS lag_seconds, n_last_24h, n_last_7d,
-               (n_last_24h * 1000000000) // n_events AS share_24h_e9,
-               (n_last_7d * 1000000000) // n_events AS share_7d_e9
+               CAST((CAST(n_last_24h AS HUGEINT) * 1000000000) // n_events AS BIGINT) AS share_24h_e9,
+               CAST((CAST(n_last_7d AS HUGEINT) * 1000000000) // n_events AS BIGINT) AS share_7d_e9
         FROM c, b
         """,
         doc="per-category ingest-freshness panel: lag of each category's "
@@ -1455,7 +1455,7 @@ QUERIES.append(
                   FROM emd)
         SELECT e.c_nationkey, e.c_mktsegment, e.class_size, e.t_emd_e9,
                e.t_emd_e9 <= 100000000 AS meets_t, 100000000 AS t_e9,
-               (a.n_above * 1000000000) // a.a_rows AS above_t_share_e9
+               CAST((CAST(a.n_above AS HUGEINT) * 1000000000) // a.a_rows AS BIGINT) AS above_t_share_e9
         FROM emd e, above a
         """,
         doc="t-closeness audit (t=0.1, EMD over 11 ordered balance bands) "
@@ -1514,12 +1514,12 @@ QUERIES.append(
           FROM s
         )
         SELECT column_name, old_n, new_n,
-               (old_nulls * 1000000000) // old_n AS old_null_e9,
-               (new_nulls * 1000000000) // new_n AS new_null_e9,
+               CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // old_n AS BIGINT) AS old_null_e9,
+               CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // new_n AS BIGINT) AS new_null_e9,
                old_distinct, new_distinct,
-               ABS((new_nulls * 1000000000) // new_n
-                   - (old_nulls * 1000000000) // old_n) AS null_drift_e9,
-               (new_distinct * 1000000000) // GREATEST(old_distinct, 1)
+               ABS(CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // new_n AS BIGINT)
+                   - CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // old_n AS BIGINT)) AS null_drift_e9,
+               CAST((CAST(new_distinct AS HUGEINT) * 1000000000) // GREATEST(old_distinct, 1) AS BIGINT)
                  AS distinct_ratio_e9,
                'ts<2024-01-16' AS split
         FROM m

@@ -288,13 +288,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it all on the driver (round-9 sweep)
     work = _workdir("qssj")
     sink = os.path.join(work, "sink")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = write_stream(
+        joined, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
     return spark.read.schema(
@@ -321,13 +317,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file sink, not a memory sink: append output is corpus-sized and a
     # memory sink would materialize it all on the driver (round-9 sweep)
     sink = os.path.join(work, "sink")
-    q = (
-        counted.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = write_stream(
+        counted, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
     return spark.read.schema("event_id long").parquet(sink)
@@ -371,13 +363,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
     agg = session_agg(stream, gap_minutes)
     sink = os.path.join(work, "sink")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = write_stream(
+        agg, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
     return spark.read.schema(
@@ -415,6 +403,38 @@ def latest_incoming(batch_df: DataFrame) -> DataFrame:
 MATVIEW_N_BUCKETS = 16
 
 
+def _swap_touched_buckets(
+    merged: DataFrame,
+    target_dir: str,
+    touched_bkts: list,
+    existing: list,
+    stats: list | None,
+) -> None:
+    """Shared crash-sensitive tail of the bucketed MERGE pattern
+    (matview_apply_batch + scd2_apply_batch): write the merged frame
+    partitionBy(bkt) to a staging dir, then swap ONLY the touched bucket
+    dirs into place with per-bucket rename.  One copy of the swap
+    ordering so a future atomicity fix cannot drift between the two
+    callers."""
+    import shutil
+
+    staging = target_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("bkt").parquet(staging)
+    os.makedirs(target_dir, exist_ok=True)
+    for bk in touched_bkts:
+        src = os.path.join(staging, f"bkt={bk}")
+        dst = os.path.join(target_dir, f"bkt={bk}")
+        if not os.path.isdir(src):
+            continue
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    if stats is not None:
+        stats.append({"touched_buckets": touched_bkts, "existing_buckets": existing})
+
+
 def matview_apply_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -432,46 +452,36 @@ def matview_apply_batch(
     per-trigger full-snapshot rewrite).  Untouched bucket dirs are never
     opened.
     """
-    import shutil
-
     from ..operators.maintenance import upsert_snapshot
 
+    # persist: incoming drives BOTH the touched-bucket collect and the
+    # merged write — without it the batch scan + user-keyed window
+    # recompute once per consumer (review r9)
     incoming = latest_incoming(batch_df).withColumn(
         "bkt", (F.col("user_id") % n_buckets).cast("int")
-    )
-    touched_bkts = sorted(
-        r.bkt for r in incoming.select("bkt").distinct().collect()
-    )  # bounded collect: <= n_buckets ints
-    existing = [
-        bk for bk in touched_bkts if os.path.isdir(os.path.join(state_dir, f"bkt={bk}"))
-    ]
-    if existing:
-        current = (
-            spark.read.option("basePath", state_dir)
-            .schema(
-                "user_id long, last_event_id long, last_type string, v_e4 long, "
-                "ver long, bkt int"
+    ).persist()
+    try:
+        touched_bkts = sorted(
+            r.bkt for r in incoming.select("bkt").distinct().collect()
+        )  # bounded collect: <= n_buckets ints
+        existing = [
+            bk for bk in touched_bkts if os.path.isdir(os.path.join(state_dir, f"bkt={bk}"))
+        ]
+        if existing:
+            current = (
+                spark.read.option("basePath", state_dir)
+                .schema(
+                    "user_id long, last_event_id long, last_type string, v_e4 long, "
+                    "ver long, bkt int"
+                )
+                .parquet(*[os.path.join(state_dir, f"bkt={bk}") for bk in existing])
             )
-            .parquet(*[os.path.join(state_dir, f"bkt={bk}") for bk in existing])
-        )
-        merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
-    else:
-        merged = incoming
-    staging = state_dir + "._new"
-    shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("bkt").parquet(staging)
-    os.makedirs(state_dir, exist_ok=True)
-    for bk in touched_bkts:
-        src = os.path.join(staging, f"bkt={bk}")
-        dst = os.path.join(state_dir, f"bkt={bk}")
-        if not os.path.isdir(src):
-            continue
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    if stats is not None:
-        stats.append({"touched_buckets": touched_bkts, "existing_buckets": existing})
+            merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
+        else:
+            merged = incoming
+        _swap_touched_buckets(merged, state_dir, touched_bkts, existing, stats)
+    finally:
+        incoming.unpersist()
 
 
 def stream_materialized_latest(
@@ -586,13 +596,9 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file sink, not a memory sink: corpus-sized append output must not
     # materialize on the driver (round-9 sweep)
     sink = os.path.join(work, "sink")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = write_stream(
+        deduped, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
     return spark.read.schema("event_id long").parquet(sink)
@@ -838,13 +844,9 @@ def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
     agg = dup_rate_window_agg(stream)
     sink = os.path.join(work, "sink")
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = write_stream(
+        agg, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
     back = spark.read.schema(
@@ -1016,13 +1018,9 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once() -> None:
         stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
         agg = late_window_agg(stream)
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        q = write_stream(
+            agg, "parquet", sink,
+            ckpt, trigger_available_now=True,
         )
         q.awaitTermination()
 
@@ -1106,49 +1104,38 @@ def scd2_apply_batch(
     collects {touched_buckets, existing_buckets} per batch so tests can
     assert the write footprint.
     """
-    import shutil
-
     b = batch_df.select("event_id", "ts", "user_id", "event_type")
     b.write.mode("append").parquet(log_dir)
-    touched = b.select("user_id").distinct()
-    # bounded collect: <= n_buckets ints regardless of batch size
-    touched_bkts = sorted(
-        r.bkt
-        for r in touched.select((F.col("user_id") % n_buckets).alias("bkt"))
-        .distinct()
-        .collect()
-    )
-    log = spark.read.schema(
-        "event_id long, ts timestamp, user_id long, event_type string"
-    ).parquet(log_dir)
-    existing = [
-        bk
-        for bk in touched_bkts
-        if os.path.isdir(os.path.join(hist_dir, f"bkt={bk}"))
-    ]
-    old = (
-        spark.read.option("basePath", hist_dir)
-        .schema(SCD2_HIST_SCHEMA + ", bkt int")
-        .parquet(*[os.path.join(hist_dir, f"bkt={bk}") for bk in existing])
-        if existing
-        else None
-    )
-    out = scd2_merge_frames(log, touched, old, n_buckets)
-    staging = hist_dir + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    out.write.mode("overwrite").partitionBy("bkt").parquet(staging)
-    os.makedirs(hist_dir, exist_ok=True)
-    for bk in touched_bkts:
-        src = os.path.join(staging, f"bkt={bk}")
-        dst = os.path.join(hist_dir, f"bkt={bk}")
-        if not os.path.isdir(src):
-            continue
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    if stats is not None:
-        stats.append({"touched_buckets": touched_bkts, "existing_buckets": existing})
+    # persist: touched drives the bounded bucket collect AND the
+    # user-keyed semi-join inside scd2_merge_frames (review r9)
+    touched = b.select("user_id").distinct().persist()
+    try:
+        # bounded collect: <= n_buckets ints regardless of batch size
+        touched_bkts = sorted(
+            r.bkt
+            for r in touched.select((F.col("user_id") % n_buckets).alias("bkt"))
+            .distinct()
+            .collect()
+        )
+        log = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(log_dir)
+        existing = [
+            bk
+            for bk in touched_bkts
+            if os.path.isdir(os.path.join(hist_dir, f"bkt={bk}"))
+        ]
+        old = (
+            spark.read.option("basePath", hist_dir)
+            .schema(SCD2_HIST_SCHEMA + ", bkt int")
+            .parquet(*[os.path.join(hist_dir, f"bkt={bk}") for bk in existing])
+            if existing
+            else None
+        )
+        out = scd2_merge_frames(log, touched, old, n_buckets)
+        _swap_touched_buckets(out, hist_dir, touched_bkts, existing, stats)
+    finally:
+        touched.unpersist()
 
 
 def read_scd2_history(spark: SparkSession, hist_dir: str) -> DataFrame:
@@ -1238,13 +1225,9 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state keys = |users|; partitions sized to key cardinality (the
     # q67 rule), not the session's 32
     with _state_partitions(spark, 8):
-        q = (
-            emissions.writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        q = write_stream(
+            emissions, "parquet", sink,
+            os.path.join(work, "ckpt"), trigger_available_now=True,
         )
         q.awaitTermination()
     back = spark.read.schema(
