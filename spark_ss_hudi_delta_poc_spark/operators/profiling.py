@@ -494,6 +494,8 @@ def t_closeness(
     BNLJs).  Per-row EMD is a bounded O(n_bands²) higher-order-function
     fold — map-side, no extra exchange.
     """
+    if n_bands < 2:
+        raise ValueError("t_closeness needs n_bands >= 2 (EMD over one band is 0/0)")
     banded = df.select(*quasi_cols, band_col.cast("int").alias("band"))
     cls_band = banded.groupBy(*quasi_cols, "band").agg(F.count(F.lit(1)).alias("n_qb"))
     classes = cls_band.groupBy(*quasi_cols).agg(
@@ -597,8 +599,10 @@ def schema_drift(
     )
     # all e9 shares in DECIMAL(38,0): count * 1e9 passes int64 near
     # 9.2e9 rows per side — a real number at 100 TB (the t_closeness
-    # rule); `div` truncation identical to DuckDB HUGEINT //
-    d9 = "CAST(CAST({n} AS DECIMAL(38,0)) * 1000000000 div {d} AS BIGINT)"
+    # rule); `div` truncation identical to DuckDB HUGEINT //.
+    # greatest(n, 1): an EMPTY snapshot side (cutover outside the data
+    # range) reports share 0 instead of a silent NULL from div-by-zero
+    d9 = "CAST(CAST({n} AS DECIMAL(38,0)) * 1000000000 div greatest({d}, 1) AS BIGINT)"
     old9 = d9.format(n="old_nulls", d="old_n")
     new9 = d9.format(n="new_nulls", d="new_n")
     return panel.select(

@@ -1514,11 +1514,11 @@ QUERIES.append(
           FROM s
         )
         SELECT column_name, old_n, new_n,
-               CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // old_n AS BIGINT) AS old_null_e9,
-               CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // new_n AS BIGINT) AS new_null_e9,
+               CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // GREATEST(old_n, 1) AS BIGINT) AS old_null_e9,
+               CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // GREATEST(new_n, 1) AS BIGINT) AS new_null_e9,
                old_distinct, new_distinct,
-               ABS(CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // new_n AS BIGINT)
-                   - CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // old_n AS BIGINT)) AS null_drift_e9,
+               ABS(CAST((CAST(new_nulls AS HUGEINT) * 1000000000) // GREATEST(new_n, 1) AS BIGINT)
+                   - CAST((CAST(old_nulls AS HUGEINT) * 1000000000) // GREATEST(old_n, 1) AS BIGINT)) AS null_drift_e9,
                CAST((CAST(new_distinct AS HUGEINT) * 1000000000) // GREATEST(old_distinct, 1) AS BIGINT)
                  AS distinct_ratio_e9,
                'ts<2024-01-16' AS split

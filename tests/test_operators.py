@@ -2138,3 +2138,29 @@ def test_seasonal_anomaly_flags_spike_and_silence(spark):
     assert spike.ratio_e9 == 6 * 2 * 10**9 // 4 and spike.is_anomaly
     silent = out[("click", 4)]
     assert silent.actual == 0 and silent.ratio_e9 == 0 and silent.is_anomaly
+
+
+def test_new_ops_edge_cases(spark):
+    """Empty/degenerate inputs: fuzzy join with only short docs is empty
+    (not an error), schema_drift with an empty snapshot side reports 0
+    shares (not NULL), t_closeness rejects a degenerate band domain."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import fuzzy_edit_pairs
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import (
+        schema_drift,
+        t_closeness,
+    )
+
+    short = spark.createDataFrame([(1, "tiny"), (2, "also tiny")], "doc_id long, text string")
+    assert fuzzy_edit_pairs(short).count() == 0
+
+    df = spark.createDataFrame([(False, 1), (False, None)], "is_old boolean, c1 int")
+    out = {r.column_name: r for r in schema_drift(df, ["c1"], F.col("is_old"), "t").collect()}
+    assert out["c1"].old_n == 0 and out["c1"].old_null_e9 == 0
+    assert out["c1"].new_null_e9 == 10**9 // 2
+
+    with _pytest.raises(ValueError):
+        t_closeness(df, ["is_old"], F.lit(0), n_bands=1)
