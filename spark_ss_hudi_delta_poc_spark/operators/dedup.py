@@ -934,13 +934,34 @@ def fuzzy_edit_pairs(
     candidates, never all-pairs.  Verify is JVM-side (built-in
     levenshtein), map-only after the expansion.
     """
+    return _fuzzy_pairs_from_prefixes(
+        fuzzy_prefix_table(docs, text_col=text_col, id_col=id_col),
+        max_dist=max_dist,
+        max_bucket=max_bucket,
+    )
+
+
+def fuzzy_prefix_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pfx): the normalized 36-char prefix of every document
+    long enough to carry one — the shared input of the fuzzy join and
+    its recall monitor."""
     canon = F.regexp_replace(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " ")), " +", " "
     )
-    pfx = (
+    return (
         docs.select(F.col(id_col).alias("doc_id"), F.substring(canon, 1, FUZZY_PREFIX_CHARS).alias("pfx"))
         .where(F.length("pfx") >= FUZZY_PREFIX_CHARS)
     )
+
+
+def _fuzzy_pairs_from_prefixes(
+    pfx: DataFrame, max_dist: int, max_bucket: int = FUZZY_MAX_BUCKET
+) -> DataFrame:
+    """Banded candidates + levenshtein verify over a (doc_id, pfx) table
+    — shared by :func:`fuzzy_edit_pairs` and the recall monitor so the
+    mega-bucket guard applies on every path."""
     bands = pfx.select(
         "doc_id",
         "pfx",
@@ -988,4 +1009,70 @@ def fuzzy_edit_pairs(
             F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
         )
         .where(F.col("edit_distance") <= F.lit(max_dist))
+    )
+
+
+FUZZY_RECALL_SAMPLE = 1024
+
+
+def fuzzy_recall_report(
+    docs: DataFrame,
+    max_dist: int = 4,
+    sample_n: int = FUZZY_RECALL_SAMPLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pair recall of the banded fuzzy join vs EXACT all-pairs
+    levenshtein ground truth on a bounded sample — the fuzzy join's
+    honest-recall monitor (minhash_recall_report's policy: every
+    approximate candidate path publishes its measured recall next to
+    its results).
+
+    Ground truth needs all-pairs edit distance — quadratic by
+    definition — so it runs on the first ``sample_n`` prefix-qualified
+    docs by id (``orderBy + limit``: bounded BY CONSTRUCTION at any
+    corpus size, the TakeOrdered certificate both plan gates accept).
+    The banded side runs on the SAME sample, so the single report row
+    isolates exactly the blocking losses (indel alignment shift,
+    capped mega-buckets) the fuzzy join's docstring warns about.
+
+    Output (1 row): matched, total, recall (one IEEE division —
+    deterministic).
+    """
+    sample = fuzzy_prefix_table(docs, text_col=text_col, id_col=id_col).orderBy(
+        "doc_id"
+    ).limit(sample_n)
+    a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa"))
+    b = sample.select(F.col("doc_id").alias("db"), F.col("pfx").alias("pb"))
+    exact = (
+        a.join(b, F.col("da") < F.col("db"))
+        .where(F.levenshtein("pa", "pb") <= max_dist)
+        .select("da", "db")
+    )
+    banded = _fuzzy_pairs_from_prefixes(sample, max_dist=max_dist).select(
+        F.col("doc_id_a").alias("da"),
+        F.col("doc_id_b").alias("db"),
+        F.lit(1).alias("hit"),
+    )
+    # ONE pass over the truth: left-join the banded indicator and count
+    # both sides in the same aggregate — the all-pairs join runs once
+    # (not once per matched/total branch) and no report cross join
+    return (
+        exact.join(banded, ["da", "db"], "left")
+        .agg(
+            # outer coalesce: sum over ZERO truth pairs is NULL, the
+            # oracle's COUNT(*) is 0 — keep the empty case hash-equal
+            F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0)).alias(
+                "matched"
+            ),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "matched",
+            "total",
+            (
+                F.col("matched").cast("double")
+                / F.nullif(F.col("total"), F.lit(0)).cast("double")
+            ).alias("recall"),
+        )
     )

@@ -3542,3 +3542,57 @@ QUERIES.append(
         tags=("llm", "dedup", "similarity"),
     )
 )
+
+
+def dedup_fuzzy_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.fuzzy_recall_report(load(spark, sf, "documents"))
+
+
+QUERIES.append(
+    Query(
+        "dedup_fuzzy_recall",
+        dedup_fuzzy_recall_q,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 substr(regexp_replace(trim(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g'),
+                        1, 36) AS pfx
+          FROM documents),
+        q AS (SELECT * FROM p WHERE length(pfx) >= 36),
+        s AS (SELECT * FROM q ORDER BY doc_id LIMIT 1024),
+        exact AS (SELECT a.doc_id AS da, b.doc_id AS db
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id
+                  WHERE levenshtein(a.pfx, b.pfx) <= 4),
+        bnd AS (SELECT doc_id, pfx, t.i AS band_idx,
+                       substr(pfx, t.i * 12 + 1, 12) AS band_val
+                FROM s, generate_series(0, 2) t(i)),
+        g AS (SELECT band_idx, band_val FROM bnd
+              GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1024),
+        c AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db,
+                     a.pfx AS pa, b2.pfx AS pb
+              FROM bnd a
+              JOIN bnd b2 USING (band_idx, band_val)
+              JOIN g USING (band_idx, band_val)
+              WHERE a.doc_id < b2.doc_id),
+        banded AS (SELECT da, db FROM c WHERE levenshtein(pa, pb) <= 4),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched
+              FROM banded JOIN exact USING (da, db))
+        SELECT matched,
+               CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS total,
+               CAST(matched AS DOUBLE)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM exact), 0) AS DOUBLE)
+                 AS recall
+        FROM m
+        """,
+        doc="pair recall of the banded fuzzy edit-distance join vs exact "
+        "all-pairs levenshtein ground truth on a bounded orderBy+limit "
+        "sample (1024 docs — all-pairs truth is quadratic by definition, "
+        "so it runs ONLY on a by-construction-bounded slice) — the "
+        "honest-recall policy every approximate candidate path in this "
+        "repo follows (minhash_recall_report, ann_recall_report); "
+        "isolates the blocking losses the fuzzy join documents (indel "
+        "alignment shift, capped mega-buckets)",
+        tags=("llm", "dedup", "monitoring"),
+    )
+)

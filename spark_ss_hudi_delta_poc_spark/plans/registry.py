@@ -59,10 +59,10 @@ class Query:
 # sketch_hll_by_type and q99 get first rows here anyway as backlog
 # members.
 #
-# Round-10 rotation queue: FIRST rows for the five late-round-9
+# Round-10 rotation queue: FIRST rows for the six late-round-9
 # operators (privacy_t_closeness, monitor_schema_drift,
-# q102_salted_distinct_agg, dedup_fuzzy_edit,
-# monitor_seasonal_anomaly — all 3-SF oracle-green
+# q102_salted_distinct_agg, dedup_fuzzy_edit, monitor_seasonal_anomaly,
+# dedup_fuzzy_recall — all 3-SF oracle-green
 # in-repo, added after the 50-slot window was already committed to the
 # 29-query backlog), then rows whose newest evidence after this round
 # is r5 (q04_dup_having, q06_filter, q07_explode_flatten,

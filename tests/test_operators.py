@@ -2164,3 +2164,23 @@ def test_new_ops_edge_cases(spark):
 
     with _pytest.raises(ValueError):
         t_closeness(df, ["is_old"], F.lit(0), n_bands=1)
+
+
+def test_fuzzy_recall_report_counts_misses(spark):
+    """An indel-shifted pair is IN the exact truth but missed by the
+    banding (every band shifts) — recall reports the miss instead of
+    hiding it; a substituted pair is caught by both."""
+    from spark_ss_hudi_delta_poc_spark.operators.dedup import fuzzy_recall_report
+
+    base = "abcdefghijkl" + "mnopqrstuvwx" + "yz0123456789"
+    sub = "aXcdefghijkl" + "mnopqrstuvwx" + "yz0123456789"  # 1 substitution
+    indel = base[1:] + "q"  # 1 deletion at the front shifts EVERY band
+    rows = [(1, base + " t"), (2, sub + " t"), (3, indel + " t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = fuzzy_recall_report(df).collect()[0]
+    # exact truth: (1,2) dist 1; (1,3) dist 2 (delete+append); (2,3) dist 3
+    assert r.total == 3
+    # banding catches only the substituted pair (1,2): bands 2,3 equal;
+    # the indel pairs share no positional band
+    assert r.matched == 1
+    assert abs(r.recall - 1 / 3) < 1e-12

@@ -187,6 +187,10 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # plans as BNLJ by construction; pinned by
     # test_kmv_jaccard_cross_sides_are_source_bounded below.
     "sketch_kmv_jaccard",
+    # fuzzy recall's ground truth is all-pairs levenshtein over an
+    # orderBy+limit(1024) sample — bounded BY CONSTRUCTION (TakeOrdered
+    # certificate); pinned by test_fuzzy_recall_cross_sides_are_limit_bounded.
+    "dedup_fuzzy_recall",
 }
 
 
@@ -279,6 +283,23 @@ def test_kmv_jaccard_cross_sides_are_source_bounded(spark):
     assert re.search(r"Keys \[1\]: \[source", p)
     # the h-keyed exact-intersection side must be an equi-join, present:
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_fuzzy_recall_cross_sides_are_limit_bounded(spark):
+    """dedup_fuzzy_recall's all-pairs ground truth plans BNLJs whose
+    sides descend from the orderBy+limit(1024) sample (TakeOrdered — the
+    by-construction bound), plus the 1-row matched x total report join.
+    Pin the count (the sample pair join replicates into the total
+    branch, t_closeness's shape) and the certificates."""
+    import re
+
+    p = plan_of(spark, "dedup_fuzzy_recall")
+    # ONE all-pairs join (the single-pass left-join-indicator report
+    # shape: truth is never recomputed per report column)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    assert "TakeOrderedAndProject" in p  # the bounded sample certificate
+    assert len(re.findall(r"Keys\s*:\s*\[\]", p)) >= 1  # the report scalar
+    assert "CartesianProduct" not in p
 
 
 def test_no_cartesian_anywhere(spark):

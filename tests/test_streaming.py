@@ -499,3 +499,40 @@ def test_matview_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
     )
     u7 = latest.where("user_id = 7").collect()
     assert len(u7) == 1 and u7[0].last_type == "purchase"
+
+
+def test_swap_heals_stale_staging_from_a_crashed_batch(spark, tmp_path):
+    """Crash-heal for the shared bucketed-swap (_swap_touched_buckets):
+    a batch that died AFTER writing staging but BEFORE the bucket
+    renames leaves a stale `<dir>.staging` behind — the next batch must
+    clear it, complete its own swap, and leave no staging residue, with
+    the merged history still exactly right."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        read_scd2_history,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 10, "click") for i in range(50)],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, base, log_dir, hist_dir)
+    # simulate the crash: junk staging left by a dead batch
+    stale = hist_dir + ".staging"
+    os.makedirs(os.path.join(stale, "bkt=3"), exist_ok=True)
+    with open(os.path.join(stale, "bkt=3", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    nxt = spark.createDataFrame(
+        [(9_000, "2024-01-02 00:00:00", 3, "purchase")],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, nxt, log_dir, hist_dir)
+    assert not os.path.exists(stale)
+    hist = read_scd2_history(spark, hist_dir)
+    u3 = sorted((r.version, r.event_type) for r in hist.where("user_id = 3").collect())
+    assert u3[-1][1] == "purchase"
+    # junk never leaked into the history
+    assert hist.where("event_type = 'not parquet'").count() == 0

@@ -248,6 +248,10 @@ PROBE_OPS = [
     # seasonal anomaly: one bounded (category, hour, day) daily-ledger
     # shuffle; downstream work re-aggregates the bounded ledger
     "monitor_seasonal_anomaly",
+    # fuzzy recall monitor: all-pairs truth over an orderBy+limit(1024)
+    # sample — work is CONSTANT in corpus size by construction, so the
+    # probe ratio should sit ~1.0 at any K
+    "dedup_fuzzy_recall",
 ]
 
 
