@@ -1021,6 +1021,7 @@ def fuzzy_recall_report(
     sample_n: int = FUZZY_RECALL_SAMPLE,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = FUZZY_MAX_BUCKET,
 ) -> DataFrame:
     """Pair recall of the banded fuzzy join vs EXACT all-pairs
     levenshtein ground truth on a bounded sample — the fuzzy join's
@@ -1039,9 +1040,21 @@ def fuzzy_recall_report(
     Output (1 row): matched, total, recall (one IEEE division —
     deterministic).
     """
-    sample = fuzzy_prefix_table(docs, text_col=text_col, id_col=id_col).orderBy(
-        "doc_id"
-    ).limit(sample_n)
+    # materialize the 1024-row sample ONCE (the minhash-lsh eager
+    # precedent): three consumers (a, b, banded) otherwise re-run the
+    # corpus scan + top-k sort each, and three independent orderBy+limit
+    # executions are only guaranteed consistent when doc_id is tie-free
+    # the trailing .limit re-states the bound ON the checkpointed plan:
+    # a checkpoint scan alone is an uncertified ExistingRDD to the
+    # broadcast gate (round-9 tightening — bounded driver-local frames
+    # must SAY so in the plan, the segment_dim shape)
+    sample = (
+        fuzzy_prefix_table(docs, text_col=text_col, id_col=id_col)
+        .orderBy("doc_id")
+        .limit(sample_n)
+        .localCheckpoint(eager=True)
+        .limit(sample_n)
+    )
     a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa"))
     b = sample.select(F.col("doc_id").alias("db"), F.col("pfx").alias("pb"))
     exact = (
@@ -1049,7 +1062,9 @@ def fuzzy_recall_report(
         .where(F.levenshtein("pa", "pb") <= max_dist)
         .select("da", "db")
     )
-    banded = _fuzzy_pairs_from_prefixes(sample, max_dist=max_dist).select(
+    banded = _fuzzy_pairs_from_prefixes(
+        sample, max_dist=max_dist, max_bucket=max_bucket
+    ).select(
         F.col("doc_id_a").alias("da"),
         F.col("doc_id_b").alias("db"),
         F.lit(1).alias("hit"),

@@ -568,18 +568,21 @@ def schema_drift(
     |columns| panel rows with a literal stack — no joins at all.
     """
     old = split_predicate
+
+    def _s(cond):
+        # coalesce: SUM over a ZERO-ROW table is NULL — the oracle's
+        # COUNT(*) FILTER is 0, and the shares below must stay 0, not
+        # NULL, on an empty input (same depth as the greatest() guard)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
     aggs = []
     for c in columns:
         aggs.extend(
             [
-                F.sum(F.when(old, 1).otherwise(0)).alias(f"{c}__old_n"),
-                F.sum(F.when(~old, 1).otherwise(0)).alias(f"{c}__new_n"),
-                F.sum(F.when(old & F.col(c).isNull(), 1).otherwise(0)).alias(
-                    f"{c}__old_nulls"
-                ),
-                F.sum(F.when(~old & F.col(c).isNull(), 1).otherwise(0)).alias(
-                    f"{c}__new_nulls"
-                ),
+                _s(old).alias(f"{c}__old_n"),
+                _s(~old).alias(f"{c}__new_n"),
+                _s(old & F.col(c).isNull()).alias(f"{c}__old_nulls"),
+                _s(~old & F.col(c).isNull()).alias(f"{c}__new_nulls"),
                 F.count_distinct(F.when(old, F.col(c))).alias(f"{c}__old_distinct"),
                 F.count_distinct(F.when(~old, F.col(c))).alias(f"{c}__new_distinct"),
             ]
@@ -614,7 +617,7 @@ def schema_drift(
         "old_distinct",
         "new_distinct",
         F.expr(f"abs({new9} - {old9})").alias("null_drift_e9"),
-        F.expr(d9.format(n="new_distinct", d="greatest(old_distinct, 1)")).alias(
+        F.expr(d9.format(n="new_distinct", d="old_distinct")).alias(
             "distinct_ratio_e9"
         ),
         F.lit(split_desc).alias("split"),

@@ -2162,6 +2162,18 @@ def test_new_ops_edge_cases(spark):
     assert out["c1"].old_n == 0 and out["c1"].old_null_e9 == 0
     assert out["c1"].new_null_e9 == 10**9 // 2
 
+    # zero-row input: every count and share is 0, never NULL
+    zero = {
+        r.column_name: r
+        for r in schema_drift(
+            df.where(F.lit(False)), ["c1"], F.col("is_old"), "t"
+        ).collect()
+    }
+    z = zero["c1"]
+    assert (z.old_n, z.new_n, z.old_null_e9, z.new_null_e9, z.null_drift_e9) == (
+        0, 0, 0, 0, 0,
+    )
+
     with _pytest.raises(ValueError):
         t_closeness(df, ["is_old"], F.lit(0), n_bands=1)
 

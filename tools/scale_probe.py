@@ -249,8 +249,9 @@ PROBE_OPS = [
     # shuffle; downstream work re-aggregates the bounded ledger
     "monitor_seasonal_anomaly",
     # fuzzy recall monitor: all-pairs truth over an orderBy+limit(1024)
-    # sample — work is CONSTANT in corpus size by construction, so the
-    # probe ratio should sit ~1.0 at any K
+    # sample — the pair work is constant by construction; only the
+    # sample SCAN grows with the corpus (expect a low-single-digit
+    # ratio; measured 1.4 at K=10, SCALE.md)
     "dedup_fuzzy_recall",
 ]
 
