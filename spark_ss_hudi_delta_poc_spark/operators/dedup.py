@@ -1055,7 +1055,11 @@ def fuzzy_recall_report(
         .localCheckpoint(eager=True)
         .limit(sample_n)
     )
-    a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa"))
+    # repartition the STREAMED side: the checkpointed sample is one
+    # partition, so the BNLJ's ~sample_n^2/2 levenshtein verifies would
+    # run in a single task — spreading the probe rows parallelizes the
+    # quadratic kernel (the broadcast side stays the 1024-row sample)
+    a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa")).repartition(16)
     b = sample.select(F.col("doc_id").alias("db"), F.col("pfx").alias("pb"))
     exact = (
         a.join(b, F.col("da") < F.col("db"))
