@@ -716,6 +716,11 @@ def minhash_recall_report(
 
 WINNOW_OVERLAP_THRESHOLD = 0.4
 MAX_WINNOW_FP_DF = 100  # stop-fingerprint cap (same role as MAX_SHINGLE_DF)
+# broadcast guard: frequent-fingerprint sets above this row count fall
+# back to a shuffle anti-join (1M x 8B longs ~ 8 MB broadcast payload —
+# comfortably under executor/driver headroom; beyond it the zipfian
+# smallness assumption has already failed)
+MAX_BROADCAST_FREQ_FPS = 1_000_000
 
 
 def winnow_overlap_pairs(
@@ -762,7 +767,21 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_fp_df)
     )
-    fpr = fp.join(F.broadcast(frequent.select("fp")), "fp", "left_anti")
+    # broadcast GUARD (review r9): |frequent| <= total_fps / max_fp_df is
+    # only small under the zipfian assumption — a flat fingerprint
+    # distribution (adversarial or synthetic corpora) makes it linear in
+    # the corpus and a mandatory broadcast would OOM the driver where the
+    # shuffle anti-join is size-safe.  Probe the size with a bounded
+    # limit(K+1).count() (result capped at K+1 rows regardless of corpus)
+    # and fall back to the shuffle anti-join above the threshold; the
+    # probe re-runs the partial-agg'd fingerprint aggregate once, a
+    # bounded-output pass that is cheap next to the pair join downstream.
+    freq_fps = frequent.select("fp")
+    n_freq = freq_fps.limit(MAX_BROADCAST_FREQ_FPS + 1).count()
+    anti_side = (
+        F.broadcast(freq_fps) if n_freq <= MAX_BROADCAST_FREQ_FPS else freq_fps
+    )
+    fpr = fp.join(anti_side, "fp", "left_anti")
     sizes = fpr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     fpn = fpr.join(sizes, "doc_id")  # hash join on doc_id, reuses sizes' exchange
     a = fpn.select(
@@ -1058,8 +1077,15 @@ def fuzzy_recall_report(
     # repartition the STREAMED side: the checkpointed sample is one
     # partition, so the BNLJ's ~sample_n^2/2 levenshtein verifies would
     # run in a single task — spreading the probe rows parallelizes the
-    # quadratic kernel (the broadcast side stays the 1024-row sample)
-    a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa")).repartition(16)
+    # quadratic kernel (the broadcast side stays the 1024-row sample).
+    # Partition count follows the BOX (defaultParallelism), capped so no
+    # task holds fewer than ~32 probe rows on tiny samples.
+    n_probe_parts = max(
+        1, min(docs.sparkSession.sparkContext.defaultParallelism, sample_n // 32)
+    )
+    a = sample.select(F.col("doc_id").alias("da"), F.col("pfx").alias("pa")).repartition(
+        n_probe_parts
+    )
     b = sample.select(F.col("doc_id").alias("db"), F.col("pfx").alias("pb"))
     exact = (
         a.join(b, F.col("da") < F.col("db"))

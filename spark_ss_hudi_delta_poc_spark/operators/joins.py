@@ -95,23 +95,25 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with key salting for skewed keys.
+    """Thin delegate to :func:`~.partitioning.salted_join` — the ONE
+    salted-join implementation in this codebase (deterministic hash
+    salt, never ``rand()``).
 
-    The classic hot-key fix when AQE's skew splitting isn't enough: the
-    LEFT (large, skewed) side gets a random salt in [0, N); the RIGHT side
-    is exploded ×N so every (key, salt) pair exists.  The shuffle then
-    spreads each hot key over N partitions.  Right-side row count grows ×N
-    — use only when right is much smaller than the skew damage.
-
-    Result is exactly the plain join's result (tested), with `_salt`
-    dropped.
+    History: this used to carry its own seeded-rand salt.  A
+    rand() salt re-draws on task RETRY, so a recomputed left-side map
+    task can land rows under different salts than the copies completed
+    reducers already fetched — duplicating or dropping join rows,
+    exactly the nondeterminism the surviving implementation's docstring
+    bans.  Kept as a delegate (not deleted) for the narrower
+    single-string-key signature; a plan gate
+    (tests/test_plans.py::test_no_rand_based_salting) greps the package
+    so a rand()-based salt can never be reintroduced.
     """
-    salt = F.floor(F.rand(seed=42) * salt_buckets).cast("int")
-    l = left.withColumn("_salt", salt)
-    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])).alias("_salt")
-    r = right.select("*", salts)
-    out = l.join(r, [key, "_salt"], how)
-    return out.drop("_salt")
+    from .partitioning import salted_join as _deterministic_salted_join
+
+    return _deterministic_salted_join(
+        left, right, [key], salt_buckets=salt_buckets, how=how
+    )
 
 
 def range_join(

@@ -227,6 +227,7 @@ def salted_join(
     on: list[str],
     salt_buckets: int = 8,
     salt_source_col: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """SKEW-SALTED equi-join — the standard fix when a join key's hot
     values overload single reducers: a plain hash join sends every row
@@ -249,6 +250,13 @@ def salted_join(
     guarantee, and the two compose.)  Salt determinism (a hash, never
     rand()) keeps the result replay-stable and lets retried tasks land
     identical output.
+
+    ``how`` supports "inner" and "left": every left row carries exactly
+    one salt and the right side is replicated to ALL salts, so an
+    unmatched left row survives a left join exactly once.  "right"/
+    "full" are rejected — an unmatched RIGHT row appears once per
+    replica (x salt_buckets), which no post-filter can undo without
+    re-keying.
     """
     from pyspark.sql import functions as F
 
@@ -266,11 +274,16 @@ def salted_join(
     salted_l = left.withColumn(
         "_salt", F.pmod(src, F.lit(salt_buckets)).cast("int")
     )
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: an "
+            "unmatched right row would surface once per salt replica"
+        )
     salted_r = right.withColumn(
         "_salt",
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
     )
-    return salted_l.join(salted_r, [*on, "_salt"]).drop("_salt")
+    return salted_l.join(salted_r, [*on, "_salt"], how).drop("_salt")
 
 
 def salted_distinct_agg(

@@ -682,12 +682,20 @@ def seasonal_anomaly(
         "CAST(CAST(actual AS DECIMAL(38,0)) * n_baseline_days * 1000000000"
         " div greatest(baseline_total, 1) AS BIGINT)"
     )
+    # zero-baseline guard (review r9): a single-day feed has
+    # n_baseline_days = 0, which would zero ratio_e9 for EVERY cell and
+    # flag the whole panel anomalous — all noise, no signal.  With no
+    # baseline there is nothing to compare against: ratio is NULL and
+    # is_anomaly false (the oracle mirrors the same CASE).
+    has_baseline = F.col("n_baseline_days") > 0
     return panel.select(
         "category",
         "hour",
         "baseline_total",
         "n_baseline_days",
         "actual",
-        ratio.alias("ratio_e9"),
-        ((ratio < low_e9) | (ratio > high_e9)).alias("is_anomaly"),
+        F.when(has_baseline, ratio).alias("ratio_e9"),
+        F.when(has_baseline, (ratio < low_e9) | (ratio > high_e9))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
     )

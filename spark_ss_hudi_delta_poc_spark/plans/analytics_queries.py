@@ -1571,8 +1571,10 @@ QUERIES.append(
                       AS ratio_e9
           FROM p)
         SELECT category, hour, baseline_total, n_baseline_days, actual,
-               ratio_e9,
-               (ratio_e9 < 500000000 OR ratio_e9 > 2000000000) AS is_anomaly
+               CASE WHEN n_baseline_days > 0 THEN ratio_e9 END AS ratio_e9,
+               CASE WHEN n_baseline_days > 0
+                    THEN (ratio_e9 < 500000000 OR ratio_e9 > 2000000000)
+                    ELSE FALSE END AS is_anomaly
         FROM r
         """,
         doc="seasonal (hour-of-day) anomaly panel: final day's actual per "

@@ -257,7 +257,8 @@ QUERIES = [
                CAST(FLOOR(value * 10000) AS BIGINT) AS v_e4
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                      ORDER BY epoch(date_trunc('second', ts)) * 4294967296 + event_id DESC) AS rn
+                      ORDER BY CAST(epoch(date_trunc('second', ts)) AS HUGEINT)
+                               * 18446744073709551616 + event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
         """,

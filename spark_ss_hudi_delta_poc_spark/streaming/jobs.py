@@ -376,14 +376,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str, gap_minutes: int = 3
 
 def latest_incoming(batch_df: DataFrame) -> DataFrame:
     """Core of q60's per-batch step (shared with the plan-audit shadow):
-    project to the upsert payload with a single total-order version key
-    (unix_seconds * 2^32 + event_id), then keep the in-batch latest row
-    per user — one user-keyed window pass."""
+    project to the upsert payload with a single total-order version key,
+    then keep the in-batch latest row per user — one user-keyed window
+    pass.
+
+    The version packs (unix_seconds, event_id) into ONE DECIMAL(38,0):
+    ``unix_seconds * 2^64 + event_id``.  2^64 (not 2^32 — review r9)
+    because the multiplier must exceed every possible event_id for the
+    packing to be a total order: with a 2^32 multiplier, any corpus past
+    4.3e9 events (real at 100 TB) lets a huge event_id in an EARLIER
+    second outrank a later-second event, so latest-wins upserts keep a
+    stale row.  2^64 clears the entire non-negative int64 domain, and
+    the product (~2e9 seconds x 1.8e19 ~ 3.6e28) sits comfortably inside
+    38 decimal digits."""
     from pyspark.sql import Window
 
-    ver = (
-        F.unix_timestamp(F.date_trunc("second", F.col("ts"))) * F.lit(2**32)
-        + F.col("event_id")
+    ver = F.expr(
+        "CAST(unix_timestamp(date_trunc('second', ts)) AS DECIMAL(38,0))"
+        " * CAST('18446744073709551616' AS DECIMAL(38,0))"  # 2^64
+        " + CAST(event_id AS DECIMAL(38,0))"
     ).alias("ver")
     incoming = batch_df.select(
         "user_id",
@@ -472,7 +483,7 @@ def matview_apply_batch(
                 spark.read.option("basePath", state_dir)
                 .schema(
                     "user_id long, last_event_id long, last_type string, v_e4 long, "
-                    "ver long, bkt int"
+                    "ver decimal(38,0), bkt int"
                 )
                 .parquet(*[os.path.join(state_dir, f"bkt={bk}") for bk in existing])
             )
@@ -495,8 +506,9 @@ def stream_materialized_latest(
     fix of the per-trigger full-snapshot rewrite — the same
     write-amplification class as q100's history merge).
 
-    Precombine is a single total-order key (unix_seconds * 2^32 +
-    event_id) so the winner per user is batching-independent: the final
+    Precombine is a single total-order key (unix_seconds * 2^64 +
+    event_id in DECIMAL(38,0) — the multiplier clears the full int64
+    event_id domain) so the winner per user is batching-independent: the final
     table equals the batch argmax regardless of how files split into
     micro-batches.  Output: (user_id, last_event_id, last_type, v_e4).
     """
@@ -519,7 +531,7 @@ def stream_materialized_latest(
         spark.read.option("basePath", state_dir)
         .schema(
             "user_id long, last_event_id long, last_type string, v_e4 long, "
-            "ver long, bkt int"
+            "ver decimal(38,0), bkt int"
         )
         .parquet(state_dir)
         .drop("ver", "bkt")

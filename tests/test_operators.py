@@ -2196,3 +2196,56 @@ def test_fuzzy_recall_report_counts_misses(spark):
     # the indel pairs share no positional band
     assert r.matched == 1
     assert abs(r.recall - 1 / 3) < 1e-12
+
+def test_seasonal_anomaly_single_day_feed_is_not_all_noise(spark):
+    """Zero-baseline guard (review r9): with only ONE distinct day there
+    is no baseline to compare against — ratio_e9 must be NULL and
+    is_anomaly false, not an all-anomalous panel."""
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import seasonal_anomaly
+
+    rows = [(i, "click", f"2024-01-10 {h:02d}:00:00") for i, h in enumerate([3, 3, 4])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, tss string"
+    ).selectExpr("event_id", "event_type", "to_timestamp(tss) AS ts")
+    out = seasonal_anomaly(ev).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n_baseline_days == 0
+        assert r.ratio_e9 is None
+        assert r.is_anomaly is False
+
+
+def test_latest_incoming_version_survives_huge_event_ids(spark):
+    """The (ts, event_id) packing must stay a total order past 2^32
+    events (review r9): an event with a HUGE event_id in an earlier
+    second must lose to any later-second event."""
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import latest_incoming
+
+    rows = [
+        # earlier second, event_id far beyond 2^32
+        (2**40, 42, "old", "2024-01-10 00:00:00", 1.0),
+        # later second, tiny event_id — the true latest
+        (7, 42, "new", "2024-01-10 00:00:01", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, tss string, value double"
+    ).selectExpr("event_id", "user_id", "event_type", "to_timestamp(tss) AS ts", "value")
+    out = latest_incoming(df).collect()
+    assert len(out) == 1
+    assert out[0].last_event_id == 7 and out[0].last_type == "new"
+
+
+def test_winnow_shuffle_fallback_matches_broadcast_path(spark, monkeypatch):
+    """The frequent-set broadcast guard's fallback (shuffle anti-join)
+    must be result-identical to the broadcast path."""
+    from spark_ss_hudi_delta_poc_spark.operators import dedup as _d
+
+    base = "common boilerplate header shared across documents " * 4
+    rows = [(i, base + f" unique tail {i} " + "x" * (i % 7)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        map(tuple, _d.winnow_overlap_pairs(docs, max_fp_df=3).collect())
+    )
+    monkeypatch.setattr(_d, "MAX_BROADCAST_FREQ_FPS", 0)
+    got = sorted(map(tuple, _d.winnow_overlap_pairs(docs, max_fp_df=3).collect()))
+    assert got == want

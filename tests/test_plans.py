@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -893,3 +894,24 @@ def test_shadow_gate_flags_row_per_user_stream_static_broadcast(spark):
             assert not _uncertified_broadcasts(p), stage
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_rand_based_salting():
+    """Source-level gate (VERDICT r9 #5): ``F.rand()`` is banned in the
+    package.  A rand() salt re-draws on task RETRY — a recomputed map
+    task lands rows under different salts than the copies completed
+    reducers already fetched, duplicating/dropping join rows.  All
+    randomness in this engine is a deterministic hash of named columns
+    (xxhash64/md5), which replays identically; sampling operators use
+    hash thresholds for the same reason."""
+    import glob
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "spark_ss_hudi_delta_poc_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                code = line.split("#", 1)[0]
+                if "F.rand(" in code or "F.randn(" in code:
+                    offenders.append(f"{os.path.relpath(path, pkg)}:{i}")
+    assert offenders == []

@@ -493,7 +493,7 @@ def test_matview_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
     latest = (
         spark.read.option("basePath", state_dir)
         .schema(
-            "user_id long, last_event_id long, last_type string, v_e4 long, ver long, bkt int"
+            "user_id long, last_event_id long, last_type string, v_e4 long, ver decimal(38,0), bkt int"
         )
         .parquet(state_dir)
     )
