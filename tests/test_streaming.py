@@ -371,7 +371,7 @@ def test_scd2_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
         [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 40, "click") for i in range(200)],
         "event_id long, tss string, user_id long, event_type string",
     ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
-    scd2_apply_batch(spark, base, log_dir, hist_dir)
+    scd2_apply_batch(spark, base, log_dir, hist_dir, epoch_id=0)
 
     def snapshot(root):
         out = {}
@@ -387,7 +387,7 @@ def test_scd2_apply_batch_rewrites_only_touched_buckets(spark, tmp_path):
         "event_id long, tss string, user_id long, event_type string",
     ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
     stats: list = []
-    scd2_apply_batch(spark, one_user, log_dir, hist_dir, stats=stats)
+    scd2_apply_batch(spark, one_user, log_dir, hist_dir, stats=stats, epoch_id=1)
     assert stats[0]["touched_buckets"] == [7 % SCD2_N_BUCKETS]
     after = snapshot(hist_dir)
     touched_prefix = os.path.join(hist_dir, f"bkt={7 % SCD2_N_BUCKETS}") + os.sep
@@ -519,7 +519,7 @@ def test_swap_heals_stale_staging_from_a_crashed_batch(spark, tmp_path):
         [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 10, "click") for i in range(50)],
         "event_id long, tss string, user_id long, event_type string",
     ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
-    scd2_apply_batch(spark, base, log_dir, hist_dir)
+    scd2_apply_batch(spark, base, log_dir, hist_dir, epoch_id=0)
     # simulate the crash: junk staging left by a dead batch
     stale = hist_dir + ".staging"
     os.makedirs(os.path.join(stale, "bkt=3"), exist_ok=True)
@@ -529,10 +529,77 @@ def test_swap_heals_stale_staging_from_a_crashed_batch(spark, tmp_path):
         [(9_000, "2024-01-02 00:00:00", 3, "purchase")],
         "event_id long, tss string, user_id long, event_type string",
     ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
-    scd2_apply_batch(spark, nxt, log_dir, hist_dir)
+    scd2_apply_batch(spark, nxt, log_dir, hist_dir, epoch_id=1)
     assert not os.path.exists(stale)
     hist = read_scd2_history(spark, hist_dir)
     u3 = sorted((r.version, r.event_type) for r in hist.where("user_id = 3").collect())
     assert u3[-1][1] == "purchase"
     # junk never leaked into the history
     assert hist.where("event_type = 'not parquet'").count() == 0
+
+def test_scd2_apply_batch_reads_only_touched_log_buckets(spark, tmp_path):
+    """The q100 READ-amplification contract (VERDICT r9 #1), symmetric
+    to the write-footprint test above: a follow-up batch touching ONE
+    user must open exactly that user's LOG bucket — every file the
+    merge's log read lists lives under bkt=<user % N>, while plenty of
+    other log buckets exist on disk with real files."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        SCD2_N_BUCKETS,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 40, "click") for i in range(200)],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, base, log_dir, hist_dir, epoch_id=0)
+    # 40 users % 16 buckets -> every bucket dir exists in the log
+    on_disk = {d for d in os.listdir(log_dir) if d.startswith("bkt=")}
+    assert len(on_disk) == SCD2_N_BUCKETS
+
+    one_user = spark.createDataFrame(
+        [(10_000, "2024-01-02 00:00:00", 7, "purchase")],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    stats: list = []
+    scd2_apply_batch(spark, one_user, log_dir, hist_dir, stats=stats, epoch_id=1)
+    bk = 7 % SCD2_N_BUCKETS
+    files = stats[-1]["log_files_read"]
+    assert files, "log read listed no files"
+    for f in files:
+        assert f"/bkt={bk}/" in f, f"untouched log bucket opened: {f}"
+
+
+def test_scd2_replayed_epoch_does_not_inflate_history(spark, tmp_path):
+    """Epoch fencing (review r10): foreachBatch re-delivers the SAME
+    frame with the SAME epoch_id after a crash-restart — the replay
+    must overwrite its own log epoch, not double-append; the history
+    (n_events included) must be byte-identical to the single-delivery
+    run, and the log must hold each event exactly once."""
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        read_scd2_history,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 60:02d}:00", i % 10, "click") for i in range(50)],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    nxt = spark.createDataFrame(
+        [(9_000, "2024-01-02 00:00:00", 3, "purchase")],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, base, log_dir, hist_dir, epoch_id=0)
+    scd2_apply_batch(spark, nxt, log_dir, hist_dir, epoch_id=1)
+    want = sorted(tuple(r) for r in read_scd2_history(spark, hist_dir).collect())
+    # crash-replay of epoch 1
+    scd2_apply_batch(spark, nxt, log_dir, hist_dir, epoch_id=1)
+    got = sorted(tuple(r) for r in read_scd2_history(spark, hist_dir).collect())
+    assert got == want
+    log = spark.read.parquet(log_dir)
+    assert log.count() == 51
+    assert log.select("event_id").distinct().count() == 51
