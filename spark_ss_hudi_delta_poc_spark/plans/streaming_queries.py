@@ -140,12 +140,25 @@ QUERIES = [
         "q19_stream_windowed_agg",
         stream_windowed_agg,
         """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               COUNT(*) AS cnt,
-               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
-        FROM events GROUP BY 1, 2
+        WITH e AS (SELECT event_type, ts,
+                          CAST(FLOOR(value * 10000) AS BIGINT) AS v4,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+        b AS (SELECT MAX(ep) AS mx FROM e),
+        g AS (
+          SELECT date_trunc('hour', ts) AS window_start,
+                 (MIN(ep) // 3600) * 3600 AS wstart_ep,
+                 event_type, COUNT(*) AS cnt,
+                 CAST(SUM(v4) AS BIGINT) AS value_e4
+          FROM e GROUP BY 1, event_type)
+        SELECT window_start, event_type, cnt, value_e4
+        FROM g, b WHERE wstart_ep + 3600 + 1800 <= mx
         """,
-        doc="event-time tumbling window + watermark == batch GROUP BY hour",
+        doc="event-time tumbling window + watermark, APPEND mode + file "
+        "sink (the watermark EVICTS closed windows — state holds only "
+        "the watermark horizon; complete mode retained every window "
+        "ever seen and re-emitted all of them per trigger) == batch "
+        "GROUP BY hour restricted to windows the final watermark "
+        "closed (q98's emission rule)",
         tags=("streaming", "window"),
     ),
     Query(

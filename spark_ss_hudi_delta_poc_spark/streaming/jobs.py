@@ -557,24 +557,34 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: event-time tumbling-window aggregation with a
     watermark (the streaming feature the reference lacks — SURVEY.md §2.7).
 
-    1-hour tumbling windows over events.ts, per event_type; watermark 30min
-    bounds state at scale.  Run in complete mode on one availableNow batch
-    so the result equals the batch GROUP BY date_trunc('hour', ts) oracle
-    (append-mode late-drop semantics are covered by a dedicated pytest).
+    1-hour tumbling windows over events.ts, per event_type, in APPEND
+    mode into a parquet file sink — the PRODUCTION shape (round-10
+    conversion per VERDICT r9 #6): the watermark is an EVICTION rule, so
+    streaming state holds only the windows inside the watermark horizon
+    and each (window, type) row is written exactly once when its window
+    closes.  The old complete-mode variant retained every window ever
+    seen (state linear in stream lifetime) and re-emitted ALL of them
+    per trigger — fine for a bounded test feed, wrong at 100 TB.
+
+    Emission is oracle-exact via time-ordered two-batch arrival
+    (stage_time_ordered_halves): the sink holds precisely the windows
+    with window_end <= final watermark (max event ms - 30 min) — q98's
+    proven emission rule — and the oracle applies the same filter to the
+    batch GROUP BY hour ledger.
     """
-    staged = stage_table(spark, sf_dir, "events", n_files=1)
-    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA)
+    work = _workdir("qwin")
+    staged = stage_time_ordered_halves(spark, sf_dir, "events", work)
+    stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)
     agg = windowed_value_agg(stream)
-    table = f"qwin_mem_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    sink = os.path.join(work, "sink")
+    q = write_stream(
+        agg, "parquet", sink,
+        os.path.join(work, "ckpt"), trigger_available_now=True,
     )
     q.awaitTermination()
-    return spark.table(table)
+    return spark.read.schema(
+        "window_start timestamp, event_type string, cnt long, value_e4 long"
+    ).parquet(sink)
 
 
 def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

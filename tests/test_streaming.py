@@ -419,7 +419,6 @@ def test_complete_mode_and_memory_sinks_are_pinned_bounded():
     complete_ok = {
         "stream_global_count": "keyless global aggregate (1 row)",
         "stream_static_join": "|SEGMENT_LABELS| = 3 groups",
-        "stream_windowed_agg": "event_type x 1h windows of the test feed",
         "stream_hll_distinct": "fixed 1024 HLL registers",
     }
     memory_ok = set(complete_ok) | {
