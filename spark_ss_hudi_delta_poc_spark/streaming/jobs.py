@@ -1161,6 +1161,16 @@ def scd2_apply_batch(
             .distinct()
             .collect()
         )
+        # empty micro-batch: nothing touched, and parquet(*[]) with zero
+        # paths raises — unreachable under the availableNow file driver
+        # (every batch carries >=1 file) but other callers may deliver
+        # empty frames (ADVICE r10)
+        if not touched_bkts:
+            if stats is not None:
+                stats.append(
+                    {"touched_buckets": [], "existing_buckets": [], "log_files_read": []}
+                )
+            return
         # pruned log read: basePath + the touched bucket dirs only (the
         # history read's exact pattern below) — the merge's semi-join
         # needs just the touched users' events, all of which hash into

@@ -903,15 +903,39 @@ def test_no_rand_based_salting():
     reducers already fetched, duplicating/dropping join rows.  All
     randomness in this engine is a deterministic hash of named columns
     (xxhash64/md5), which replays identically; sampling operators use
-    hash thresholds for the same reason."""
+    hash thresholds for the same reason.
+
+    AST-based (ADVICE r10: the old ``F.rand(`` literal missed
+    ``from pyspark.sql.functions import rand`` and aliased-module
+    spellings like ``sf.rand(``, and its ``split('#')`` comment
+    stripping broke on '#' inside strings): flags any CALL whose
+    terminal name is rand/randn — ``F.rand(...)``, ``sf.rand(...)``,
+    bare ``rand(...)`` — and any import that binds the name, including
+    ``import ... as rand``.  Docstrings/comments can mention rand()
+    freely; an aliased escape (``from ... import rand as r``) is caught
+    at its import."""
+    import ast
     import glob
 
     pkg = os.path.join(os.path.dirname(__file__), "..", "spark_ss_hudi_delta_poc_spark")
+    banned = {"rand", "randn"}
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
         with open(path) as fh:
-            for i, line in enumerate(fh, 1):
-                code = line.split("#", 1)[0]
-                if "F.rand(" in code or "F.randn(" in code:
-                    offenders.append(f"{os.path.relpath(path, pkg)}:{i}")
+            tree = ast.parse(fh.read(), filename=rel)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                fn = node.func
+                name = (
+                    fn.id
+                    if isinstance(fn, ast.Name)
+                    else fn.attr if isinstance(fn, ast.Attribute) else None
+                )
+                if name in banned:
+                    offenders.append(f"{rel}:{node.lineno} call {name}()")
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                for a in node.names:
+                    if a.name.split(".")[-1] in banned or a.asname in banned:
+                        offenders.append(f"{rel}:{node.lineno} imports {a.name}")
     assert offenders == []

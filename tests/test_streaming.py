@@ -602,3 +602,32 @@ def test_scd2_replayed_epoch_does_not_inflate_history(spark, tmp_path):
     log = spark.read.parquet(log_dir)
     assert log.count() == 51
     assert log.select("event_id").distinct().count() == 51
+
+
+def test_scd2_apply_batch_empty_batch_is_noop(spark, tmp_path):
+    """ADVICE r10: an EMPTY micro-batch has no touched buckets, and the
+    pruned log read would otherwise call spark.read.parquet(*[]) with
+    zero paths (raises).  Unreachable under the availableNow file driver
+    but scd2_apply_batch is a library function — an empty frame must be
+    a no-op that leaves the history bit-identical."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        read_scd2_history,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", i % 5, "click") for i in range(20)],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    scd2_apply_batch(spark, base, log_dir, hist_dir, epoch_id=0)
+    want = sorted(tuple(r) for r in read_scd2_history(spark, hist_dir).collect())
+
+    empty = base.where("event_id < 0")
+    stats: list = []
+    scd2_apply_batch(spark, empty, log_dir, hist_dir, stats=stats, epoch_id=1)
+    assert stats[-1]["touched_buckets"] == []
+    got = sorted(tuple(r) for r in read_scd2_history(spark, hist_dir).collect())
+    assert got == want
