@@ -33,99 +33,97 @@ class Query:
 # against their oracles; the rest ride on the in-repo gate
 # (tools/verify_local.py, all SFs).
 #
-# Round-9 rotation — VERDICT r8 #4: burn down the external-evidence
-# backlog before the surface grows.  Slots 1-29: FIRST rows for the 29
-# late-round-8 operators that never had a driver row (the full r8 queue,
-# verbatim).  Slots 30-31: fresh rows for the two streaming plans fixed
-# per VERDICT r8 #1/#2 that are NOT already in the backlog —
-# q44_stream_static_join (row-per-user broadcast replaced by a bounded
-# 3-row segment dim, bucket key derived map-side) and
-# q21_stream_session_window (complete-mode memory sink replaced by
-# append-mode eviction into a file sink); the other two fixed plans
-# (q94 #2, q100 #3) are backlog members and get their first rows above.
-# Slots 32-41: the ten de-hinted TPC-H/analytics rows displaced twice
-# (r8 amendment): q51/q69/q70/q72/q73/q81/q85/q86/q87 + q83.
-# Slots 42-43: fresh rows for the two plans changed by this round's
-# winnow df-cap fix (broadcast anti-join of the FREQUENT fingerprint
-# set): dedup_winnow_pairs and its composite corpus_dedup_report.
-# Slots 44-47: first rows for the four operators added this round
-# (scd2_as_of time travel, q101 skew-salted join, privacy_l_diversity,
-# monitor_freshness) — held to four so the backlog clears first (r8
-# verdict's explicit cap).  Slots 48-50: the oldest-evidence rows (r5).
-# Queries whose only change was the round-9 ExistingRDD limit
-# certificates (ann_ivf_index/q8, embedding_prototypicality,
-# sketch_hll_distinct, q99, sketch_hll_by_type) keep their r8 rows —
-# values verified identical at 3 SFs, the tightened gate pins the plans;
-# sketch_hll_by_type and q99 get first rows here anyway as backlog
-# members.
+# Round-11 rotation — VERDICT r10 #1 (the committed round-10 queue,
+# which round 10 wrote as a comment but never shipped).  Rotation rule:
+# (a) first rows for operators with ZERO external evidence, (b) fresh
+# rows for plans materially changed since their newest row, (c) then
+# oldest-evidence-first.
+#   Slots 1-6: FIRST rows for the six late-round-9 operators
+#     (privacy_t_closeness, monitor_schema_drift,
+#     q102_salted_distinct_agg, dedup_fuzzy_edit,
+#     monitor_seasonal_anomaly, dedup_fuzzy_recall) — with these the
+#     cumulative external evidence reaches 215/215.
+#   Slots 7-8: the two plans materially changed in round 10 that the
+#     stale window missed — q19_stream_windowed_agg (complete-mode
+#     memory sink → append mode + watermark eviction + file sink) and
+#     q60_stream_materialized_latest (version key long → DECIMAL(38,0)
+#     2^64 packing, a schema-affecting change).
+#   Slots 9-41: the rest of the r5 cohort (newest evidence 6 rounds
+#     old): the reference kernels q04-q12 first, then the remaining r5
+#     analytics/LLM rows.
+#   Slots 42-50: oldest-evidence-next (r6 cohort), one per family:
+#     core dedup kernels, recall monitor, streaming ANN serving, LSH
+#     top-k, text quality, stratified sampling, pivot, embedding-cosine
+#     dedup.
 #
-# Round-10 rotation queue: FIRST rows for the six late-round-9
-# operators (privacy_t_closeness, monitor_schema_drift,
-# q102_salted_distinct_agg, dedup_fuzzy_edit, monitor_seasonal_anomaly,
-# dedup_fuzzy_recall — all 3-SF oracle-green
-# in-repo, added after the 50-slot window was already committed to the
-# 29-query backlog), then rows whose newest evidence after this round
-# is r5 (q04_dup_having, q06_filter, q07_explode_flatten,
-# q09_json_roundtrip, q10_stream_global_agg, q12_stream_roundtrip,
-# q13_join_revenue, q14_broadcast_dims, q15_window_topn, ... — the
-# remaining r5 cohort), then r6.
+# Round-12 rotation queue: the remaining 29 r6-cohort rows
+# (ann_ivf_index_topk, ann_lsh_multitable_topk, curation_export_shards,
+# curation_filter_report, curation_model_filter, curation_pack_sequences,
+# curation_pretokens, curation_rebalance, curation_sample_bernoulli,
+# curation_sample_weighted, curation_source_mixture,
+# dedup_embedding_clusters, dedup_embedding_clusters_lsh,
+# dedup_embedding_lsh, dedup_repeated_spans, embedding_knn_graph_lsh,
+# embedding_label_centroids, multimodal_audio_meta, q24_above_cust_avg,
+# q25_set_ops, q29_string_battery, q30_math_battery,
+# q62_regexp_extract_all, q78_approx_quantiles, text_chunking,
+# text_language_id, text_scrub_pii, text_tfidf_keywords,
+# text_token_counts), then r7 oldest-first; any operator added in
+# round 12 takes a first-row slot ahead of the refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- first rows: the 29-query late-round-8 backlog (29) --------------
-    "text_langid_confusion",
-    "curation_contamination_report",
-    "embedding_norm_stats",
-    "corpus_bpe_pair_counts",
-    "curation_sample_exact_n",
-    "q93_zone_map_skipping",
-    "q94_stream_dup_rate",
-    "dedup_minhash_histogram",
-    "q97_stream_bloom_ingest",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_rerank_topk",
-    "embedding_top_direction",
-    "text_pmi_collocations",
-    "sketch_kmv_jaccard",
-    "bloom_join_reduction",
-    "monitor_category_drift",
-    "scd2_history",
-    "q98_stream_late_data",
-    "graph_triangles",
-    "monitor_value_outliers",
-    "sketch_hll_by_type",
-    "q99_group_heavy_hitters",
-    "privacy_k_anonymity",
-    "ann_pq_index_topk",
-    "multimodal_audio_pairs",
-    "curation_ccnet_buckets",
-    "q100_stream_scd2",
-    "embedding_centroid_confusion",
-    # --- streaming plans fixed this round, VERDICT r8 #1/#2 (2) ----------
-    "q44_stream_static_join",
-    "q21_stream_session_window",
-    # --- the twice-displaced de-hinted TPC-H rows (10) -------------------
-    "q51_returned_top_customers",
-    "q69_market_share",
-    "q70_waiting_suppliers",
-    "q72_promo_revenue",
-    "q73_disjunctive_join",
-    "q81_small_qty_revenue",
-    "q83_product_profit",
-    "q85_supplier_part_counts",
-    "q86_promo_part_suppliers",
-    "q87_min_price_supplier",
-    # --- winnow df-cap plans changed this round (2) ----------------------
-    "dedup_winnow_pairs",
-    "corpus_dedup_report",
-    # --- first rows for this round's four new operators (4) --------------
-    "scd2_as_of",
-    "q101_salted_skew_join",
-    "privacy_l_diversity",
-    "monitor_freshness",
-    # --- oldest-evidence rows, r5 (3) ------------------------------------
-    "q01_count",
-    "q02_group_count",
-    "q03_distinct_count",
+    # --- first rows: the six late-round-9 operators (6) ------------------
+    "privacy_t_closeness",
+    "monitor_schema_drift",
+    "q102_salted_distinct_agg",
+    "dedup_fuzzy_edit",
+    "monitor_seasonal_anomaly",
+    "dedup_fuzzy_recall",
+    # --- fresh rows for the round-10-changed plans (2) --------------------
+    "q19_stream_windowed_agg",
+    "q60_stream_materialized_latest",
+    # --- r5 cohort refresh: reference kernels first (33) ------------------
+    "q04_dup_having",
+    "q06_filter",
+    "q07_explode_flatten",
+    "q09_json_roundtrip",
+    "q10_stream_global_agg",
+    "q12_stream_roundtrip",
+    "q22_stream_dedup",
+    "q27_approx_distinct",
+    "q31_stream_stream_join",
+    "q32_upsert_snapshot",
+    "q39_conditional_battery",
+    "q40_array_battery",
+    "q41_hash_split",
+    "q42_profile_table",
+    "q46_edit_distance",
+    "q64_conditional_distinct",
+    "q65_string_agg",
+    "q77_array_output",
+    "q79_custorder_distribution",
+    "q80_top_supplier",
+    "q82_large_volume_customers",
+    "q84_important_parts",
+    "q88_range_join",
+    "q89_heavy_hitters",
+    "corpus_pipeline",
+    "curation_repetition",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_kept_corpus",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_knn_graph",
+    "text_rare_token_stats",
+    # --- r6 cohort, oldest-evidence-next, one per family (9) --------------
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_minhash_recall",
+    "q91_stream_ann_serving",
+    "ann_lsh_topk",
+    "text_quality_score",
+    "curation_sample_stratified",
+    "q26_pivot",
+    "dedup_embedding_cosine",
 )
 
 
