@@ -58,6 +58,12 @@ HEADLINE = [
     "dedup_segments",
     "dedup_repeated_spans",
     "dedup_minhash_lsh",
+    # round-11 (VERDICT r9 #7 / r10 #2): the fuzzy edit-distance pair —
+    # the quadratic-adjacent operators whose cost drift matters most —
+    # two NEW rows, so BENCH_r11's total is 59 queries vs r10's 57
+    # (compare shared rows / bench_ab, never raw totals)
+    "dedup_fuzzy_edit",
+    "dedup_fuzzy_recall",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
