@@ -975,13 +975,12 @@ def fuzzy_prefix_table(
     )
 
 
-def _fuzzy_pairs_from_prefixes(
-    pfx: DataFrame, max_dist: int, max_bucket: int = FUZZY_MAX_BUCKET
-) -> DataFrame:
-    """Banded candidates + levenshtein verify over a (doc_id, pfx) table
-    — shared by :func:`fuzzy_edit_pairs` and the recall monitor so the
-    mega-bucket guard applies on every path."""
-    bands = pfx.select(
+def fuzzy_band_table(pfx: DataFrame) -> DataFrame:
+    """(doc_id, pfx, band_idx, band_val): the 3 positional 12-char bands
+    of each prefix — the blocking keys of the fuzzy join, also persisted
+    as the probe surface of the incremental fuzzy ingest
+    (streaming/incremental.ingest_increment_fuzzy)."""
+    return pfx.select(
         "doc_id",
         "pfx",
         F.explode(F.sequence(F.lit(0), F.lit(FUZZY_BANDS - 1))).alias("band_idx"),
@@ -993,11 +992,35 @@ def _fuzzy_pairs_from_prefixes(
             "band_val"
         ),
     )
+
+
+def _fuzzy_pairs_from_prefixes(
+    pfx: DataFrame, max_dist: int, max_bucket: int = FUZZY_MAX_BUCKET
+) -> DataFrame:
+    """Banded candidates + levenshtein verify over a (doc_id, pfx) table
+    — shared by :func:`fuzzy_edit_pairs` and the recall monitor so the
+    mega-bucket guard applies on every path."""
+    return fuzzy_pairs_from_bands(fuzzy_band_table(pfx), max_dist, max_bucket)
+
+
+def fuzzy_pairs_from_bands(
+    bands: DataFrame,
+    max_dist: int,
+    max_bucket: int = FUZZY_MAX_BUCKET,
+    retired: DataFrame | None = None,
+) -> DataFrame:
+    """The fuzzy join's candidate expansion + verify over a prepared
+    band table — factored out so the incremental ingest can run the
+    IDENTICAL plan over (batch ∪ matching-history) bands, with
+    ``retired`` (band keys whose cumulative occupancy crossed the cap in
+    an earlier increment) anti-joined out of the probe surface."""
     grouped = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    if retired is not None:
+        grouped = grouped.join(retired, ["band_idx", "band_val"], "left_anti")
     cand = (
         grouped.select(
             F.explode(

@@ -435,11 +435,9 @@ QUERIES.append(
 )
 
 
-QUERIES.append(
-    Query(
-        "q100_stream_scd2",
-        stream_scd2_history,
-        """
+# shared by q100 and its compaction-forced twin q103: log compaction
+# must be invisible to the maintained history
+_SCD2_HISTORY_ORACLE = """
         WITH marked AS (
           SELECT user_id, event_id, event_type, ts,
                  CASE WHEN LAG(event_type) OVER w IS NULL
@@ -466,15 +464,47 @@ QUERIES.append(
                LEAD(valid_from) OVER wv IS NULL AS is_current
         FROM collapsed
         WINDOW wv AS (PARTITION BY user_id ORDER BY version ASC)
-        """,
+        """
+
+
+QUERIES.append(
+    Query(
+        "q100_stream_scd2",
+        stream_scd2_history,
+        _SCD2_HISTORY_ORACLE,
         doc="incremental SCD Type 2 maintenance: events stream in 3 "
         "micro-batches; each batch appends to the log and recomputes "
         "ONLY its touched users (user-keyed semi-join against the log, "
         "never a driver collect), swapping their rows into the history "
-        "by anti-join + atomic rename (the MERGE pattern on parquet); "
-        "batch-boundary invariance by construction — the final table "
-        "must equal the one-shot batch scd2_history, which is what the "
-        "oracle checks",
+        "by anti-join + atomic manifest flip (the MERGE pattern on "
+        "parquet); batch-boundary invariance by construction — the "
+        "final table must equal the one-shot batch scd2_history, which "
+        "is what the oracle checks",
+        tags=("streaming", "window", "maintenance"),
+    )
+)
+
+
+def stream_scd2_compacting(spark, sf_dir):
+    """q100 with the log compactor forced to fire after EVERY batch
+    (compact_threshold=1): each trigger folds the prior batch epochs
+    into a marker-committed base (streaming/jobs.compact_scd2_log), so
+    this query pins — externally, against the same oracle as q100 —
+    that compaction is invisible to the maintained history."""
+    return stream_scd2_history(spark, sf_dir, compact_threshold=1)
+
+
+QUERIES.append(
+    Query(
+        "q103_stream_scd2_compacting",
+        stream_scd2_compacting,
+        _SCD2_HISTORY_ORACLE,
+        doc="q100's MERGE with per-batch log compaction forced on: the "
+        "size-tiered epoch fold (minor folds of batch epochs into a "
+        "base, major folds when bases accumulate; crash-atomic via the "
+        "marker protocol) keeps the per-bucket epoch-dir count bounded "
+        "over stream lifetime, and the history it maintains must be "
+        "IDENTICAL to q100's — same oracle, same hash",
         tags=("streaming", "window", "maintenance"),
     )
 )

@@ -414,6 +414,46 @@ def latest_incoming(batch_df: DataFrame) -> DataFrame:
 MATVIEW_N_BUCKETS = 16
 
 
+_MANIFEST_NAME = "_manifest.json"
+
+
+def _read_bucket_manifest(target_dir: str) -> dict[int, int]:
+    """Current committed snapshot of a versioned bucket table:
+    {bucket -> version}.  Missing manifest = empty table."""
+    import json
+
+    path = os.path.join(target_dir, _MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return {int(k): int(v) for k, v in json.load(fh).items()}
+
+
+def _commit_bucket_manifest(target_dir: str, manifest: dict[int, int]) -> None:
+    """THE atomic commit point of the bucketed MERGE: write-tmp +
+    fsync + os.replace (atomic on POSIX), the same pointer-flip protocol
+    as txn_sink's marker commits — readers see either the whole old
+    snapshot or the whole new one, never a mix."""
+    import json
+
+    path = os.path.join(target_dir, _MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({str(k): v for k, v in sorted(manifest.items())}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def _current_bucket_paths(target_dir: str, bkts: list | None = None) -> list[str]:
+    """Paths of the CURRENT version dir of each (selected) bucket, per
+    the committed manifest — crash orphans (version dirs written but
+    never committed) are invisible because they are never listed here."""
+    manifest = _read_bucket_manifest(target_dir)
+    sel = sorted(manifest) if bkts is None else [b for b in bkts if b in manifest]
+    return [os.path.join(target_dir, f"bkt={b}", f"v={manifest[b]}") for b in sel]
+
+
 def _swap_touched_buckets(
     merged: DataFrame,
     target_dir: str,
@@ -421,26 +461,48 @@ def _swap_touched_buckets(
     existing: list,
     stats: list | None,
 ) -> None:
-    """Shared crash-sensitive tail of the bucketed MERGE pattern
+    """Shared ATOMIC tail of the bucketed MERGE pattern
     (matview_apply_batch + scd2_apply_batch): write the merged frame
-    partitionBy(bkt) to a staging dir, then swap ONLY the touched bucket
-    dirs into place with per-bucket rename.  One copy of the swap
-    ordering so a future atomicity fix cannot drift between the two
-    callers."""
+    partitionBy(bkt) to a staging dir, move each touched bucket's output
+    to a fresh VERSION dir (``bkt=<b>/v=<V>``), then flip the manifest
+    pointer atomically (_commit_bucket_manifest).  A crash anywhere
+    before the flip leaves the committed manifest — and therefore every
+    reader — on the complete OLD snapshot; the half-renamed new version
+    dirs are unreferenced orphans that the next successful swap garbage
+    collects (review r9/r10: the old in-place per-bucket rename could
+    expose a mixed old/new-version read between renames).  New version
+    numbers skip past any orphan (max of manifest and listed dirs) so a
+    crashed swap can never collide with its replay."""
     import shutil
 
     staging = target_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy("bkt").parquet(staging)
     os.makedirs(target_dir, exist_ok=True)
+    manifest = _read_bucket_manifest(target_dir)
+    new_manifest = dict(manifest)
     for bk in touched_bkts:
         src = os.path.join(staging, f"bkt={bk}")
-        dst = os.path.join(target_dir, f"bkt={bk}")
         if not os.path.isdir(src):
             continue
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
+        bdir = os.path.join(target_dir, f"bkt={bk}")
+        os.makedirs(bdir, exist_ok=True)
+        listed = [
+            int(d.split("=", 1)[1]) for d in os.listdir(bdir) if d.startswith("v=")
+        ]
+        newv = 1 + max([manifest.get(bk, 0), *listed])
+        os.rename(src, os.path.join(bdir, f"v={newv}"))
+        new_manifest[bk] = newv
+    _commit_bucket_manifest(target_dir, new_manifest)
+    # GC after the flip: old/orphan version dirs of touched buckets are
+    # now unreferenced; a crash mid-GC just defers them to the next swap
+    for bk in touched_bkts:
+        bdir = os.path.join(target_dir, f"bkt={bk}")
+        if not os.path.isdir(bdir):
+            continue
+        for d in os.listdir(bdir):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) != new_manifest.get(bk):
+                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     if stats is not None:
         stats.append({"touched_buckets": touched_bkts, "existing_buckets": existing})
@@ -475,17 +537,17 @@ def matview_apply_batch(
         touched_bkts = sorted(
             r.bkt for r in incoming.select("bkt").distinct().collect()
         )  # bounded collect: <= n_buckets ints
-        existing = [
-            bk for bk in touched_bkts if os.path.isdir(os.path.join(state_dir, f"bkt={bk}"))
-        ]
+        manifest = _read_bucket_manifest(state_dir)
+        existing = [bk for bk in touched_bkts if bk in manifest]
         if existing:
             current = (
                 spark.read.option("basePath", state_dir)
                 .schema(
                     "user_id long, last_event_id long, last_type string, v_e4 long, "
-                    "ver decimal(38,0), bkt int"
+                    "ver decimal(38,0), bkt int, v int"
                 )
-                .parquet(*[os.path.join(state_dir, f"bkt={bk}") for bk in existing])
+                .parquet(*_current_bucket_paths(state_dir, existing))
+                .drop("v")
             )
             merged = upsert_snapshot(current, incoming, ["user_id"], "ver")
         else:
@@ -527,14 +589,21 @@ def stream_materialized_latest(
         .start()
     )
     q.awaitTermination()
+    return read_matview_state(spark, state_dir).drop("ver")
+
+
+def read_matview_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the committed snapshot of the bucketed materialized view —
+    only the manifest's current version dir per bucket, so crash orphans
+    from an interrupted swap are never visible."""
     return (
         spark.read.option("basePath", state_dir)
         .schema(
             "user_id long, last_event_id long, last_type string, v_e4 long, "
-            "ver decimal(38,0), bkt int"
+            "ver decimal(38,0), bkt int, v int"
         )
-        .parquet(state_dir)
-        .drop("ver", "bkt")
+        .parquet(*_current_bucket_paths(state_dir))
+        .drop("bkt", "v")
     )
 
 
@@ -1073,6 +1142,149 @@ SCD2_HIST_SCHEMA = (
     "user_id long, version long, event_type string, valid_from timestamp, "
     "valid_to timestamp, n_events long, is_current boolean"
 )
+SCD2_LOG_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "bkt int, epoch long"
+)
+
+
+def _scd2_committed_compactions(log_dir: str) -> dict[int, list[int]]:
+    """Committed log compactions: {compacted_epoch -> folded epochs}.
+    The marker file IS the commit (atomic os.replace, txn_sink's
+    protocol); a compacted epoch dir without a committed marker is an
+    orphan from a crashed compaction and must be ignored by readers."""
+    import json
+
+    cdir = os.path.join(log_dir, "_compactions")
+    out: dict[int, list[int]] = {}
+    if not os.path.isdir(cdir):
+        return out
+    for fn in os.listdir(cdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(cdir, fn)) as fh:
+                out[int(fn[:-5])] = json.load(fh)["folded"]
+    return out
+
+
+def _scd2_live_epoch_dirs(log_dir: str, bkts: list) -> list[str]:
+    """Live ``bkt=<b>/epoch=<e>`` dirs of the selected log buckets:
+    skips epochs folded by a COMMITTED compaction (their dirs may
+    briefly outlive the marker until GC finishes) and negative epochs
+    without a committed marker (half-written compaction output)."""
+    comp = _scd2_committed_compactions(log_dir)
+    dead = {e for folded in comp.values() for e in folded}
+    paths = []
+    for bk in bkts:
+        bdir = os.path.join(log_dir, f"bkt={bk}")
+        if not os.path.isdir(bdir):
+            continue
+        for d in sorted(os.listdir(bdir)):
+            if not d.startswith("epoch="):
+                continue
+            e = int(d.split("=", 1)[1])
+            if e in dead or (e < 0 and e not in comp):
+                continue
+            paths.append(os.path.join(bdir, d))
+    return paths
+
+
+def compact_scd2_log(
+    spark: SparkSession,
+    log_dir: str,
+    current_epoch: int,
+    threshold: int = 16,
+    base_threshold: int = 8,
+    stats: list | None = None,
+) -> bool:
+    """Fold accumulated per-micro-batch ``epoch=*`` log partitions into
+    compacted BASE epochs, so the touched-bucket log read stays bounded
+    over stream lifetime (VERDICT r10 #4 / ADVICE r10: one epoch subdir
+    per micro-batch per bucket is unbounded directory count on a
+    months-long stream).
+
+    Size-tiered, two levels: a MINOR compaction folds the batch epochs
+    (>= 0, excluding the in-flight ``current_epoch``) into one new base
+    once ``threshold`` of them accumulate; once ``base_threshold`` bases
+    accumulate, the fold is MAJOR and includes the bases.  Live dir
+    count per bucket is therefore bounded by
+    ``threshold + base_threshold + 1``, and write amplification is
+    tiered: minor folds rewrite only recent increments, the whole log is
+    rewritten only every ``threshold x base_threshold`` batches.
+
+    Crash-atomic by the marker protocol: compacted rows are written to
+    ``epoch=<C>`` (C = -(current_epoch+1), deterministic so a replayed
+    batch re-runs the SAME compaction) via dynamic partition overwrite,
+    and the fold commits only when ``_compactions/<C>.json`` is renamed
+    into place — readers (_scd2_live_epoch_dirs) ignore both
+    not-yet-committed compaction output and already-folded source dirs,
+    so a crash at ANY point leaves a consistent view and the replay
+    heals.  Fencing against in-flight triggers is structural: the caller
+    is scd2_apply_batch inside foreachBatch, which Spark serializes.
+
+    Returns True when a fold was committed."""
+    import json
+    import shutil
+
+    comp = _scd2_committed_compactions(log_dir)
+    cand = -(int(current_epoch) + 1)
+    if cand in comp:
+        return False  # replayed batch: this compaction already committed
+    all_bkts = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(log_dir) if d.startswith("bkt=")
+    )
+    # heal a predecessor's incomplete GC: committed-dead dirs still on disk
+    dead = {e for folded in comp.values() for e in folded}
+    for bk in all_bkts:
+        bdir = os.path.join(log_dir, f"bkt={bk}")
+        for d in os.listdir(bdir):
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) in dead:
+                shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+    live = {
+        int(p.rsplit("epoch=", 1)[1]) for p in _scd2_live_epoch_dirs(log_dir, all_bkts)
+    }
+    positives = sorted(e for e in live if e >= 0 and e != current_epoch)
+    bases = sorted(e for e in live if e < 0)
+    if len(positives) < threshold:
+        return False
+    fold_set = positives + bases if len(bases) >= base_threshold else positives
+    src = [
+        p
+        for p in _scd2_live_epoch_dirs(log_dir, all_bkts)
+        if int(p.rsplit("epoch=", 1)[1]) in set(fold_set)
+    ]
+    (
+        spark.read.option("basePath", log_dir)
+        .schema(SCD2_LOG_SCHEMA)
+        .parquet(*src)
+        .withColumn("epoch", F.lit(cand).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt", "epoch")
+        .parquet(log_dir)
+    )
+    cdir = os.path.join(log_dir, "_compactions")
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f"{cand}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"folded": fold_set}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(cdir, f"{cand}.json"))  # THE commit
+    # GC: folded dirs first, then markers of folded bases — both orders
+    # crash-safe (readers never list committed-dead or markerless dirs)
+    for bk in all_bkts:
+        bdir = os.path.join(log_dir, f"bkt={bk}")
+        for e in fold_set:
+            shutil.rmtree(os.path.join(bdir, f"epoch={e}"), ignore_errors=True)
+    for e in fold_set:
+        if e < 0:
+            try:
+                os.remove(os.path.join(cdir, f"{e}.json"))
+            except FileNotFoundError:
+                pass
+    if stats is not None:
+        stats.append({"compacted_to": cand, "folded": fold_set})
+    return True
 
 
 def scd2_merge_frames(
@@ -1107,6 +1319,7 @@ def scd2_apply_batch(
     stats: list | None = None,
     *,
     epoch_id: int,
+    compact_threshold: int = 16,
 ) -> None:
     """One micro-batch of incremental SCD2 maintenance against a
     BUCKETED history table (``hist_dir/bkt=<user_id % n_buckets>/``):
@@ -1130,14 +1343,16 @@ def scd2_apply_batch(
        still scanned the full log every trigger);
     3. merge into the history by rewriting ONLY the touched buckets:
        old rows of those buckets (anti-join touched) ∪ recomputed rows,
-       written partitionBy(bkt) to staging, then per-bucket dir swap.
+       written partitionBy(bkt) to staging, then committed by the atomic
+       versioned-bucket manifest flip (_swap_touched_buckets).
 
     Per-batch bytes written = Σ sizes of TOUCHED history buckets and
     bytes read = Σ sizes of touched LOG buckets — both proportional to
     the batch's user footprint once n_buckets is sized to the corpus.
-    (Epoch subdirs accumulate one per micro-batch; at scale a periodic
-    per-bucket compaction folds old epochs together — the
-    compact_seen_to_bucketed pattern — without changing this function.)
+    Epoch subdirs are bounded over stream lifetime by the periodic
+    size-tiered fold (compact_scd2_log, run at the end of every batch
+    once ``compact_threshold`` epochs accumulate — marker-committed, so
+    crash/replay safe).
     ``stats`` (when given) collects {touched_buckets, existing_buckets,
     log_files_read} per batch so tests can assert BOTH footprints.
     """
@@ -1171,29 +1386,25 @@ def scd2_apply_batch(
                     {"touched_buckets": [], "existing_buckets": [], "log_files_read": []}
                 )
             return
-        # pruned log read: basePath + the touched bucket dirs only (the
-        # history read's exact pattern below) — the merge's semi-join
-        # needs just the touched users' events, all of which hash into
-        # these buckets by construction
+        # pruned log read: basePath + the LIVE epoch dirs of the touched
+        # buckets only — the merge's semi-join needs just the touched
+        # users' events, all of which hash into these buckets by
+        # construction; live-epoch enumeration (not a whole-bucket glob)
+        # keeps a crashed compaction's half-folded dirs invisible
         log = (
             spark.read.option("basePath", log_dir)
-            .schema(
-                "event_id long, ts timestamp, user_id long, event_type string, "
-                "bkt int, epoch long"
-            )
-            .parquet(*[os.path.join(log_dir, f"bkt={bk}") for bk in touched_bkts])
+            .schema(SCD2_LOG_SCHEMA)
+            .parquet(*_scd2_live_epoch_dirs(log_dir, touched_bkts))
             .drop("bkt", "epoch")
         )
         log_files = log.inputFiles() if stats is not None else None
-        existing = [
-            bk
-            for bk in touched_bkts
-            if os.path.isdir(os.path.join(hist_dir, f"bkt={bk}"))
-        ]
+        manifest = _read_bucket_manifest(hist_dir)
+        existing = [bk for bk in touched_bkts if bk in manifest]
         old = (
             spark.read.option("basePath", hist_dir)
-            .schema(SCD2_HIST_SCHEMA + ", bkt int")
-            .parquet(*[os.path.join(hist_dir, f"bkt={bk}") for bk in existing])
+            .schema(SCD2_HIST_SCHEMA + ", bkt int, v int")
+            .parquet(*_current_bucket_paths(hist_dir, existing))
+            .drop("v")
             if existing
             else None
         )
@@ -1201,22 +1412,35 @@ def scd2_apply_batch(
         _swap_touched_buckets(out, hist_dir, touched_bkts, existing, stats)
         if stats is not None:
             stats[-1]["log_files_read"] = log_files
+        # periodic log compaction (VERDICT r10 #4) — serialized with the
+        # merge by foreachBatch itself, so it can never race a trigger
+        compact_scd2_log(
+            spark, log_dir, epoch_id, threshold=compact_threshold, stats=stats
+        )
     finally:
         touched.unpersist()
 
 
 def read_scd2_history(spark: SparkSession, hist_dir: str) -> DataFrame:
-    """Read the bucketed history back without the layout column."""
+    """Read the committed bucketed history back without the layout
+    columns — only the manifest's current version dir per bucket, so an
+    interrupted swap's orphan version dirs are never visible."""
+    paths = _current_bucket_paths(hist_dir)
+    if not paths:
+        return spark.createDataFrame([], SCD2_HIST_SCHEMA)
     return (
         spark.read.option("basePath", hist_dir)
-        .schema(SCD2_HIST_SCHEMA + ", bkt int")
-        .parquet(hist_dir)
-        .drop("bkt")
+        .schema(SCD2_HIST_SCHEMA + ", bkt int, v int")
+        .parquet(*paths)
+        .drop("bkt", "v")
     )
 
 
 def stream_scd2_history(
-    spark: SparkSession, sf_dir: str, stats: list | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stats: list | None = None,
+    compact_threshold: int = 16,
 ) -> DataFrame:
     """Beyond-reference: INCREMENTAL SCD Type 2 maintenance — the
     history table (operators/maintenance.scd2_history) kept current by a
@@ -1246,7 +1470,13 @@ def stream_scd2_history(
 
     def upsert(batch_df, epoch_id):
         scd2_apply_batch(
-            spark, batch_df, log_dir, hist_dir, stats=stats, epoch_id=epoch_id
+            spark,
+            batch_df,
+            log_dir,
+            hist_dir,
+            stats=stats,
+            epoch_id=epoch_id,
+            compact_threshold=compact_threshold,
         )
 
     stream = read_file_stream(spark, staged, "parquet", EVENTS_SCHEMA, max_files_per_trigger=1)

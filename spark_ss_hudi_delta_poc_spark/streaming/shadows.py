@@ -300,4 +300,7 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q97_stream_bloom_ingest": _q97,
     "q98_stream_late_data": _q98,
     "q100_stream_scd2": _q100,
+    # same interior as q100 — compaction adds only scan+rewrite stages
+    # (no join/python/window classes), which the fidelity audit confirms
+    "q103_stream_scd2_compacting": _q100,
 }

@@ -253,6 +253,10 @@ PROBE_OPS = [
     # sample SCAN grows with the corpus (expect a low-single-digit
     # ratio; measured 1.4 at K=10, SCALE.md)
     "dedup_fuzzy_recall",
+    # round-11: q100's MERGE with per-batch log compaction forced on —
+    # the compaction read/rewrite is the live epoch set (bounded by the
+    # tier thresholds), so the ratio must track q100's, not blow up
+    "q103_stream_scd2_compacting",
 ]
 
 
