@@ -11,6 +11,7 @@ from ..streaming.jobs import (
     stream_late_data,
     stream_scd2_history,
     stream_bloom_dedup_ingest,
+    stream_fuzzy_dedup_ingest,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -32,7 +33,7 @@ from ..operators.curation import (
     EVAL_MAX_DOCS,
     EVAL_MODULUS,
 )
-from .llm_queries import GOPHER_ORACLE
+from .llm_queries import GOPHER_ORACLE, _oracle_of
 from .registry import Query
 
 QUERIES = [
@@ -509,3 +510,26 @@ QUERIES.append(
     )
 )
 
+
+
+QUERIES.append(
+    Query(
+        "q104_stream_fuzzy_ingest",
+        stream_fuzzy_dedup_ingest,
+        f"""
+        WITH pairs AS ({_oracle_of("dedup_fuzzy_edit")})
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs)
+        """,
+        doc="cross-run incremental FUZZY dedup: documents stream in 3 "
+        "id-ordered marker-atomic increments; each batch probes the "
+        "persistent positional-band index via a semi-join bounded by "
+        "its own band keys (never an O(|history|) scan) and drops docs "
+        "within Levenshtein 4 of anything earlier-seen — kept AND "
+        "dropped docs are indexed, which is what makes the greedy rule "
+        "batch-boundary-invariant under id-ordered arrival; committed "
+        "corpus == documents minus every doc_id_b of fuzzy_edit_pairs "
+        "(the oracle composes dedup_fuzzy_edit's own SQL)",
+        tags=("streaming", "dedup", "incremental", "similarity"),
+    )
+)

@@ -1063,3 +1063,168 @@ def incremental_bloom_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_fuzzy(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    max_dist: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Incremental FUZZY-duplicate ingest (round-11; the fuzzy_edit
+    family's cross-run variant): drop batch docs whose normalized
+    36-char prefix is within Levenshtein ``max_dist`` of an
+    EARLIER-SEEN doc, then append survivors and extend the persistent
+    band index — all tables of the increment committed by one marker
+    (see module docstring).
+
+    The drop rule is "b is dropped iff some doc a with a smaller id was
+    seen no later than b and (a, b) is a qualifying fuzzy pair" — b is
+    checked against every earlier SEEN doc, kept or dropped, NOT only
+    against kept ones (greedy-vs-kept is batch-boundary-dependent:
+    in chain a~b, b~c, a!~c, greedy keeps c iff b was dropped first).
+    With id-ordered arrival (stage_id_ordered), this equals the batch
+    rule "drop every doc_id_b of fuzzy_edit_pairs" — which is exactly
+    what the oracle of q104_stream_fuzzy_ingest checks.
+
+    The index is two parquet tables under ``index_path``:
+      bands/   (doc_id, pfx, band_idx, band_val)  — ALL seen long-prefix
+               docs' positional band keys (the probe surface)
+      retired/ (band_idx, band_val) — keys whose cumulative occupancy
+               crossed FUZZY_MAX_BUCKET; they generate no candidates in
+               any later increment (the forward work bound)
+    Per-increment cost: history bands are touched ONLY via a semi-join
+    on the batch's band keys, so the probe reads ~|batch| x occupancy,
+    never O(|history|).  Candidate generation + levenshtein verify is
+    the IDENTICAL plan as the batch operator
+    (dedup.fuzzy_pairs_from_bands) over batch ∪ matching-history bands.
+
+    Cap-semantics caveat (documented divergence, the fixed-grid class):
+    the batch oracle's mega-bucket cap is evaluated on FINAL corpus
+    occupancy, the ingest retires a key from the increment where its
+    cumulative occupancy first crosses the cap — the two agree exactly
+    whenever no key crosses the cap mid-stream (max observed occupancy
+    in the test corpora is 13 vs the 1024 cap; both sides degrade only
+    on pathological shared boilerplate, which is exact-dedup's job).
+
+    Returns the number of ingested docs; 0 for a committed replay.
+    """
+    from ..operators import dedup
+
+    bands_path = os.path.join(index_path, "bands")
+    retired_path = os.path.join(index_path, "retired")
+
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        token = _content_token(batch.select(md5_long(F.col(text_col)).alias("_h")))
+    committed = _committed_tokens(index_path)
+    if token in committed:
+        return 0
+
+    pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
+    new_bands = dedup.fuzzy_band_table(pfx).persist()
+    try:
+        batch_keys = new_bands.select("band_idx", "band_val").distinct()
+        hist_dirs = _committed_paths(bands_path, committed)
+        retired_dirs = _committed_paths(retired_path, committed)
+        retired = (
+            spark.read.parquet(*retired_dirs).select("band_idx", "band_val").distinct()
+            if retired_dirs
+            else None
+        )
+        if hist_dirs:
+            hist_bands = spark.read.parquet(*hist_dirs)
+            # probe surface bounded by the BATCH's band keys — the only
+            # history rows read are those sharing a key with the batch
+            probe = hist_bands.join(batch_keys, ["band_idx", "band_val"], "left_semi")
+            allb = new_bands.unionByName(probe)
+        else:
+            allb = new_bands
+        pairs = dedup.fuzzy_pairs_from_bands(
+            allb, max_dist=max_dist, retired=retired
+        )
+        # only batch docs can be dropped (history rows are committed);
+        # a pair's doc_id_b is the larger id, which under id-ordered
+        # arrival is always the batch side for cross-run pairs
+        drop_ids = (
+            pairs.select(F.col("doc_id_b").alias(id_col))
+            .distinct()
+            .join(batch.select(id_col), id_col, "left_semi")
+        )
+        survivors = batch.join(drop_ids, id_col, "left_anti").persist()
+        try:
+            n = survivors.count()
+            if n:
+                survivors.write.mode("overwrite").parquet(
+                    os.path.join(corpus_path, f"inc={token}")
+                )
+            # index ALL seen band rows (kept AND dropped — the drop rule
+            # references every earlier-seen doc)
+            new_bands.write.mode("overwrite").parquet(
+                os.path.join(bands_path, f"inc={token}")
+            )
+            # retire keys whose cumulative occupancy crossed the cap:
+            # partial-agg'd count over batch ∪ matching-history rows only
+            newly_retired = (
+                allb.groupBy("band_idx", "band_val")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > dedup.FUZZY_MAX_BUCKET)
+                .select("band_idx", "band_val")
+            )
+            if retired is not None:
+                newly_retired = newly_retired.join(
+                    retired, ["band_idx", "band_val"], "left_anti"
+                )
+            newly_retired.write.mode("overwrite").parquet(
+                os.path.join(retired_path, f"inc={token}")
+            )
+        finally:
+            survivors.unpersist()
+        _write_marker(index_path, token)  # single commit point for all three
+        return n
+    finally:
+        new_bands.unpersist()
+
+
+def incremental_fuzzy_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_fuzzy).  Restart-safe the same two ways as
+    incremental_dedup_ingest: committed replays are no-ops, crashed
+    increments re-stage their own ``inc=<batch_id>`` dirs."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_fuzzy(
+            batch_df.sparkSession,
+            batch_df,
+            corpus_path,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

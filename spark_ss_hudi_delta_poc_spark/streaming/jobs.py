@@ -1059,6 +1059,87 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stage_id_ordered(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    work: str,
+    id_col: str,
+    n_files: int = 3,
+) -> str:
+    """Stage a table as ``n_files`` files in ascending ``id_col`` order
+    with strictly increasing mtimes, so FileStreamSource (oldest mtime
+    first under maxFilesPerTrigger=1) delivers micro-batches whose id
+    ranges ascend — every history doc's id is below every later batch's.
+    That arrival order is what makes the incremental fuzzy drop rule
+    ("drop b iff an earlier-seen a < b fuzzy-matches it") equal the
+    batch rule "drop every doc_id_b of fuzzy_edit_pairs", which the
+    oracle checks.  The split uses exact-percentile id cut points (one
+    aggregate — never a global ranking window, the single-task shape the
+    plan gates ban); split EVENNESS is irrelevant to correctness, only
+    the id ordering across files matters.  Test staging scaffolding
+    (like stage_time_ordered_halves' coalesce(1)); a production feed is
+    id-ordered by its upstream sequencing, not by re-sorting."""
+    import glob as _glob
+    import shutil as _shutil
+
+    df = load(spark, sf_dir, table)
+    fr = [i / n_files for i in range(1, n_files)]
+    cuts = df.agg(
+        F.expr(f"percentile({id_col}, array({','.join(map(str, fr))}))").alias("c")
+    ).collect()[0].c
+    bounds = [float("-inf"), *[float(c) for c in cuts], float("inf")]
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged, exist_ok=True)
+    for i in range(1, n_files + 1):
+        lo, hi = bounds[i - 1], bounds[i]
+        part = df.where((F.col(id_col) > F.lit(lo)) & (F.col(id_col) <= F.lit(hi)))
+        tmp = os.path.join(work, f"tmp_p{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for j, f in enumerate(sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))):
+            dst = os.path.join(staged, f"p{i}-{j}.parquet")
+            _shutil.move(f, dst)
+            mt = 1_000_000_000.0 + i * 1000
+            os.utime(dst, (mt, mt))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return staged
+
+
+def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-11): cross-run incremental FUZZY dedup —
+    documents stream in 3 id-ordered marker-committed increments; each
+    batch probes the persistent positional-band index with a semi-join
+    bounded by ITS OWN band keys (never an O(|history|) scan), drops
+    docs within Levenshtein 4 of anything earlier-seen, and appends
+    survivors + its band rows atomically
+    (incremental.ingest_increment_fuzzy).  Returns the committed kept
+    corpus; id-ordered arrival makes it equal the batch rule "documents
+    minus every doc_id_b of fuzzy_edit_pairs", which the oracle
+    computes with dedup_fuzzy_edit's own SQL."""
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import (
+        _committed_paths,
+        _committed_tokens,
+        incremental_fuzzy_ingest,
+    )
+
+    work = _workdir("qfuzzyingest")
+    staged = stage_id_ordered(spark, sf_dir, "documents", work, "doc_id", n_files=3)
+    corpus = os.path.join(work, "corpus")
+    index = os.path.join(work, "index")
+    q = incremental_fuzzy_ingest(
+        spark,
+        staged,
+        corpus,
+        index,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(index)))
+    return back.select("doc_id", "n_chars")
+
+
 def late_window_agg(df: DataFrame) -> DataFrame:
     """Core of q98 (shared with the plan-audit shadow): 1-hour windows
     per event_type under a 1-hour watermark."""

@@ -280,6 +280,27 @@ def _q100(spark, sf_dir):
     return {"merge": scd2_merge_frames(log, touched, old)}
 
 
+def _q104(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    bands = dedup.fuzzy_band_table(dedup.fuzzy_prefix_table(docs))
+    # the live increment unions batch bands with the semi-join-probed
+    # history bands and anti-joins retired keys — same classes here
+    probe = bands.join(
+        bands.select("band_idx", "band_val").distinct(), ["band_idx", "band_val"], "left_semi"
+    )
+    retired = bands.select("band_idx", "band_val").limit(0)
+    pairs = dedup.fuzzy_pairs_from_bands(probe, max_dist=4, retired=retired)
+    drop = (
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .join(docs.select("doc_id"), "doc_id", "left_semi")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return {"ingest": kept.select("doc_id", "n_chars")}
+
+
 STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q10_stream_global_agg": _q10,
     "q12_stream_roundtrip": _q12,
@@ -303,4 +324,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     # same interior as q100 — compaction adds only scan+rewrite stages
     # (no join/python/window classes), which the fidelity audit confirms
     "q103_stream_scd2_compacting": _q100,
+    "q104_stream_fuzzy_ingest": _q104,
 }

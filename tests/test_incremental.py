@@ -533,3 +533,79 @@ def test_bloom_ingest_equals_plain_ingest(spark, tmp_path):
         *_committed_paths(os.path.join(bw, "bl"), _committed_tokens(seen))
     )
     assert bits.select("pos").distinct().count() <= BLOOM_M
+
+
+def _p36(head12: str, tail: str = "mmmm nnnn oo pppp qqqq rr sstt uu vv ww") -> str:
+    """A doc whose normalized prefix is exactly head12 + a fixed 24-char
+    continuation — edits confined to head12 leave bands 2 and 3 exact,
+    so the pair is guaranteed a banding candidate (pigeonhole)."""
+    assert len(head12) == 12
+    return head12 + "zzzz yyy xxx www vvv uuu" + " " + tail
+
+
+def test_ingest_increment_fuzzy_across_runs(spark, tmp_path):
+    """Cross-run fuzzy ingest: batch-2 docs within Levenshtein 4 of
+    anything EARLIER-SEEN are dropped — including matches against a doc
+    that was itself DROPPED in batch 1 (kept-only indexing would be
+    batch-boundary-dependent); novel and short-prefix docs survive."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "fcorpus")
+    index = os.path.join(tmp_path, "findex")
+    base = _p36("aaaa bbb ccc")
+    near = _p36("aaXa bbb ccX")  # 2 substitutions in band 1: dist 2
+    near2 = _p36("aaXa bXb ccX")  # dist 1 from NEAR (dropped doc), 3 from base
+    far = _p36("qqqq rrr sss").replace("zzzz yyy", "kkkk jjj")  # different everywhere
+    short = "tiny doc"
+
+    b1 = spark.createDataFrame([(1, base), (2, near), (3, far)], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 2
+    got1 = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got1 == [1, 3]  # in-batch: 2 is doc_id_b of (1,2)
+
+    # batch 2: near2 matches the DROPPED doc 2 (and base at dist 3) ->
+    # dropped; short has no 36-char prefix -> always kept
+    b2 = spark.createDataFrame([(4, near2), (5, short)], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2") == 1
+    got2 = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got2 == [1, 3, 5]
+
+    # replayed increment: marker short-circuits
+    assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2") == 0
+    assert spark.read.parquet(corpus).count() == 3
+
+
+def test_ingest_increment_fuzzy_crash_heals_on_replay(spark, tmp_path, monkeypatch):
+    """A crash after staging but before the marker leaves no committed
+    trace; the replayed increment re-stages the same dirs and commits —
+    and later increments still drop against ITS docs."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "fc")
+    index = os.path.join(tmp_path, "fi")
+    base = _p36("aaaa bbb ccc")
+    near = _p36("aaXa bbb ccX")
+
+    b1 = spark.createDataFrame([(1, base)], DOC_SCHEMA)
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1")
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    # uncommitted staging is invisible: nothing counts as ingested yet
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 1
+    b2 = spark.createDataFrame([(2, near)], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2") == 0
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1]

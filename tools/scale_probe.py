@@ -257,6 +257,10 @@ PROBE_OPS = [
     # the compaction read/rewrite is the live epoch set (bounded by the
     # tier thresholds), so the ratio must track q100's, not blow up
     "q103_stream_scd2_compacting",
+    # round-11: incremental fuzzy ingest — per-increment probe is a
+    # semi-join bounded by the batch's band keys, so the ratio must
+    # track the fuzzy_edit pair plan, never O(|history|) per batch
+    "q104_stream_fuzzy_ingest",
 ]
 
 
