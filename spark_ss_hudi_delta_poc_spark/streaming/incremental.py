@@ -1129,7 +1129,6 @@ def ingest_increment_fuzzy(
     pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
     new_bands = dedup.fuzzy_band_table(pfx).persist()
     try:
-        batch_keys = new_bands.select("band_idx", "band_val").distinct()
         hist_dirs = _committed_paths(bands_path, committed)
         retired_dirs = _committed_paths(retired_path, committed)
         retired = (
@@ -1137,6 +1136,15 @@ def ingest_increment_fuzzy(
             if retired_dirs
             else None
         )
+        # retired keys leave the probe BEFORE the history semi-join —
+        # this is where the forward work bound is realized: a mega-key's
+        # ever-growing history rows are never read again (the cap filter
+        # inside fuzzy_pairs_from_bands would discard its bucket anyway,
+        # result-unchanged, but only AFTER shuffling + collecting it —
+        # review r11)
+        batch_keys = new_bands.select("band_idx", "band_val").distinct()
+        if retired is not None:
+            batch_keys = batch_keys.join(retired, ["band_idx", "band_val"], "left_anti")
         if hist_dirs:
             hist_bands = spark.read.parquet(*hist_dirs)
             # probe surface bounded by the BATCH's band keys — the only

@@ -592,17 +592,25 @@ def stream_materialized_latest(
     return read_matview_state(spark, state_dir).drop("ver")
 
 
+MATVIEW_STATE_SCHEMA = (
+    "user_id long, last_event_id long, last_type string, v_e4 long, "
+    "ver decimal(38,0)"
+)
+
+
 def read_matview_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read the committed snapshot of the bucketed materialized view —
     only the manifest's current version dir per bucket, so crash orphans
-    from an interrupted swap are never visible."""
+    from an interrupted swap are never visible.  A never-committed dir
+    is an empty snapshot, not a zero-path read error (review r11,
+    read_scd2_history's guard)."""
+    paths = _current_bucket_paths(state_dir)
+    if not paths:
+        return spark.createDataFrame([], MATVIEW_STATE_SCHEMA)
     return (
         spark.read.option("basePath", state_dir)
-        .schema(
-            "user_id long, last_event_id long, last_type string, v_e4 long, "
-            "ver decimal(38,0), bkt int, v int"
-        )
-        .parquet(*_current_bucket_paths(state_dir))
+        .schema(MATVIEW_STATE_SCHEMA + ", bkt int, v int")
+        .parquet(*paths)
         .drop("bkt", "v")
     )
 

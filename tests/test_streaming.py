@@ -803,3 +803,92 @@ def test_scd2_log_compaction_crash_windows_are_invisible(spark, tmp_path):
         tuple(r) for r in read_scd2_history(spark, hist_dir).where("user_id <> 1").collect()
     )
     assert others == [t for t in want if t[0] != 1]
+
+
+def test_read_matview_state_empty_is_empty_frame(spark, tmp_path):
+    """A never-committed state dir is an EMPTY snapshot, not a zero-path
+    read error (review r11 — the guard read_scd2_history already had)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import read_matview_state
+
+    got = read_matview_state(spark, str(tmp_path / "nostate"))
+    assert got.count() == 0
+    assert got.columns == ["user_id", "last_event_id", "last_type", "v_e4", "ver"]
+
+
+def test_scd2_log_major_fold_merges_bases_and_gcs_markers(spark, tmp_path):
+    """The MAJOR compaction tier (review r11: previously untested): with
+    threshold=2 and base_threshold=2, bases themselves get folded — the
+    fold marker lists negative epochs, the folded bases' dirs AND
+    markers are GC'd, each event stays in the live log exactly once,
+    and a follow-up merge over the multiply-compacted log still yields
+    the batch-exact history."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import scd2_history
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        SCD2_LOG_SCHEMA,
+        _scd2_committed_compactions,
+        _scd2_live_epoch_dirs,
+        compact_scd2_log,
+        read_scd2_history,
+        scd2_apply_batch,
+    )
+
+    log_dir, hist_dir = str(tmp_path / "log"), str(tmp_path / "hist")
+    all_rows = []
+    majors = 0
+    for e in range(8):
+        rows = [
+            (e * 100 + i, f"2024-01-{e + 1:02d} 00:{i:02d}:00", (e + i) % 5, "click")
+            for i in range(6)
+        ]
+        all_rows += rows
+        batch = spark.createDataFrame(
+            rows, "event_id long, tss string, user_id long, event_type string"
+        ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+        # compaction driven explicitly so the tiny tiers are exercised
+        scd2_apply_batch(
+            spark, batch, log_dir, hist_dir, epoch_id=e, compact_threshold=10**9
+        )
+        did = compact_scd2_log(
+            spark, log_dir, current_epoch=e, threshold=2, base_threshold=2
+        )
+        if did:
+            comp = _scd2_committed_compactions(log_dir)
+            if any(x < 0 for folded in comp.values() for x in folded):
+                majors += 1
+    assert majors >= 1, "base_threshold=2 over 8 batches must major-fold"
+    comp = _scd2_committed_compactions(log_dir)
+    # folded bases' markers are GC'd: every committed marker's epoch is live
+    bkts = [int(d.split("=")[1]) for d in os.listdir(log_dir) if d.startswith("bkt=")]
+    live_paths = _scd2_live_epoch_dirs(log_dir, bkts)
+    live_epochs = {int(p.rsplit("epoch=", 1)[1]) for p in live_paths}
+    assert set(comp) <= live_epochs
+    # bounded live dirs per bucket: threshold + base_threshold + 1
+    for bk in bkts:
+        assert len(_scd2_live_epoch_dirs(log_dir, [bk])) <= 2 + 2 + 1
+    # every event exactly once across the live log
+    live = (
+        spark.read.option("basePath", log_dir)
+        .schema(SCD2_LOG_SCHEMA)
+        .parquet(*live_paths)
+    )
+    assert live.count() == len(all_rows)
+    assert live.select("event_id").distinct().count() == len(all_rows)
+    # a merge over the multiply-compacted log is still batch-exact
+    nxt = spark.createDataFrame(
+        [(9_000, "2024-02-01 00:00:00", 1, "purchase")],
+        "event_id long, tss string, user_id long, event_type string",
+    ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    all_rows.append((9_000, "2024-02-01 00:00:00", 1, "purchase"))
+    scd2_apply_batch(
+        spark, nxt, log_dir, hist_dir, epoch_id=8, compact_threshold=10**9
+    )
+    want_df = scd2_history(
+        spark.createDataFrame(
+            all_rows, "event_id long, tss string, user_id long, event_type string"
+        ).selectExpr("event_id", "to_timestamp(tss) AS ts", "user_id", "event_type")
+    )
+    want = sorted(tuple(r) for r in want_df.collect())
+    got = sorted(tuple(r) for r in read_scd2_history(spark, hist_dir).collect())
+    assert got == want
