@@ -1071,6 +1071,7 @@ def ingest_increment_fuzzy(
     corpus_path: str,
     index_path: str,
     max_dist: int = 4,
+    max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
@@ -1126,13 +1127,21 @@ def ingest_increment_fuzzy(
     if token in committed:
         return 0
 
+    if max_bucket is None:
+        max_bucket = dedup.FUZZY_MAX_BUCKET
     pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
     new_bands = dedup.fuzzy_band_table(pfx).persist()
     try:
         hist_dirs = _committed_paths(bands_path, committed)
         retired_dirs = _committed_paths(retired_path, committed)
+        # persist: retired feeds three anti-joins per increment (probe
+        # keys, pair-gen buckets, newly_retired) — without it the
+        # one-dir-per-increment listing + distinct re-runs each time
         retired = (
-            spark.read.parquet(*retired_dirs).select("band_idx", "band_val").distinct()
+            spark.read.parquet(*retired_dirs)
+            .select("band_idx", "band_val")
+            .distinct()
+            .persist()
             if retired_dirs
             else None
         )
@@ -1154,7 +1163,7 @@ def ingest_increment_fuzzy(
         else:
             allb = new_bands
         pairs = dedup.fuzzy_pairs_from_bands(
-            allb, max_dist=max_dist, retired=retired
+            allb, max_dist=max_dist, max_bucket=max_bucket, retired=retired
         )
         # only batch docs can be dropped (history rows are committed);
         # a pair's doc_id_b is the larger id, which under id-ordered
@@ -1181,7 +1190,7 @@ def ingest_increment_fuzzy(
             newly_retired = (
                 allb.groupBy("band_idx", "band_val")
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > dedup.FUZZY_MAX_BUCKET)
+                .where(F.col("_n") > max_bucket)
                 .select("band_idx", "band_val")
             )
             if retired is not None:
@@ -1197,6 +1206,8 @@ def ingest_increment_fuzzy(
         return n
     finally:
         new_bands.unpersist()
+        if retired is not None:
+            retired.unpersist()
 
 
 def incremental_fuzzy_ingest(

@@ -412,6 +412,10 @@ def latest_incoming(batch_df: DataFrame) -> DataFrame:
 
 
 MATVIEW_N_BUCKETS = 16
+MATVIEW_STATE_SCHEMA = (
+    "user_id long, last_event_id long, last_type string, v_e4 long, "
+    "ver decimal(38,0)"
+)
 
 
 _MANIFEST_NAME = "_manifest.json"
@@ -542,10 +546,7 @@ def matview_apply_batch(
         if existing:
             current = (
                 spark.read.option("basePath", state_dir)
-                .schema(
-                    "user_id long, last_event_id long, last_type string, v_e4 long, "
-                    "ver decimal(38,0), bkt int, v int"
-                )
+                .schema(MATVIEW_STATE_SCHEMA + ", bkt int, v int")
                 .parquet(*_current_bucket_paths(state_dir, existing))
                 .drop("v")
             )
@@ -590,12 +591,6 @@ def stream_materialized_latest(
     )
     q.awaitTermination()
     return read_matview_state(spark, state_dir).drop("ver")
-
-
-MATVIEW_STATE_SCHEMA = (
-    "user_id long, last_event_id long, last_type string, v_e4 long, "
-    "ver decimal(38,0)"
-)
 
 
 def read_matview_state(spark: SparkSession, state_dir: str) -> DataFrame:

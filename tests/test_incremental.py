@@ -609,3 +609,48 @@ def test_ingest_increment_fuzzy_crash_heals_on_replay(spark, tmp_path, monkeypat
     assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2") == 0
     got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert got == [1]
+
+
+def test_ingest_increment_fuzzy_retires_mega_bucket_keys(spark, tmp_path):
+    """The retire work bound, forced by a tiny cap (review r11 — the
+    default 1024 cap never binds at test scale): a band key whose
+    cumulative occupancy crosses max_bucket generates no candidates in
+    any later increment, so a later doc matching ONLY through that key
+    is kept; the key is recorded once; pairs through non-retired keys
+    still drop."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "rc")
+    index = os.path.join(tmp_path, "ri")
+    h = "aaaa bbb ccc"  # shared band 0 for every doc
+    # bands 1-2 pairwise disjoint: band 0 is the ONLY shared key
+    d1 = h + "111111111111" + "222222222222"
+    d2 = h + "333333333333" + "444444444444"
+    d3 = h + "555555555555" + "666666666666"
+    b1 = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], DOC_SCHEMA)
+    # cap 2 < occupancy 3: the shared band-0 bucket is mega from the
+    # start — no pairs, all three kept, the key retired
+    assert (
+        ingest_increment_fuzzy(spark, b1, corpus, index, max_bucket=2, increment_id="r1")
+        == 3
+    )
+    retired = spark.read.parquet(os.path.join(index, "retired", "inc=r1"))
+    assert [(r.band_idx, r.band_val) for r in retired.collect()] == [(0, h)]
+
+    # d4 is edit distance 4 from d1, sharing ONLY the retired band 0
+    # (two subs in band 1, two in band 2) -> no candidates -> KEPT
+    d4 = h + "1111X111111X" + "2222X222222X"
+    # d5 is edit distance 2 from d2 sharing band 2 (non-retired) -> drop
+    d5 = h + "3X33333333X3" + "444444444444"
+    b2 = spark.createDataFrame([(4, d4), (5, d5)], DOC_SCHEMA)
+    assert (
+        ingest_increment_fuzzy(spark, b2, corpus, index, max_bucket=2, increment_id="r2")
+        == 1
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 3, 4]
+    # the already-retired key is not re-recorded
+    retired2 = spark.read.parquet(os.path.join(index, "retired", "inc=r2"))
+    assert (0, h) not in {(r.band_idx, r.band_val) for r in retired2.collect()}
