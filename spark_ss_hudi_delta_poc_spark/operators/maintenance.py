@@ -183,6 +183,64 @@ def bucketed_anti_join_new(
     )
 
 
+def compact_fuzzy_bands_to_bucketed(
+    spark: SparkSession,
+    index_path: str,
+    table_name: str,
+    table_path: str,
+    n_buckets: int = 32,
+) -> int:
+    """Compact the incremental FUZZY ingest's accumulated band-index
+    increments (``<index>/bands/inc=<token>`` — see
+    streaming/incremental.ingest_increment_fuzzy) into ONE metastore
+    table bucketed by ``band_val`` — compact_seen_to_bucketed's pattern
+    applied to the fuzzy probe surface.
+
+    Reading the inc dirs directly gives Spark no layout information, so
+    every increment's history probe re-shuffles the ENTIRE band history
+    on the join key.  Bucketing the compacted base by the FULL join key
+    (band_idx, band_val) fixes the layout: the probe then shuffles only
+    the (small) batch key set into the bucket layout while the
+    corpus-sized band side is read in place — zero exchange above its
+    scan (plan-asserted in tests/test_scale_ops.py; bucketing by a
+    key SUBSET would be rejected by the default
+    requireAllClusterKeysForCoPartition co-partitioning rule and
+    re-shuffle the base).  Production pattern: compacted bucketed BASE
+    + recent uncompacted increments probed separately (base+delta);
+    this job builds the base.
+
+    Reads only COMMITTED increments (marker protocol).  Returns the row
+    count of the compacted base."""
+    from ..streaming.incremental import _committed_paths, _committed_tokens
+
+    dirs = _committed_paths(
+        os.path.join(index_path, "bands"), _committed_tokens(index_path)
+    )
+    if not dirs:
+        return 0
+    bands = spark.read.parquet(*dirs)
+    (
+        bands.write.mode("overwrite")
+        .option("path", table_path)
+        .bucketBy(n_buckets, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name).count()
+
+
+def bucketed_band_probe(
+    batch_keys: DataFrame, spark: SparkSession, table_name: str
+) -> DataFrame:
+    """The co-located fuzzy-history probe: band rows of the bucketed
+    base whose (band_idx, band_val) appears in the batch's key set.
+    The bucketed side's scan carries its layout, so the semi-join plans
+    with an exchange on the BATCH KEY side only — the band history (the
+    side that scales with the corpus) never shuffles."""
+    hist = spark.table(table_name)
+    return hist.join(batch_keys, ["band_idx", "band_val"], "left_semi")
+
+
 def vacuum_uncommitted(table_path: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Remove ORPHANED staged increments: ``inc=<token>`` dirs whose
     commit marker never appeared — the debris a crash between staging

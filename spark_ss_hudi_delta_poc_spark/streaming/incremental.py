@@ -1103,6 +1103,10 @@ def ingest_increment_fuzzy(
     never O(|history|).  Candidate generation + levenshtein verify is
     the IDENTICAL plan as the batch operator
     (dedup.fuzzy_pairs_from_bands) over batch ∪ matching-history bands.
+    At scale the accumulated inc dirs fold into a bucketed base via
+    maintenance.compact_fuzzy_bands_to_bucketed (base+delta: the probe's
+    history side is then read in place with zero exchange — plan-asserted
+    in tests/test_scale_ops.py).
 
     Cap-semantics caveat (documented divergence, the fixed-grid class):
     the batch oracle's mega-bucket cap is evaluated on FINAL corpus

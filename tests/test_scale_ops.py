@@ -370,3 +370,72 @@ def test_vacuum_removes_only_old_uncommitted_increments(spark, tmp_path):
     assert not os.path.isdir(orphan)
     assert os.path.isdir(fresh_orphan)  # young in-flight stage untouched
     assert _committed_paths(seen, _committed_tokens(seen)) == before
+
+
+def test_compact_fuzzy_bands_bucketed_probe_is_colocated(spark, tmp_path):
+    """compact_seen_to_bucketed's co-location argument, applied to the
+    fuzzy ingest's band index: after compaction the history probe plans
+    with at most ONE exchange (the batch key set repartitioning into the
+    bucket layout) — the corpus-sized band side is read in place — and
+    returns exactly the same candidate rows as the raw inc-dir read."""
+    import contextlib
+    import io
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.operators.maintenance import (
+        bucketed_band_probe,
+        compact_fuzzy_bands_to_bucketed,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "corpus")
+    index = os.path.join(tmp_path, "index")
+    mk = lambda head, a, b: head + a * 12 + b * 12  # 12+12+12 = 36-char prefix
+    b1 = spark.createDataFrame(
+        [(i, mk("aaaa bbb ccc", chr(100 + i), chr(110 + i))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, mk("qqqq rrr sss", chr(100 + i), chr(110 + i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 6
+    assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2") == 4
+
+    n = compact_fuzzy_bands_to_bucketed(
+        spark, index, "bands_b", os.path.join(tmp_path, "bands_b"), n_buckets=8
+    )
+    try:
+        assert n == 30  # 10 docs x 3 bands
+        keys = spark.createDataFrame(
+            [(0, "aaaa bbb ccc"), (0, "qqqq rrr sss"), (1, "zzzzzzzzzzzz")],
+            "band_idx int, band_val string",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probed = bucketed_band_probe(keys, spark, "bands_b")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                probed.explain("formatted")
+            plan = buf.getvalue()
+            assert len(re.findall(r"\bExchange \(", plan)) <= 1, plan
+            got = sorted(
+                (r.doc_id, r.band_idx) for r in probed.select("doc_id", "band_idx").collect()
+            )
+            raw = spark.read.parquet(
+                os.path.join(index, "bands", "inc=r1"),
+                os.path.join(index, "bands", "inc=r2"),
+            ).join(keys, ["band_idx", "band_val"], "left_semi")
+            want = sorted(
+                (r.doc_id, r.band_idx) for r in raw.select("doc_id", "band_idx").collect()
+            )
+            assert got == want and len(got) == 10  # every doc's band 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bands_b")
