@@ -520,14 +520,14 @@ def matview_apply_batch(
     stats: list | None = None,
 ) -> None:
     """One micro-batch of the latest-state materialized view against a
-    BUCKETED snapshot (``state_dir/bkt=<user_id % n_buckets>/``): the
-    in-batch latest per user (latest_incoming) upserts into ONLY the
+    BUCKETED snapshot (``state_dir/bkt=<user_id % n_buckets>/v=<V>``):
+    the in-batch latest per user (latest_incoming) upserts into ONLY the
     buckets the batch touched — old rows of those buckets merge via
-    upsert_snapshot, write partitionBy(bkt) to staging, per-bucket dir
-    swap.  Per-batch bytes written ≈ touched_users × |snapshot| /
-    n_buckets (q100's bucketed-merge shape; round-9 fix of the
-    per-trigger full-snapshot rewrite).  Untouched bucket dirs are never
-    opened.
+    upsert_snapshot, write partitionBy(bkt) to staging, then commit by
+    the atomic versioned-bucket manifest flip (_swap_touched_buckets).
+    Per-batch bytes written ≈ touched_users × |snapshot| / n_buckets
+    (q100's bucketed-merge shape; round-9 fix of the per-trigger
+    full-snapshot rewrite).  Untouched bucket dirs are never opened.
     """
     from ..operators.maintenance import upsert_snapshot
 
