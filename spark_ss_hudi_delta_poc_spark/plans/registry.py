@@ -51,12 +51,14 @@ class Query:
 #   Slots 9-41: the rest of the r5 cohort (newest evidence 6 rounds
 #     old): the reference kernels q04-q12 first, then the remaining r5
 #     analytics/LLM rows.
-#   Slots 42-48: oldest-evidence-next (r6 cohort), one per family:
+#   Slots 42-47: oldest-evidence-next (r6 cohort), one per family:
 #     core dedup kernels, recall monitor, streaming ANN serving, LSH
-#     top-k, text quality, stratified sampling.
-#   Slots 49-50: FIRST rows for this round's two new operators
-#     (q103_stream_scd2_compacting, q104_stream_fuzzy_ingest —
-#     same-round evidence per the late-landing-operator rule).
+#     top-k, text quality.
+#   Slots 48-50: FIRST rows for this round's three new operators
+#     (q103_stream_scd2_compacting, q104_stream_fuzzy_ingest,
+#     q105_stream_bottomk_sample — same-round evidence per the
+#     late-landing-operator rule; q105 takes the sampling-family slot
+#     curation_sample_stratified held).
 #
 # Round-12 rotation queue: the remaining 29 r6-cohort rows
 # (ann_ivf_index_topk, ann_lsh_multitable_topk, curation_export_shards,
@@ -116,17 +118,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "embedding_knn_graph",
     "text_rare_token_stats",
-    # --- r6 cohort, oldest-evidence-next, one per family (7) --------------
+    # --- r6 cohort, oldest-evidence-next, one per family (6) --------------
     "dedup_exact",
     "dedup_normalized",
     "dedup_minhash_recall",
     "q91_stream_ann_serving",
     "ann_lsh_topk",
     "text_quality_score",
-    "curation_sample_stratified",
-    # --- first rows for this round's two new operators (2) ----------------
+    # --- first rows for this round's three new operators (3) --------------
     "q103_stream_scd2_compacting",
     "q104_stream_fuzzy_ingest",
+    "q105_stream_bottomk_sample",
 )
 
 

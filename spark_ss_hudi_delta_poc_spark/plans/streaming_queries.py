@@ -11,6 +11,7 @@ from ..streaming.jobs import (
     stream_late_data,
     stream_scd2_history,
     stream_bloom_dedup_ingest,
+    stream_bottomk_sample,
     stream_fuzzy_dedup_ingest,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
@@ -33,6 +34,7 @@ from ..operators.curation import (
     EVAL_MAX_DOCS,
     EVAL_MODULUS,
 )
+from ..functions.hashing import md5_long_sql_duckdb
 from .llm_queries import GOPHER_ORACLE, _oracle_of
 from .registry import Query
 
@@ -531,5 +533,27 @@ QUERIES.append(
         "corpus == documents minus every doc_id_b of fuzzy_edit_pairs "
         "(the oracle composes dedup_fuzzy_edit's own SQL)",
         tags=("streaming", "dedup", "incremental", "similarity"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q105_stream_bottomk_sample",
+        stream_bottomk_sample,
+        f"""
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY {md5_long_sql_duckdb("doc_id")} ASC, doc_id ASC
+        LIMIT 100
+        """,
+        doc="cross-run uniform-sample maintenance (deterministic "
+        "reservoir): documents stream in 3 marker-committed increments; "
+        "each trigger folds (previous 100-row sample UNION batch) "
+        "through one TakeOrdered on the 60-bit md5 priority of doc_id, "
+        "so the always-current sample costs n-row state and zero "
+        "history rescans; bottom-k is exactly merge-associative, so the "
+        "maintained sample == the one-shot batch ORDER BY hash LIMIT n "
+        "at any micro-batch split (hash-checked by the oracle)",
+        tags=("streaming", "sketch", "incremental", "curation"),
     )
 )

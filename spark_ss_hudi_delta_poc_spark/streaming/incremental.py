@@ -1251,3 +1251,96 @@ def incremental_fuzzy_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_bottomk(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    n: int,
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+) -> int:
+    """Incremental BOTTOM-K uniform sample over a growing corpus — the
+    deterministic reservoir: keep the ``n`` rows with the smallest
+    60-bit md5 priority of their id (hash-priority / bottom-k sketch).
+
+    Because "global bottom-k == bottom-k of (previous bottom-k ∪ new
+    batch)", the maintained sample is EXACTLY the sample a one-shot
+    batch pass would draw, independent of micro-batch boundaries and
+    arrival order — which is what the q105 oracle checks (ORDER BY
+    hash LIMIT n).  Every row ever seen had the same inclusion
+    probability, so the sample is uniform over the full corpus without
+    ever rescanning history; per-increment state is n rows, the only
+    exchange is a TakeOrdered merge of (n + |batch|) rows.
+
+    Unlike the append-only ingests, each increment REPLACES the state:
+    ``state_path/inc=<token>`` holds the complete n-row sample as of
+    that increment, committed by the marker; readers take the NEWEST
+    committed token (numeric-aware order).  A replayed increment is a
+    no-op; a crash before the marker leaves the previous state live.
+    Returns the sample size after the increment.
+    """
+    token = (
+        str(increment_id)
+        if increment_id is not None
+        else _content_token(batch.select(md5_long(F.col(id_col)).alias("_h")))
+    )
+    committed = _committed_tokens(state_path)
+    if token in committed:
+        return 0
+    prio = md5_long(F.col(id_col)).alias("_priority")
+    cand = batch.select(*batch.columns, prio)
+    latest = latest_bottomk_dir(state_path)
+    if latest:
+        cand = cand.unionByName(spark.read.parquet(latest))
+    sample = cand.orderBy(F.col("_priority").asc(), F.col(id_col).asc()).limit(n)
+    sample.write.mode("overwrite").parquet(os.path.join(state_path, f"inc={token}"))
+    _write_marker(state_path, token)
+    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+
+
+def latest_bottomk_dir(state_path: str) -> str | None:
+    """Newest committed state dir (numeric-aware token order: batch ids
+    are decimal strings, so '10' must outrank '9')."""
+    tokens = _committed_tokens(state_path)
+    if not tokens:
+        return None
+    newest = max(tokens, key=lambda t: (len(t), t))
+    p = os.path.join(state_path, f"inc={newest}")
+    return p if os.path.isdir(p) else None
+
+
+def incremental_bottomk_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    n: int,
+    id_col: str = "doc_id",
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_bottomk)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_bottomk(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            n,
+            id_col=id_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1143,6 +1143,38 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "n_chars")
 
 
+BOTTOMK_SAMPLE_N = 100
+
+
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-11): cross-run UNIFORM SAMPLE maintenance
+    — the deterministic reservoir.  Documents stream in 3 increments;
+    each trigger folds (previous n-row sample ∪ batch) through one
+    TakeOrdered on the 60-bit md5 priority of doc_id
+    (incremental.ingest_increment_bottomk), so a training pipeline keeps
+    an always-current uniform sample of an ever-growing corpus with
+    n-row state and ZERO history rescans.  Bottom-k is exactly
+    merge-associative, so the final sample equals the one-shot batch
+    ORDER BY hash LIMIT n regardless of micro-batch boundaries or
+    arrival order — which is what the oracle checks."""
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import incremental_bottomk_ingest, latest_bottomk_dir
+
+    work = _workdir("qbottomk")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_bottomk_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+        n=BOTTOMK_SAMPLE_N,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(latest_bottomk_dir(state)).select("doc_id", "n_chars")
+
+
 def late_window_agg(df: DataFrame) -> DataFrame:
     """Core of q98 (shared with the plan-audit shadow): 1-hour windows
     per event_type under a 1-hour watermark."""

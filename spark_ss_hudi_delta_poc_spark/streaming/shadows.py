@@ -280,6 +280,20 @@ def _q100(spark, sf_dir):
     return {"merge": scd2_merge_frames(log, touched, old)}
 
 
+def _q105(spark, sf_dir):
+    from ..functions.hashing import md5_long
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior: TakeOrdered over (n-row state ∪ batch)
+    return {
+        "sample": docs.select(
+            "doc_id", "n_chars", md5_long(F.col("doc_id")).alias("_priority")
+        )
+        .orderBy(F.col("_priority").asc(), F.col("doc_id").asc())
+        .limit(100)
+    }
+
+
 def _q104(spark, sf_dir):
     from ..operators import dedup
 
@@ -325,4 +339,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     # (no join/python/window classes), which the fidelity audit confirms
     "q103_stream_scd2_compacting": _q100,
     "q104_stream_fuzzy_ingest": _q104,
+    "q105_stream_bottomk_sample": _q105,
 }

@@ -654,3 +654,76 @@ def test_ingest_increment_fuzzy_retires_mega_bucket_keys(spark, tmp_path):
     # the already-retired key is not re-recorded
     retired2 = spark.read.parquet(os.path.join(index, "retired", "inc=r2"))
     assert (0, h) not in {(r.band_idx, r.band_val) for r in retired2.collect()}
+
+
+def test_ingest_increment_bottomk_equals_batch_at_any_split(spark, tmp_path):
+    """The bottom-k merge identity: the maintained sample equals the
+    one-shot batch bottom-k regardless of how rows split into
+    increments, and ELEVEN increments pin the numeric-aware newest-token
+    rule (lexicographic max would pick '9' over '10')."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import md5_long
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_bottomk,
+        latest_bottomk_dir,
+    )
+
+    rows = [(i, f"doc {i}") for i in range(220)]
+    want = sorted(
+        (r.doc_id for r in (
+            spark.createDataFrame(rows, DOC_SCHEMA)
+            .select("doc_id", md5_long(F.col("doc_id")).alias("p"))
+            .orderBy("p", "doc_id").limit(10).collect()
+        ))
+    )
+
+    for tag, chunks in (
+        ("even", [rows[i::2] for i in range(2)]),
+        ("eleven", [rows[i * 20:(i + 1) * 20] for i in range(11)]),
+    ):
+        state = os.path.join(tmp_path, f"bk_{tag}")
+        for e, chunk in enumerate(chunks):
+            batch = spark.createDataFrame(chunk, DOC_SCHEMA)
+            ingest_increment_bottomk(spark, batch, state, 10, increment_id=e)
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(latest_bottomk_dir(state)).collect()
+        )
+        assert got == want, tag
+
+
+def test_ingest_increment_bottomk_replay_and_crash_heal(spark, tmp_path, monkeypatch):
+    """A committed replay is a no-op; a crash before the marker leaves
+    the PREVIOUS state live, and the replayed increment completes."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_bottomk,
+        latest_bottomk_dir,
+    )
+
+    state = os.path.join(tmp_path, "bk")
+    b1 = spark.createDataFrame([(i, f"d{i}") for i in range(50)], DOC_SCHEMA)
+    b2 = spark.createDataFrame([(100 + i, f"e{i}") for i in range(50)], DOC_SCHEMA)
+    assert ingest_increment_bottomk(spark, b1, state, 5, increment_id=0) == 5
+    s1 = sorted(r.doc_id for r in spark.read.parquet(latest_bottomk_dir(state)).collect())
+
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_bottomk(spark, b2, state, 5, increment_id=1)
+    # previous state still live (the half-written inc=1 is uncommitted)
+    assert latest_bottomk_dir(state).endswith("inc=0")
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(latest_bottomk_dir(state)).collect()
+    ) == s1
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    assert ingest_increment_bottomk(spark, b2, state, 5, increment_id=1) == 5
+    assert latest_bottomk_dir(state).endswith("inc=1")
+    # replay: no-op
+    assert ingest_increment_bottomk(spark, b2, state, 5, increment_id=1) == 0

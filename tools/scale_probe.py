@@ -261,6 +261,9 @@ PROBE_OPS = [
     # semi-join bounded by the batch's band keys, so the ratio must
     # track the fuzzy_edit pair plan, never O(|history|) per batch
     "q104_stream_fuzzy_ingest",
+    # round-11: bottom-k sample maintenance — per-increment work is one
+    # TakeOrdered over (n + |batch|) rows; only the batch scan grows
+    "q105_stream_bottomk_sample",
 ]
 
 
