@@ -193,7 +193,7 @@ def compact_fuzzy_bands_to_bucketed(
     """Compact the incremental FUZZY ingest's accumulated band-index
     increments (``<index>/bands/inc=<token>`` — see
     streaming/incremental.ingest_increment_fuzzy) into ONE metastore
-    table bucketed by ``band_val`` — compact_seen_to_bucketed's pattern
+    table bucketed by ``(band_idx, band_val)`` — compact_seen_to_bucketed's pattern
     applied to the fuzzy probe surface.
 
     Reading the inc dirs directly gives Spark no layout information, so

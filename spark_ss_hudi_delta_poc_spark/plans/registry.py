@@ -60,19 +60,22 @@ class Query:
 #     late-landing-operator rule; q105 takes the sampling-family slot
 #     curation_sample_stratified held).
 #
-# Round-12 rotation queue: the remaining 29 r6-cohort rows
-# (ann_ivf_index_topk, ann_lsh_multitable_topk, curation_export_shards,
-# curation_filter_report, curation_model_filter, curation_pack_sequences,
-# curation_pretokens, curation_rebalance, curation_sample_bernoulli,
-# curation_sample_weighted, curation_source_mixture,
-# dedup_embedding_clusters, dedup_embedding_clusters_lsh,
+# Round-12 rotation queue: the remaining 32 r6-cohort rows
+# (ann_ivf_index_topk, ann_lsh_multitable_topk,
+# curation_export_shards, curation_filter_report,
+# curation_model_filter, curation_pack_sequences, curation_pretokens,
+# curation_rebalance, curation_sample_bernoulli,
+# curation_sample_stratified, curation_sample_weighted,
+# curation_source_mixture, dedup_embedding_clusters,
+# dedup_embedding_clusters_lsh, dedup_embedding_cosine,
 # dedup_embedding_lsh, dedup_repeated_spans, embedding_knn_graph_lsh,
 # embedding_label_centroids, multimodal_audio_meta, q24_above_cust_avg,
-# q25_set_ops, q29_string_battery, q30_math_battery,
+# q25_set_ops, q26_pivot, q29_string_battery, q30_math_battery,
 # q62_regexp_extract_all, q78_approx_quantiles, text_chunking,
 # text_language_id, text_scrub_pii, text_tfidf_keywords,
-# text_token_counts), then r7 oldest-first; any operator added in
-# round 12 takes a first-row slot ahead of the refresh rows.
+# text_token_counts — including the three displaced from this window
+# by the round-11 operators), then r7 oldest-first; any operator added
+# in round 12 takes a first-row slot ahead of the refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- first rows: the six late-round-9 operators (6) ------------------
     "privacy_t_closeness",

@@ -1277,16 +1277,27 @@ def ingest_increment_bottomk(
     Unlike the append-only ingests, each increment REPLACES the state:
     ``state_path/inc=<token>`` holds the complete n-row sample as of
     that increment, committed by the marker; readers take the NEWEST
-    committed token (numeric-aware order).  A replayed increment is a
-    no-op; a crash before the marker leaves the previous state live.
-    Returns the sample size after the increment.
+    committed token (numeric-aware order), and superseded committed
+    state dirs are pruned after each commit so on-disk state stays n
+    rows (+ the in-flight increment) at any stream lifetime.  Because
+    "newest" must be well-defined, tokens must be totally ordered by
+    commit time: explicit ``increment_id``s must be non-decreasing
+    decimal ints (foreachBatch batch ids are), and the default token is
+    a zero-padded commit-sequence number — NOT a content digest, whose
+    order is unrelated to commit order (review r11); don't mix the two
+    modes on one state dir.  A replayed increment is a no-op; a crash
+    before the marker leaves the previous state live.  Returns the
+    sample size after the increment.
     """
-    token = (
-        str(increment_id)
-        if increment_id is not None
-        else _content_token(batch.select(md5_long(F.col(id_col)).alias("_h")))
-    )
     committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        # next in sequence after the newest surviving token (committed
+        # markers are pruned with their superseded dirs, so a count
+        # would reset and collide; both modes are decimal ints)
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
     prio = md5_long(F.col(id_col)).alias("_priority")
@@ -1297,6 +1308,17 @@ def ingest_increment_bottomk(
     sample = cand.orderBy(F.col("_priority").asc(), F.col(id_col).asc()).limit(n)
     sample.write.mode("overwrite").parquet(os.path.join(state_path, f"inc={token}"))
     _write_marker(state_path, token)
+    # prune superseded states AFTER the commit: the new sample subsumes
+    # them (bottom-k merge identity), so only the newest dir is ever
+    # read again; a crash mid-prune just defers the rest to next time
+    import shutil as _shutil
+
+    for t in committed:
+        _shutil.rmtree(os.path.join(state_path, f"inc={t}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(_commits_dir(state_path), t))
+        except FileNotFoundError:
+            pass
     return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
 
 

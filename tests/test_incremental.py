@@ -727,3 +727,46 @@ def test_ingest_increment_bottomk_replay_and_crash_heal(spark, tmp_path, monkeyp
     assert latest_bottomk_dir(state).endswith("inc=1")
     # replay: no-op
     assert ingest_increment_bottomk(spark, b2, state, 5, increment_id=1) == 0
+
+
+def test_ingest_increment_bottomk_default_tokens_and_pruning(spark, tmp_path):
+    """Default (no increment_id) tokens are zero-padded commit-sequence
+    numbers — content digests order arbitrarily and the replace-style
+    state would resolve 'newest' to a stale sample (review r11) — and
+    superseded committed state dirs are pruned, so disk state after N
+    increments is exactly ONE n-row dir."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_bottomk,
+        latest_bottomk_dir,
+    )
+
+    state = os.path.join(tmp_path, "bk_seq")
+    # deliberately varying batch sizes: content tokens would order by
+    # (len, lex) = row count, not commit order
+    sizes = [200, 90, 40]
+    seen = []
+    for base, size in zip((0, 1000, 2000), sizes):
+        rows = [(base + i, f"d{base + i}") for i in range(size)]
+        seen += rows
+        batch = spark.createDataFrame(rows, DOC_SCHEMA)
+        ingest_increment_bottomk(spark, batch, state, 8)
+    assert latest_bottomk_dir(state).endswith("inc=000000002")
+    incs = [d for d in os.listdir(state) if d.startswith("inc=")]
+    assert incs == ["inc=000000002"], incs  # superseded states pruned
+    # and the sample is the global bottom-k over everything seen
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.functions.hashing import md5_long
+
+    want = sorted(
+        r.doc_id
+        for r in spark.createDataFrame(seen, DOC_SCHEMA)
+        .select("doc_id", md5_long(F.col("doc_id")).alias("p"))
+        .orderBy("p", "doc_id")
+        .limit(8)
+        .collect()
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(latest_bottomk_dir(state)).collect())
+    assert got == want

@@ -416,6 +416,7 @@ def test_compact_fuzzy_bands_bucketed_probe_is_colocated(spark, tmp_path):
             [(0, "aaaa bbb ccc"), (0, "qqqq rrr sss"), (1, "zzzzzzzzzzzz")],
             "band_idx int, band_val string",
         )
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             probed = bucketed_band_probe(keys, spark, "bands_b")
@@ -436,6 +437,6 @@ def test_compact_fuzzy_bands_bucketed_probe_is_colocated(spark, tmp_path):
             )
             assert got == want and len(got) == 10  # every doc's band 0
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     finally:
         spark.sql("DROP TABLE IF EXISTS bands_b")
