@@ -94,6 +94,15 @@ HEADLINE = [
     "embedding_knn_graph",
     "embedding_knn_graph_lsh",
     "multimodal_meta",
+    # round-12 (VERDICT r11 #5): the round-11 cross-run streaming
+    # ingests join the headline so the cost of the stateful maintenance
+    # paths (SCD2 log compaction, fuzzy base+delta folding, bottom-k
+    # state) is tracked per round — three NEW rows, so BENCH_r12's
+    # total is 62 queries vs r11's 59 (compare shared rows / bench_ab,
+    # never raw totals across the boundary)
+    "q103_stream_scd2_compacting",
+    "q104_stream_fuzzy_ingest",
+    "q105_stream_bottomk_sample",
 ]
 
 

@@ -241,12 +241,25 @@ def bucketed_band_probe(
     return hist.join(batch_keys, ["band_idx", "band_val"], "left_semi")
 
 
-def vacuum_uncommitted(table_path: str, min_age_seconds: float = 3600.0) -> list[str]:
+def vacuum_uncommitted(
+    table_path: str,
+    min_age_seconds: float = 3600.0,
+    txn_root: str | None = None,
+) -> list[str]:
     """Remove ORPHANED staged increments: ``inc=<token>`` dirs whose
     commit marker never appeared — the debris a crash between staging
     and marker-create leaves behind (the marker protocol already makes
     readers ignore them; this reclaims the storage, the engine-side
     equivalent of Delta VACUUM / Hudi cleaner for the ingest layout).
+
+    ``txn_root`` is where the ``_commits`` markers live; it defaults to
+    ``table_path`` (the single-table layout), but MUST be passed for
+    multi-table increments whose tables commit under a shared root —
+    e.g. the fuzzy ingest's ``corpus/``, ``bands/`` and ``retired/``
+    all commit under ``index_path`` (ADVICE r11: vacuuming one of those
+    roots with the default would find ZERO committed tokens and delete
+    committed increments).  As a guard, a root with NO ``_commits`` dir
+    raises instead of treating everything as uncommitted.
 
     Only dirs older than ``min_age_seconds`` are touched: an increment
     may legitimately be mid-stage RIGHT NOW, and its marker appears
@@ -257,12 +270,19 @@ def vacuum_uncommitted(table_path: str, min_age_seconds: float = 3600.0) -> list
     import shutil
     import time
 
-    from ..streaming.incremental import _committed_tokens
+    from ..streaming.incremental import _commits_dir, _committed_tokens
 
-    committed = set(_committed_tokens(table_path))
+    root = txn_root if txn_root is not None else table_path
     removed: list[str] = []
     if not os.path.isdir(table_path):
         return removed
+    if not os.path.isdir(_commits_dir(root)):
+        raise ValueError(
+            f"refusing to vacuum {table_path}: no _commits dir under "
+            f"{root} — wrong root (pass txn_root for multi-table "
+            f"increments) or a never-committed table"
+        )
+    committed = set(_committed_tokens(root))
     cutoff = time.time() - min_age_seconds
     for name in os.listdir(table_path):
         if not name.startswith("inc="):

@@ -39,7 +39,10 @@ ingest-increment partitioning of production corpora).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,14 +58,56 @@ def _committed_tokens(txn_root: str) -> list[str]:
     d = _commits_dir(txn_root)
     if not os.path.isdir(d):
         return []
-    return sorted(os.listdir(d))
+    # a crash between the marker's tmp-write and its os.replace leaves
+    # <token>.tmp behind — staged, NOT committed
+    return sorted(t for t in os.listdir(d) if not t.endswith(".tmp"))
 
 
-def _write_marker(txn_root: str, token: str) -> None:
-    """Single atomic commit point for every table of one increment."""
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-created/renamed entry survives power
+    loss, not only process crash (POSIX: the rename itself is atomic,
+    its durability needs the parent dir synced)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_marker(txn_root: str, token: str, payload: dict | None = None) -> None:
+    """Single atomic commit point for every table of one increment.
+    ``payload`` (optional, JSON) rides inside the marker file — e.g. the
+    fuzzy ingest's id high-watermark; readers that only need the token
+    set keep ignoring the content.  fsync'd file + dir: the commit is
+    durable against power loss, not just process crash."""
     os.makedirs(_commits_dir(txn_root), exist_ok=True)
-    with open(os.path.join(_commits_dir(txn_root), token), "w"):
-        pass
+    p = os.path.join(_commits_dir(txn_root), token)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        if payload is not None:
+            json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+    _fsync_dir(_commits_dir(txn_root))
+
+
+def _marker_payloads(txn_root: str) -> dict[str, dict]:
+    """JSON payloads of committed markers (empty/legacy markers → {})."""
+    out: dict[str, dict] = {}
+    d = _commits_dir(txn_root)
+    if not os.path.isdir(d):
+        return out
+    for token in os.listdir(d):
+        if token.endswith(".tmp"):
+            continue
+        try:
+            with open(os.path.join(d, token)) as fh:
+                text = fh.read().strip()
+            out[token] = json.loads(text) if text else {}
+        except (OSError, ValueError):
+            out[token] = {}
+    return out
 
 
 def _committed_paths(table_path: str, tokens: list[str]) -> list[str]:
@@ -86,6 +131,212 @@ def _content_token(hashed: DataFrame, hash_col: str = "_h") -> str:
     return f"{row.c}x{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+# ---------------------------------------------------------------------------
+# Generic inc-dir folding (round-12, VERDICT r11 #3): every cross-run
+# ingest accumulates one ``inc=<token>`` dir per increment per table,
+# forever — the unbounded-directory-count disease the SCD2 log had
+# before round 11.  fold_committed_incs() folds the committed-but-
+# unfolded increments of each table into ONE ``inc=_foldv<V>`` dir
+# (same partition-column layout, so whole-table parquet reads keep
+# seeing every row), optionally registered as a metastore table
+# bucketed by the table's join key so the history probe plans with an
+# exchange on the BATCH side only.  One manifest flip (fsync'd
+# os.replace) commits the fold across ALL tables of the root at once.
+#
+# Crash contract: a crash before the flip leaves the previous manifest
+# and live delta dirs — readers unaffected, the next fold re-runs the
+# work (DROP + rewrite of the never-referenced version).  A crash
+# AFTER the flip but before GC leaves the superseded fold dir on disk;
+# the next fold's heal step removes any fold dir the manifest does not
+# reference, and the canonical reader (_live_table_dirs) resolves
+# through the manifest so it never double-counts.  Unlike the bucketed
+# MERGE swap there is NO keep-previous grace here: the superseded fold
+# dir is removed immediately after the flip (a grace copy would be
+# double-counted by whole-dir partition reads); every ingest resolves
+# its history frames fresh per increment, so nothing holds a lazy
+# frame across a fold.
+FOLD_DIR_PREFIX = "_foldv"
+FOLD_THRESHOLD = 16
+
+
+def _fold_manifest_path(txn_root: str) -> str:
+    return os.path.join(txn_root, "_fold_manifest.json")
+
+
+def _fold_manifest(txn_root: str) -> dict | None:
+    try:
+        with open(_fold_manifest_path(txn_root)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _fold_table_name(table_path: str, version: int) -> str:
+    digest = hashlib.md5(os.path.abspath(table_path).encode()).hexdigest()[:12]
+    return f"fold_{digest}_v{version}"
+
+
+def _register_bucketed(spark: SparkSession, entry: dict) -> None:
+    """Re-register a fold's bucketed metastore table in THIS session
+    when absent (fresh session over an existing index): the bucketed
+    layout on disk is deterministic, CREATE TABLE over the LOCATION
+    restores the exchange-free probe."""
+    if spark.catalog.tableExists(entry["table"]):
+        return
+    cols = ", ".join(f"{n} {t}" for n, t in entry["schema"])
+    keys = ", ".join(entry["bucket_cols"])
+    spark.sql(
+        f"CREATE TABLE {entry['table']} ({cols}) USING parquet "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {entry['n_buckets']} BUCKETS LOCATION '{entry['path']}'"
+    )
+
+
+def _gc_unreferenced_folds(txn_root: str, table_paths: list[str]) -> None:
+    """Remove fold dirs the committed manifest does not reference —
+    crashed-fold debris and post-flip GC stragglers."""
+    man = _fold_manifest(txn_root)
+    for tp in table_paths:
+        live = None
+        if man is not None and man["tables"].get(tp):
+            live = os.path.basename(man["tables"][tp]["path"])
+        if not os.path.isdir(tp):
+            continue
+        for d in os.listdir(tp):
+            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d != live:
+                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+
+
+def fold_committed_incs(
+    spark: SparkSession,
+    txn_root: str,
+    specs: dict[str, list[str] | None],
+    n_buckets: int = 32,
+) -> bool:
+    """Fold each table's committed-but-unfolded ``inc=`` dirs (plus its
+    previous fold) into one ``inc=_foldv<V>`` dir; ``specs`` maps
+    table_path -> bucket columns (the table's equi-join key, or None
+    for data-only tables like the corpus).  Returns True on commit."""
+    man = _fold_manifest(txn_root)
+    folded: set[str] = set(man["folded"]) if man else set()
+    tables = list(specs)
+    _gc_unreferenced_folds(txn_root, tables)
+    committed = _committed_tokens(txn_root)
+    fresh = [t for t in committed if t not in folded]
+    if not any(_committed_paths(tp, fresh) for tp in tables):
+        return False
+    new_v = (man["version"] + 1) if man else 1
+    new_tables: dict[str, dict | None] = {}
+    for tp, bucket_cols in specs.items():
+        prev = man["tables"].get(tp) if man else None
+        parts = []
+        if prev is not None:
+            if prev.get("table"):
+                _register_bucketed(spark, prev)
+                parts.append(spark.table(prev["table"]))
+            else:
+                parts.append(spark.read.parquet(prev["path"]))
+        dirs = _committed_paths(tp, fresh)
+        if dirs:
+            parts.append(spark.read.parquet(*dirs))
+        if not parts:
+            new_tables[tp] = prev
+            continue
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        vdir = os.path.join(tp, f"inc={FOLD_DIR_PREFIX}{new_v}")
+        if bucket_cols:
+            tname = _fold_table_name(tp, new_v)
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")  # crashed-fold replay
+            (
+                src.write.mode("overwrite")
+                .option("path", vdir)
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .saveAsTable(tname)
+            )
+            new_tables[tp] = {
+                "path": vdir,
+                "table": tname,
+                "bucket_cols": bucket_cols,
+                "n_buckets": n_buckets,
+                "schema": [[f.name, f.dataType.simpleString()] for f in src.schema.fields],
+            }
+        else:
+            src.write.mode("overwrite").parquet(vdir)
+            new_tables[tp] = {"path": vdir}
+    manifest = {
+        "version": new_v,
+        "folded": sorted(folded | set(fresh)),
+        "tables": new_tables,
+    }
+    tmp = _fold_manifest_path(txn_root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _fold_manifest_path(txn_root))  # THE commit
+    _fsync_dir(txn_root)
+    # GC: the folded delta dirs and the superseded fold dirs are dead
+    for tp in tables:
+        for t in fresh:
+            shutil.rmtree(os.path.join(tp, f"inc={t}"), ignore_errors=True)
+        entry = new_tables.get(tp)
+        live = os.path.basename(entry["path"]) if entry else None
+        for d in os.listdir(tp) if os.path.isdir(tp) else []:
+            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d != live:
+                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+    if man is not None:
+        for tp, prev in man["tables"].items():
+            if prev and prev.get("table"):
+                new = new_tables.get(tp)
+                if not new or new.get("table") != prev["table"]:
+                    spark.sql(f"DROP TABLE IF EXISTS {prev['table']}")
+    return True
+
+
+def _live_history_frames(
+    spark: SparkSession, txn_root: str, table_path: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(base, delta) history frames of one table under the fold
+    protocol: base = the manifest's fold output (via the metastore
+    table when bucketed, so joins against it stay exchange-free on the
+    history side), delta = committed-but-unfolded inc dirs.  Either is
+    None when absent.  Probes should join each side separately and
+    union RESULTS — unioning base∪delta first would erase the base's
+    bucketed layout."""
+    man = _fold_manifest(txn_root)
+    folded = set(man["folded"]) if man else set()
+    base = None
+    entry = man["tables"].get(table_path) if man else None
+    if entry is not None:
+        if entry.get("table"):
+            _register_bucketed(spark, entry)
+            base = spark.table(entry["table"])
+        else:
+            base = spark.read.parquet(entry["path"])
+    delta_tokens = [t for t in _committed_tokens(txn_root) if t not in folded]
+    dirs = _committed_paths(table_path, delta_tokens)
+    delta = spark.read.parquet(*dirs) if dirs else None
+    return base, delta
+
+
+def _live_table_dirs(txn_root: str, table_path: str) -> list[str]:
+    """All live data dirs of a table (fold output + unfolded deltas) —
+    the canonical read-back listing once folding is enabled
+    (_committed_paths alone misses fold dirs)."""
+    man = _fold_manifest(txn_root)
+    folded = set(man["folded"]) if man else set()
+    out = []
+    entry = man["tables"].get(table_path) if man else None
+    if entry is not None and os.path.isdir(entry["path"]):
+        out.append(entry["path"])
+    delta_tokens = [t for t in _committed_tokens(txn_root) if t not in folded]
+    out.extend(_committed_paths(table_path, delta_tokens))
+    return out
+
+
 def ingest_increment(
     spark: SparkSession,
     batch: DataFrame,
@@ -94,10 +345,19 @@ def ingest_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Dedup `batch` against history and itself, append survivors
     atomically (marker-committed — see module docstring).  Returns the
-    number of newly ingested rows; 0 for an already-committed replay."""
+    number of newly ingested rows; 0 for an already-committed replay.
+
+    History layout is BASE + DELTA (round-12, VERDICT r11 #3): every
+    ``fold_threshold`` committed increments the seen-hash deltas fold
+    into a hash-bucketed base (fold_committed_incs), and the corpus
+    deltas into one compacted dir, so both the live-dir count and the
+    per-increment probe footprint are bounded over stream lifetime.
+    The anti-join runs against base and delta SEPARATELY: the bucketed
+    base side plans with an exchange on the batch side only."""
     hashed = batch.withColumn("_h", md5_long(F.col(text_col)))
     token = str(increment_id) if increment_id is not None else _content_token(hashed)
     committed = _committed_tokens(seen_path)
@@ -112,12 +372,12 @@ def ingest_increment(
     firsts = hashed.join(
         keepers, (F.col("_h") == F.col("_kh")) & (F.col(id_col) == F.col("_keep"))
     ).drop("_kh", "_keep")
-    seen_dirs = _committed_paths(seen_path, committed)
-    if seen_dirs:
-        seen = spark.read.parquet(*seen_dirs).select(F.col("h").alias("_seen_h"))
-        fresh = firsts.join(seen, firsts["_h"] == seen["_seen_h"], "left_anti")
-    else:
-        fresh = firsts
+    base, delta = _live_history_frames(spark, seen_path, seen_path)
+    fresh = firsts
+    for seen_side in (base, delta):
+        if seen_side is not None:
+            seen = seen_side.select(F.col("h").alias("_seen_h"))
+            fresh = fresh.join(seen, fresh["_h"] == seen["_seen_h"], "left_anti")
     fresh = fresh.persist()
     try:
         n = fresh.count()
@@ -132,6 +392,16 @@ def ingest_increment(
     finally:
         fresh.unpersist()
     _write_marker(seen_path, token)  # single commit point for the pair
+    # base+delta maintenance (serialized by the foreachBatch caller)
+    if fold_threshold is not None:
+        man = _fold_manifest(seen_path)
+        folded = set(man["folded"]) if man else set()
+        if len([t for t in committed if t not in folded]) + 1 >= fold_threshold:
+            fold_committed_incs(
+                spark,
+                seen_path,
+                {seen_path: ["h"], corpus_path: None},
+            )
     return n
 
 
@@ -144,6 +414,7 @@ def ingest_increment_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Incremental NEAR-duplicate ingest: drop batch docs that are
     near-dups (Jaccard >= threshold) of anything already ingested, then
@@ -157,6 +428,15 @@ def ingest_increment_neardup(
     New-batch candidates probe history buckets (equi-join on 8-byte keys),
     exact Jaccard verifies against history shingles only for candidates.
     In-batch near-dups are resolved first (keep min doc_id per pair).
+
+    History is BASE + DELTA (round-12, VERDICT r11 #3): every
+    ``fold_threshold`` committed increments, fold_committed_incs folds
+    the accumulated ``inc=`` dirs — buckets into a base bucketed by its
+    probe key (band, band_hash), shingles by doc_id (the candidate
+    semi-join key; post-semi-join frames are candidate-bounded), the
+    corpus into one compacted data dir.  Live-dir count and the
+    per-increment probe's exchange structure are therefore bounded over
+    stream lifetime instead of growing one dir per increment forever.
     Returns the number of ingested docs; 0 for a committed replay.
     """
     from ..operators import dedup
@@ -184,6 +464,7 @@ def ingest_increment_neardup(
         return _ingest_neardup_inner(
             spark, batch_kept, new_buckets, new_shingles, corpus_path, index_path,
             buckets_path, shingles_path, committed, token, threshold, id_col,
+            fold_threshold,
         )
     finally:
         new_buckets.unpersist()
@@ -203,27 +484,48 @@ def _ingest_neardup_inner(
     token: str,
     threshold: float,
     id_col: str,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
-    hist_bucket_dirs = _committed_paths(buckets_path, committed)
-    hist_shingle_dirs = _committed_paths(shingles_path, committed)
-    if hist_bucket_dirs:
-        hist_buckets = spark.read.parquet(*hist_bucket_dirs)
-        hist_shingles = spark.read.parquet(*hist_shingle_dirs)
-        cand = (
+    # history = bucketed BASE + recent deltas (round-12, VERDICT r11 #3);
+    # each side is probed SEPARATELY and the results unioned — a
+    # base∪delta union before the join would erase the base's bucketed
+    # layout and re-shuffle the whole history every increment
+    hb_base, hb_delta = _live_history_frames(spark, index_path, buckets_path)
+    hs_base, hs_delta = _live_history_frames(spark, index_path, shingles_path)
+    bucket_sides = [b for b in (hb_base, hb_delta) if b is not None]
+    shingle_sides = [s for s in (hs_base, hs_delta) if s is not None]
+    if bucket_sides:
+        cand_parts = [
             new_buckets.alias("n")
             .join(
-                hist_buckets.alias("h"),
+                hb.alias("h"),
                 (F.col("n.band") == F.col("h.band")) & (F.col("n.band_hash") == F.col("h.band_hash")),
             )
             .select(F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("hist_id"))
-            .distinct()
-        )
+            for hb in bucket_sides
+        ]
+        cand = cand_parts[0]
+        for part in cand_parts[1:]:
+            cand = cand.unionByName(part)
+        cand = cand.distinct()
         n_sz = new_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-        h_sz = hist_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+        # verify surfaces bounded by the CANDIDATE hist docs: sizes and
+        # shingle matches only read history rows of docs some candidate
+        # pair references (result-identical — h_sz/inter are consumed
+        # via joins on cand's hist_id — but the per-increment groupBy
+        # no longer aggregates the entire shingle history)
+        cand_hist = cand.select(F.col("hist_id").alias("doc_id")).distinct()
+        needed_parts = [
+            hs.join(cand_hist, "doc_id", "left_semi") for hs in shingle_sides
+        ]
+        hist_needed = needed_parts[0]
+        for part in needed_parts[1:]:
+            hist_needed = hist_needed.unionByName(part)
+        h_sz = hist_needed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
         inter = (
             cand.join(new_shingles.alias("ns"), cand.new_id == F.col("ns.doc_id"))
             .join(
-                hist_shingles.alias("hs"),
+                hist_needed.alias("hs"),
                 (cand.hist_id == F.col("hs.doc_id")) & (F.col("ns.shingle") == F.col("hs.shingle")),
             )
             .groupBy("new_id", "hist_id")
@@ -257,6 +559,27 @@ def _ingest_neardup_inner(
     finally:
         survivors.unpersist()
     _write_marker(index_path, token)  # single commit point for all three
+    # base+delta maintenance (serialized by the foreachBatch caller):
+    # LSH buckets and shingles fold into bases bucketed by their probe
+    # join keys, the corpus into one compacted data dir
+    if fold_threshold is not None:
+        man = _fold_manifest(index_path)
+        folded = set(man["folded"]) if man else set()
+        if len([t for t in committed if t not in folded]) + 1 >= fold_threshold:
+            fold_committed_incs(
+                spark,
+                index_path,
+                {
+                    buckets_path: ["band", "band_hash"],
+                    # doc_id, not (doc_id, shingle): the only history-
+                    # sized shingle operation is the candidate semi-join
+                    # on doc_id (exact bucket keys ⇒ base side exchange-
+                    # free); everything after it is candidate-bounded,
+                    # so its (doc_id, shingle) re-shuffle is small
+                    shingles_path: ["doc_id"],
+                    corpus_path: None,
+                },
+            )
     return n
 
 
@@ -1065,6 +1388,219 @@ def incremental_bloom_ingest(
     )
 
 
+# fold the fuzzy band index's committed delta dirs into the bucketed
+# base every this-many increments (q104 forces 2 so its gate run
+# exercises the fold; None disables folding entirely)
+FUZZY_FOLD_THRESHOLD = 16
+FUZZY_BASE_BUCKETS = 32
+
+
+def _fuzzy_base_dir(index_path: str) -> str:
+    return os.path.join(index_path, "band_base")
+
+
+def _fuzzy_base_table_name(index_path: str, version: int) -> str:
+    """Deterministic metastore name per (index, version) — a crashed
+    fold's replay rebuilds the SAME table, and GC of superseded
+    versions can name them without a manifest."""
+    digest = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
+    return f"fzb_{digest}_v{version}"
+
+
+def _fuzzy_base_manifest(index_path: str) -> dict | None:
+    """The committed bucketed-base manifest (None before the first
+    fold): {version, folded tokens, table, path, n_buckets, schema,
+    retired snapshot path}.  The os.replace'd manifest file IS the
+    fold's commit point — a version dir without a manifest pointing at
+    it is crashed-fold debris that readers never consult."""
+    p = os.path.join(_fuzzy_base_dir(index_path), "_manifest.json")
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _register_fuzzy_base(spark: SparkSession, man: dict) -> None:
+    """Re-register the bucketed base in THIS session's metastore when
+    absent (a fresh session over an existing index): Spark's bucketed
+    layout is deterministic on disk, so CREATE TABLE ... CLUSTERED BY
+    over the existing LOCATION restores the exchange-free probe."""
+    if spark.catalog.tableExists(man["table"]):
+        return
+    cols = ", ".join(f"{n} {t}" for n, t in man["schema"])
+    spark.sql(
+        f"CREATE TABLE {man['table']} ({cols}) USING parquet "
+        f"CLUSTERED BY (band_idx, band_val) SORTED BY (band_idx, band_val) "
+        f"INTO {man['n_buckets']} BUCKETS LOCATION '{man['path']}'"
+    )
+
+
+def fold_fuzzy_band_base(
+    spark: SparkSession, index_path: str, n_buckets: int = FUZZY_BASE_BUCKETS
+) -> bool:
+    """Fold the fuzzy band index's committed-but-unfolded ``inc=`` delta
+    dirs (plus the previous base) into a NEW bucketed base version —
+    the live-path productionization of
+    maintenance.compact_fuzzy_bands_to_bucketed (VERDICT r11 #1: the
+    bucketed base existed and was plan-tested but the ingest never
+    called it, so every increment re-read and re-shuffled the ENTIRE
+    band history).  After a fold the per-increment probe reads
+    base (bucketed, zero exchange above its scan) ∪ recent deltas only.
+
+    Crash-atomic by the manifest-flip protocol (compact_scd2_log's
+    class): the new version writes to ``band_base/v=<V>`` under a
+    deterministic table name, the retired-key snapshot to
+    ``band_base/retired_v=<V>``, and the fold commits only when
+    ``_manifest.json`` is os.replace'd (fsync'd file + dir).  Readers
+    resolve the base THROUGH the manifest, so a crash at any point
+    leaves the previous consistent view and the replayed fold heals
+    (DROP + rewrite of the same not-yet-referenced version).  GC keeps
+    the PREVIOUS version intact for one fold cycle — a lazy DataFrame
+    obtained from the pre-fold manifest stays executable until the
+    NEXT fold commits (the snapshot-lifetime contract).
+
+    Write amplification: each fold rewrites the full base (single-tier;
+    every ``threshold`` increments, so the whole index is rewritten
+    O(N/threshold) times over stream life).  The SCD2 log's size-tiered
+    minor/major split (jobs.compact_scd2_log) is the extension if fold
+    I/O ever dominates — not applied here because the band index is
+    ~3 rows/doc and the probe, not the fold, is the hot path.
+
+    Returns True when a fold committed."""
+    man = _fuzzy_base_manifest(index_path)
+    folded = set(man["folded"]) if man else set()
+    bands_path = os.path.join(index_path, "bands")
+    retired_path = os.path.join(index_path, "retired")
+    # heal a predecessor's incomplete GC: committed-folded dirs on disk
+    for root in (bands_path, retired_path):
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if name.startswith("inc=") and name[len("inc="):] in folded:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    committed = _committed_tokens(index_path)
+    fresh = [t for t in committed if t not in folded]
+    band_dirs = _committed_paths(bands_path, fresh)
+    if not band_dirs:
+        return False
+    new_v = (man["version"] + 1) if man else 1
+    base_dir = _fuzzy_base_dir(index_path)
+    vdir = os.path.join(base_dir, f"v={new_v}")
+    table = _fuzzy_base_table_name(index_path, new_v)
+    src = spark.read.parquet(*band_dirs)
+    if man is not None:
+        _register_fuzzy_base(spark, man)
+        src = spark.table(man["table"]).unionByName(src)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")  # crashed-fold replay heals
+    (
+        src.write.mode("overwrite")
+        .option("path", vdir)
+        .bucketBy(n_buckets, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .saveAsTable(table)
+    )
+    # retired-key snapshot: previous snapshot ∪ fresh retired deltas
+    ret_parts = []
+    if man is not None and man.get("retired"):
+        ret_parts.append(spark.read.parquet(man["retired"]))
+    ret_dirs = _committed_paths(retired_path, fresh)
+    if ret_dirs:
+        ret_parts.append(spark.read.parquet(*ret_dirs))
+    retired_snap = None
+    if ret_parts:
+        out = ret_parts[0]
+        for part in ret_parts[1:]:
+            out = out.unionByName(part)
+        retired_snap = os.path.join(base_dir, f"retired_v={new_v}")
+        (
+            out.select("band_idx", "band_val")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(retired_snap)
+        )
+    manifest = {
+        "version": new_v,
+        "folded": sorted(folded | set(fresh)),
+        "table": table,
+        "path": vdir,
+        "n_buckets": n_buckets,
+        "schema": [[f.name, f.dataType.simpleString()] for f in src.schema.fields],
+        "retired": retired_snap,
+    }
+    mpath = os.path.join(base_dir, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)  # THE commit
+    _fsync_dir(base_dir)
+    # GC (all orders crash-safe — readers resolve through the manifest):
+    # the just-folded delta dirs are dead now ...
+    for root in (bands_path, retired_path):
+        for t in fresh:
+            shutil.rmtree(os.path.join(root, f"inc={t}"), ignore_errors=True)
+    # ... and versions OLDER than the previous one (keep new_v and
+    # new_v-1: the one-fold snapshot-lifetime grace for lazy readers)
+    for v in range(1, new_v - 1):
+        spark.sql(f"DROP TABLE IF EXISTS {_fuzzy_base_table_name(index_path, v)}")
+        shutil.rmtree(os.path.join(base_dir, f"v={v}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(base_dir, f"retired_v={v}"), ignore_errors=True)
+    return True
+
+
+def _fuzzy_retired_keys(
+    spark: SparkSession, index_path: str, delta_tokens: list[str], man: dict | None
+) -> DataFrame | None:
+    """Retired (band_idx, band_val) keys = the manifest's snapshot ∪ the
+    uncompacted delta dirs, distinct; None when neither exists."""
+    parts = []
+    if man is not None and man.get("retired"):
+        parts.append(spark.read.parquet(man["retired"]))
+    retired_dirs = _committed_paths(os.path.join(index_path, "retired"), delta_tokens)
+    if retired_dirs:
+        parts.append(spark.read.parquet(*retired_dirs).select("band_idx", "band_val"))
+    if not parts:
+        return None
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
+
+
+def _fuzzy_history_probe(
+    spark: SparkSession,
+    index_path: str,
+    delta_tokens: list[str],
+    man: dict | None,
+    batch_keys: DataFrame,
+) -> DataFrame | None:
+    """The bounded history-probe surface: bucketed base (exchange-free
+    scan, semi-joined on the batch's band keys) ∪ the ≤ fold_threshold
+    uncompacted delta dirs, also semi-joined.  Shared by the ingest and
+    the read-footprint test so the plan they pin is the plan that runs."""
+    parts = []
+    if man is not None:
+        from ..operators.maintenance import bucketed_band_probe
+
+        _register_fuzzy_base(spark, man)
+        parts.append(bucketed_band_probe(batch_keys, spark, man["table"]))
+    hist_dirs = _committed_paths(os.path.join(index_path, "bands"), delta_tokens)
+    if hist_dirs:
+        parts.append(
+            spark.read.parquet(*hist_dirs).join(
+                batch_keys, ["band_idx", "band_val"], "left_semi"
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def ingest_increment_fuzzy(
     spark: SparkSession,
     batch: DataFrame,
@@ -1075,6 +1611,7 @@ def ingest_increment_fuzzy(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FUZZY_FOLD_THRESHOLD,
 ) -> int:
     """Incremental FUZZY-duplicate ingest (round-11; the fuzzy_edit
     family's cross-run variant): drop batch docs whose normalized
@@ -1099,14 +1636,25 @@ def ingest_increment_fuzzy(
                crossed FUZZY_MAX_BUCKET; they generate no candidates in
                any later increment (the forward work bound)
     Per-increment cost: history bands are touched ONLY via a semi-join
-    on the batch's band keys, so the probe reads ~|batch| x occupancy,
-    never O(|history|).  Candidate generation + levenshtein verify is
-    the IDENTICAL plan as the batch operator
-    (dedup.fuzzy_pairs_from_bands) over batch ∪ matching-history bands.
-    At scale the accumulated inc dirs fold into a bucketed base via
-    maintenance.compact_fuzzy_bands_to_bucketed (base+delta: the probe's
-    history side is then read in place with zero exchange — plan-asserted
-    in tests/test_scale_ops.py).
+    on the batch's band keys, and the history side is BASE + DELTA
+    (round-12, VERDICT r11 #1): every ``fold_threshold`` committed
+    increments the delta dirs fold into a bucketed metastore base
+    (fold_fuzzy_band_base — manifest-flip atomic, superseded deltas
+    GC'd), so the probe reads the bucketed base (bucketBy the FULL join
+    key ⇒ zero exchange above its scan) ∪ at most ``fold_threshold``
+    recent delta dirs.  Neither the number of dirs read nor the
+    exchanges above the history scan grows with increment count
+    (pinned by tests/test_incremental.py::
+    test_fuzzy_ingest_probe_footprint_bounded_by_fold).  Candidate
+    generation + levenshtein verify is the IDENTICAL plan as the batch
+    operator (dedup.fuzzy_pairs_from_bands) over batch ∪
+    matching-history bands.
+
+    Id-order guard (round-12, ADVICE r11): the drop rule's batch-oracle
+    equivalence REQUIRES id-ordered arrival, so each increment commits
+    its max ``id_col`` as a high-watermark in the marker payload and a
+    later increment whose min id does not exceed every committed
+    watermark raises ValueError instead of silently diverging.
 
     Cap-semantics caveat (documented divergence, the fixed-grid class):
     the batch oracle's mega-bucket cap is evaluated on FINAL corpus
@@ -1133,22 +1681,42 @@ def ingest_increment_fuzzy(
 
     if max_bucket is None:
         max_bucket = dedup.FUZZY_MAX_BUCKET
+
+    # id-order runtime guard: one tiny agg over the batch, compared to
+    # the committed markers' high-watermarks (legacy empty markers have
+    # no watermark and are skipped — backward compatible)
+    idrow = batch.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).collect()[0]
+    marks = [
+        p["max_id"]
+        for p in _marker_payloads(index_path).values()
+        if p.get("max_id") is not None
+    ]
+    high_watermark = max(marks) if marks else None
+    if (
+        idrow.lo is not None
+        and high_watermark is not None
+        and idrow.lo <= high_watermark
+    ):
+        raise ValueError(
+            f"ingest_increment_fuzzy requires id-ordered arrival: batch min "
+            f"{id_col}={idrow.lo} <= committed high-watermark {high_watermark} "
+            f"(the drop rule's batch-oracle equivalence would silently break)"
+        )
+
     pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
     new_bands = dedup.fuzzy_band_table(pfx).persist()
     try:
-        hist_dirs = _committed_paths(bands_path, committed)
-        retired_dirs = _committed_paths(retired_path, committed)
+        man = _fuzzy_base_manifest(index_path)
+        base_folded = set(man["folded"]) if man else set()
+        delta_tokens = [t for t in committed if t not in base_folded]
         # persist: retired feeds three anti-joins per increment (probe
         # keys, pair-gen buckets, newly_retired) — without it the
-        # one-dir-per-increment listing + distinct re-runs each time
-        retired = (
-            spark.read.parquet(*retired_dirs)
-            .select("band_idx", "band_val")
-            .distinct()
-            .persist()
-            if retired_dirs
-            else None
-        )
+        # snapshot+delta listing + distinct re-runs each time
+        retired = _fuzzy_retired_keys(spark, index_path, delta_tokens, man)
+        if retired is not None:
+            retired = retired.persist()
         # retired keys leave the probe BEFORE the history semi-join —
         # this is where the forward work bound is realized: a mega-key's
         # ever-growing history rows are never read again (the cap filter
@@ -1158,14 +1726,11 @@ def ingest_increment_fuzzy(
         batch_keys = new_bands.select("band_idx", "band_val").distinct()
         if retired is not None:
             batch_keys = batch_keys.join(retired, ["band_idx", "band_val"], "left_anti")
-        if hist_dirs:
-            hist_bands = spark.read.parquet(*hist_dirs)
-            # probe surface bounded by the BATCH's band keys — the only
-            # history rows read are those sharing a key with the batch
-            probe = hist_bands.join(batch_keys, ["band_idx", "band_val"], "left_semi")
-            allb = new_bands.unionByName(probe)
-        else:
-            allb = new_bands
+        # history probe = bucketed base ∪ uncompacted deltas, bounded by
+        # the BATCH's band keys — the only history rows read are those
+        # sharing a band key with the batch
+        probe = _fuzzy_history_probe(spark, index_path, delta_tokens, man, batch_keys)
+        allb = new_bands if probe is None else new_bands.unionByName(probe)
         pairs = dedup.fuzzy_pairs_from_bands(
             allb, max_dist=max_dist, max_bucket=max_bucket, retired=retired
         )
@@ -1206,7 +1771,18 @@ def ingest_increment_fuzzy(
             )
         finally:
             survivors.unpersist()
-        _write_marker(index_path, token)  # single commit point for all three
+        # single commit point for all three tables; the payload carries
+        # the id high-watermark for the next increment's order guard
+        _write_marker(
+            index_path,
+            token,
+            payload={"max_id": idrow.hi},
+        )
+        # base+delta maintenance (serialized with ingests by the
+        # foreachBatch caller, compact_scd2_log's structural fencing):
+        # fold once enough uncompacted deltas accumulate
+        if fold_threshold is not None and len(delta_tokens) + 1 >= fold_threshold:
+            fold_fuzzy_band_base(spark, index_path)
         return n
     finally:
         new_bands.unpersist()
@@ -1223,11 +1799,14 @@ def incremental_fuzzy_ingest(
     schema,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_threshold: int | None = FUZZY_FOLD_THRESHOLD,
 ):
     """Streaming wrapper: file stream → foreachBatch(
     ingest_increment_fuzzy).  Restart-safe the same two ways as
     incremental_dedup_ingest: committed replays are no-ops, crashed
-    increments re-stage their own ``inc=<batch_id>`` dirs."""
+    increments re-stage their own ``inc=<batch_id>`` dirs.  foreachBatch
+    serializes the batches, which structurally fences the in-ingest
+    base fold against concurrent probes (compact_scd2_log's argument)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1243,6 +1822,7 @@ def incremental_fuzzy_ingest(
             text_col=text_col,
             id_col=id_col,
             increment_id=batch_id,
+            fold_threshold=fold_threshold,
         )
 
     return (

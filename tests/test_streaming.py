@@ -536,6 +536,48 @@ def test_swap_heals_stale_staging_from_a_crashed_batch(spark, tmp_path):
     # junk never leaked into the history
     assert hist.where("event_type = 'not parquet'").count() == 0
 
+def test_swap_keeps_previous_version_for_one_batch(spark, tmp_path):
+    """The snapshot-lifetime contract (ADVICE r11): a lazy frame
+    resolved from the pre-swap manifest stays executable after ONE more
+    swap of its bucket (GC keeps current + previous version), and a
+    second swap retires the oldest version — bounded at two versions
+    per bucket, not unbounded growth."""
+    import os
+
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import (
+        MATVIEW_N_BUCKETS,
+        matview_apply_batch,
+        read_matview_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+
+    def batch(eid, etype):
+        return spark.createDataFrame(
+            [(eid, "2024-01-01 00:00:00", 7, etype, 1.0, "{}")],
+            "event_id long, tss string, user_id long, event_type string, "
+            "value double, payload string",
+        ).selectExpr(
+            "event_id", "to_timestamp(tss) AS ts", "user_id", "event_type",
+            "value", "payload",
+        )
+
+    matview_apply_batch(spark, batch(1, "click"), state_dir)
+    snap = read_matview_state(spark, state_dir)  # lazy, pinned to v=1
+    matview_apply_batch(spark, batch(2, "view"), state_dir)
+    # one swap later: the pinned snapshot still executes (grace kept v=1)
+    assert [r.last_type for r in snap.where("user_id = 7").collect()] == ["click"]
+    bdir = os.path.join(state_dir, f"bkt={7 % MATVIEW_N_BUCKETS}")
+    assert sorted(os.listdir(bdir)) == ["v=1", "v=2"]
+    matview_apply_batch(spark, batch(3, "purchase"), state_dir)
+    # a second swap retires the oldest version — two versions, always
+    assert sorted(os.listdir(bdir)) == ["v=2", "v=3"]
+    assert [
+        r.last_type
+        for r in read_matview_state(spark, state_dir).where("user_id = 7").collect()
+    ] == ["purchase"]
+
+
 def test_scd2_apply_batch_reads_only_touched_log_buckets(spark, tmp_path):
     """The q100 READ-amplification contract (VERDICT r9 #1), symmetric
     to the write-footprint test above: a follow-up batch touching ONE
@@ -685,10 +727,12 @@ def test_swap_crash_before_manifest_flip_keeps_old_snapshot(spark, tmp_path, mon
     assert got == want
 
     # replay of epoch 1 heals: swap completes, orphan GC'd, merge right
+    # (the PREVIOUS committed version v=1 survives by the one-swap
+    # snapshot grace; the crash orphan v=2 does not)
     scd2_apply_batch(spark, nxt, log_dir, hist_dir, epoch_id=1)
     manifest = _read_bucket_manifest(hist_dir)
-    live = [d for d in os.listdir(bkt3) if d.startswith("v=")]
-    assert live == [f"v={manifest[3]}"]
+    live = sorted(d for d in os.listdir(bkt3) if d.startswith("v="))
+    assert live == sorted({"v=1", f"v={manifest[3]}"}) and manifest[3] == 3
     hist = read_scd2_history(spark, hist_dir)
     u3 = sorted((r.version, r.event_type) for r in hist.where("user_id = 3").collect())
     assert u3[-1][1] == "purchase"
