@@ -1176,7 +1176,7 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert man is not None, "fold_threshold=2 over 3 increments must have folded"
     # max occupancy over the FULL index (base + unfolded deltas)
     _register_fuzzy_base(spark, man)
-    bands = spark.table(man["table"])
+    bands = spark.table(man["table"]).drop("pp")
     delta = _committed_paths(os.path.join(index, "bands"), tokens)
     if delta:
         bands = bands.unionByName(spark.read.parquet(*delta))

@@ -729,6 +729,53 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     assert spark.read.parquet(want_prefix).count() == 33
 
 
+def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
+    """VERDICT r11 watch-item: bucketing removes the base probe's
+    exchange, the pp=md5(band_val)%64 hash-prefix partitioning removes
+    its I/O — a probe whose batch touches one band value must list
+    input files ONLY under that value's pp dir, while other pp dirs
+    exist on disk with real files."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fuzzy_base_manifest,
+        _fuzzy_history_probe,
+        _fuzzy_pp_col,
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "pc")
+    index = os.path.join(tmp_path, "pi")
+    heads = ["a001 bbb ccc", "b001 ddd eee", "c001 fff ggg", "d001 hhh iii"]
+    b1 = spark.createDataFrame(
+        [(i, _p36(h)) for i, h in enumerate(heads[:2], start=1)], DOC_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(10 + i, _p36(h)) for i, h in enumerate(heads[2:], start=1)], DOC_SCHEMA
+    )
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1", fold_threshold=2) == 2
+    assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2) == 2
+    man = _fuzzy_base_manifest(index)
+    assert man is not None and man.get("pp_mod")
+    # several distinct pp dirs exist (4 docs x 3 band values each)
+    vdir = man["path"]
+    pp_dirs = {d for d in os.listdir(vdir) if d.startswith("pp=")}
+    assert len(pp_dirs) > 1, f"need multiple pp dirs to prove pruning: {pp_dirs}"
+
+    probe_val = heads[0]  # band 0 value of doc 1
+    keys = spark.createDataFrame([(0, probe_val)], "band_idx int, band_val string")
+    want_pp = (
+        spark.createDataFrame([(probe_val,)], "band_val string")
+        .select(_fuzzy_pp_col().alias("pp"))
+        .collect()[0]
+        .pp
+    )
+    probe = _fuzzy_history_probe(spark, index, [], man, keys)
+    files = probe.inputFiles()
+    assert files, "probe listed no files"
+    for f in files:
+        assert f"/pp={want_pp}/" in f, f"unpruned pp dir read: {f}"
+    assert sorted(r.doc_id for r in probe.select("doc_id").collect()) == [1]
+
+
 def test_fuzzy_fold_crash_heals_at_next_increment(spark, tmp_path, monkeypatch):
     """A crash DURING the base fold (before the manifest flip) cannot
     lose the already-committed increment: the replayed batch is a no-op,
