@@ -512,7 +512,7 @@ def semantic_dedup_diverse(
     cent_lookup = {int(c): np.asarray(row, dtype=np.float64) for c, row in zip(cent_ids, cent_mat)}
     assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
 
-    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cvec = cent_lookup[int(key[0])]
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
@@ -640,7 +640,7 @@ def semantic_dedup(
     # per-element array lambdas was measured ~100x slower than the
     # matmul at 60k vectors (the lambdas drop out of codegen).  Blocked
     # by rows so peak memory is block x m, never m^2.
-    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
         nsq = (mat * mat).sum(axis=1)
@@ -749,7 +749,7 @@ def cosine_neardup_pairs(
         "id", "qv", "blk", F.col("t.pa").alias("pa"), F.col("t.pb").alias("pb")
     )
 
-    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pa, pb = key
         ids = pdf["id"].to_numpy(dtype=np.int64)
         blk = pdf["blk"].to_numpy(dtype=np.int64)
@@ -834,7 +834,7 @@ def knn_graph(
             out_c.extend(cand_c[order])
         return out_s, out_n, out_c
 
-    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pa, pb = key
         ids = pdf["id"].to_numpy(dtype=np.int64)
         blk = pdf["blk"].to_numpy(dtype=np.int64)
