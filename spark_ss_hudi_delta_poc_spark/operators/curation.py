@@ -956,3 +956,173 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_KEEP_NUM, DSIR_KEEP_DEN = 1, 4  # keep the top quarter by importance
+
+
+def dsir_importance_filter(
+    docs: DataFrame,
+    target_pred=None,
+    n_buckets: int = DSIR_BUCKETS,
+    keep_num: int = DSIR_KEEP_NUM,
+    keep_den: int = DSIR_KEEP_DEN,
+    threshold_e9: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"
+    — public): score every document by how much more likely its hashed
+    n-gram features are under a TARGET distribution than under the raw
+    corpus, and keep the documents whose importance ratio clears a
+    deterministic threshold.
+
+    Model (the paper's bag-of-hashed-ngrams estimator): features are
+    unigrams + adjacent bigrams hashed into ``n_buckets`` buckets
+    (``feat_bucket = md5_long(gram) % n_buckets`` — a corpus-independent
+    <= n_buckets domain); bucket probabilities are add-one smoothed
+    counts under the target sample vs the whole corpus.  The per-bucket
+    importance ratio is e9 fixed-point scaled,
+
+        r_e9 = floor(1e9 * (ct_t+1)*(N_r+B) / ((ct_r+1)*(N_t+B))),
+
+    one double expression with a pinned operation order, identical in
+    the DuckDB oracle (cross-engine IEEE determinism; ratio <= the
+    raw/target size ratio because ct_r >= ct_t, so r_e9 never
+    approaches int64).  A document's score is the count-weighted mean
+    ratio over its buckets — summed in DECIMAL(38,0)/HUGEINT per the
+    registry's exact-arithmetic rule, one truncating integer division
+    at the end.
+
+    Keep rule: the paper resamples the top-k by Gumbel-perturbed
+    importance to hit an exact output size; the registry's no-rand rule
+    replaces the perturbation with the deterministic total order
+    (score_e9 DESC, doc_id ASC) and keeps the top
+    ``keep_num/keep_den`` fraction (k = (N*num + den - 1) // den,
+    integer arithmetic both engines).  The k-th row's (score, id) pair
+    is found with two orderBy+limit passes — the TakeOrdered
+    certificate, never a single-partition row_number window — and the
+    keep decision is a map-only literal comparison.  Pass
+    ``threshold_e9`` to use an absolute importance cutoff
+    (score_e9 >= threshold_e9) instead of the rank rule.
+
+    ``target_pred`` selects the in-corpus target sample (a stand-in for
+    the paper's out-of-corpus target set — the plumbing is identical:
+    any target DataFrame's counts can be substituted); defaults to
+    ``lang = 'en'``.
+
+    Scale: ONE corpus-sized aggregate builds (doc_id, feat_bucket, c);
+    the target counts reuse it (semi-join on the target ids); the
+    bucket-ratio table is <= n_buckets rows by construction and
+    BROADCASTS back onto the doc features (the certificate-friendly
+    bounded-group-key broadcast, plan-gated); the final per-doc sum is
+    one doc_id-keyed shuffle with integer partial aggregation.  No
+    Python in the loop, ~3 shuffles, survives 100x corpus growth.
+
+    Output: (doc_id, n_grams, score_e9, keep).
+    """
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    w = words(F.col(text_col))
+    ws = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), target_pred.alias("_is_target"), w.alias("w")
+    )
+    uni = ws.select("doc_id", "_is_target", F.explode("w").alias("gram"))
+    bi = ws.where(F.size("w") >= 2).select(
+        "doc_id",
+        "_is_target",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    grams = uni.unionByName(bi).select(
+        "doc_id",
+        "_is_target",
+        F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("feat_bucket"),
+    )
+    doc_feats = grams.groupBy("doc_id", "_is_target", "feat_bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ct_r = doc_feats.groupBy("feat_bucket").agg(F.sum("c").alias("ct_r"))
+    ct_t = (
+        doc_feats.where(F.col("_is_target"))
+        .groupBy("feat_bucket")
+        .agg(F.sum("c").alias("ct_t"))
+    )
+    totals = doc_feats.agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias("n_t"),
+    )
+    # every doc bucket appears in ct_r (raw spans all docs): left join +
+    # coalesce covers raw-only buckets; ratio in ONE pinned-order double
+    # expression so the oracle reproduces it bit-identically
+    ratios = (
+        ct_r.join(ct_t, "feat_bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "feat_bucket",
+            F.floor(
+                (F.coalesce(F.col("ct_t"), F.lit(0)) + F.lit(1)).cast("double")
+                * (F.col("n_r") + F.lit(n_buckets)).cast("double")
+                * F.lit(1_000_000_000.0)
+                / (
+                    (F.col("ct_r") + F.lit(1)).cast("double")
+                    * (F.col("n_t") + F.lit(n_buckets)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("r_e9"),
+        )
+    )
+    scored = (
+        doc_feats.join(F.broadcast(ratios), "feat_bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("r_e9").cast("decimal(38,0)")
+            ).alias("_wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("CAST(_wsum div n_grams AS BIGINT)").alias("score_e9"),
+        )
+    )
+    if threshold_e9 is not None:
+        return scored.select(
+            "doc_id",
+            "n_grams",
+            "score_e9",
+            (F.col("score_e9") >= F.lit(threshold_e9)).alias("keep"),
+        )
+    # rank rule: materialize the doc-level scores once (three consumers:
+    # the count, the boundary probe, the final projection)
+    scored = scored.persist()
+    n = scored.count()
+    k = max(1, (n * keep_num + keep_den - 1) // keep_den)
+    boundary = (
+        scored.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .orderBy(F.col("score_e9").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "score_e9",
+        (
+            (F.col("score_e9") > F.lit(boundary.score_e9))
+            | (
+                (F.col("score_e9") == F.lit(boundary.score_e9))
+                & (F.col("doc_id") <= F.lit(boundary.doc_id))
+            )
+        ).alias("keep"),
+    )

@@ -412,6 +412,10 @@ def curation_model_filter_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.model_quality_filter(load(spark, sf, "documents"))
 
 
+def curation_dsir_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.dsir_importance_filter(load(spark, sf, "documents"))
+
+
 REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
 
 
@@ -1570,6 +1574,51 @@ QUERIES = [
         doc="model-based quality scoring with the hashing trick (fastText-"
         "style linear scorer, hash-derived stand-in weights): map-side "
         "feature hash, exact-integer partial sums, one final division",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_dsir",
+        curation_dsir_q,
+        f"""
+        WITH ws AS (SELECT doc_id, lang = 'en' AS is_t,
+                           string_split(text, ' ') AS w FROM documents),
+        uni AS (SELECT doc_id, is_t, unnest(w) AS gram FROM ws),
+        bi AS (SELECT doc_id, is_t,
+                      unnest(list_transform(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1])) AS gram
+               FROM ws WHERE len(w) >= 2),
+        grams AS (SELECT doc_id, is_t, ({H.format(x="gram")} % 4096) AS fb FROM uni
+                  UNION ALL
+                  SELECT doc_id, is_t, ({H.format(x="gram")} % 4096) FROM bi),
+        df AS (SELECT doc_id, is_t, fb, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+        ctr AS (SELECT fb, SUM(c) AS ct_r FROM df GROUP BY fb),
+        ctt AS (SELECT fb, SUM(c) AS ct_t FROM df WHERE is_t GROUP BY fb),
+        tot AS (SELECT SUM(c) AS n_r,
+                       SUM(CASE WHEN is_t THEN c ELSE 0 END) AS n_t FROM df),
+        ratios AS (
+          SELECT fb,
+                 CAST(FLOOR(CAST(COALESCE(ct_t, 0) + 1 AS DOUBLE)
+                            * CAST(n_r + 4096 AS DOUBLE)
+                            * 1000000000.0
+                            / (CAST(ct_r + 1 AS DOUBLE)
+                               * CAST(n_t + 4096 AS DOUBLE))) AS BIGINT) AS r_e9
+          FROM ctr LEFT JOIN ctt USING (fb) CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(SUM(CAST(c AS HUGEINT) * r_e9) // SUM(c) AS BIGINT) AS score_e9
+          FROM df JOIN ratios USING (fb) GROUP BY doc_id
+        ),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_e9 DESC, doc_id ASC) AS rn,
+                          COUNT(*) OVER () AS n FROM scored)
+        SELECT doc_id, n_grams, score_e9, rn <= (n + 3) // 4 AS keep FROM ranked
+        """,
+        doc="DSIR-style importance resampling (Xie et al. 2023): hashed "
+        "unigram+bigram bucket models, e9 fixed-point target-vs-raw "
+        "importance ratios (one pinned-order IEEE expression), "
+        "DECIMAL(38,0)/HUGEINT count-weighted sums, deterministic "
+        "top-quarter keep via the (score, id) total order — the no-rand "
+        "stand-in for the paper's Gumbel top-k",
         tags=("llm", "curation"),
     ),
     Query(

@@ -45,26 +45,32 @@ class Query:
 #     deltas instead of re-unioning the whole band history), so the
 #     rule-(b) precedent (q19/q60 in round 11) gives it a fresh row
 #     ahead of the refresh cohort.
-#   Slots 2-33: the 32 remaining r6-cohort rows, exactly the committed
+#   Slot 2: FIRST row for curation_dsir (round-12 operator: DSIR-style
+#     importance resampling — same-round evidence per the late-landing-
+#     operator rule; displaces q20_sessionize, the newest r7 row, into
+#     the round-13 queue).
+#   Slots 3-34: the 32 remaining r6-cohort rows, exactly the committed
 #     queue (including curation_sample_stratified, q26_pivot and
 #     dedup_embedding_cosine, displaced from the round-11 window by
 #     the round-11 operators).  Evidence histogram max age drops to r7.
-#   Slots 34-50: the 17 name-ordered oldest-r7 rows.
+#   Slots 35-50: the 16 name-ordered oldest-r7 rows.
 #
-# Round-13 rotation queue: the remaining 20 r7-cohort rows
-# (q23_pricing_summary, q48_snapshot_diff, q49_exists_daterange,
+# Round-13 rotation queue: the remaining 21 r7-cohort rows
+# (q20_sessionize — displaced from this window by curation_dsir —
+# q23_pricing_summary, q48_snapshot_diff, q49_exists_daterange,
 # q50_filter_revenue, q52_priority_shipmode, q53_exact_median,
 # q55_asof_tolerance, q56_cube, q57_funnel, q58_hourly_retention,
 # q59_sliding_window, q66_stream_ttl_dedup, q67_stream_topk,
 # q68_volume_shipping, q71_global_sales_opp, q75_grouping_sets,
 # q90_stream_curation, text_bm25_search, text_fingerprint,
-# text_winnow_fingerprint — plus any row displaced from THIS window by
-# a round-12 operator), then r8 oldest-first (name order); any
+# text_winnow_fingerprint), then r8 oldest-first (name order); any
 # operator added in round 13 takes a first-row slot ahead of the
 # refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- fresh row for the plan changed this round (1) ---------------------
     "q104_stream_fuzzy_ingest",
+    # --- FIRST row for this round's new operator (1) -----------------------
+    "curation_dsir",
     # --- r6 cohort refresh: the 32 remaining rows, committed queue (32) ----
     "ann_ivf_index_topk",
     "ann_lsh_multitable_topk",
@@ -98,7 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_scrub_pii",
     "text_tfidf_keywords",
     "text_token_counts",
-    # --- r7 cohort, oldest-evidence-next, name-ordered (17) ----------------
+    # --- r7 cohort, oldest-evidence-next, name-ordered (16) ----------------
     "corpus_ngram_stats",
     "corpus_vocab_stats",
     "curation_gopher_rules",
@@ -115,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_rollup",
     "q17_asof_join",
     "q18_semi_anti",
-    "q20_sessionize",
 )
 
 

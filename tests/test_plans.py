@@ -192,6 +192,10 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # orderBy+limit(1024) sample — bounded BY CONSTRUCTION (TakeOrdered
     # certificate); pinned by test_fuzzy_recall_cross_sides_are_limit_bounded.
     "dedup_fuzzy_recall",
+    # round 12: DSIR's 1-row (n_r, n_t) totals aggregate rides the
+    # bucket-ratio table (text_ngram_lm_score's 1-row V shape); count
+    # pinned in test_sketch_cross_joins_are_single_row.
+    "curation_dsir",
 }
 
 
@@ -260,6 +264,9 @@ def test_sketch_cross_joins_are_single_row(spark):
         # + classes x 1-row above-t totals
         "privacy_t_closeness": 3,
         "monitor_seasonal_anomaly": 1,  # daily ledger x 1-row day bounds
+        # bucket ratios x 1-row (n_r, n_t) totals, replicated into the
+        # cached-scored lineage (t_closeness's branch-replication shape)
+        "curation_dsir": 2,
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)
@@ -587,6 +594,10 @@ _BOUNDED_GROUP_KEYS = frozenset(
         # and languages regardless of row count
         "source",
         "lang",
+        # curation_dsir's hashed-feature bucket: pmod(md5_long(gram),
+        # DSIR_BUCKETS) — a <= 4096-value domain by the literal modulus,
+        # corpus-independent like the LSH band columns
+        "feat_bucket",
     }
 )
 _HEAVY_HITTER_MIN_CAP = 64

@@ -264,6 +264,10 @@ PROBE_OPS = [
     # round-11: bottom-k sample maintenance — per-increment work is one
     # TakeOrdered over (n + |batch|) rows; only the batch scan grows
     "q105_stream_bottomk_sample",
+    # round-12: DSIR importance filter — two corpus-linear aggregates,
+    # a <=4096-row broadcast ratio table, two TakeOrdered boundary
+    # probes; nothing quadratic, so the ratio must stay near-linear
+    "curation_dsir",
 ]
 
 
