@@ -1102,18 +1102,25 @@ def dsir_importance_filter(
             "score_e9",
             (F.col("score_e9") >= F.lit(threshold_e9)).alias("keep"),
         )
-    # rank rule: materialize the doc-level scores once (three consumers:
-    # the count, the boundary probe, the final projection)
-    scored = scored.persist()
-    n = scored.count()
-    k = max(1, (n * keep_num + keep_den - 1) // keep_den)
-    boundary = (
-        scored.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .orderBy(F.col("score_e9").asc(), F.col("doc_id").desc())
-        .limit(1)
-        .collect()[0]
-    )
+    # rank rule: cache the doc-level scores only for the build-time
+    # boundary probe (count + two TakeOrdered passes), then release —
+    # the returned frame keeps the un-cached lineage, so nothing leaks
+    # into executor storage after the builder returns (review r12)
+    cached = scored.persist()
+    try:
+        n = cached.count()
+        if n == 0:
+            return scored.withColumn("keep", F.lit(False))
+        k = max(1, (n * keep_num + keep_den - 1) // keep_den)
+        boundary = (
+            cached.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .orderBy(F.col("score_e9").asc(), F.col("doc_id").desc())
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        cached.unpersist()
     return scored.select(
         "doc_id",
         "n_grams",

@@ -283,9 +283,18 @@ def vacuum_uncommitted(
             f"increments) or a never-committed table"
         )
     committed = set(_committed_tokens(root))
+    from ..streaming.incremental import FOLD_DIR_PREFIX
+
     cutoff = time.time() - min_age_seconds
     for name in os.listdir(table_path):
         if not name.startswith("inc="):
+            continue
+        # fold outputs (inc=_foldv<V>) are committed by the FOLD
+        # MANIFEST, not by a marker — their tokens are never in
+        # _commits, so the orphan rule below would delete the entire
+        # folded history (review r12).  Fold-dir debris is owned by
+        # fold_committed_incs' own heal step, never by vacuum.
+        if name.startswith(f"inc={FOLD_DIR_PREFIX}"):
             continue
         token = name[len("inc="):]
         p = os.path.join(table_path, name)

@@ -74,22 +74,28 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def _atomic_write_json(path: str, payload: dict) -> None:
+    """tmp-write + file fsync + os.replace + parent-dir fsync — THE
+    shared commit primitive of every marker and manifest in this
+    module and streaming/jobs.py (one place to fix durability, review
+    r12; the dir fsync makes the rename survive power loss, not just
+    process crash)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path) or ".")
+
+
 def _write_marker(txn_root: str, token: str, payload: dict | None = None) -> None:
     """Single atomic commit point for every table of one increment.
     ``payload`` (optional, JSON) rides inside the marker file — e.g. the
     fuzzy ingest's id high-watermark; readers that only need the token
-    set keep ignoring the content.  fsync'd file + dir: the commit is
-    durable against power loss, not just process crash."""
+    set keep ignoring the content."""
     os.makedirs(_commits_dir(txn_root), exist_ok=True)
-    p = os.path.join(_commits_dir(txn_root), token)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        if payload is not None:
-            json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, p)
-    _fsync_dir(_commits_dir(txn_root))
+    _atomic_write_json(os.path.join(_commits_dir(txn_root), token), payload or {})
 
 
 def _marker_payloads(txn_root: str) -> dict[str, dict]:
@@ -144,14 +150,17 @@ def _content_token(hashed: DataFrame, hash_col: str = "_h") -> str:
 # os.replace) commits the fold across ALL tables of the root at once.
 #
 # Crash contract: a crash before the flip leaves the previous manifest
-# and live delta dirs — readers unaffected, the next fold re-runs the
-# work (DROP + rewrite of the never-referenced version).  A crash
-# AFTER the flip but before GC leaves the superseded fold dir on disk;
-# the next fold's heal step removes any fold dir the manifest does not
-# reference, and the canonical reader (_live_table_dirs) resolves
-# through the manifest so it never double-counts.  Unlike the bucketed
-# MERGE swap there is NO keep-previous grace here: the superseded fold
-# dir is removed immediately after the flip (a grace copy would be
+# and live delta dirs — manifest-resolving readers unaffected, and a
+# whole-dir parquet read can double-count only inside the crash window,
+# because heal_fold_debris runs at the top of EVERY ingest increment
+# and every fold: it removes fold dirs the manifest does not reference
+# (crashed flip, interrupted post-flip GC) and inc dirs whose token the
+# manifest marks folded (interrupted delta GC — without this those rows
+# would be double-counted forever, review r12).  The canonical reader
+# (_live_table_dirs) resolves through the manifest so it never
+# double-counts even inside the window.  Unlike the bucketed MERGE swap
+# there is NO keep-previous grace here: the superseded fold dir is
+# removed immediately after the flip (a grace copy would be
 # double-counted by whole-dir partition reads); every ingest resolves
 # its history frames fresh per increment, so nothing holds a lazy
 # frame across a fold.
@@ -180,30 +189,50 @@ def _register_bucketed(spark: SparkSession, entry: dict) -> None:
     """Re-register a fold's bucketed metastore table in THIS session
     when absent (fresh session over an existing index): the bucketed
     layout on disk is deterministic, CREATE TABLE over the LOCATION
-    restores the exchange-free probe."""
+    restores the exchange-free probe.  Entries carrying ``pp_mod``
+    (the fuzzy base's hash-prefix partitioning) get the PARTITIONED BY
+    clause plus MSCK REPAIR to re-discover the pp dirs."""
     if spark.catalog.tableExists(entry["table"]):
         return
     cols = ", ".join(f"{n} {t}" for n, t in entry["schema"])
     keys = ", ".join(entry["bucket_cols"])
+    part = "PARTITIONED BY (pp) " if entry.get("pp_mod") else ""
     spark.sql(
-        f"CREATE TABLE {entry['table']} ({cols}) USING parquet "
+        f"CREATE TABLE {entry['table']} ({cols}) USING parquet {part}"
         f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
         f"INTO {entry['n_buckets']} BUCKETS LOCATION '{entry['path']}'"
     )
+    if entry.get("pp_mod"):
+        spark.sql(f"MSCK REPAIR TABLE {entry['table']}")
 
 
-def _gc_unreferenced_folds(txn_root: str, table_paths: list[str]) -> None:
-    """Remove fold dirs the committed manifest does not reference —
-    crashed-fold debris and post-flip GC stragglers."""
+def heal_fold_debris(txn_root: str, table_paths: list[str]) -> None:
+    """Remove fold-layer debris the committed manifest does not own:
+    (a) fold dirs (``inc=_foldv*``) the manifest does not reference —
+    a crash between the fold write and the manifest flip, or a
+    superseded version whose post-flip GC was interrupted — and
+    (b) ``inc=<token>`` dirs whose token the manifest marks FOLDED — a
+    crash mid-way through the post-flip delta GC.  Without (b) those
+    rows are double-counted forever by whole-dir parquet reads (review
+    r12): the manifest excludes them from probe reads, but nothing else
+    would ever delete them (vacuum skips committed tokens).  Called at
+    the top of every fold AND every ingest increment (driver-side
+    listing, cheap); safe under the foreachBatch serialization the
+    ingests already require."""
     man = _fold_manifest(txn_root)
+    folded = set(man["folded"]) if man else set()
     for tp in table_paths:
+        tp = os.path.abspath(tp)
         live = None
         if man is not None and man["tables"].get(tp):
             live = os.path.basename(man["tables"][tp]["path"])
         if not os.path.isdir(tp):
             continue
         for d in os.listdir(tp):
-            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d != live:
+            if d.startswith(f"inc={FOLD_DIR_PREFIX}"):
+                if d != live:
+                    shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+            elif d.startswith("inc=") and d[len("inc="):] in folded:
                 shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
 
 
@@ -217,10 +246,13 @@ def fold_committed_incs(
     previous fold) into one ``inc=_foldv<V>`` dir; ``specs`` maps
     table_path -> bucket columns (the table's equi-join key, or None
     for data-only tables like the corpus).  Returns True on commit."""
+    # manifest keys are ABSOLUTE paths (review r12: a trailing slash or
+    # relative spelling must not hide the folded base from readers)
+    specs = {os.path.abspath(tp): cols for tp, cols in specs.items()}
     man = _fold_manifest(txn_root)
     folded: set[str] = set(man["folded"]) if man else set()
     tables = list(specs)
-    _gc_unreferenced_folds(txn_root, tables)
+    heal_fold_debris(txn_root, tables)
     committed = _committed_tokens(txn_root)
     fresh = [t for t in committed if t not in folded]
     if not any(_committed_paths(tp, fresh) for tp in tables):
@@ -271,13 +303,7 @@ def fold_committed_incs(
         "folded": sorted(folded | set(fresh)),
         "tables": new_tables,
     }
-    tmp = _fold_manifest_path(txn_root) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _fold_manifest_path(txn_root))  # THE commit
-    _fsync_dir(txn_root)
+    _atomic_write_json(_fold_manifest_path(txn_root), manifest)  # THE commit
     # GC: the folded delta dirs and the superseded fold dirs are dead
     for tp in tables:
         for t in fresh:
@@ -306,6 +332,7 @@ def _live_history_frames(
     None when absent.  Probes should join each side separately and
     union RESULTS — unioning base∪delta first would erase the base's
     bucketed layout."""
+    table_path = os.path.abspath(table_path)
     man = _fold_manifest(txn_root)
     folded = set(man["folded"]) if man else set()
     base = None
@@ -326,6 +353,7 @@ def _live_table_dirs(txn_root: str, table_path: str) -> list[str]:
     """All live data dirs of a table (fold output + unfolded deltas) —
     the canonical read-back listing once folding is enabled
     (_committed_paths alone misses fold dirs)."""
+    table_path = os.path.abspath(table_path)
     man = _fold_manifest(txn_root)
     folded = set(man["folded"]) if man else set()
     out = []
@@ -363,6 +391,7 @@ def ingest_increment(
     committed = _committed_tokens(seen_path)
     if token in committed:
         return 0  # replayed increment: fully committed, nothing to do
+    heal_fold_debris(seen_path, [seen_path, corpus_path])
     # in-batch exact dedup first (keep min id per hash), then anti vs history
     keepers = (
         hashed.groupBy("_h")
@@ -486,6 +515,7 @@ def _ingest_neardup_inner(
     id_col: str,
     fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
+    heal_fold_debris(index_path, [buckets_path, shingles_path, corpus_path])
     # history = bucketed BASE + recent deltas (round-12, VERDICT r11 #3);
     # each side is probed SEPARATELY and the results unioned — a
     # base∪delta union before the join would erase the base's bucketed
@@ -1431,22 +1461,9 @@ def _fuzzy_base_manifest(index_path: str) -> dict | None:
 
 
 def _register_fuzzy_base(spark: SparkSession, man: dict) -> None:
-    """Re-register the bucketed base in THIS session's metastore when
-    absent (a fresh session over an existing index): Spark's bucketed
-    layout is deterministic on disk, so CREATE TABLE ... CLUSTERED BY
-    over the existing LOCATION restores the exchange-free probe (plus
-    MSCK REPAIR to re-discover the pp partition dirs)."""
-    if spark.catalog.tableExists(man["table"]):
-        return
-    cols = ", ".join(f"{n} {t}" for n, t in man["schema"])
-    part = "PARTITIONED BY (pp) " if man.get("pp_mod") else ""
-    spark.sql(
-        f"CREATE TABLE {man['table']} ({cols}) USING parquet {part}"
-        f"CLUSTERED BY (band_idx, band_val) SORTED BY (band_idx, band_val) "
-        f"INTO {man['n_buckets']} BUCKETS LOCATION '{man['path']}'"
-    )
-    if man.get("pp_mod"):
-        spark.sql(f"MSCK REPAIR TABLE {man['table']}")
+    """Fuzzy-base flavor of :func:`_register_bucketed` (the band index
+    is always bucketed by its full join key)."""
+    _register_bucketed(spark, {**man, "bucket_cols": ("band_idx", "band_val")})
 
 
 def fold_fuzzy_band_base(
@@ -1547,14 +1564,7 @@ def fold_fuzzy_band_base(
         "pp_mod": FUZZY_PP_MOD,
         "retired": retired_snap,
     }
-    mpath = os.path.join(base_dir, "_manifest.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)  # THE commit
-    _fsync_dir(base_dir)
+    _atomic_write_json(os.path.join(base_dir, "_manifest.json"), manifest)  # THE commit
     # GC (all orders crash-safe — readers resolve through the manifest):
     # the just-folded delta dirs are dead now ...
     for root in (bands_path, retired_path):
@@ -1716,6 +1726,7 @@ def ingest_increment_fuzzy(
     committed = _committed_tokens(index_path)
     if token in committed:
         return 0
+    heal_fold_debris(index_path, [corpus_path])
 
     if max_bucket is None:
         max_bucket = dedup.FUZZY_MAX_BUCKET
@@ -1818,9 +1829,13 @@ def ingest_increment_fuzzy(
         )
         # base+delta maintenance (serialized with ingests by the
         # foreachBatch caller, compact_scd2_log's structural fencing):
-        # fold once enough uncompacted deltas accumulate
+        # fold once enough uncompacted deltas accumulate — the band
+        # index into its bucketed base, the corpus through the generic
+        # fold (review r12: the corpus dir count must be bounded too;
+        # read-back goes through _live_table_dirs)
         if fold_threshold is not None and len(delta_tokens) + 1 >= fold_threshold:
             fold_fuzzy_band_base(spark, index_path)
+            fold_committed_incs(spark, index_path, {corpus_path: None})
         return n
     finally:
         new_bands.unpersist()

@@ -434,25 +434,17 @@ def _read_bucket_manifest(target_dir: str) -> dict[int, int]:
 
 
 def _commit_bucket_manifest(target_dir: str, manifest: dict[int, int]) -> None:
-    """THE atomic commit point of the bucketed MERGE: write-tmp +
-    fsync + os.replace (atomic on POSIX), the same pointer-flip protocol
-    as txn_sink's marker commits — readers see either the whole old
-    snapshot or the whole new one, never a mix.  The containing dir is
-    fsync'd after the rename (ADVICE r11): without it the flip is
-    atomic but only process-crash durable — the rename itself could be
-    lost on power failure."""
-    import json
+    """THE atomic commit point of the bucketed MERGE: the shared
+    tmp+fsync+os.replace+dir-fsync primitive (incremental.
+    _atomic_write_json — pointer-flip protocol, durable against power
+    loss per ADVICE r11) — readers see either the whole old snapshot or
+    the whole new one, never a mix."""
+    from .incremental import _atomic_write_json
 
-    from .incremental import _fsync_dir
-
-    path = os.path.join(target_dir, _MANIFEST_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({str(k): v for k, v in sorted(manifest.items())}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
-    _fsync_dir(target_dir)
+    _atomic_write_json(
+        os.path.join(target_dir, _MANIFEST_NAME),
+        {str(k): v for k, v in sorted(manifest.items())},
+    )
 
 
 def _current_bucket_paths(target_dir: str, bkts: list | None = None) -> list[str]:
@@ -1153,6 +1145,7 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _committed_paths,
         _committed_tokens,
         _fuzzy_base_manifest,
+        _live_table_dirs,
         _register_fuzzy_base,
         incremental_fuzzy_ingest,
     )
@@ -1191,7 +1184,9 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{FUZZY_MAX_BUCKET}: retire-at-crossing vs final-occupancy cap "
         f"semantics may diverge on this corpus (documented divergence)"
     )
-    back = spark.read.parquet(*_committed_paths(corpus, tokens))
+    # corpus read-back resolves through the fold manifest: folded rows
+    # live in inc=_foldv<V>, recent increments in their inc=<token> dirs
+    back = spark.read.parquet(*_live_table_dirs(index, corpus))
     return back.select("doc_id", "n_chars")
 
 
@@ -1390,10 +1385,9 @@ def compact_scd2_log(
     is scd2_apply_batch inside foreachBatch, which Spark serializes.
 
     Returns True when a fold was committed."""
-    import json
     import shutil
 
-    from .incremental import _fsync_dir
+    from .incremental import _atomic_write_json
 
     comp = _scd2_committed_compactions(log_dir)
     cand = -(int(current_epoch) + 1)
@@ -1434,13 +1428,7 @@ def compact_scd2_log(
     )
     cdir = os.path.join(log_dir, "_compactions")
     os.makedirs(cdir, exist_ok=True)
-    tmp = os.path.join(cdir, f"{cand}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"folded": fold_set}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(cdir, f"{cand}.json"))  # THE commit
-    _fsync_dir(cdir)  # rename durability against power loss (ADVICE r11)
+    _atomic_write_json(os.path.join(cdir, f"{cand}.json"), {"folded": fold_set})  # THE commit
     # GC: folded dirs first, then markers of folded bases — both orders
     # crash-safe (readers never list committed-dead or markerless dirs)
     for bk in all_bkts:

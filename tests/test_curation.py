@@ -391,3 +391,7 @@ def test_dsir_selects_target_like_docs(spark):
     # deterministic: a second run keeps the identical set
     again = curation.dsir_importance_filter(docs).toPandas()
     assert set(again[again.keep].doc_id) == kept
+
+    # empty input: empty frame, not an IndexError from the boundary probe
+    empty = curation.dsir_importance_filter(docs.where("doc_id < 0")).toPandas()
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "n_grams", "score_e9", "keep"]

@@ -971,6 +971,40 @@ def test_neardup_ingest_folds_bound_dirs_and_stay_exact(spark, tmp_path):
     )
 
 
+def test_fold_heals_interrupted_delta_gc(spark, tmp_path):
+    """Review r12: a crash mid-way through the post-flip delta GC
+    leaves inc=<token> dirs whose tokens the manifest marks folded —
+    without the ingest-time heal they would be double-counted by
+    whole-dir parquet reads FOREVER (vacuum skips committed tokens, the
+    next fold's fresh-list excludes them).  Simulate the debris and pin
+    that the next increment removes it and the whole-dir read is
+    duplicate-free."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fold_manifest,
+        ingest_increment,
+    )
+
+    corpus = os.path.join(tmp_path, "gc")
+    seen = os.path.join(tmp_path, "gs")
+    b1 = spark.createDataFrame([(1, "alpha")], DOC_SCHEMA)
+    b2 = spark.createDataFrame([(2, "beta")], DOC_SCHEMA)
+    assert ingest_increment(spark, b1, corpus, seen, increment_id="r1", fold_threshold=2) == 1
+    assert ingest_increment(spark, b2, corpus, seen, increment_id="r2", fold_threshold=2) == 1
+    man = _fold_manifest(seen)
+    assert man is not None and sorted(man["folded"]) == ["r1", "r2"]
+    # resurrect a folded increment's dir (crash-mid-GC debris): its rows
+    # now exist BOTH here and in inc=_foldv1
+    debris = os.path.join(corpus, "inc=r1")
+    spark.createDataFrame([(1, "alpha")], DOC_SCHEMA).write.mode("overwrite").parquet(debris)
+    assert spark.read.parquet(corpus).count() == 3  # double-counted!
+    # the next increment's heal step removes the debris before probing
+    b3 = spark.createDataFrame([(3, "gamma")], DOC_SCHEMA)
+    assert ingest_increment(spark, b3, corpus, seen, increment_id="r3", fold_threshold=2) == 1
+    assert not os.path.isdir(debris)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 3]
+
+
 def test_fold_crash_before_manifest_flip_heals(spark, tmp_path, monkeypatch):
     """A crash during fold_committed_incs BEFORE the manifest flip
     cannot affect readers (previous manifest + live deltas intact); the

@@ -382,6 +382,17 @@ def test_vacuum_removes_only_old_uncommitted_increments(spark, tmp_path):
     assert vacuum_uncommitted(corpus, min_age_seconds=3600, txn_root=seen) == []
     assert _committed_paths(corpus, _committed_tokens(seen)) != []
 
+    # fold outputs are manifest-committed, not marker-committed: their
+    # tokens are never in _commits, so vacuum MUST skip them (review
+    # r12 — the old rule would have deleted the entire folded history)
+    foldv = os.path.join(seen, "inc=_foldv1")
+    os.makedirs(foldv)
+    with open(os.path.join(foldv, "part-0.parquet"), "w") as f:
+        f.write("folded data")
+    os.utime(foldv, (old, old))
+    assert vacuum_uncommitted(seen, min_age_seconds=3600) == []
+    assert os.path.isdir(foldv)
+
 
 def test_compact_fuzzy_bands_bucketed_probe_is_colocated(spark, tmp_path):
     """compact_seen_to_bucketed's co-location argument, applied to the
