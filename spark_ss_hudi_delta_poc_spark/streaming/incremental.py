@@ -322,6 +322,25 @@ def fold_committed_incs(
     return True
 
 
+def _maybe_fold(
+    spark: SparkSession,
+    txn_root: str,
+    specs: dict[str, list[str] | None],
+    committed: list[str],
+    fold_threshold: int | None,
+) -> None:
+    """Shared fold trigger: fires once the committed-but-unfolded
+    increment count (including the one the caller just committed, hence
+    the +1) reaches ``fold_threshold``.  ``committed`` is the token
+    list the caller captured BEFORE writing its own marker."""
+    if fold_threshold is None:
+        return
+    man = _fold_manifest(txn_root)
+    folded = set(man["folded"]) if man else set()
+    if len([t for t in committed if t not in folded]) + 1 >= fold_threshold:
+        fold_committed_incs(spark, txn_root, specs)
+
+
 def _live_history_frames(
     spark: SparkSession, txn_root: str, table_path: str
 ) -> tuple[DataFrame | None, DataFrame | None]:
@@ -422,15 +441,9 @@ def ingest_increment(
         fresh.unpersist()
     _write_marker(seen_path, token)  # single commit point for the pair
     # base+delta maintenance (serialized by the foreachBatch caller)
-    if fold_threshold is not None:
-        man = _fold_manifest(seen_path)
-        folded = set(man["folded"]) if man else set()
-        if len([t for t in committed if t not in folded]) + 1 >= fold_threshold:
-            fold_committed_incs(
-                spark,
-                seen_path,
-                {seen_path: ["h"], corpus_path: None},
-            )
+    _maybe_fold(
+        spark, seen_path, {seen_path: ["h"], corpus_path: None}, committed, fold_threshold
+    )
     return n
 
 
@@ -592,24 +605,22 @@ def _ingest_neardup_inner(
     # base+delta maintenance (serialized by the foreachBatch caller):
     # LSH buckets and shingles fold into bases bucketed by their probe
     # join keys, the corpus into one compacted data dir
-    if fold_threshold is not None:
-        man = _fold_manifest(index_path)
-        folded = set(man["folded"]) if man else set()
-        if len([t for t in committed if t not in folded]) + 1 >= fold_threshold:
-            fold_committed_incs(
-                spark,
-                index_path,
-                {
-                    buckets_path: ["band", "band_hash"],
-                    # doc_id, not (doc_id, shingle): the only history-
-                    # sized shingle operation is the candidate semi-join
-                    # on doc_id (exact bucket keys ⇒ base side exchange-
-                    # free); everything after it is candidate-bounded,
-                    # so its (doc_id, shingle) re-shuffle is small
-                    shingles_path: ["doc_id"],
-                    corpus_path: None,
-                },
-            )
+    _maybe_fold(
+        spark,
+        index_path,
+        {
+            buckets_path: ["band", "band_hash"],
+            # doc_id, not (doc_id, shingle): the only history-sized
+            # shingle operation is the candidate semi-join on doc_id
+            # (exact bucket keys ⇒ base side exchange-free); everything
+            # after it is candidate-bounded, so its (doc_id, shingle)
+            # re-shuffle is small
+            shingles_path: ["doc_id"],
+            corpus_path: None,
+        },
+        list(committed),
+        fold_threshold,
+    )
     return n
 
 
@@ -659,6 +670,7 @@ def ingest_increment_segments(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Cross-run LINE-LEVEL dedup: clean each new batch against the
     accumulated segment history, not just against itself.
@@ -705,8 +717,11 @@ def ingest_increment_segments(
     committed = _committed_tokens(segindex_path)
     if token in committed:
         return 0
+    heal_fold_debris(segindex_path, [segindex_path, corpus_path])
     batch_df = seg.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
-    index_dirs = _committed_paths(segindex_path, committed)
+    # df counts are additive, so the concat-fold (inc=_foldv dirs) needs
+    # no probe change: history dirs = fold output + unfolded deltas
+    index_dirs = _live_table_dirs(segindex_path, segindex_path)
     if index_dirs:
         hist = spark.read.parquet(*index_dirs).groupBy("seg_hash").agg(F.sum("df").alias("df"))
         total_df = (
@@ -746,6 +761,13 @@ def ingest_increment_segments(
     finally:
         cleaned.unpersist()
     _write_marker(segindex_path, token)
+    _maybe_fold(
+        spark,
+        segindex_path,
+        {segindex_path: None, corpus_path: None},
+        committed,
+        fold_threshold,
+    )
     return n
 
 
@@ -758,6 +780,7 @@ def ingest_increment_winnow(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Cross-run PARTIAL-OVERLAP dedup: reject a new document when most
     of its content already exists anywhere in ingestion history, even
@@ -796,7 +819,11 @@ def ingest_increment_winnow(
     committed = _committed_tokens(fpindex_path)
     if token in committed:
         return 0
-    index_dirs = _committed_paths(fpindex_path, committed)
+    heal_fold_debris(fpindex_path, [fpindex_path, corpus_path])
+    # history dirs = fold output + unfolded deltas; the probe is the
+    # same distinct-fp semi-join either way (concat fold, no semantics
+    # change — only the dir count is bounded)
+    index_dirs = _live_table_dirs(fpindex_path, fpindex_path)
     # the fingerprint DAG (per-char hash + window shuffle) is the
     # increment's dominant cost and feeds three consumers (sizes,
     # history probe, index append) — persist for the call like the
@@ -840,6 +867,13 @@ def ingest_increment_winnow(
     finally:
         fp.unpersist()
     _write_marker(fpindex_path, token)
+    _maybe_fold(
+        spark,
+        fpindex_path,
+        {fpindex_path: None, corpus_path: None},
+        committed,
+        fold_threshold,
+    )
     return n
 
 
@@ -852,6 +886,7 @@ def ingest_increment_embedding(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Cross-run SEMANTIC dedup for embedding streams: reject a new
     vector when ingestion history already holds a near-duplicate
@@ -897,7 +932,9 @@ def ingest_increment_embedding(
     committed = _committed_tokens(sigindex_path)
     if token in committed:
         return 0
-    index_dirs = _committed_paths(sigindex_path, committed)
+    heal_fold_debris(sigindex_path, [sigindex_path, corpus_path])
+    # fold output + unfolded deltas (concat fold — probe unchanged)
+    index_dirs = _live_table_dirs(sigindex_path, sigindex_path)
 
     sig = lsh_bucket_table(batch, id_col=id_col, vec_col=vec_col).persist()
     try:
@@ -939,6 +976,13 @@ def ingest_increment_embedding(
     finally:
         sig.unpersist()
     _write_marker(sigindex_path, token)
+    _maybe_fold(
+        spark,
+        sigindex_path,
+        {sigindex_path: None, corpus_path: None},
+        committed,
+        fold_threshold,
+    )
     return n
 
 
@@ -990,6 +1034,7 @@ def ingest_increment_phash(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Cross-run PERCEPTUAL dedup for media streams: reject a new media
     row whose perceptual hash is within ``max_hamming`` bits of anything
@@ -1037,7 +1082,9 @@ def ingest_increment_phash(
     committed = _committed_tokens(phindex_path)
     if token in committed:
         return 0
-    index_dirs = _committed_paths(phindex_path, committed)
+    heal_fold_debris(phindex_path, [phindex_path, corpus_path])
+    # fold output + unfolded deltas (concat fold — probe unchanged)
+    index_dirs = _live_table_dirs(phindex_path, phindex_path)
 
     def bands_of(df: DataFrame, id_out: str, ph_out: str) -> DataFrame:
         return df.select(
@@ -1103,6 +1150,13 @@ def ingest_increment_phash(
     finally:
         ph.unpersist()
     _write_marker(phindex_path, token)
+    _maybe_fold(
+        spark,
+        phindex_path,
+        {phindex_path: None, corpus_path: None},
+        committed,
+        fold_threshold,
+    )
     return n
 
 
@@ -1116,6 +1170,7 @@ def ingest_increment_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Ingest-time DECONTAMINATION gate: reject any new document whose
     n-gram overlap with a FIXED eval benchmark reaches the contamination
@@ -1150,6 +1205,7 @@ def ingest_increment_contamination(
     committed = _committed_tokens(corpus_path)
     if token in committed:
         return 0
+    heal_fold_debris(corpus_path, [corpus_path])
     contaminated = (
         contamination_pairs(
             batch, eval_docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
@@ -1169,6 +1225,9 @@ def ingest_increment_contamination(
     finally:
         survivors.unpersist()
     _write_marker(corpus_path, token)
+    # no growing probe index here, but the corpus dir count still needs
+    # the bound (one inc= dir per increment forever otherwise)
+    _maybe_fold(spark, corpus_path, {corpus_path: None}, committed, fold_threshold)
     return cnt
 
 
@@ -1219,6 +1278,7 @@ def ingest_increment_hll(
     sketch_path: str,
     key_col: str,
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Cross-RUN HyperLogLog: persist this increment's 1024-register
     sketch under ``inc=<token>`` with the family's marker-atomic commit,
@@ -1237,6 +1297,7 @@ def ingest_increment_hll(
     committed = _committed_tokens(sketch_path)
     if token in committed:
         return 0
+    heal_fold_debris(sketch_path, [sketch_path])
     regs = (
         hll_register_updates(batch.select(key_col), key_col)
         .groupBy("reg")
@@ -1244,14 +1305,18 @@ def ingest_increment_hll(
     )
     regs.write.mode("overwrite").parquet(os.path.join(sketch_path, f"inc={token}"))
     _write_marker(sketch_path, token)
-    return spark.read.parquet(os.path.join(sketch_path, f"inc={token}")).count()
+    n_regs = spark.read.parquet(os.path.join(sketch_path, f"inc={token}")).count()
+    # max-merge is idempotent AND associative, so the concat fold is
+    # semantics-free here too; it bounds the register-dir count
+    _maybe_fold(spark, sketch_path, {sketch_path: None}, committed, fold_threshold)
+    return n_regs
 
 
 def hll_merged_registers(spark: SparkSession, sketch_path: str) -> DataFrame:
     """Union committed increments' registers, max-merge — <= 1024 rows
     per increment in, <= 1024 rows out; uncommitted stage dirs are
     invisible (the family's read rule)."""
-    paths = _committed_paths(sketch_path, _committed_tokens(sketch_path))
+    paths = _live_table_dirs(sketch_path, sketch_path)
     return (
         spark.read.parquet(*paths).groupBy("reg").agg(F.max("m_j").alias("m_j"))
     )
@@ -1295,6 +1360,7 @@ def ingest_increment_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
+    fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
     """Bloom-PREFILTERED exact-dedup ingest — the production pattern for
     continuous dedup at scale: a bounded (<= BLOOM_M rows) set-bit table
@@ -1339,7 +1405,10 @@ def ingest_increment_bloom(
             ).alias("pos"),
         )
 
-    bloom_dirs = _committed_paths(bloom_path, committed)
+    heal_fold_debris(seen_path, [seen_path, bloom_path, corpus_path])
+    # fold output + unfolded deltas (concat fold — both the set-bit
+    # table and the exact anti-join side keep identical semantics)
+    bloom_dirs = _live_table_dirs(seen_path, bloom_path)
     if bloom_dirs:
         bits = spark.read.parquet(*bloom_dirs).select("pos").distinct().withColumn(
             "_set", F.lit(1)
@@ -1353,7 +1422,7 @@ def ingest_increment_bloom(
         firsts = firsts.join(probe, "_h")
         fast = firsts.where(F.col("_all_set") == 0).drop("_all_set")
         suspect = firsts.where(F.col("_all_set") == 1).drop("_all_set")
-        seen = spark.read.parquet(*_committed_paths(seen_path, committed)).select(
+        seen = spark.read.parquet(*_live_table_dirs(seen_path, seen_path)).select(
             F.col("h").alias("_seen_h")
         )
         slow = suspect.join(seen, suspect["_h"] == seen["_seen_h"], "left_anti")
@@ -1376,6 +1445,13 @@ def ingest_increment_bloom(
     finally:
         fresh.unpersist()
     _write_marker(seen_path, token)
+    _maybe_fold(
+        spark,
+        seen_path,
+        {seen_path: None, bloom_path: None, corpus_path: None},
+        committed,
+        fold_threshold,
+    )
     return n
 
 

@@ -858,8 +858,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import EVAL_MAX_DOCS, EVAL_MODULUS
     from ..schemas import DOCUMENTS_SCHEMA
     from .incremental import (
-        _committed_paths,
-        _committed_tokens,
+        _live_table_dirs,
         incremental_contamination_ingest,
     )
 
@@ -884,7 +883,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # read COMMITTED increments only (the ingest family's read rule — a
     # half-staged crash must never leak into downstream reads)
-    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(corpus)))
+    back = spark.read.parquet(*_live_table_dirs(corpus, corpus))
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
@@ -1045,8 +1044,7 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..schemas import DOCUMENTS_SCHEMA
     from .incremental import (
-        _committed_paths,
-        _committed_tokens,
+        _live_table_dirs,
         incremental_bloom_ingest,
     )
 
@@ -1064,7 +1062,7 @@ def stream_bloom_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     seen_root = os.path.join(work, "seen")
-    back = spark.read.parquet(*_committed_paths(corpus, _committed_tokens(seen_root)))
+    back = spark.read.parquet(*_live_table_dirs(seen_root, corpus))
     return back.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

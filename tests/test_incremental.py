@@ -1048,6 +1048,173 @@ def test_fold_crash_before_manifest_flip_heals(spark, tmp_path, monkeypatch):
     assert got == [1, 2, 4]
 
 
+def test_every_cross_run_ingest_folds_bound_dirs_and_stay_exact(spark, tmp_path):
+    """VERDICT r11 #3, full family sweep: for EVERY cross-run ingest the
+    concat-fold (fold_threshold=2) must (a) keep every table's delta-dir
+    count < threshold+1 after every increment, (b) produce a final
+    corpus identical to the fold-disabled run's, and (c) keep the
+    replay short-circuit intact after folding."""
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental as inc
+
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    docs = [
+        (1, body),
+        (2, " ".join(f"fresh{i} material{i}" for i in range(30))),
+        (3, "breaking news update " + body),  # winnow: partial copy of 1
+        (4, " ".join(f"novel{i} text{i}" for i in range(30))),
+        (5, " ".join(f"other{i} words{i}" for i in range(30))),
+        (6, body),  # exact/segment repeat of 1
+    ]
+    batches = [docs[0:2], docs[2:4], docs[4:5], docs[5:6]]
+
+    def run(name, ingest, fold_threshold, tables_of):
+        root = os.path.join(tmp_path, f"{name}-{fold_threshold}")
+        corpus = os.path.join(root, "corpus")
+        aux = os.path.join(root, "aux")
+        for i, rows in enumerate(batches, start=1):
+            b = spark.createDataFrame(rows, DOC_SCHEMA)
+            ingest(b, corpus, aux, f"r{i}", fold_threshold)
+            if fold_threshold is not None:
+                for t in tables_of(corpus, aux):
+                    if not os.path.isdir(t):
+                        continue
+                    n_delta = len(
+                        [
+                            d
+                            for d in os.listdir(t)
+                            if d.startswith("inc=") and not d.startswith("inc=_foldv")
+                        ]
+                    )
+                    assert n_delta < 3, f"{name}:{t} delta dirs not bounded: {n_delta}"
+        # replay of the last increment is still a no-op after folding
+        b_last = spark.createDataFrame(batches[-1], DOC_SCHEMA)
+        assert ingest(b_last, corpus, aux, f"r{len(batches)}", fold_threshold) == 0
+        return sorted(
+            tuple(r) for r in spark.read.parquet(corpus).select("doc_id").collect()
+        )
+
+    cases = {
+        "segments": (
+            lambda b, c, a, t, f: inc.ingest_increment_segments(
+                spark, b, c, a, increment_id=t, fold_threshold=f
+            ),
+            lambda c, a: [c, a],
+        ),
+        "winnow": (
+            lambda b, c, a, t, f: inc.ingest_increment_winnow(
+                spark, b, c, a, increment_id=t, fold_threshold=f
+            ),
+            lambda c, a: [c, a],
+        ),
+        "contamination": (
+            lambda b, c, a, t, f: inc.ingest_increment_contamination(
+                spark,
+                b,
+                c,
+                spark.createDataFrame([(999, "held out benchmark text")], DOC_SCHEMA),
+                increment_id=t,
+                fold_threshold=f,
+            ),
+            lambda c, a: [c],
+        ),
+        "bloom": (
+            lambda b, c, a, t, f: inc.ingest_increment_bloom(
+                spark, b, c, a, a + "_bits", increment_id=t, fold_threshold=f
+            ),
+            lambda c, a: [c, a, a + "_bits"],
+        ),
+    }
+    for name, (ingest, tables_of) in cases.items():
+        folded = run(name, ingest, 2, tables_of)
+        plain = run(name, ingest, None, tables_of)
+        assert folded == plain, f"{name}: folded run diverged from plain run"
+
+
+def test_embedding_phash_hll_ingests_fold_and_stay_exact(spark, tmp_path):
+    """Same family sweep for the non-text ingests (embedding vectors,
+    media payloads, HLL registers) — fold run == plain run, dirs
+    bounded, replay intact."""
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental as inc
+
+    def check_dirs(ts):
+        for t in ts:
+            if not os.path.isdir(t):
+                continue
+            n_delta = len(
+                [
+                    d
+                    for d in os.listdir(t)
+                    if d.startswith("inc=") and not d.startswith("inc=_foldv")
+                ]
+            )
+            assert n_delta < 3, f"{t} delta dirs not bounded: {n_delta}"
+
+    # embedding (the module-level _unit zero-pads to the fixed 64-dim
+    # hyperplane space)
+    EMB = EMB_SCHEMA
+    ebatches = [
+        [(1, _unit([1.0, 0.2, 0.1, 0.0])), (2, _unit([0.0, 1.0, 0.0, 0.3]))],
+        [(3, _unit([1.0, 0.21, 0.1, 0.0])), (4, _unit([0.0, 0.0, 0.1, -1.0]))],
+        [(5, _unit([0.3, -1.0, 0.2, 0.0]))],
+        [(6, _unit([0.0, 1.0, 0.01, 0.3]))],
+    ]
+
+    def run_emb(f):
+        root = os.path.join(tmp_path, f"emb-{f}")
+        c, a = os.path.join(root, "c"), os.path.join(root, "i")
+        for i, rows in enumerate(ebatches, start=1):
+            inc.ingest_increment_embedding(
+                spark, spark.createDataFrame(rows, EMB), c, a,
+                increment_id=f"r{i}", fold_threshold=f,
+            )
+            if f is not None:
+                check_dirs([c, a])
+        return sorted(r.vec_id for r in spark.read.parquet(c).collect())
+
+    assert run_emb(2) == run_emb(None)
+
+    # phash
+    MEDIA = "doc_id long, payload binary"
+    base = ("the quick brown fox jumps over the lazy dog and keeps running far " * 3).encode()
+    pbatches = [
+        [(1, base), (2, (" ".join(f"fresh{i} material{i}" for i in range(30))).encode())],
+        [(3, base.replace(b"lazy", b"hazy")), (4, (" ".join(f"novel{i} text{i}" for i in range(30))).encode())],
+        [(5, (" ".join(f"other{i} words{i}" for i in range(30))).encode())],
+    ]
+
+    def run_ph(f):
+        root = os.path.join(tmp_path, f"ph-{f}")
+        c, a = os.path.join(root, "c"), os.path.join(root, "i")
+        for i, rows in enumerate(pbatches, start=1):
+            inc.ingest_increment_phash(
+                spark, spark.createDataFrame(rows, MEDIA), c, a,
+                increment_id=f"r{i}", fold_threshold=f,
+            )
+            if f is not None:
+                check_dirs([c, a])
+        return sorted(r.doc_id for r in spark.read.parquet(c).collect())
+
+    assert run_ph(2) == run_ph(None)
+
+    # hll: compare the merged registers (the sketch IS the state)
+    def run_hll(f):
+        root = os.path.join(tmp_path, f"hll-{f}")
+        s = os.path.join(root, "sk")
+        for i in range(1, 5):
+            b = spark.createDataFrame(
+                [(j, f"key{j % 40}") for j in range(i * 10, i * 10 + 10)],
+                "doc_id long, text string",
+            )
+            inc.ingest_increment_hll(spark, b, s, "text", increment_id=f"r{i}", fold_threshold=f)
+            if f is not None:
+                check_dirs([s])
+        return sorted(
+            tuple(r) for r in inc.hll_merged_registers(spark, s).collect()
+        )
+
+    assert run_hll(2) == run_hll(None)
+
+
 def test_ingest_increment_bottomk_equals_batch_at_any_split(spark, tmp_path):
     """The bottom-k merge identity: the maintained sample equals the
     one-shot batch bottom-k regardless of how rows split into
