@@ -103,6 +103,15 @@ HEADLINE = [
     "q103_stream_scd2_compacting",
     "q104_stream_fuzzy_ingest",
     "q105_stream_bottomk_sample",
+    # round-12 operators: DSIR's gram-explode aggregates, UniMax's
+    # corpus groupBy and the streaming recipe's replace-state
+    # maintenance are the new rows whose cost drift matters — three
+    # MORE rows on top of the three above, so BENCH_r12's total is 65
+    # queries vs r11's 59 (compare shared rows / bench_ab, never raw
+    # totals across the boundary)
+    "curation_dsir",
+    "curation_unimax",
+    "q106_stream_unimax",
 ]
 
 

@@ -1133,3 +1133,179 @@ def dsir_importance_filter(
             )
         ).alias("keep"),
     )
+
+
+UNIMAX_MAX_EPOCHS = 4
+# Sources are a bounded catalog domain (crawl/corpus provenance labels,
+# not data-sized): the per-source aggregate is capped so the global
+# waterfill windows run over a certified orderBy+limit input (the
+# global_topk_with_rank shape the plan audit requires for ordered
+# constant-partition windows).  65536 is far above any real mixture
+# recipe (FineWeb/Pile/Dolma-class mixes are 10-10^3 sources); the cap
+# is asserted, never silently truncating (review r12).
+UNIMAX_MAX_SOURCES = 65_536
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = UNIMAX_MAX_EPOCHS,
+    text_col: str = "text",
+    strata_col: str = "source",
+    max_sources: int = UNIMAX_MAX_SOURCES,
+) -> DataFrame:
+    """UniMax-style per-source token-budget allocation (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining" — public): split a total
+    training-token budget across sources as EQUALLY as possible, subject
+    to an epoch cap — no source is repeated more than ``max_epochs``
+    times, and budget a small source cannot absorb flows to the larger
+    ones (the waterfill).  This is the epoch-capped complement to
+    :func:`rebalance_to_budget`, whose equal-share rate caps at 1.0 and
+    silently UNDER-spends the budget whenever a source is smaller than
+    its share.
+
+    Semantics (deterministic closed form, exact integers end-to-end):
+    with per-source token counts ``c_s`` and caps ``cap_s = c_s *
+    max_epochs``, sort ascending by ``(cap_s, source)``.  Source at rank
+    ``rn`` (1-based, ``n`` sources, ``cum_prev`` = sum of caps before
+    it) is CAPPED iff ``cap_s * (n - rn + 1) <= B - cum_prev`` — the
+    classic waterfill prefix test, a pure-integer predicate, and
+    provably prefix-monotone (once it fails it fails for every later
+    source).  Capped sources get ``cap_s`` (all ``max_epochs`` epochs);
+    the ``m = n - k`` uncapped sources share the leftover ``L = B -
+    sum(capped caps)`` as ``L div m`` each, with the ``L mod m``
+    remainder tokens going one each to the first ``L mod m`` uncapped
+    sources in sort order.  The allocation spends exactly
+    ``min(B, sum(caps))`` and is within 1 token per source of the
+    paper's sequential waterfill (property-checked in tests); the
+    remainder rule replaces its floor-dust loss with a deterministic
+    total order, per the registry's no-rand rule.
+
+    Scale: ONE corpus-sized aggregate (groupBy source — partial-agg'd,
+    the only shuffle that sees data); everything after runs on the
+    <= ``max_sources`` per-source rows through an orderBy+limit
+    (TakeOrderedAndProject) feeding the ordered windows — the
+    plan-audit-certified bounded-window shape.  No join touches the
+    corpus again; the output IS the per-source recipe a trainer feeds
+    its sampler.  Products are computed in DECIMAL(38,0) (HUGEINT in
+    the oracle) so the math is exact past BIGINT at frontier budgets
+    (10T+ tokens x 10^3 sources), per the registry's exact-arithmetic
+    rule.
+
+    Output: (source, source_tokens, cap_tokens, alloc_tokens, capped,
+    epochs_e6) — epochs_e6 = floor(1e6 * alloc / c_s), the per-source
+    repeat factor the sampler applies (1e6 == exactly one epoch).
+    """
+    per = (
+        docs.select(
+            F.col(strata_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    return unimax_allocation_from_counts(
+        per, budget_tokens, max_epochs=max_epochs, max_sources=max_sources
+    )
+
+
+def unimax_allocation_from_counts(
+    per: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = UNIMAX_MAX_EPOCHS,
+    max_sources: int = UNIMAX_MAX_SOURCES,
+) -> DataFrame:
+    """The waterfill itself, over an already-aggregated ``(source,
+    source_tokens)`` frame — the shared core of :func:`unimax_allocation`
+    (which derives the counts from a corpus) and the streaming recipe
+    maintenance (which keeps the counts as merge-associative state and
+    recomputes the allocation per increment).  Semantics and output
+    schema exactly as documented on :func:`unimax_allocation`."""
+    budget = f"CAST('{int(budget_tokens)}' AS DECIMAL(38,0))"
+    per = per.select(
+        "source",
+        "source_tokens",
+        (F.col("source_tokens") * F.lit(int(max_epochs))).alias("cap_tokens"),
+    )
+    # certified bounded-window input: sources are a catalog domain, so
+    # the limit is a documented bound, not a truncation (asserted below
+    # via n <= max_sources — n counts POST-limit rows, so equality with
+    # the cap is only reachable when the cap is exactly hit; the strict
+    # guard keeps a genuinely larger catalog from truncating silently)
+    top = per.orderBy(F.col("cap_tokens").asc(), F.col("source").asc()).limit(
+        int(max_sources)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("cap_tokens").asc(), F.col("source").asc()
+    )
+    # rn / cum_prev / n share ONE ordered-spec Window node (frames are
+    # per-expression), so the plan keeps that node directly above the
+    # TakeOrderedAndProject — the certified bounded shape.  k / cum_k
+    # depend on `capped` and live in a SECOND Window node above it;
+    # they use the UNORDERED spec, which the partitionless gate exempts
+    # regardless of position.
+    ranked = top.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("cum_prev"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    # loud-failure guard (executed distributed, no collect): n counts
+    # POST-limit rows, so n == max_sources means the cap was hit and the
+    # catalog may have been truncated — fail instead of under-reporting
+    ranked = ranked.where(
+        F.assert_true(
+            F.col("n") < F.lit(int(max_sources)),
+            F.lit(
+                f"unimax_allocation: source catalog hit max_sources="
+                f"{int(max_sources)}; raise the bound explicitly"
+            ),
+        ).isNull()
+    )
+    wall = Window.partitionBy(F.lit(1))
+    flagged = ranked.select(
+        "*",
+        F.expr(
+            f"CAST(cap_tokens AS DECIMAL(38,0)) * (n - rn + 1) <= {budget} - cum_prev"
+        ).alias("capped"),
+    ).withColumn("k", F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall))
+    flagged = flagged.withColumn(
+        "cum_k",
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(F.lit(0))).over(
+            wall
+        ),
+    )
+    alloc = flagged.select(
+        "source",
+        "source_tokens",
+        "cap_tokens",
+        "capped",
+        F.expr(
+            f"""CAST(CASE WHEN capped THEN cap_tokens ELSE
+                  ({budget} - cum_k) div (n - k)
+                  + (CASE WHEN rn - k <=
+                       ({budget} - cum_k)
+                       - (({budget} - cum_k) div (n - k)) * (n - k)
+                     THEN 1 ELSE 0 END)
+                END AS BIGINT)"""
+        ).alias("alloc_tokens"),
+    )
+    return alloc.select(
+        "source",
+        "source_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        "capped",
+        F.expr(
+            "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+            " div source_tokens AS BIGINT)"
+        ).alias("epochs_e6"),
+    )

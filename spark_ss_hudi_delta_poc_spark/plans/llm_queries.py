@@ -417,6 +417,12 @@ def curation_dsir_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 REBALANCE_BUDGET = 10_000  # tokens — the shared literal for query and oracle
+# UniMax budget: between sum-of-min-caps and sum-of-all-caps at
+# sf0.001/sf0.01 (mixed capped/uncapped waterfill, k=2 capped sources)
+# and far below every cap at sf0.1 (all-uncapped equal-share path); the
+# odd literal forces a nonzero remainder so the deterministic dust rule
+# is externally exercised too
+UNIMAX_BUDGET = 100_003  # tokens
 
 
 def curation_sample_weighted_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -445,6 +451,12 @@ def curation_export_q(spark: SparkSession, sf: str) -> DataFrame:
 
 def curation_rebalance_q(spark: SparkSession, sf: str) -> DataFrame:
     return curation.rebalance_to_budget(load(spark, sf, "documents"), budget_tokens=REBALANCE_BUDGET)
+
+
+def curation_unimax_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.unimax_allocation(
+        load(spark, sf, "documents"), budget_tokens=UNIMAX_BUDGET
+    )
 
 
 def dedup_segments_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -1780,6 +1792,63 @@ QUERIES = [
         doc="token-budget mixture rebalancing: equal-share per-source "
         "Bernoulli keep-rates from exact-integer rate math, hash-threshold "
         "keep decision; corpus never shuffles (rates broadcast back)",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_unimax",
+        curation_unimax_q,
+        f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens,
+                 CAST(SUM(len(string_split(text, ' '))) * 4 AS BIGINT) AS cap_tokens
+          FROM documents GROUP BY source
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER w AS rn,
+                 COUNT(*) OVER w_full AS n,
+                 COALESCE(SUM(cap_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING), 0) AS cum_prev
+          FROM per
+          WINDOW w AS (ORDER BY cap_tokens ASC, source ASC),
+                 w_full AS (ORDER BY cap_tokens ASC, source ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ),
+        flagged AS (
+          SELECT *, CAST(cap_tokens AS HUGEINT) * (n - rn + 1)
+                      <= {UNIMAX_BUDGET} - cum_prev AS capped
+          FROM ranked
+        ),
+        stats AS (
+          SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+                 SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER () AS cum_k
+          FROM flagged
+        ),
+        alloc AS (
+          SELECT source, source_tokens, cap_tokens, capped,
+                 CAST(CASE WHEN capped THEN cap_tokens
+                      ELSE ({UNIMAX_BUDGET} - cum_k) // (n - k)
+                           + (CASE WHEN rn - k <= ({UNIMAX_BUDGET} - cum_k)
+                                     - (({UNIMAX_BUDGET} - cum_k) // (n - k))
+                                       * (n - k)
+                               THEN 1 ELSE 0 END)
+                      END AS BIGINT) AS alloc_tokens
+          FROM stats
+        )
+        SELECT source, source_tokens, cap_tokens, alloc_tokens, capped,
+               CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // source_tokens
+                    AS BIGINT) AS epochs_e6
+        FROM alloc
+        """,
+        doc="UniMax-style epoch-capped token-budget waterfill (Chung et "
+        "al. 2023): per-source caps = tokens x max_epochs, ascending "
+        "closed-form prefix test (pure-integer, provably prefix-"
+        "monotone), capped sources take their cap, the rest split the "
+        "leftover with a deterministic remainder rule — exact integers "
+        "end-to-end, spends exactly min(budget, sum caps); one corpus "
+        "aggregate, then windows over the bounded source catalog via "
+        "the certified orderBy+limit shape",
         tags=("llm", "curation"),
     ),
     Query(

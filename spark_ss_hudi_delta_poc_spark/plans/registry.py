@@ -49,14 +49,22 @@ class Query:
 #     importance resampling — same-round evidence per the late-landing-
 #     operator rule; displaces q20_sessionize, the newest r7 row, into
 #     the round-13 queue).
-#   Slots 3-34: the 32 remaining r6-cohort rows, exactly the committed
+#   Slot 3: FIRST row for curation_unimax (round-12 operator: UniMax
+#     epoch-capped token-budget waterfill — same rule; displaces
+#     q18_semi_anti, the newest remaining r7 row, into the round-13
+#     queue).
+#   Slot 4: FIRST row for q106_stream_unimax (round-12 operator:
+#     always-current UniMax recipe via replace-state per-source counts
+#     — same rule; displaces q17_asof_join into the round-13 queue).
+#   Slots 5-36: the 32 remaining r6-cohort rows, exactly the committed
 #     queue (including curation_sample_stratified, q26_pivot and
 #     dedup_embedding_cosine, displaced from the round-11 window by
 #     the round-11 operators).  Evidence histogram max age drops to r7.
-#   Slots 35-50: the 16 name-ordered oldest-r7 rows.
+#   Slots 37-50: the 14 name-ordered oldest-r7 rows.
 #
-# Round-13 rotation queue: the remaining 21 r7-cohort rows
-# (q20_sessionize — displaced from this window by curation_dsir —
+# Round-13 rotation queue: the remaining 23 r7-cohort rows
+# (q17_asof_join, q18_semi_anti and q20_sessionize — displaced from
+# this window by the three round-12 operators —
 # q23_pricing_summary, q48_snapshot_diff, q49_exists_daterange,
 # q50_filter_revenue, q52_priority_shipmode, q53_exact_median,
 # q55_asof_tolerance, q56_cube, q57_funnel, q58_hourly_retention,
@@ -69,8 +77,10 @@ class Query:
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- fresh row for the plan changed this round (1) ---------------------
     "q104_stream_fuzzy_ingest",
-    # --- FIRST row for this round's new operator (1) -----------------------
+    # --- FIRST rows for this round's new operators (3) ---------------------
     "curation_dsir",
+    "curation_unimax",
+    "q106_stream_unimax",
     # --- r6 cohort refresh: the 32 remaining rows, committed queue (32) ----
     "ann_ivf_index_topk",
     "ann_lsh_multitable_topk",
@@ -104,7 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_scrub_pii",
     "text_tfidf_keywords",
     "text_token_counts",
-    # --- r7 cohort, oldest-evidence-next, name-ordered (16) ----------------
+    # --- r7 cohort, oldest-evidence-next, name-ordered (14) ----------------
     "corpus_ngram_stats",
     "corpus_vocab_stats",
     "curation_gopher_rules",
@@ -119,8 +129,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_broadcast_dims",
     "q15_window_topn",
     "q16_rollup",
-    "q17_asof_join",
-    "q18_semi_anti",
 )
 
 

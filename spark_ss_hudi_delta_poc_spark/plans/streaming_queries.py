@@ -13,6 +13,7 @@ from ..streaming.jobs import (
     stream_bloom_dedup_ingest,
     stream_bottomk_sample,
     stream_fuzzy_dedup_ingest,
+    stream_unimax_recipe,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -555,5 +556,24 @@ QUERIES.append(
         "maintained sample == the one-shot batch ORDER BY hash LIMIT n "
         "at any micro-batch split (hash-checked by the oracle)",
         tags=("streaming", "sketch", "incremental", "curation"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q106_stream_unimax",
+        stream_unimax_recipe,
+        _oracle_of("curation_unimax"),
+        doc="always-current UniMax mixing recipe: documents stream in 3 "
+        "marker-committed increments; each trigger folds the batch's "
+        "per-source token counts into a replace-state count table "
+        "(per-source sums are merge-associative, so the maintained "
+        "counts equal a one-shot batch aggregate at any micro-batch "
+        "split) and the epoch-capped waterfill is recomputed from the "
+        "catalog-sized counts alone — zero history rescans; the final "
+        "recipe must equal batch curation_unimax (same oracle, same "
+        "hash)",
+        tags=("streaming", "incremental", "curation"),
     )
 )

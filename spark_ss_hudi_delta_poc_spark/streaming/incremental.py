@@ -2075,3 +2075,103 @@ def incremental_bottomk_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_source_counts(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    strata_col: str = "source",
+    increment_id: int | str | None = None,
+) -> int:
+    """Incremental per-source TOKEN-COUNT maintenance over a growing
+    corpus — the state behind an always-current UniMax mixing recipe
+    (operators/curation.unimax_allocation_from_counts): per-source sums
+    are merge-associative, so "counts of the full corpus == counts of
+    (previous counts ∪ new batch, re-summed)" holds at any micro-batch
+    split, and the maintained recipe equals the one-shot batch
+    allocation — which is what the q106 oracle checks.
+
+    Replace-state protocol, exactly :func:`ingest_increment_bottomk`'s:
+    each increment writes the COMPLETE per-source count table as of that
+    increment to ``state_path/inc=<token>``, commits it with a marker,
+    and prunes superseded committed states after the commit (the new
+    table subsumes them).  Tokens must be totally ordered by commit time
+    (foreachBatch batch ids are; the default is a zero-padded commit
+    sequence) — see the bottomk docstring for the replay/crash story:
+    a replayed increment is a no-op, a crash before the marker leaves
+    the previous state live.  Per-increment cost: one |batch|-sized
+    aggregate plus a catalog-sized (<= |sources| rows) merge — state
+    never grows with corpus length, only with the source catalog.
+    Returns the number of sources tracked after the increment.
+    """
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    agg = (
+        batch.select(
+            F.col(strata_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    latest = latest_bottomk_dir(state_path)  # newest-committed, mode-agnostic
+    if latest:
+        agg = (
+            agg.unionByName(spark.read.parquet(latest))
+            .groupBy("source")
+            .agg(F.sum("source_tokens").alias("source_tokens"))
+        )
+    agg.write.mode("overwrite").parquet(os.path.join(state_path, f"inc={token}"))
+    _write_marker(state_path, token)
+    import shutil as _shutil
+
+    for t in committed:
+        _shutil.rmtree(os.path.join(state_path, f"inc={t}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(_commits_dir(state_path), t))
+        except FileNotFoundError:
+            pass
+    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+
+
+def incremental_source_counts_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    strata_col: str = "source",
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_source_counts)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_source_counts(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            text_col=text_col,
+            strata_col=strata_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

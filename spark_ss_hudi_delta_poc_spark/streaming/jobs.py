@@ -1220,6 +1220,40 @@ def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(latest_bottomk_dir(state)).select("doc_id", "n_chars")
 
 
+def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-12): always-current UniMax mixing recipe
+    over a growing corpus — documents stream in 3 marker-committed
+    increments; each trigger folds the batch's per-source token counts
+    into the replace-state count table (incremental.
+    ingest_increment_source_counts — per-source sums are
+    merge-associative, so the maintained counts equal a one-shot batch
+    aggregate at any micro-batch split), and the waterfill is
+    recomputed from the counts alone (operators/curation.
+    unimax_allocation_from_counts — catalog-sized input, constant in
+    corpus length).  A training pipeline gets a continuously-correct
+    sampler recipe without ever rescanning history; the final recipe
+    must equal batch curation_unimax, which is what the shared oracle
+    checks."""
+    from ..operators.curation import unimax_allocation_from_counts
+    from ..plans.llm_queries import UNIMAX_BUDGET
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import incremental_source_counts_ingest, latest_bottomk_dir
+
+    work = _workdir("qunimax")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_source_counts_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    counts = spark.read.parquet(latest_bottomk_dir(state))
+    return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
+
+
 def late_window_agg(df: DataFrame) -> DataFrame:
     """Core of q98 (shared with the plan-audit shadow): 1-hour windows
     per event_type under a 1-hour watermark."""

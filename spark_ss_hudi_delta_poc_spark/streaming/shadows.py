@@ -315,6 +315,30 @@ def _q104(spark, sf_dir):
     return {"ingest": kept.select("doc_id", "n_chars")}
 
 
+def _q106(spark, sf_dir):
+    from ..operators.curation import unimax_allocation_from_counts
+    from ..plans.llm_queries import UNIMAX_BUDGET
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior: |batch|-sized per-source aggregate, merged
+    # with the catalog-sized previous counts (union + re-sum), then the
+    # waterfill over the counts alone (certified orderBy+limit windows)
+    batch_counts = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    merged = (
+        batch_counts.unionByName(batch_counts)  # state side is the same class
+        .groupBy("source")
+        .agg(F.sum("source_tokens").alias("source_tokens"))
+    )
+    return {"ingest": unimax_allocation_from_counts(merged, UNIMAX_BUDGET)}
+
+
 STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q10_stream_global_agg": _q10,
     "q12_stream_roundtrip": _q12,
@@ -340,4 +364,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q103_stream_scd2_compacting": _q100,
     "q104_stream_fuzzy_ingest": _q104,
     "q105_stream_bottomk_sample": _q105,
+    "q106_stream_unimax": _q106,
 }

@@ -395,3 +395,89 @@ def test_dsir_selects_target_like_docs(spark):
     # empty input: empty frame, not an IndexError from the boundary probe
     empty = curation.dsir_importance_filter(docs.where("doc_id < 0")).toPandas()
     assert len(empty) == 0 and list(empty.columns) == ["doc_id", "n_grams", "score_e9", "keep"]
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_unimax_mixed_waterfill(spark):
+    # caps (E=2): a -> 2, b -> 8, c -> 40.  B = 20: source a is capped
+    # (2*3=6 <= 20), b is capped (8*2=16 <= 18), c gets the leftover 10.
+    docs = _src_docs(
+        spark,
+        [
+            (1, "x", "a"),
+            (2, "w w w w", "b"),
+            (3, " ".join(["v"] * 20), "c"),
+        ],
+    )
+    out = {
+        r.source: r
+        for r in curation.unimax_allocation(docs, budget_tokens=20, max_epochs=2).collect()
+    }
+    assert (out["a"].alloc_tokens, out["a"].capped) == (2, True)
+    assert (out["b"].alloc_tokens, out["b"].capped) == (8, True)
+    assert (out["c"].alloc_tokens, out["c"].capped) == (10, False)
+    assert out["a"].epochs_e6 == 2_000_000  # full 2 epochs
+    assert out["c"].epochs_e6 == 500_000  # half an epoch of c's 20 tokens
+    assert sum(r.alloc_tokens for r in out.values()) == 20
+
+
+def test_unimax_all_capped_when_budget_exceeds_caps(spark):
+    docs = _src_docs(spark, [(1, "x y", "a"), (2, "p q r", "b")])
+    out = curation.unimax_allocation(docs, budget_tokens=10_000, max_epochs=3).collect()
+    assert all(r.capped and r.alloc_tokens == r.cap_tokens for r in out)
+    assert sum(r.alloc_tokens for r in out) == (2 + 3) * 3
+
+
+def test_unimax_remainder_goes_to_smallest_uncapped_first(spark):
+    # two equal uncapped sources, odd leftover: the sort-order-first
+    # source gets the extra token (deterministic dust rule)
+    docs = _src_docs(
+        spark,
+        [(1, " ".join(["a"] * 10), "a"), (2, " ".join(["b"] * 10), "b")],
+    )
+    out = {
+        r.source: r.alloc_tokens
+        for r in curation.unimax_allocation(docs, budget_tokens=7, max_epochs=1).collect()
+    }
+    assert out == {"a": 4, "b": 3}
+
+
+def test_unimax_matches_sequential_waterfill_within_dust(spark):
+    # property vs the paper's sequential floor-recursion: totals equal,
+    # per-source within 1 token (the closed form redistributes the dust)
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for s in range(9):
+        toks = rng.randint(1, 30)
+        rows.append((s, " ".join(["t"] * toks), f"s{s}"))
+    docs = _src_docs(spark, rows)
+    caps = sorted(
+        (len(r[1].split(" ")) * 4, r[2]) for r in rows
+    )
+    for budget in (0, 13, 57, 200, 10_000):
+        got = {
+            r.source: r.alloc_tokens
+            for r in curation.unimax_allocation(docs, budget_tokens=budget).collect()
+        }
+        rem = budget
+        seq = {}
+        for i, (cap, s) in enumerate(caps):
+            a = min(cap, rem // (len(caps) - i))
+            seq[s] = a
+            rem -= a
+        assert sum(got.values()) == min(budget, sum(c for c, _ in caps))
+        assert all(abs(got[s] - seq[s]) <= 1 for s in seq)
+
+
+def test_unimax_source_cap_guard_raises(spark):
+    docs = _src_docs(spark, [(i, "x", f"s{i}") for i in range(4)])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        curation.unimax_allocation(docs, budget_tokens=5, max_sources=4).collect()
+    assert "max_sources" in str(ei.value)

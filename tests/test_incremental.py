@@ -1329,3 +1329,92 @@ def test_ingest_increment_bottomk_default_tokens_and_pruning(spark, tmp_path):
     )
     got = sorted(r.doc_id for r in spark.read.parquet(latest_bottomk_dir(state)).collect())
     assert got == want
+
+
+SRC_DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def test_ingest_increment_source_counts_equals_batch_at_any_split(spark, tmp_path):
+    """Per-source sums are merge-associative: the maintained count table
+    equals a one-shot batch aggregate regardless of how rows split into
+    increments (q106's invariance)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_source_counts,
+        latest_bottomk_dir,
+    )
+
+    rows = [(i, " ".join(["w"] * (1 + i % 7)), f"s{i % 3}") for i in range(90)]
+    want = {
+        (r.source, r.source_tokens)
+        for r in (
+            spark.createDataFrame(rows, SRC_DOC_SCHEMA)
+            .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS t")
+            .groupBy("source")
+            .agg({"t": "sum"})
+            .withColumnRenamed("sum(t)", "source_tokens")
+            .collect()
+        )
+    }
+    for tag, chunks in (
+        ("thirds", [rows[i::3] for i in range(3)]),
+        ("uneven", [rows[:70], rows[70:71], rows[71:]]),
+    ):
+        state = os.path.join(tmp_path, f"sc_{tag}")
+        for e, chunk in enumerate(chunks):
+            ingest_increment_source_counts(
+                spark,
+                spark.createDataFrame(chunk, SRC_DOC_SCHEMA),
+                state,
+                increment_id=e,
+            )
+        got = {
+            (r.source, r.source_tokens)
+            for r in spark.read.parquet(latest_bottomk_dir(state)).collect()
+        }
+        assert got == want, tag
+
+
+def test_ingest_increment_source_counts_replay_crash_and_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """Committed replay is a no-op; a crash before the marker leaves the
+    previous counts live; superseded committed states are pruned so disk
+    state stays one catalog-sized dir."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_source_counts,
+        latest_bottomk_dir,
+    )
+
+    state = os.path.join(tmp_path, "sc")
+    b1 = spark.createDataFrame([(1, "a b", "x"), (2, "c", "y")], SRC_DOC_SCHEMA)
+    b2 = spark.createDataFrame([(3, "d e f", "x")], SRC_DOC_SCHEMA)
+    assert ingest_increment_source_counts(spark, b1, state, increment_id=0) == 2
+    s1 = {
+        (r.source, r.source_tokens)
+        for r in spark.read.parquet(latest_bottomk_dir(state)).collect()
+    }
+    assert s1 == {("x", 2), ("y", 1)}
+
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_source_counts(spark, b2, state, increment_id=1)
+    assert latest_bottomk_dir(state).endswith("inc=0")
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    assert ingest_increment_source_counts(spark, b2, state, increment_id=1) == 2
+    got = {
+        (r.source, r.source_tokens)
+        for r in spark.read.parquet(latest_bottomk_dir(state)).collect()
+    }
+    assert got == {("x", 5), ("y", 1)}
+    # replay no-op + superseded pruning
+    assert ingest_increment_source_counts(spark, b2, state, increment_id=1) == 0
+    incs = [d for d in os.listdir(state) if d.startswith("inc=")]
+    assert incs == ["inc=1"], incs

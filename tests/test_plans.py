@@ -264,9 +264,11 @@ def test_sketch_cross_joins_are_single_row(spark):
         # + classes x 1-row above-t totals
         "privacy_t_closeness": 3,
         "monitor_seasonal_anomaly": 1,  # daily ledger x 1-row day bounds
-        # bucket ratios x 1-row (n_r, n_t) totals, replicated into the
-        # cached-scored lineage (t_closeness's branch-replication shape)
-        "curation_dsir": 2,
+        # bucket ratios x 1-row (n_r, n_t) totals — appears ONCE: the
+        # returned frame keeps the un-cached scored lineage (the r12
+        # boundary-probe hygiene released the persist, so the ratios
+        # branch is no longer replicated into a cached twin)
+        "curation_dsir": 1,
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)

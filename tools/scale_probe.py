@@ -268,6 +268,12 @@ PROBE_OPS = [
     # a <=4096-row broadcast ratio table, two TakeOrdered boundary
     # probes; nothing quadratic, so the ratio must stay near-linear
     "curation_dsir",
+    # round-12: UniMax waterfill — one corpus aggregate, then windows
+    # over the bounded source catalog; must scale as a plain groupBy
+    "curation_unimax",
+    # round-12: streaming recipe maintenance — per-increment cost is one
+    # batch aggregate + a catalog-sized merge; must track the batch op
+    "q106_stream_unimax",
 ]
 
 
