@@ -219,8 +219,14 @@ def compact_fuzzy_bands_to_bucketed(
     if not dirs:
         return 0
     bands = spark.read.parquet(*dirs)
+    # bucket-aligned repartition (same murmur3-pmod as the bucket-id
+    # assignment): one task per bucket -> one file per bucket, instead
+    # of one file per (task, bucket) — see fold_fuzzy_band_base
+    from pyspark.sql import functions as F
+
     (
-        bands.write.mode("overwrite")
+        bands.repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
+        .write.mode("overwrite")
         .option("path", table_path)
         .bucketBy(n_buckets, "band_idx", "band_val")
         .sortBy("band_idx", "band_val")

@@ -731,7 +731,7 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
 
 def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
     """VERDICT r11 watch-item: bucketing removes the base probe's
-    exchange, the pp=md5(band_val)%64 hash-prefix partitioning removes
+    exchange, the pp=md5(band_val)%FUZZY_PP_MOD hash-prefix partitioning removes
     its I/O — a probe whose batch touches one band value must list
     input files ONLY under that value's pp dir, while other pp dirs
     exist on disk with real files."""
