@@ -487,7 +487,12 @@ def _swap_touched_buckets(
 
     staging = target_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("bkt").parquet(staging)
+    # co-locate each bucket into one task before the partitioned write:
+    # without this every shuffle task writes its own file per bkt dir it
+    # touches (tasks x buckets tiny files per swap, review r12)
+    merged.repartition(F.col("bkt")).write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(staging)
     os.makedirs(target_dir, exist_ok=True)
     manifest = _read_bucket_manifest(target_dir)
     new_manifest = dict(manifest)
@@ -1453,6 +1458,9 @@ def compact_scd2_log(
         .schema(SCD2_LOG_SCHEMA)
         .parquet(*src)
         .withColumn("epoch", F.lit(cand).cast("long"))
+        # one task per bucket -> one folded file per (bkt, epoch) dir
+        # instead of one per (input split, bkt) — review r12
+        .repartition(F.col("bkt"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt", "epoch")
@@ -1551,6 +1559,9 @@ def scd2_apply_batch(
     (
         b.withColumn("bkt", (F.col("user_id") % n_buckets).cast("int"))
         .withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+        # one task per bucket -> one log file per (bkt, epoch) dir per
+        # batch instead of one per (source task, bkt) — review r12
+        .repartition(F.col("bkt"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt", "epoch")
