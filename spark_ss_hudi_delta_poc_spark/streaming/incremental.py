@@ -1512,6 +1512,11 @@ FUZZY_BASE_BUCKETS = 16
 # layout alone removes the probe's exchange, not its I/O (VERDICT r11
 # watch-item)
 FUZZY_PP_MOD = 16
+# size-tier bound for the folded base (round-12): minor folds append a
+# new base tier (fresh deltas only — O(fold batch), never O(history));
+# when the live tier count reaches this, a major fold collapses them
+# into one.  The probe unions <= this many bucketed pp-pruned scans.
+FUZZY_BASE_TIER_THRESHOLD = 4
 
 
 def _fuzzy_pp_col():
@@ -1544,42 +1549,63 @@ def _fuzzy_base_manifest(index_path: str) -> dict | None:
         return None
 
 
+def _man_bases(man: dict) -> list[dict]:
+    """The manifest's live base tiers, oldest -> newest.  Pre-tiering
+    manifests (round-12 early) carried a single ``table``/``path`` pair;
+    normalize both layouts to a list of {table, path} entries."""
+    if man.get("bases"):
+        return man["bases"]
+    return [{"table": man["table"], "path": man["path"]}]
+
+
 def _register_fuzzy_base(spark: SparkSession, man: dict) -> None:
     """Fuzzy-base flavor of :func:`_register_bucketed` (the band index
-    is always bucketed by its full join key)."""
-    _register_bucketed(spark, {**man, "bucket_cols": ("band_idx", "band_val")})
+    is always bucketed by its full join key) — registers EVERY live
+    base tier."""
+    for b in _man_bases(man):
+        _register_bucketed(
+            spark,
+            {**man, **b, "bucket_cols": ("band_idx", "band_val")},
+        )
 
 
 def fold_fuzzy_band_base(
-    spark: SparkSession, index_path: str, n_buckets: int = FUZZY_BASE_BUCKETS
+    spark: SparkSession,
+    index_path: str,
+    n_buckets: int = FUZZY_BASE_BUCKETS,
+    base_threshold: int = FUZZY_BASE_TIER_THRESHOLD,
 ) -> bool:
     """Fold the fuzzy band index's committed-but-unfolded ``inc=`` delta
-    dirs (plus the previous base) into a NEW bucketed base version —
-    the live-path productionization of
-    maintenance.compact_fuzzy_bands_to_bucketed (VERDICT r11 #1: the
-    bucketed base existed and was plan-tested but the ingest never
-    called it, so every increment re-read and re-shuffled the ENTIRE
-    band history).  After a fold the per-increment probe reads
-    base (bucketed, zero exchange above its scan) ∪ recent deltas only.
+    dirs into the SIZE-TIERED bucketed base — the live-path
+    productionization of maintenance.compact_fuzzy_bands_to_bucketed
+    (VERDICT r11 #1: the bucketed base existed and was plan-tested but
+    the ingest never called it, so every increment re-read and
+    re-shuffled the ENTIRE band history).  After a fold the
+    per-increment probe reads the live base tiers (each bucketed —
+    zero exchange above its scan — and pp-pruned) ∪ recent deltas only.
+
+    Tiering (round-12, jobs.compact_scd2_log's minor/major shape): a
+    MINOR fold writes only the fresh deltas into a new tier, cost
+    O(fold_threshold batches); once ``base_threshold`` tiers are live
+    (or ``n_buckets`` changes), a MAJOR fold collapses tiers + fresh
+    into one.  Single-tier folding would rewrite the full base every
+    fold — O(N²/threshold) lifetime write I/O on a months-long stream;
+    tiered is O(N·base_threshold/threshold)-ish, and the probe unions
+    at most ``base_threshold`` exchange-free scans.
 
     Crash-atomic by the manifest-flip protocol (compact_scd2_log's
-    class): the new version writes to ``band_base/v=<V>`` under a
+    class): the new tier writes to ``band_base/v=<V>`` under a
     deterministic table name, the retired-key snapshot to
     ``band_base/retired_v=<V>``, and the fold commits only when
     ``_manifest.json`` is os.replace'd (fsync'd file + dir).  Readers
     resolve the base THROUGH the manifest, so a crash at any point
     leaves the previous consistent view and the replayed fold heals
-    (DROP + rewrite of the same not-yet-referenced version).  GC keeps
-    the PREVIOUS version intact for one fold cycle — a lazy DataFrame
-    obtained from the pre-fold manifest stays executable until the
-    NEXT fold commits (the snapshot-lifetime contract).
-
-    Write amplification: each fold rewrites the full base (single-tier;
-    every ``threshold`` increments, so the whole index is rewritten
-    O(N/threshold) times over stream life).  The SCD2 log's size-tiered
-    minor/major split (jobs.compact_scd2_log) is the extension if fold
-    I/O ever dominates — not applied here because the band index is
-    ~3 rows/doc and the probe, not the fold, is the hot path.
+    (DROP + rewrite of the same not-yet-referenced version).  GC is
+    reference-based (live versions are a sparse set under tiering) and
+    keeps everything the PREVIOUS manifest references for one fold
+    cycle — a lazy DataFrame obtained from the pre-fold manifest stays
+    executable until the NEXT fold commits (the snapshot-lifetime
+    contract).
 
     Returns True when a fold committed."""
     man = _fuzzy_base_manifest(index_path)
@@ -1603,9 +1629,27 @@ def fold_fuzzy_band_base(
     vdir = os.path.join(base_dir, f"v={new_v}")
     table = _fuzzy_base_table_name(index_path, new_v)
     src = spark.read.parquet(*band_dirs)
-    if man is not None:
+    # size-tiered (round-12, compact_scd2_log's minor/major shape): a
+    # MINOR fold writes only the fresh deltas into a NEW base tier —
+    # cost O(fold_threshold batches), not O(history) — and the probe
+    # unions the <= base_threshold tiers (each bucketed + pp-pruned).
+    # Once the tier count reaches ``base_threshold`` (or the bucket
+    # count changes), a MAJOR fold collapses all tiers + fresh deltas
+    # into one.  Lifetime write amplification drops from O(N^2/t)
+    # (single-tier: every fold rewrote the full base) to the tiered
+    # O(N * base_threshold / t)-ish bound, the same argument as the
+    # SCD2 log's tiering.
+    old_bases = _man_bases(man) if man else []
+    major = man is not None and (
+        len(old_bases) >= base_threshold or man.get("n_buckets") != n_buckets
+    )
+    if major:
         _register_fuzzy_base(spark, man)
-        src = spark.table(man["table"]).drop("pp").unionByName(src)
+        for b in old_bases:
+            src = spark.table(b["table"]).drop("pp").unionByName(src)
+        bases_after = [{"table": table, "path": vdir}]
+    else:
+        bases_after = old_bases + [{"table": table, "path": vdir}]
     spark.sql(f"DROP TABLE IF EXISTS {table}")  # crashed-fold replay heals
     # repartition on the EXACT bucket key before the bucketed write:
     # DataFrame hash repartitioning and bucket-id assignment use the
@@ -1646,8 +1690,11 @@ def fold_fuzzy_band_base(
     manifest = {
         "version": new_v,
         "folded": sorted(folded | set(fresh)),
+        # newest tier doubles as the legacy single-base fields so older
+        # readers (and the pp-pruning test's man["path"]) keep working
         "table": table,
         "path": vdir,
+        "bases": bases_after,
         "n_buckets": n_buckets,
         # schema of the TABLE as written (includes the pp partition col)
         "schema": [
@@ -1662,12 +1709,26 @@ def fold_fuzzy_band_base(
     for root in (bands_path, retired_path):
         for t in fresh:
             shutil.rmtree(os.path.join(root, f"inc={t}"), ignore_errors=True)
-    # ... and versions OLDER than the previous one (keep new_v and
-    # new_v-1: the one-fold snapshot-lifetime grace for lazy readers)
-    for v in range(1, new_v - 1):
-        spark.sql(f"DROP TABLE IF EXISTS {_fuzzy_base_table_name(index_path, v)}")
-        shutil.rmtree(os.path.join(base_dir, f"v={v}"), ignore_errors=True)
-        shutil.rmtree(os.path.join(base_dir, f"retired_v={v}"), ignore_errors=True)
+    # ... and version dirs neither the NEW manifest nor the PREVIOUS one
+    # references (the one-fold snapshot-lifetime grace for lazy
+    # readers); with tiering, live versions are a sparse SET, so GC is
+    # reference-based, never a version-range sweep
+    keep = {os.path.basename(b["path"]) for b in bases_after}
+    if man is not None:
+        keep |= {os.path.basename(b["path"]) for b in _man_bases(man)}
+        if man.get("retired"):
+            keep.add(os.path.basename(man["retired"]))
+    if retired_snap:
+        keep.add(os.path.basename(retired_snap))
+    for d in os.listdir(base_dir):
+        if not (d.startswith("v=") or d.startswith("retired_v=")):
+            continue
+        if d in keep:
+            continue
+        if d.startswith("v="):
+            v = int(d.split("=", 1)[1])
+            spark.sql(f"DROP TABLE IF EXISTS {_fuzzy_base_table_name(index_path, v)}")
+        shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
     return True
 
 
@@ -1710,7 +1771,7 @@ def _fuzzy_history_probe(
     parts = []
     if man is not None:
         _register_fuzzy_base(spark, man)
-        base = spark.table(man["table"])
+        pps = None
         if man.get("pp_mod"):
             pps = [
                 r.pp
@@ -1718,11 +1779,12 @@ def _fuzzy_history_probe(
                 .distinct()
                 .collect()
             ]
-            if not pps:
-                base = None
-            else:
+        for b in _man_bases(man):
+            base = spark.table(b["table"])
+            if man.get("pp_mod"):
+                if not pps:
+                    continue
                 base = base.where(F.col("pp").isin(pps)).drop("pp")
-        if base is not None:
             parts.append(
                 base.join(batch_keys, ["band_idx", "band_val"], "left_semi")
             )
@@ -1752,6 +1814,7 @@ def ingest_increment_fuzzy(
     id_col: str = "doc_id",
     increment_id: int | str | None = None,
     fold_threshold: int | None = FUZZY_FOLD_THRESHOLD,
+    base_threshold: int = FUZZY_BASE_TIER_THRESHOLD,
 ) -> int:
     """Incremental FUZZY-duplicate ingest (round-11; the fuzzy_edit
     family's cross-run variant): drop batch docs whose normalized
@@ -1926,7 +1989,7 @@ def ingest_increment_fuzzy(
         # fold (review r12: the corpus dir count must be bounded too;
         # read-back goes through _live_table_dirs)
         if fold_threshold is not None and len(delta_tokens) + 1 >= fold_threshold:
-            fold_fuzzy_band_base(spark, index_path)
+            fold_fuzzy_band_base(spark, index_path, base_threshold=base_threshold)
             fold_committed_incs(spark, index_path, {corpus_path: None})
         return n
     finally:

@@ -1170,9 +1170,14 @@ def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _committed_tokens(index)
     man = _fuzzy_base_manifest(index)
     assert man is not None, "fold_threshold=2 over 3 increments must have folded"
-    # max occupancy over the FULL index (base + unfolded deltas)
+    # max occupancy over the FULL index (all base tiers + unfolded deltas)
+    from .incremental import _man_bases
+
     _register_fuzzy_base(spark, man)
-    bands = spark.table(man["table"]).drop("pp")
+    tiers = [spark.table(b["table"]).drop("pp") for b in _man_bases(man)]
+    bands = tiers[0]
+    for t in tiers[1:]:
+        bands = bands.unionByName(t)
     delta = _committed_paths(os.path.join(index, "bands"), tokens)
     if delta:
         bands = bands.unionByName(spark.read.parquet(*delta))

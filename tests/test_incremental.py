@@ -657,13 +657,14 @@ def test_ingest_increment_fuzzy_retires_mega_bucket_keys(spark, tmp_path):
 
 
 def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
-    """VERDICT r11 #1 wired: with fold_threshold=2, six increments fold
-    the band index into a bucketed base three times; at EVERY point the
-    on-disk delta-dir count stays < threshold+1, the final history
-    probe's inputFiles all live under the CURRENT base version (no
-    folded inc dir is ever listed), superseded base versions are GC'd
-    down to current+previous, and a doc fuzzy-matching increment-1
-    content through the base (not any delta) is still dropped."""
+    """VERDICT r11 #1 wired, round-12 tiering: with fold_threshold=2,
+    six increments MINOR-fold the band index three times (each fold
+    writes only its fresh deltas — never the full history); at EVERY
+    point the on-disk delta-dir count stays < threshold+1, the final
+    history probe's inputFiles all live under the live base TIERS (no
+    folded inc dir is ever listed), and a doc fuzzy-matching
+    increment-1 content through a base tier (not any delta) is still
+    dropped."""
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
         _committed_tokens,
         _fuzzy_base_manifest,
@@ -683,7 +684,7 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
         [(21, a1.replace("a001", "aXX1")), (22, mk("e001 jjj kkk"))],
         [(31, mk("f001 lll mmm")), (32, mk("g001 nnn ooo"))],
         [(41, mk("h001 ppp qqq"))],
-        # near-dup of c1: must drop via BASE v2 (c1's inc dir folded)
+        # near-dup of c1: must drop via a BASE tier (c1's inc dir folded)
         [(51, c1.replace("c001", "cXX1")), (52, mk("i001 rrr sss"))],
     ]
     kept = []
@@ -708,11 +709,12 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     man = _fuzzy_base_manifest(index)
     assert man is not None and man["version"] == 3
     assert sorted(man["folded"]) == [f"r{i}" for i in range(1, 7)]
-    # GC kept current + previous version only
+    # three MINOR tiers live (below base_threshold=4, no major yet)
     base_dir = os.path.join(index, "band_base")
     vdirs = sorted(d for d in os.listdir(base_dir) if d.startswith("v="))
-    assert vdirs == ["v=2", "v=3"]
-    # the probe for a hypothetical next batch reads ONLY the current base
+    assert vdirs == ["v=1", "v=2", "v=3"]
+    assert [os.path.basename(b["path"]) for b in man["bases"]] == vdirs
+    # the probe for a hypothetical next batch reads ONLY live base tiers
     keys = spark.createDataFrame(
         [(0, a1[:12]), (1, "zzzzzzzzzzzz")], "band_idx int, band_val string"
     )
@@ -722,11 +724,68 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     probe = _fuzzy_history_probe(spark, index, delta, man, keys)
     files = probe.inputFiles()
     assert files, "probe listed no files"
-    want_prefix = os.path.join(base_dir, "v=3")
     for f in files:
-        assert want_prefix in f, f"probe read outside the current base: {f}"
-    # base holds every seen doc's bands (kept AND dropped): 11 docs x 3
-    assert spark.read.parquet(want_prefix).count() == 33
+        assert base_dir in f and "/bands/" not in f, (
+            f"probe read outside the base tiers: {f}"
+        )
+    # tiers together hold every seen doc's bands (kept AND dropped):
+    # 11 docs x 3
+    n = sum(
+        spark.read.parquet(os.path.join(base_dir, v)).count() for v in vdirs
+    )
+    assert n == 33
+
+
+def test_fuzzy_major_fold_collapses_tiers(spark, tmp_path):
+    """Once base_threshold tiers are live, the next fold is MAJOR: all
+    tiers + fresh deltas collapse into ONE base, reference-based GC
+    removes tiers neither the new nor the previous manifest references,
+    and dedup behavior through the collapsed base is unchanged."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fuzzy_base_manifest,
+        _fuzzy_history_probe,
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "mc")
+    index = os.path.join(tmp_path, "mi")
+    a1 = _p36("a001 bbb ccc")
+    heads = [a1, _p36("b001 ddd eee"), _p36("c001 fff ggg"), _p36("d001 hhh iii")]
+    # fold_threshold=1: every increment folds; base_threshold=2: the
+    # third fold (and every other one after) is major
+    for i, h in enumerate(heads, start=1):
+        b = spark.createDataFrame([(i, h)], DOC_SCHEMA)
+        ingest_increment_fuzzy(
+            spark, b, corpus, index,
+            increment_id=f"r{i}", fold_threshold=1, base_threshold=2,
+        )
+    man = _fuzzy_base_manifest(index)
+    assert man is not None and sorted(man["folded"]) == ["r1", "r2", "r3", "r4"]
+    # folds: r1->v1(minor), r2->v2(minor), r3-> major(v3 = v1+v2+r3),
+    # r4->v4(minor) => live tiers [v3, v4]
+    assert [os.path.basename(b["path"]) for b in man["bases"]] == ["v=3", "v=4"]
+    base_dir = os.path.join(index, "band_base")
+    vdirs = sorted(
+        (d for d in os.listdir(base_dir) if d.startswith("v=")),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    # reference-based GC with the one-cycle grace: the major fold (v3)
+    # kept v1+v2 because its PREDECESSOR manifest referenced them; the
+    # next fold (v4) dropped both (neither the v4 manifest nor its
+    # predecessor references them) — live dirs are exactly the current
+    # manifest's tiers plus nothing stale
+    assert vdirs == ["v=3", "v=4"]
+    # all 4 docs' bands live across tiers; a near-dup of doc 1 (folded
+    # through the MAJOR tier) is still dropped
+    b5 = spark.createDataFrame([(5, a1.replace("a001", "aXX1"))], DOC_SCHEMA)
+    assert (
+        ingest_increment_fuzzy(
+            spark, b5, corpus, index, increment_id="r5", fold_threshold=None
+        )
+        == 0
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 3, 4]
 
 
 def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
