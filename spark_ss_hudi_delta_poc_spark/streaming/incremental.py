@@ -223,17 +223,36 @@ def heal_fold_debris(txn_root: str, table_paths: list[str]) -> None:
     folded = set(man["folded"]) if man else set()
     for tp in table_paths:
         tp = os.path.abspath(tp)
-        live = None
-        if man is not None and man["tables"].get(tp):
-            live = os.path.basename(man["tables"][tp]["path"])
+        live = set()
+        if man is not None:
+            live = {
+                os.path.basename(e["path"])
+                for e in _entry_tiers(man["tables"].get(tp))
+            }
         if not os.path.isdir(tp):
             continue
         for d in os.listdir(tp):
             if d.startswith(f"inc={FOLD_DIR_PREFIX}"):
-                if d != live:
+                if d not in live:
                     shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
             elif d.startswith("inc=") and d[len("inc="):] in folded:
                 shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+
+
+# size-tier bound for the generic fold layer (round-12, same rule as the
+# fuzzy base): minor folds write only fresh deltas into a NEW fold tier;
+# a major fold collapses a table's tiers once this many are live.
+FOLD_TIER_THRESHOLD = 4
+
+
+def _entry_tiers(entry) -> list[dict]:
+    """A table's live fold tiers, oldest -> newest.  Pre-tiering
+    manifests stored a single entry dict; normalize to a list."""
+    if entry is None:
+        return []
+    if isinstance(entry, list):
+        return entry
+    return [entry]
 
 
 def fold_committed_incs(
@@ -241,11 +260,19 @@ def fold_committed_incs(
     txn_root: str,
     specs: dict[str, list[str] | None],
     n_buckets: int = 32,
+    base_threshold: int = FOLD_TIER_THRESHOLD,
 ) -> bool:
-    """Fold each table's committed-but-unfolded ``inc=`` dirs (plus its
-    previous fold) into one ``inc=_foldv<V>`` dir; ``specs`` maps
+    """Fold each table's committed-but-unfolded ``inc=`` dirs into its
+    SIZE-TIERED ``inc=_foldv<V>`` fold layer; ``specs`` maps
     table_path -> bucket columns (the table's equi-join key, or None
-    for data-only tables like the corpus).  Returns True on commit."""
+    for data-only tables like the corpus).  A MINOR fold writes only
+    the fresh deltas into a new tier (O(fold batch) I/O — single-tier
+    folding rewrote the FULL history every fold, O(N^2/threshold) over
+    stream life); once ``base_threshold`` tiers are live, a MAJOR fold
+    collapses them + fresh into one.  Whole-table parquet reads keep
+    seeing every row (tiers are plain ``inc=_foldv*`` dirs); bucketed
+    probes union <= base_threshold exchange-free tier scans.  Returns
+    True on commit."""
     # manifest keys are ABSOLUTE paths (review r12: a trailing slash or
     # relative spelling must not hide the folded base from readers)
     specs = {os.path.abspath(tp): cols for tp, cols in specs.items()}
@@ -258,21 +285,23 @@ def fold_committed_incs(
     if not any(_committed_paths(tp, fresh) for tp in tables):
         return False
     new_v = (man["version"] + 1) if man else 1
-    new_tables: dict[str, dict | None] = {}
+    new_tables: dict[str, list[dict]] = {}
     for tp, bucket_cols in specs.items():
-        prev = man["tables"].get(tp) if man else None
+        prev_tiers = _entry_tiers(man["tables"].get(tp)) if man else []
+        major = len(prev_tiers) >= base_threshold
         parts = []
-        if prev is not None:
-            if prev.get("table"):
-                _register_bucketed(spark, prev)
-                parts.append(spark.table(prev["table"]))
-            else:
-                parts.append(spark.read.parquet(prev["path"]))
+        if major:
+            for e in prev_tiers:
+                if e.get("table"):
+                    _register_bucketed(spark, e)
+                    parts.append(spark.table(e["table"]))
+                else:
+                    parts.append(spark.read.parquet(e["path"]))
         dirs = _committed_paths(tp, fresh)
         if dirs:
             parts.append(spark.read.parquet(*dirs))
         if not parts:
-            new_tables[tp] = prev
+            new_tables[tp] = prev_tiers
             continue
         src = parts[0]
         for p in parts[1:]:
@@ -282,13 +311,16 @@ def fold_committed_incs(
             tname = _fold_table_name(tp, new_v)
             spark.sql(f"DROP TABLE IF EXISTS {tname}")  # crashed-fold replay
             (
-                src.write.mode("overwrite")
+                # bucket-aligned repartition: one task per bucket -> one
+                # file per bucket (see fold_fuzzy_band_base)
+                src.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+                .write.mode("overwrite")
                 .option("path", vdir)
                 .bucketBy(n_buckets, *bucket_cols)
                 .sortBy(*bucket_cols)
                 .saveAsTable(tname)
             )
-            new_tables[tp] = {
+            tier = {
                 "path": vdir,
                 "table": tname,
                 "bucket_cols": bucket_cols,
@@ -297,28 +329,36 @@ def fold_committed_incs(
             }
         else:
             src.write.mode("overwrite").parquet(vdir)
-            new_tables[tp] = {"path": vdir}
+            tier = {"path": vdir}
+        new_tables[tp] = [tier] if major else prev_tiers + [tier]
     manifest = {
         "version": new_v,
         "folded": sorted(folded | set(fresh)),
         "tables": new_tables,
     }
     _atomic_write_json(_fold_manifest_path(txn_root), manifest)  # THE commit
-    # GC: the folded delta dirs and the superseded fold dirs are dead
+    # GC: the folded delta dirs and the superseded fold dirs (tiers a
+    # MAJOR fold just collapsed) are dead — same immediate-GC contract
+    # as before tiering (callers are foreachBatch-serialized and
+    # re-resolve the manifest per increment)
     for tp in tables:
         for t in fresh:
             shutil.rmtree(os.path.join(tp, f"inc={t}"), ignore_errors=True)
-        entry = new_tables.get(tp)
-        live = os.path.basename(entry["path"]) if entry else None
+        live = {os.path.basename(e["path"]) for e in new_tables.get(tp, [])}
         for d in os.listdir(tp) if os.path.isdir(tp) else []:
-            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d != live:
+            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d not in live:
                 shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
     if man is not None:
+        new_names = {
+            e["table"]
+            for tiers in new_tables.values()
+            for e in tiers
+            if e.get("table")
+        }
         for tp, prev in man["tables"].items():
-            if prev and prev.get("table"):
-                new = new_tables.get(tp)
-                if not new or new.get("table") != prev["table"]:
-                    spark.sql(f"DROP TABLE IF EXISTS {prev['table']}")
+            for e in _entry_tiers(prev):
+                if e.get("table") and e["table"] not in new_names:
+                    spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
     return True
 
 
@@ -343,29 +383,28 @@ def _maybe_fold(
 
 def _live_history_frames(
     spark: SparkSession, txn_root: str, table_path: str
-) -> tuple[DataFrame | None, DataFrame | None]:
-    """(base, delta) history frames of one table under the fold
-    protocol: base = the manifest's fold output (via the metastore
-    table when bucketed, so joins against it stay exchange-free on the
-    history side), delta = committed-but-unfolded inc dirs.  Either is
-    None when absent.  Probes should join each side separately and
-    union RESULTS — unioning base∪delta first would erase the base's
-    bucketed layout."""
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """(bases, delta) history frames of one table under the fold
+    protocol: bases = the manifest's live fold TIERS (each via its
+    metastore table when bucketed, so joins against them stay
+    exchange-free on the history side; <= FOLD_TIER_THRESHOLD of them),
+    delta = committed-but-unfolded inc dirs (None when absent).  Probes
+    should join each side separately and union RESULTS — unioning the
+    sides first would erase the tiers' bucketed layout."""
     table_path = os.path.abspath(table_path)
     man = _fold_manifest(txn_root)
     folded = set(man["folded"]) if man else set()
-    base = None
-    entry = man["tables"].get(table_path) if man else None
-    if entry is not None:
-        if entry.get("table"):
-            _register_bucketed(spark, entry)
-            base = spark.table(entry["table"])
+    bases: list[DataFrame] = []
+    for e in _entry_tiers(man["tables"].get(table_path)) if man else []:
+        if e.get("table"):
+            _register_bucketed(spark, e)
+            bases.append(spark.table(e["table"]))
         else:
-            base = spark.read.parquet(entry["path"])
+            bases.append(spark.read.parquet(e["path"]))
     delta_tokens = [t for t in _committed_tokens(txn_root) if t not in folded]
     dirs = _committed_paths(table_path, delta_tokens)
     delta = spark.read.parquet(*dirs) if dirs else None
-    return base, delta
+    return bases, delta
 
 
 def _live_table_dirs(txn_root: str, table_path: str) -> list[str]:
@@ -376,9 +415,9 @@ def _live_table_dirs(txn_root: str, table_path: str) -> list[str]:
     man = _fold_manifest(txn_root)
     folded = set(man["folded"]) if man else set()
     out = []
-    entry = man["tables"].get(table_path) if man else None
-    if entry is not None and os.path.isdir(entry["path"]):
-        out.append(entry["path"])
+    for e in _entry_tiers(man["tables"].get(table_path)) if man else []:
+        if os.path.isdir(e["path"]):
+            out.append(e["path"])
     delta_tokens = [t for t in _committed_tokens(txn_root) if t not in folded]
     out.extend(_committed_paths(table_path, delta_tokens))
     return out
@@ -420,9 +459,9 @@ def ingest_increment(
     firsts = hashed.join(
         keepers, (F.col("_h") == F.col("_kh")) & (F.col(id_col) == F.col("_keep"))
     ).drop("_kh", "_keep")
-    base, delta = _live_history_frames(spark, seen_path, seen_path)
+    bases, delta = _live_history_frames(spark, seen_path, seen_path)
     fresh = firsts
-    for seen_side in (base, delta):
+    for seen_side in (*bases, delta):
         if seen_side is not None:
             seen = seen_side.select(F.col("h").alias("_seen_h"))
             fresh = fresh.join(seen, fresh["_h"] == seen["_seen_h"], "left_anti")
@@ -533,10 +572,10 @@ def _ingest_neardup_inner(
     # each side is probed SEPARATELY and the results unioned — a
     # base∪delta union before the join would erase the base's bucketed
     # layout and re-shuffle the whole history every increment
-    hb_base, hb_delta = _live_history_frames(spark, index_path, buckets_path)
-    hs_base, hs_delta = _live_history_frames(spark, index_path, shingles_path)
-    bucket_sides = [b for b in (hb_base, hb_delta) if b is not None]
-    shingle_sides = [s for s in (hs_base, hs_delta) if s is not None]
+    hb_bases, hb_delta = _live_history_frames(spark, index_path, buckets_path)
+    hs_bases, hs_delta = _live_history_frames(spark, index_path, shingles_path)
+    bucket_sides = [b for b in (*hb_bases, hb_delta) if b is not None]
+    shingle_sides = [s for s in (*hs_bases, hs_delta) if s is not None]
     if bucket_sides:
         cand_parts = [
             new_buckets.alias("n")
