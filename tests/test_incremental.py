@@ -1477,3 +1477,78 @@ def test_ingest_increment_source_counts_replay_crash_and_pruning(
     assert ingest_increment_source_counts(spark, b2, state, increment_id=1) == 0
     incs = [d for d in os.listdir(state) if d.startswith("inc=")]
     assert incs == ["inc=1"], incs
+
+
+def test_fuzzy_ingest_crash_sweep_every_commit_point(spark, tmp_path, monkeypatch):
+    """Systematic durability sweep: EVERY marker/manifest commit in a
+    4-increment fuzzy run (increment markers, fuzzy-base manifest
+    flips, generic fold-manifest flips — all funnel through
+    _atomic_write_json's os.replace) gets a crash injected at exactly
+    that point in its own fresh run; the crashed increment is then
+    replayed once (the foreachBatch restart model) and the stream runs
+    to completion.  The final manifest-resolved corpus must equal the
+    crash-free run's at every injection point — no decision may depend
+    on WHERE between two commit points the process died."""
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _live_table_dirs,
+        ingest_increment_fuzzy,
+    )
+
+    a1 = _p36("a001 bbb ccc")
+    c1 = _p36("c001 fff ggg")
+    incs = [
+        [(1, a1), (2, _p36("b001 ddd eee"))],
+        [(11, c1)],  # fold #1 fires here (threshold 2)
+        # near-dup of a1 — must drop through the folded tier
+        [(21, a1.replace("a001", "aXX1")), (22, _p36("d001 hhh iii"))],
+        # near-dup of c1 — ditto; fold #2 fires here
+        [(31, c1.replace("c001", "cXX1")), (32, _p36("e001 jjj kkk"))],
+    ]
+
+    real_replace = os.replace
+
+    def run(tag: str, inject_at: int | None):
+        corpus = os.path.join(tmp_path, f"{tag}_c")
+        index = os.path.join(tmp_path, f"{tag}_i")
+        calls = {"n": 0}
+        armed = {"on": inject_at is not None}
+
+        def wrapped(src, dst):
+            k = calls["n"]
+            calls["n"] += 1
+            if armed["on"] and k == inject_at:
+                armed["on"] = False  # single-shot: the process "died" once
+                raise RuntimeError("injected crash")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(incremental.os, "replace", wrapped)
+        try:
+            for i, rows in enumerate(incs, start=1):
+                b = spark.createDataFrame(rows, DOC_SCHEMA)
+                try:
+                    ingest_increment_fuzzy(
+                        spark, b, corpus, index,
+                        increment_id=f"r{i}", fold_threshold=2,
+                    )
+                except RuntimeError as e:
+                    assert "injected crash" in str(e)
+                    # restart: replay the SAME batch id once
+                    ingest_increment_fuzzy(
+                        spark, b, corpus, index,
+                        increment_id=f"r{i}", fold_threshold=2,
+                    )
+        finally:
+            monkeypatch.setattr(incremental.os, "replace", real_replace)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(*_live_table_dirs(index, corpus)).collect()
+        )
+        return got, calls["n"]
+
+    want, n_points = run("ref", None)
+    assert want == [1, 2, 11, 22, 32]
+    assert n_points >= 6, f"expected every commit instrumented, saw {n_points}"
+    for k in range(n_points):
+        got, _ = run(f"k{k}", k)
+        assert got == want, f"crash at commit point {k} changed the corpus: {got}"
