@@ -1229,12 +1229,17 @@ def unimax_allocation_from_counts(
         (F.col("source_tokens") * F.lit(int(max_epochs))).alias("cap_tokens"),
     )
     # certified bounded-window input: sources are a catalog domain, so
-    # the limit is a documented bound, not a truncation (asserted below
-    # via n <= max_sources — n counts POST-limit rows, so equality with
-    # the cap is only reachable when the cap is exactly hit; the strict
-    # guard keeps a genuinely larger catalog from truncating silently)
+    # the limit is a documented bound, not a truncation.  Limit to
+    # max_sources + 1 so truncation stays DETECTABLE post-limit: n ==
+    # max_sources + 1 can only mean the catalog is genuinely larger
+    # than the bound, while an exactly-at-cap catalog (n == max_sources)
+    # passes (ADVICE r12: the previous strict n < max_sources guard
+    # rejected legitimate exactly-at-cap catalogs).  In the failure
+    # case the guard fires before any allocation is emitted, so the
+    # sentinel row never reaches output; in the pass case the extra
+    # limit slot is simply unused.
     top = per.orderBy(F.col("cap_tokens").asc(), F.col("source").asc()).limit(
-        int(max_sources)
+        int(max_sources) + 1
     )
     w = Window.partitionBy(F.lit(1)).orderBy(
         F.col("cap_tokens").asc(), F.col("source").asc()
@@ -1258,14 +1263,15 @@ def unimax_allocation_from_counts(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("n"),
     )
-    # loud-failure guard (executed distributed, no collect): n counts
-    # POST-limit rows, so n == max_sources means the cap was hit and the
-    # catalog may have been truncated — fail instead of under-reporting
+    # loud-failure guard (executed distributed, no collect): with the
+    # limit at max_sources + 1, n > max_sources is reachable ONLY when
+    # the catalog genuinely exceeds the bound — fail instead of
+    # silently under-reporting the truncated tail
     ranked = ranked.where(
         F.assert_true(
-            F.col("n") < F.lit(int(max_sources)),
+            F.col("n") <= F.lit(int(max_sources)),
             F.lit(
-                f"unimax_allocation: source catalog hit max_sources="
+                f"unimax_allocation: source catalog exceeds max_sources="
                 f"{int(max_sources)}; raise the bound explicitly"
             ),
         ).isNull()

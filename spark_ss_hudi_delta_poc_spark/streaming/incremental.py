@@ -1558,8 +1558,15 @@ FUZZY_PP_MOD = 16
 FUZZY_BASE_TIER_THRESHOLD = 4
 
 
-def _fuzzy_pp_col():
-    return F.pmod(md5_long(F.col("band_val")), F.lit(FUZZY_PP_MOD)).cast("int")
+def _fuzzy_pp_col(mod: int | None = None):
+    """pp = md5(band_val) % mod.  ``mod`` defaults to the CURRENT
+    FUZZY_PP_MOD (resolved at call time so tests can monkeypatch it);
+    readers of a persisted tier must pass that tier's STORED modulus —
+    a probe that hashes with the current modulus against dirs laid out
+    under an older one silently excludes rows (ADVICE r12)."""
+    if mod is None:
+        mod = FUZZY_PP_MOD
+    return F.pmod(md5_long(F.col("band_val")), F.lit(mod)).cast("int")
 
 
 def _fuzzy_base_dir(index_path: str) -> str:
@@ -1589,12 +1596,20 @@ def _fuzzy_base_manifest(index_path: str) -> dict | None:
 
 
 def _man_bases(man: dict) -> list[dict]:
-    """The manifest's live base tiers, oldest -> newest.  Pre-tiering
-    manifests (round-12 early) carried a single ``table``/``path`` pair;
-    normalize both layouts to a list of {table, path} entries."""
-    if man.get("bases"):
-        return man["bases"]
-    return [{"table": man["table"], "path": man["path"]}]
+    """The manifest's live base tiers, oldest -> newest, each carrying
+    the pp modulus it was WRITTEN under.  Pre-tiering manifests
+    (round-12 early) carried a single ``table``/``path`` pair, and
+    pre-r13 tier entries carried no per-tier ``pp_mod`` (only the
+    manifest-level field, overwritten at each fold — ADVICE r12);
+    normalize every layout to {table, path, pp_mod} entries, defaulting
+    a missing per-tier modulus to the manifest-level one."""
+    bases = man["bases"] if man.get("bases") else [
+        {"table": man["table"], "path": man["path"]}
+    ]
+    return [
+        b if b.get("pp_mod") else {**b, "pp_mod": man.get("pp_mod")}
+        for b in bases
+    ]
 
 
 def _register_fuzzy_base(spark: SparkSession, man: dict) -> None:
@@ -1679,16 +1694,23 @@ def fold_fuzzy_band_base(
     # O(N * base_threshold / t)-ish bound, the same argument as the
     # SCD2 log's tiering.
     old_bases = _man_bases(man) if man else []
+    # a pp-modulus change (FUZZY_PP_MOD bumped between deployments)
+    # forces a MAJOR fold: tiers laid out under the old modulus cannot
+    # be pp-pruned with the new one, so collapse-and-rewrite brings the
+    # whole base onto the current layout in one fold (ADVICE r12)
     major = man is not None and (
-        len(old_bases) >= base_threshold or man.get("n_buckets") != n_buckets
+        len(old_bases) >= base_threshold
+        or man.get("n_buckets") != n_buckets
+        or any(b["pp_mod"] != FUZZY_PP_MOD for b in old_bases)
     )
+    new_tier = {"table": table, "path": vdir, "pp_mod": FUZZY_PP_MOD}
     if major:
         _register_fuzzy_base(spark, man)
         for b in old_bases:
             src = spark.table(b["table"]).drop("pp").unionByName(src)
-        bases_after = [{"table": table, "path": vdir}]
+        bases_after = [new_tier]
     else:
-        bases_after = old_bases + [{"table": table, "path": vdir}]
+        bases_after = old_bases + [new_tier]
     spark.sql(f"DROP TABLE IF EXISTS {table}")  # crashed-fold replay heals
     # repartition on the EXACT bucket key before the bucketed write:
     # DataFrame hash repartitioning and bucket-id assignment use the
@@ -1805,25 +1827,35 @@ def _fuzzy_history_probe(
     The base scan is additionally PARTITION-PRUNED to the pp dirs the
     batch's band values hash into (VERDICT r11 watch-item: bucketing
     removes the probe's exchange, pruning removes its I/O): the pp set
-    is collected driver-side — bounded by FUZZY_PP_MOD values by
-    construction — and pushed as a literal isin partition filter."""
+    is collected driver-side — bounded by the tier's pp modulus values
+    by construction — and pushed as a literal isin partition filter.
+    The pp set is computed with each tier's STORED modulus, never the
+    current FUZZY_PP_MOD: a persisted tier laid out under an older
+    modulus pruned with the new one silently excludes rows (= missed
+    fuzzy duplicates) until the modulus-triggered major fold rewrites
+    it (ADVICE r12).  One driver-side collect per DISTINCT live
+    modulus — ≤ 2 in practice (old + new), each ≤ that modulus many
+    values."""
     parts = []
     if man is not None:
         _register_fuzzy_base(spark, man)
-        pps = None
-        if man.get("pp_mod"):
-            pps = [
-                r.pp
-                for r in batch_keys.select(_fuzzy_pp_col().alias("pp"))
-                .distinct()
-                .collect()
-            ]
+        pps_by_mod: dict[int, list] = {}
         for b in _man_bases(man):
             base = spark.table(b["table"])
-            if man.get("pp_mod"):
-                if not pps:
+            mod = b.get("pp_mod")
+            if mod:
+                if mod not in pps_by_mod:
+                    pps_by_mod[mod] = [
+                        r.pp
+                        for r in batch_keys.select(
+                            _fuzzy_pp_col(mod).alias("pp")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                if not pps_by_mod[mod]:
                     continue
-                base = base.where(F.col("pp").isin(pps)).drop("pp")
+                base = base.where(F.col("pp").isin(pps_by_mod[mod])).drop("pp")
             parts.append(
                 base.join(batch_keys, ["band_idx", "band_val"], "left_semi")
             )

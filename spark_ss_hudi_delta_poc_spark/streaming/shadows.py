@@ -331,8 +331,17 @@ def _q106(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("source_tokens"))
     )
+    # state side of the union: the live increment reads the PREVIOUS
+    # counts from a catalog-sized parquet table, not a second
+    # corpus-sized aggregate — model it as a scan-shaped, limit-bounded
+    # frame of the same schema so the pinned interior matches the live
+    # path's cost shape (ADVICE r12: unioning batch_counts with itself
+    # overstated the per-trigger work as 2x corpus aggregates)
+    state_counts = docs.select(
+        "source", F.lit(0).cast("long").alias("source_tokens")
+    ).limit(64)
     merged = (
-        batch_counts.unionByName(batch_counts)  # state side is the same class
+        batch_counts.unionByName(state_counts)
         .groupBy("source")
         .agg(F.sum("source_tokens").alias("source_tokens"))
     )

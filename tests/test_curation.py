@@ -475,9 +475,18 @@ def test_unimax_matches_sequential_waterfill_within_dust(spark):
 
 
 def test_unimax_source_cap_guard_raises(spark):
-    docs = _src_docs(spark, [(i, "x", f"s{i}") for i in range(4)])
+    """ADVICE r12: the guard fires only on GENUINE truncation (catalog
+    larger than max_sources); an exactly-at-cap catalog is legitimate
+    and must allocate normally."""
     import pytest as _pytest
 
+    # exactly at the cap: 4 sources, max_sources=4 — passes
+    at_cap = _src_docs(spark, [(i, "x", f"s{i}") for i in range(4)])
+    got = curation.unimax_allocation(at_cap, budget_tokens=5, max_sources=4).collect()
+    assert len(got) == 4 and sum(r.alloc_tokens for r in got) == 5
+
+    # one past the cap: truncation would silently drop a source — raises
+    over = _src_docs(spark, [(i, "x", f"s{i}") for i in range(5)])
     with _pytest.raises(Exception) as ei:
-        curation.unimax_allocation(docs, budget_tokens=5, max_sources=4).collect()
+        curation.unimax_allocation(over, budget_tokens=5, max_sources=4).collect()
     assert "max_sources" in str(ei.value)

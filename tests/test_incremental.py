@@ -788,6 +788,60 @@ def test_fuzzy_major_fold_collapses_tiers(spark, tmp_path):
     assert got == [1, 2, 3, 4]
 
 
+def test_fuzzy_pp_modulus_migration(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a persisted index folded under an OLD pp modulus must
+    keep finding duplicates after FUZZY_PP_MOD changes — the probe
+    prunes each tier with its STORED per-tier modulus, never the
+    current global — and the first fold after the change is MAJOR,
+    rewriting the whole base under the current modulus."""
+    import spark_ss_hudi_delta_poc_spark.streaming.incremental as inc
+
+    corpus = os.path.join(tmp_path, "pc")
+    index = os.path.join(tmp_path, "pi")
+    a1 = _p36("a001 bbb ccc")
+    c1 = _p36("c001 fff ggg")
+    # two increments under modulus 64, each folding into its own tier
+    monkeypatch.setattr(inc, "FUZZY_PP_MOD", 64)
+    for i, h in enumerate([a1, c1], start=1):
+        b = spark.createDataFrame([(i, h)], DOC_SCHEMA)
+        inc.ingest_increment_fuzzy(
+            spark, b, corpus, index, increment_id=f"r{i}", fold_threshold=1
+        )
+    man = inc._fuzzy_base_manifest(index)
+    assert [t["pp_mod"] for t in inc._man_bases(man)] == [64, 64]
+    # the deployment bumps the modulus (the r12 64->16 change, replayed)
+    monkeypatch.setattr(inc, "FUZZY_PP_MOD", 16)
+    # a near-dup of a1 (2 subs in band 1) must be dropped THROUGH the
+    # 64-modulus tiers — pruning them with %16 would miss it
+    b3 = spark.createDataFrame(
+        [(21, a1.replace("a001", "aXX1")), (22, _p36("e001 jjj kkk"))],
+        DOC_SCHEMA,
+    )
+    kept = inc.ingest_increment_fuzzy(
+        spark, b3, corpus, index, increment_id="r3", fold_threshold=1
+    )
+    assert kept == 1
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 22]
+    # the fold inside that increment was forced MAJOR by the modulus
+    # change: one collapsed tier, laid out under the current modulus,
+    # holding every seen doc's bands (4 docs x 3 bands)
+    man = inc._fuzzy_base_manifest(index)
+    tiers = inc._man_bases(man)
+    assert [t["pp_mod"] for t in tiers] == [16]
+    assert spark.read.parquet(tiers[0]["path"]).count() == 12
+    # and a near-dup of c1 still resolves through the rewritten base
+    b4 = spark.createDataFrame(
+        [(31, c1.replace("c001", "cXX1"))], DOC_SCHEMA
+    )
+    assert (
+        inc.ingest_increment_fuzzy(
+            spark, b4, corpus, index, increment_id="r4", fold_threshold=None
+        )
+        == 0
+    )
+
+
 def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
     """VERDICT r11 watch-item: bucketing removes the base probe's
     exchange, the pp=md5(band_val)%FUZZY_PP_MOD hash-prefix partitioning removes
