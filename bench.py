@@ -115,6 +115,28 @@ HEADLINE = [
 ]
 
 
+def calibration_sec(spark) -> float:
+    """Fixed-work box-speed probe (VERDICT r12 #3): a constant-size,
+    in-memory, CPU-bound aggregate that NO repo change can affect — its
+    round-over-round ratio measures machine-load drift, making bench
+    deltas legible (a loaded box inflates this row by the same factor
+    it inflates untouched queries).  min-of-3 after one warmup, same
+    discipline as the query rows."""
+    job = lambda: (
+        spark.range(0, 800_000_000, 1, 32)
+        .selectExpr("sum(pmod(id * 2654435761, 1000003)) as s")
+        .collect()
+    )
+    job()  # untimed warmup (JIT)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -125,6 +147,8 @@ def main() -> None:
     # the query, not session startup (the reference's timed battery likewise
     # runs inside an already-warm session — S3ParquetBatchReader.scala:38).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calib = calibration_sec(spark)
+    print(f"# __calibration__: {calib}s (fixed work, box-speed probe)", file=sys.stderr)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -165,6 +189,10 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": runs,
         "aggregation": "min_after_warmup",
+        # NOT part of value/queries: fixed-work box-speed probe — divide
+        # round-over-round totals by the calibration ratio to separate
+        # machine-load drift from plan regressions (VERDICT r12 #3)
+        "calibration_sec": calib,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -79,8 +80,20 @@ def main() -> int:
             f"head {head_runs[-1]['value']} s",
             flush=True,
         )
-    bq = {k: min(r["queries"][k] for r in base_runs) for k in base_runs[0]["queries"]}
-    hq = {k: min(r["queries"][k] for r in head_runs) for k in head_runs[0]["queries"]}
+    # median across runs (VERDICT r12 #3: with runs>=2 alternating, a
+    # single loaded window can't dominate either side; median of 2 =
+    # mean, and odd run counts discard the outlier entirely)
+    med = statistics.median
+    bq = {k: med([r["queries"][k] for r in base_runs]) for k in base_runs[0]["queries"]}
+    hq = {k: med([r["queries"][k] for r in head_runs]) for k in head_runs[0]["queries"]}
+    # fixed-work calibration rows (present since round 13): their ratio
+    # is pure box drift between the two alternating streams — divide it
+    # out of the shared ratio to get the plan-attributable residual
+    b_cal = [r["calibration_sec"] for r in base_runs if r.get("calibration_sec")]
+    h_cal = [r["calibration_sec"] for r in head_runs if r.get("calibration_sec")]
+    cal_ratio = (
+        round(med(h_cal) / med(b_cal), 3) if b_cal and h_cal else None
+    )
     shared = sorted(set(bq) & set(hq))
     base_shared = sum(bq[k] for k in shared)
     head_shared = sum(hq[k] for k in shared)
@@ -96,8 +109,8 @@ def main() -> int:
         "base_ref": base_sha,
         "head": head_sha,
         "runs_each": runs,
-        # totals from the SAME min-per-query aggregation as per_query /
-        # shared_ratio (ADVICE r7: last-run totals vs min-based ratios
+        # totals from the SAME median-per-query aggregation as per_query /
+        # shared_ratio (ADVICE r7: last-run totals vs per-query ratios
         # could disagree when runs > 1); last raw run kept for reference
         "base_total_s": round(sum(bq.values()), 2),
         "head_total_s": round(sum(hq.values()), 2),
@@ -107,6 +120,14 @@ def main() -> int:
         "base_shared_s": round(base_shared, 2),
         "head_shared_s": round(head_shared, 2),
         "shared_ratio": round(head_shared / base_shared, 3) if base_shared else None,
+        # box-drift separation (None until both sides' bench.py carries
+        # the calibration row — first cross-round A/B with it: r13→r14)
+        "calibration_ratio": cal_ratio,
+        "drift_normalized_shared_ratio": (
+            round(head_shared / base_shared / cal_ratio, 3)
+            if base_shared and cal_ratio
+            else None
+        ),
         "only_in_head": sorted(set(hq) - set(bq)),
         "only_in_base": sorted(set(bq) - set(hq)),
         "per_query": per_query,
