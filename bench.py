@@ -112,6 +112,12 @@ HEADLINE = [
     "curation_dsir",
     "curation_unimax",
     "q106_stream_unimax",
+    # round-13 operator (VERDICT r12 #5): the DSIR cross-run streaming
+    # twin — per-trigger gram aggregate + counts merge + forced
+    # mid-stream feature fold + full recipe rematerialization — ONE new
+    # row, so BENCH_r13's total is 66 queries vs r12's 65 (compare
+    # shared rows / bench_ab, never raw totals across the boundary)
+    "q107_stream_dsir",
 ]
 
 

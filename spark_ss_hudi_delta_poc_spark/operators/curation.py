@@ -1025,6 +1025,46 @@ def dsir_importance_filter(
     """
     if target_pred is None:
         target_pred = F.col("lang") == "en"
+    doc_feats = dsir_doc_feats(
+        docs, target_pred, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+    )
+    ct_r = doc_feats.groupBy("feat_bucket").agg(F.sum("c").alias("ct_r"))
+    ct_t = (
+        doc_feats.where(F.col("_is_target"))
+        .groupBy("feat_bucket")
+        .agg(F.sum("c").alias("ct_t"))
+    )
+    totals = doc_feats.agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias("n_t"),
+    )
+    # every doc bucket appears in ct_r (raw spans all docs): left join +
+    # coalesce covers raw-only buckets
+    counts = ct_r.join(ct_t, "feat_bucket", "left")
+    scored = dsir_scores(doc_feats, counts, totals, n_buckets)
+    if threshold_e9 is not None:
+        return scored.select(
+            "doc_id",
+            "n_grams",
+            "score_e9",
+            (F.col("score_e9") >= F.lit(threshold_e9)).alias("keep"),
+        )
+    return dsir_rank_keep(scored, keep_num=keep_num, keep_den=keep_den)
+
+
+def dsir_doc_feats(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document hashed-ngram feature counts — the shared front of
+    :func:`dsir_importance_filter` and the cross-run streaming twin
+    (streaming/incremental.ingest_increment_dsir): unigrams + adjacent
+    bigrams hashed to ``feat_bucket = md5_long(gram) % n_buckets``,
+    counted per (doc, bucket).  Returns (doc_id, _is_target,
+    feat_bucket, c)."""
     w = words(F.col(text_col))
     ws = _spread(docs).select(
         F.col(id_col).alias("doc_id"), target_pred.alias("_is_target"), w.alias("w")
@@ -1046,41 +1086,39 @@ def dsir_importance_filter(
         "_is_target",
         F.pmod(md5_long(F.col("gram")), F.lit(n_buckets)).alias("feat_bucket"),
     )
-    doc_feats = grams.groupBy("doc_id", "_is_target", "feat_bucket").agg(
+    return grams.groupBy("doc_id", "_is_target", "feat_bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    ct_r = doc_feats.groupBy("feat_bucket").agg(F.sum("c").alias("ct_r"))
-    ct_t = (
-        doc_feats.where(F.col("_is_target"))
-        .groupBy("feat_bucket")
-        .agg(F.sum("c").alias("ct_t"))
-    )
-    totals = doc_feats.agg(
-        F.sum("c").alias("n_r"),
-        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias("n_t"),
-    )
-    # every doc bucket appears in ct_r (raw spans all docs): left join +
-    # coalesce covers raw-only buckets; ratio in ONE pinned-order double
-    # expression so the oracle reproduces it bit-identically
-    ratios = (
-        ct_r.join(ct_t, "feat_bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "feat_bucket",
-            F.floor(
-                (F.coalesce(F.col("ct_t"), F.lit(0)) + F.lit(1)).cast("double")
-                * (F.col("n_r") + F.lit(n_buckets)).cast("double")
-                * F.lit(1_000_000_000.0)
-                / (
-                    (F.col("ct_r") + F.lit(1)).cast("double")
-                    * (F.col("n_t") + F.lit(n_buckets)).cast("double")
-                )
+
+
+def dsir_scores(
+    doc_feats: DataFrame,
+    counts: DataFrame,
+    totals: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score documents against a bucket-count table — the shared back of
+    :func:`dsir_importance_filter` and the streaming twin.  ``counts``
+    is (feat_bucket, ct_r, ct_t-nullable), <= n_buckets rows; ``totals``
+    is the 1-row (n_r, n_t) frame; ``doc_feats`` needs (doc_id,
+    feat_bucket, c).  The ratio is ONE pinned-order double expression so
+    the oracle reproduces it bit-identically; the per-doc sum is exact
+    DECIMAL(38,0) arithmetic.  Returns (doc_id, n_grams, score_e9)."""
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "feat_bucket",
+        F.floor(
+            (F.coalesce(F.col("ct_t"), F.lit(0)) + F.lit(1)).cast("double")
+            * (F.col("n_r") + F.lit(n_buckets)).cast("double")
+            * F.lit(1_000_000_000.0)
+            / (
+                (F.col("ct_r") + F.lit(1)).cast("double")
+                * (F.col("n_t") + F.lit(n_buckets)).cast("double")
             )
-            .cast("long")
-            .alias("r_e9"),
         )
+        .cast("long")
+        .alias("r_e9"),
     )
-    scored = (
+    return (
         doc_feats.join(F.broadcast(ratios), "feat_bucket")
         .groupBy("doc_id")
         .agg(
@@ -1095,13 +1133,17 @@ def dsir_importance_filter(
             F.expr("CAST(_wsum div n_grams AS BIGINT)").alias("score_e9"),
         )
     )
-    if threshold_e9 is not None:
-        return scored.select(
-            "doc_id",
-            "n_grams",
-            "score_e9",
-            (F.col("score_e9") >= F.lit(threshold_e9)).alias("keep"),
-        )
+
+
+def dsir_rank_keep(
+    scored: DataFrame,
+    keep_num: int = DSIR_KEEP_NUM,
+    keep_den: int = DSIR_KEEP_DEN,
+) -> DataFrame:
+    """The deterministic top-fraction keep rule (score_e9 DESC, doc_id
+    ASC; k = ceil(N*num/den)) — boundary found with two TakeOrdered
+    passes, keep decision a map-only literal comparison.  Shared by the
+    batch filter and the streaming twin's final materialization."""
     # rank rule: cache the doc-level scores only for the build-time
     # boundary probe (count + two TakeOrdered passes), then release —
     # the returned frame keeps the un-cached lineage, so nothing leaks

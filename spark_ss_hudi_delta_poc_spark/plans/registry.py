@@ -39,18 +39,23 @@ class Query:
 # external evidence, (b) fresh rows for plans materially changed since
 # their newest row, (c) then oldest-evidence-first (name order breaks
 # ties inside a cohort, matching the committed queue listing).
-#   Slots 1-23: the 23 remaining r7-cohort rows, exactly the committed
+#   Slot 1: FIRST row for q107_stream_dsir (round-13 operator: the DSIR
+#     cross-run streaming twin, VERDICT r12 #5 — same-round evidence per
+#     the late-landing-operator rule; displaces q34_region_revenue, the
+#     last r8 name in the window, into the round-14 queue).
+#   Slots 2-24: the 23 remaining r7-cohort rows, exactly the committed
 #     queue (q17_asof_join, q18_semi_anti and q20_sessionize were
 #     displaced from the round-12 window by the three round-12
 #     operators).  Evidence histogram max age drops to r8.
-#   Slots 24-50: the 27 name-ordered oldest-r8 rows.
-# Late-landing round-13 operators and rule-(b) fresh rows take slots at
-# the TOP of this window when they land, displacing the newest-evidence
-# tail rows (the last r8 names) into the round-14 queue — same
-# mechanics as rounds 11/12.
+#   Slots 25-50: the name-ordered oldest-r8 rows that fill the window.
+# Further late-landing round-13 operators and rule-(b) fresh rows take
+# slots at the TOP of this window when they land, displacing the
+# newest-evidence tail rows (the last r8 names) into the round-14 queue
+# — same mechanics as rounds 11/12.
 #
-# Round-14 rotation queue (staged — VERDICT r12 #6): the remaining 22
-# r8-cohort rows (q35_moving_agg, q36_resample_gapfill,
+# Round-14 rotation queue (staged — VERDICT r12 #6): the remaining
+# r8-cohort rows (q34_region_revenue — displaced from this window by
+# q107_stream_dsir — q35_moving_agg, q36_resample_gapfill,
 # q37_rank_battery, q38_lag_lead, q43_collect_arrays, q45_histogram,
 # q47_quality_rules, q54_group_mode, q61_date_arith, q63_unpivot,
 # q74_zorder_values, q76_bit_aggregates, q92_stream_decontaminate,
@@ -61,6 +66,8 @@ class Query:
 # then r10 oldest-first (name order) to fill 50; any operator added in
 # round 14 takes a first-row slot ahead of the refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- FIRST row for this round's new operator (1) ------------------------
+    "q107_stream_dsir",
     # --- r7 cohort refresh: the 23 remaining rows, committed queue (23) ----
     "q17_asof_join",
     "q18_semi_anti",
@@ -85,7 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "text_fingerprint",
     "text_winnow_fingerprint",
-    # --- r8 cohort, oldest-evidence-next, name-ordered (27) ----------------
+    # --- r8 cohort, oldest-evidence-next, name-ordered (26) ----------------
     "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivf_q8_topk",
@@ -112,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q08_epoch_roundtrip",
     "q11_datetime_battery",
     "q33_segment_topn",
-    "q34_region_revenue",
 )
 
 

@@ -14,6 +14,7 @@ from ..streaming.jobs import (
     stream_bottomk_sample,
     stream_fuzzy_dedup_ingest,
     stream_unimax_recipe,
+    stream_dsir_recipe,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -574,6 +575,27 @@ QUERIES.append(
         "catalog-sized counts alone — zero history rescans; the final "
         "recipe must equal batch curation_unimax (same oracle, same "
         "hash)",
+        tags=("streaming", "incremental", "curation"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q107_stream_dsir",
+        stream_dsir_recipe,
+        _oracle_of("curation_dsir"),
+        doc="always-current DSIR importance-selection recipe: documents "
+        "stream in 3 marker-committed increments; each trigger merges "
+        "the batch's hashed-ngram bucket counts into a replace-state "
+        "(feat_bucket, ct_r, ct_t) table and appends the batch's "
+        "per-doc features to a fold-bounded table (per-bucket sums are "
+        "merge-associative, so the maintained counts equal a one-shot "
+        "batch aggregate at any micro-batch split); the keep recipe is "
+        "rematerialized from state through the batch operator's shared "
+        "scoring/rank cores — zero history rescans in maintenance; the "
+        "final recipe must equal batch curation_dsir (same oracle, "
+        "same hash)",
         tags=("streaming", "incremental", "curation"),
     )
 )

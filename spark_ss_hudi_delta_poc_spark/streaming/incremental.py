@@ -2325,3 +2325,192 @@ def incremental_source_counts_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run DSIR state (q107): replace-state bucket counts + append-only,
+# fold-bounded per-doc features
+# ---------------------------------------------------------------------------
+
+DSIR_STATE_FOLD_THRESHOLD = 16
+
+
+def _latest_committed_dir(table_path: str, tokens: list[str]) -> str | None:
+    """Newest committed token whose ``inc=`` dir still exists under
+    ``table_path`` (numeric-aware order, latest_bottomk_dir's rule) —
+    the current version of a replace-state table whose markers must
+    OUTLIVE superseded dirs because a sibling append-only table shares
+    them."""
+    for t in sorted(tokens, key=lambda t: (len(t), t), reverse=True):
+        p = os.path.join(table_path, f"inc={t}")
+        if os.path.isdir(p):
+            return p
+    return None
+
+
+def ingest_increment_dsir(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    target_pred=None,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+    fold_threshold: int | None = DSIR_STATE_FOLD_THRESHOLD,
+) -> int:
+    """Incremental DSIR importance-score maintenance over a growing
+    corpus (VERDICT r12 #5) — the counts-state pattern q106 established,
+    applied to DSIR's bucket count tables: per-bucket gram counts are
+    merge-associative, so "counts of the full corpus == counts of
+    (previous counts ∪ new batch, re-summed)" at any micro-batch split,
+    and the recipe recomputed from the maintained state equals the
+    one-shot batch ``dsir_importance_filter`` — which is what the q107
+    oracle checks.
+
+    TWO state tables under ONE marker per increment:
+
+    - ``counts/inc=<token>`` — the COMPLETE merged (feat_bucket, ct_r,
+      ct_t) table as of this increment (<= n_buckets rows; the paper's
+      add-one smoothing reads raw counts, so the state is exact).
+      Replace-state: superseded committed dirs are pruned after the
+      commit (the merged table subsumes them) but their MARKERS remain,
+      because the sibling append table's fold protocol needs the full
+      token history (contrast ingest_increment_bottomk, which prunes
+      markers too).
+    - ``doc_feats/inc=<token>`` — THIS batch's (doc_id, feat_bucket, c)
+      feature rows, append-only (scores of already-seen docs change as
+      the ratio table drifts, so final scoring needs every doc's
+      features; maintenance never re-reads them).  Dir growth is
+      bounded by the generic size-tiered fold layer (_maybe_fold,
+      bucket_cols=[doc_id]), same as every cross-run ingest.
+
+    Per-increment cost: one |batch|-sized gram aggregate, a
+    <= n_buckets-row counts merge, one |batch|-sized feature append —
+    never a corpus rescan.  Crash story: the marker is the commit point
+    for BOTH tables; a crash before it leaves both dirs as invisible
+    debris that the deterministic replay overwrites; a crash after it
+    (mid-prune / mid-fold) is healed by the next increment's prune loop
+    and heal_fold_debris.  A replayed committed increment is a no-op.
+    Returns the number of feature buckets tracked after the increment.
+    """
+    from ..operators.curation import DSIR_BUCKETS, dsir_doc_feats
+
+    if n_buckets is None:
+        n_buckets = DSIR_BUCKETS
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    feats_path = os.path.join(state_path, "doc_feats")
+    counts_path = os.path.join(state_path, "counts")
+    heal_fold_debris(state_path, [feats_path])
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    feats = dsir_doc_feats(
+        batch, target_pred, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+    ).persist()
+    try:
+        bc = feats.groupBy("feat_bucket").agg(
+            F.sum("c").alias("ct_r"),
+            F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+                "ct_t"
+            ),
+        )
+        prev = _latest_committed_dir(counts_path, committed)
+        if prev:
+            bc = (
+                bc.unionByName(spark.read.parquet(prev))
+                .groupBy("feat_bucket")
+                .agg(F.sum("ct_r").alias("ct_r"), F.sum("ct_t").alias("ct_t"))
+            )
+        bc.write.mode("overwrite").parquet(os.path.join(counts_path, f"inc={token}"))
+        feats.select("doc_id", "feat_bucket", "c").write.mode("overwrite").parquet(
+            os.path.join(feats_path, f"inc={token}")
+        )
+        _write_marker(state_path, token)  # THE commit — both tables
+        # prune superseded counts states (markers stay — see docstring)
+        for t in committed:
+            shutil.rmtree(os.path.join(counts_path, f"inc={t}"), ignore_errors=True)
+        _maybe_fold(
+            spark, state_path, {feats_path: ["doc_id"]}, committed, fold_threshold
+        )
+        return spark.read.parquet(
+            os.path.join(counts_path, f"inc={token}")
+        ).count()
+    finally:
+        feats.unpersist()
+
+
+def dsir_recipe_from_state(
+    spark: SparkSession, state_path: str, n_buckets: int | None = None
+) -> DataFrame:
+    """Materialize the always-current DSIR keep recipe from the
+    maintained state alone: ratio table from the latest committed
+    counts (totals derived by aggregating the <= n_buckets-row table),
+    features from the fold layer's live dirs (base tiers + unfolded
+    deltas), scored and rank-kept by the SAME shared cores as the batch
+    operator — so the result matches ``dsir_importance_filter`` on the
+    union of all ingested batches, bit-exactly."""
+    from ..operators.curation import (
+        DSIR_BUCKETS,
+        dsir_rank_keep,
+        dsir_scores,
+    )
+
+    if n_buckets is None:
+        n_buckets = DSIR_BUCKETS
+    counts_path = os.path.join(state_path, "counts")
+    feats_path = os.path.join(state_path, "doc_feats")
+    committed = _committed_tokens(state_path)
+    latest = _latest_committed_dir(counts_path, committed)
+    dirs = _live_table_dirs(state_path, feats_path)
+    if latest is None or not dirs:
+        return spark.createDataFrame(
+            [], "doc_id long, n_grams long, score_e9 long, keep boolean"
+        )
+    counts = spark.read.parquet(latest)
+    totals = counts.agg(F.sum("ct_r").alias("n_r"), F.sum("ct_t").alias("n_t"))
+    feats = spark.read.parquet(*dirs)
+    return dsir_rank_keep(dsir_scores(feats, counts, totals, n_buckets))
+
+
+def incremental_dsir_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_threshold: int | None = DSIR_STATE_FOLD_THRESHOLD,
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_dsir)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_dsir(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            text_col=text_col,
+            id_col=id_col,
+            increment_id=batch_id,
+            fold_threshold=fold_threshold,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

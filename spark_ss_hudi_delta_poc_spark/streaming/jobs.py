@@ -1120,7 +1120,9 @@ def stage_id_ordered(
     return staged
 
 
-def stream_fuzzy_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_fuzzy_dedup_ingest(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
     """Beyond-reference (round-11): cross-run incremental FUZZY dedup —
     documents stream in 3 id-ordered marker-committed increments; each
     batch probes the persistent positional-band index with a semi-join
@@ -1262,6 +1264,39 @@ def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     counts = spark.read.parquet(latest_bottomk_dir(state))
     return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
+
+
+def stream_dsir_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-13, VERDICT r12 #5): always-current DSIR
+    importance-selection recipe over a growing corpus — documents
+    stream in 3 marker-committed increments; each trigger merges the
+    batch's hashed-ngram bucket counts into the replace-state count
+    table and appends the batch's per-doc features to the fold-bounded
+    feature table (incremental.ingest_increment_dsir — per-bucket sums
+    are merge-associative, so the maintained counts equal a one-shot
+    batch aggregate at any micro-batch split).  The keep recipe is then
+    materialized from the state alone (dsir_recipe_from_state) through
+    the SAME scoring/rank cores as the batch operator, so the final
+    result must equal batch curation_dsir — which is what the shared
+    oracle checks.  fold_threshold=2 forces the feature-table fold
+    mid-stream so the gate run exercises the maintenance path at its
+    worst cadence (q104's audit-cadence discipline)."""
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import dsir_recipe_from_state, incremental_dsir_ingest
+
+    work = _workdir("qdsir")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_dsir_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+        fold_threshold=2,
+    )
+    q.awaitTermination()
+    return dsir_recipe_from_state(spark, state)
 
 
 def late_window_agg(df: DataFrame) -> DataFrame:

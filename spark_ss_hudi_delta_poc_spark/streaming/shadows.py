@@ -348,6 +348,43 @@ def _q106(spark, sf_dir):
     return {"ingest": unimax_allocation_from_counts(merged, UNIMAX_BUDGET)}
 
 
+def _q107(spark, sf_dir):
+    from ..functions.hashing import md5_long
+    from ..operators.curation import dsir_doc_feats, dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior: |batch|-sized hashed-ngram feature aggregate
+    # + <= n_buckets-row counts merge against the scan-shaped previous
+    # state (q106's r13 convention) + the batch feature append (no
+    # extra classes)
+    feats = dsir_doc_feats(docs, F.col("lang") == "en")
+    batch_counts = feats.groupBy("feat_bucket").agg(
+        F.sum("c").alias("ct_r"),
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "ct_t"
+        ),
+    )
+    state_counts = docs.select(
+        F.pmod(md5_long(F.col("source")), F.lit(4096)).alias("feat_bucket"),
+        F.lit(0).cast("long").alias("ct_r"),
+        F.lit(0).cast("long").alias("ct_t"),
+    ).limit(4096)
+    merged = (
+        batch_counts.unionByName(state_counts)
+        .groupBy("feat_bucket")
+        .agg(F.sum("ct_r").alias("ct_r"), F.sum("ct_t").alias("ct_t"))
+    )
+    # read-side recipe materialization: broadcast ratio join + doc_id
+    # aggregate over the feature table, then the TakeOrdered boundary
+    # probe the rank rule runs (limit literal = the certificate)
+    totals = merged.agg(F.sum("ct_r").alias("n_r"), F.sum("ct_t").alias("n_t"))
+    scored = dsir_scores(feats.select("doc_id", "feat_bucket", "c"), merged, totals)
+    boundary = scored.orderBy(
+        F.col("score_e9").desc(), F.col("doc_id").asc()
+    ).limit(1024)
+    return {"ingest": merged, "recipe": scored, "boundary": boundary}
+
+
 STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q10_stream_global_agg": _q10,
     "q12_stream_roundtrip": _q12,
@@ -374,4 +411,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q104_stream_fuzzy_ingest": _q104,
     "q105_stream_bottomk_sample": _q105,
     "q106_stream_unimax": _q106,
+    "q107_stream_dsir": _q107,
 }

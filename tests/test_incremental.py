@@ -1606,3 +1606,120 @@ def test_fuzzy_ingest_crash_sweep_every_commit_point(spark, tmp_path, monkeypatc
     for k in range(n_points):
         got, _ = run(f"k{k}", k)
         assert got == want, f"crash at commit point {k} changed the corpus: {got}"
+
+
+DSIR_DOC_SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_ingest_increment_dsir_equals_batch_at_any_split(spark, tmp_path):
+    """q107's invariance: per-bucket gram counts are merge-associative,
+    so the recipe rematerialized from the maintained state equals the
+    one-shot batch dsir_importance_filter EXACTLY (ids, n_grams,
+    score_e9 and keep), regardless of how rows split into increments;
+    and the generic fold keeps the feature-table delta dirs bounded."""
+    from spark_ss_hudi_delta_poc_spark.operators.curation import (
+        dsir_importance_filter,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        dsir_recipe_from_state,
+        ingest_increment_dsir,
+    )
+
+    rows = [
+        (
+            i,
+            f"alpha beta w{i % 11} gamma w{(i * 7) % 13} delta",
+            "en" if i % 3 else "de",
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, DSIR_DOC_SCHEMA)
+    want = {tuple(r) for r in dsir_importance_filter(docs).collect()}
+    assert len(want) == 60 and any(r[3] for r in want)
+    for tag, chunks in (
+        ("thirds", [rows[i::3] for i in range(3)]),
+        ("uneven", [rows[:40], rows[40:41], rows[41:]]),
+    ):
+        state = os.path.join(tmp_path, f"ds_{tag}")
+        for e, chunk in enumerate(chunks):
+            ingest_increment_dsir(
+                spark,
+                spark.createDataFrame(chunk, DSIR_DOC_SCHEMA),
+                state,
+                increment_id=e,
+                fold_threshold=2,
+            )
+        got = {tuple(r) for r in dsir_recipe_from_state(spark, state).collect()}
+        assert got == want, tag
+        fd = os.path.join(state, "doc_feats")
+        n_delta = len(
+            [
+                d
+                for d in os.listdir(fd)
+                if d.startswith("inc=") and not d.startswith("inc=_foldv")
+            ]
+        )
+        assert n_delta < 3, f"{tag}: feature delta dirs not bounded: {n_delta}"
+
+
+def test_ingest_increment_dsir_crash_replay_and_pruning(spark, tmp_path, monkeypatch):
+    """The single marker is the commit point for BOTH state tables: a
+    crash before it leaves the previous recipe live (counts AND
+    features), the deterministic replay heals, a committed replay is a
+    no-op, and superseded counts dirs are pruned while their markers
+    persist for the feature-fold protocol."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.curation import (
+        dsir_importance_filter,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _commits_dir,
+        dsir_recipe_from_state,
+        ingest_increment_dsir,
+    )
+
+    rows = [
+        (i, f"tok{i % 5} common tok{(i * 3) % 7}", "en" if i % 2 else "fr")
+        for i in range(20)
+    ]
+    b1 = spark.createDataFrame(rows[:12], DSIR_DOC_SCHEMA)
+    b2 = spark.createDataFrame(rows[12:], DSIR_DOC_SCHEMA)
+    state = os.path.join(tmp_path, "ds")
+    assert ingest_increment_dsir(spark, b1, state, increment_id=0) > 0
+    recipe1 = {tuple(r) for r in dsir_recipe_from_state(spark, state).collect()}
+    assert recipe1 == {
+        tuple(r) for r in dsir_importance_filter(b1).collect()
+    }
+
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_dsir(spark, b2, state, increment_id=1)
+    # both tables still resolve to the pre-crash increment
+    assert {
+        tuple(r) for r in dsir_recipe_from_state(spark, state).collect()
+    } == recipe1
+    monkeypatch.setattr(incremental, "_write_marker", real)
+
+    assert ingest_increment_dsir(spark, b2, state, increment_id=1) > 0
+    want = {
+        tuple(r)
+        for r in dsir_importance_filter(
+            spark.createDataFrame(rows, DSIR_DOC_SCHEMA)
+        ).collect()
+    }
+    assert {
+        tuple(r) for r in dsir_recipe_from_state(spark, state).collect()
+    } == want
+    # committed replay is a no-op
+    assert ingest_increment_dsir(spark, b2, state, increment_id=1) == 0
+    # superseded counts dirs pruned; markers persist for the fold layer
+    counts_incs = sorted(os.listdir(os.path.join(state, "counts")))
+    assert counts_incs == ["inc=1"], counts_incs
+    assert sorted(os.listdir(_commits_dir(state))) == ["0", "1"]

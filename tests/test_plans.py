@@ -196,6 +196,11 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # bucket-ratio table (text_ngram_lm_score's 1-row V shape); count
     # pinned in test_sketch_cross_joins_are_single_row.
     "curation_dsir",
+    # round 13: the DSIR streaming twin's recipe/boundary shadow stages
+    # inherit curation_dsir's exact 1-row totals cross (the state-side
+    # totals are an aggregate over the <=4096-row counts table); counts
+    # pinned in test_q107_shadow_cross_sides_are_single_row.
+    "q107_stream_dsir",
 }
 
 
@@ -278,6 +283,27 @@ def test_sketch_cross_joins_are_single_row(spark):
         # explain prints `Keys: []` for partial+final of every scalar agg
         scalar_aggs = len(re.findall(r"Keys\s*:\s*\[\]", p))
         assert scalar_aggs >= n_bnlj, f"{name}: cross side without a scalar aggregate"
+
+
+def test_q107_shadow_cross_sides_are_single_row(spark):
+    """q107_stream_dsir's shadow stages inherit curation_dsir's exempted
+    cross shape — bucket ratios x the 1-row (n_r, n_t) totals aggregate
+    (here reduced over the <=4096-row counts state, cheaper than the
+    batch operator's corpus-side totals).  Pin the BNLJ count per stage
+    and that every cross side is a scalar aggregate, so a corpus-sized
+    side can never slip in under the exemption."""
+    import re
+
+    expected = {"ingest": 0, "recipe": 1, "boundary": 1}
+    for stage, p in shadow_plans_of(spark, "q107_stream_dsir").items():
+        got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert got == expected[stage], (
+            f"{stage}: {got} nested-loop joins, expected {expected[stage]}"
+        )
+        if expected[stage]:
+            assert re.search(r"Keys\s*:\s*\[\]", p), (
+                f"{stage}: cross side without a scalar aggregate"
+            )
 
 
 def test_kmv_jaccard_cross_sides_are_source_bounded(spark):

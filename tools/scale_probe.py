@@ -274,6 +274,11 @@ PROBE_OPS = [
     # round-12: streaming recipe maintenance — per-increment cost is one
     # batch aggregate + a catalog-sized merge; must track the batch op
     "q106_stream_unimax",
+    # round-13: DSIR streaming twin — per-increment cost is one batch
+    # gram aggregate + a <=4096-row counts merge + a batch-sized feature
+    # append (fold-bounded dirs); the final recipe rematerialization is
+    # corpus-linear like curation_dsir, so the ratio must track it
+    "q107_stream_dsir",
 ]
 
 
