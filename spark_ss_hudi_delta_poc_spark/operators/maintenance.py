@@ -221,7 +221,7 @@ def compact_fuzzy_bands_to_bucketed(
     bands = spark.read.parquet(*dirs)
     # bucket-aligned repartition (same murmur3-pmod as the bucket-id
     # assignment): one task per bucket -> one file per bucket, instead
-    # of one file per (task, bucket) — see fold_fuzzy_band_base
+    # of one file per (task, bucket) — see incremental._write_fold_tier
     from pyspark.sql import functions as F
 
     (

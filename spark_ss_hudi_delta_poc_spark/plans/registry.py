@@ -43,19 +43,26 @@ class Query:
 #     cross-run streaming twin, VERDICT r12 #5 — same-round evidence per
 #     the late-landing-operator rule; displaces q34_region_revenue, the
 #     last r8 name in the window, into the round-14 queue).
-#   Slots 2-24: the 23 remaining r7-cohort rows, exactly the committed
+#   Slot 2: fresh row for q104_stream_fuzzy_ingest — its plan changed
+#     THIS round (VERDICT r12 #4: the band base + retired snapshot now
+#     fold through the unified generic fold layer — one manifest, one
+#     folded set — and the probe resolves tiers from the generic
+#     manifest with per-tier pp moduli), so rule (b) gives it a fresh
+#     row; displaces q33_segment_topn into the round-14 queue.
+#   Slots 3-25: the 23 remaining r7-cohort rows, exactly the committed
 #     queue (q17_asof_join, q18_semi_anti and q20_sessionize were
 #     displaced from the round-12 window by the three round-12
 #     operators).  Evidence histogram max age drops to r8.
-#   Slots 25-50: the name-ordered oldest-r8 rows that fill the window.
+#   Slots 26-50: the name-ordered oldest-r8 rows that fill the window.
 # Further late-landing round-13 operators and rule-(b) fresh rows take
 # slots at the TOP of this window when they land, displacing the
 # newest-evidence tail rows (the last r8 names) into the round-14 queue
 # — same mechanics as rounds 11/12.
 #
 # Round-14 rotation queue (staged — VERDICT r12 #6): the remaining
-# r8-cohort rows (q34_region_revenue — displaced from this window by
-# q107_stream_dsir — q35_moving_agg, q36_resample_gapfill,
+# r8-cohort rows (q33_segment_topn and q34_region_revenue — displaced
+# from this window by q104's fresh row and q107_stream_dsir —
+# q35_moving_agg, q36_resample_gapfill,
 # q37_rank_battery, q38_lag_lead, q43_collect_arrays, q45_histogram,
 # q47_quality_rules, q54_group_mode, q61_date_arith, q63_unpivot,
 # q74_zorder_values, q76_bit_aggregates, q92_stream_decontaminate,
@@ -68,6 +75,8 @@ class Query:
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- FIRST row for this round's new operator (1) ------------------------
     "q107_stream_dsir",
+    # --- rule-(b) fresh row: plan materially changed this round (1) ---------
+    "q104_stream_fuzzy_ingest",
     # --- r7 cohort refresh: the 23 remaining rows, committed queue (23) ----
     "q17_asof_join",
     "q18_semi_anti",
@@ -92,7 +101,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "text_fingerprint",
     "text_winnow_fingerprint",
-    # --- r8 cohort, oldest-evidence-next, name-ordered (26) ----------------
+    # --- r8 cohort, oldest-evidence-next, name-ordered (25) ----------------
     "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivf_q8_topk",
@@ -118,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q05_ts_roundtrip",
     "q08_epoch_roundtrip",
     "q11_datetime_battery",
-    "q33_segment_topn",
 )
 
 

@@ -196,7 +196,8 @@ def _register_bucketed(spark: SparkSession, entry: dict) -> None:
         return
     cols = ", ".join(f"{n} {t}" for n, t in entry["schema"])
     keys = ", ".join(entry["bucket_cols"])
-    part = "PARTITIONED BY (pp) " if entry.get("pp_mod") else ""
+    pp_name = entry.get("pp_name", "pp")
+    part = f"PARTITIONED BY ({pp_name}) " if entry.get("pp_mod") else ""
     spark.sql(
         f"CREATE TABLE {entry['table']} ({cols}) USING parquet {part}"
         f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
@@ -225,9 +226,13 @@ def heal_fold_debris(txn_root: str, table_paths: list[str]) -> None:
         tp = os.path.abspath(tp)
         live = set()
         if man is not None:
+            # graced tiers (gc_grace — the one-cycle snapshot-lifetime
+            # contract) are manifest-owned too: heal must not reclaim
+            # them before the next fold rotates them out
             live = {
                 os.path.basename(e["path"])
                 for e in _entry_tiers(man["tables"].get(tp))
+                + man.get("grace", {}).get(tp, [])
             }
         if not os.path.isdir(tp):
             continue
@@ -255,27 +260,63 @@ def _entry_tiers(entry) -> list[dict]:
     return [entry]
 
 
+def _norm_spec(spec) -> dict:
+    """Normalize a fold spec.  ``None`` (data-only table) and a bare
+    bucket-column list (the pre-r13 form) become the dict form.  Dict
+    fields (all optional):
+
+    - ``bucket_cols``: the table's equi-join key — tiers become bucketed
+      metastore tables (exchange-free probe scans).
+    - ``n_buckets``: per-table bucket count (default: the fold call's).
+    - ``partition``: ``{"name", "source_col", "mod"}`` — hash-prefix dir
+      partitioning ``name = md5(source_col) % mod`` on bucketed tiers,
+      so probes can partition-prune by the batch's key hashes; the
+      modulus is recorded PER TIER and a modulus change forces a major
+      fold (ADVICE r12).  Requires ``bucket_cols``.
+    - ``collapse_distinct``: column list — the tier is the DISTINCT
+      snapshot of those columns over all history; folds of this table
+      are always major (single snapshot tier; for small key-set tables
+      like the fuzzy retired keys).
+    - ``gc_grace``: superseded tiers (and their metastore tables)
+      survive ONE fold cycle so a lazy DataFrame obtained from the
+      pre-fold manifest stays executable until the next fold commits.
+      Only safe for tables read exclusively THROUGH the manifest — a
+      whole-dir parquet read would double-count the graced tier, so
+      data tables like the corpus must keep immediate GC.
+    """
+    if spec is None:
+        return {}
+    if isinstance(spec, (list, tuple)):
+        return {"bucket_cols": list(spec)}
+    return dict(spec)
+
+
 def fold_committed_incs(
     spark: SparkSession,
     txn_root: str,
-    specs: dict[str, list[str] | None],
+    specs: dict,
     n_buckets: int = 32,
     base_threshold: int = FOLD_TIER_THRESHOLD,
 ) -> bool:
     """Fold each table's committed-but-unfolded ``inc=`` dirs into its
     SIZE-TIERED ``inc=_foldv<V>`` fold layer; ``specs`` maps
-    table_path -> bucket columns (the table's equi-join key, or None
-    for data-only tables like the corpus).  A MINOR fold writes only
-    the fresh deltas into a new tier (O(fold batch) I/O — single-tier
+    table_path -> fold spec (see :func:`_norm_spec`; the ONE fold
+    protocol for every cross-run ingest since r13 — the fuzzy band base
+    previously carried a parallel implementation of the same
+    minor/major tiering, VERDICT r12 #4).  A MINOR fold writes only the
+    fresh deltas into a new tier (O(fold batch) I/O — single-tier
     folding rewrote the FULL history every fold, O(N^2/threshold) over
-    stream life); once ``base_threshold`` tiers are live, a MAJOR fold
-    collapses them + fresh into one.  Whole-table parquet reads keep
-    seeing every row (tiers are plain ``inc=_foldv*`` dirs); bucketed
-    probes union <= base_threshold exchange-free tier scans.  Returns
-    True on commit."""
+    stream life); a MAJOR fold collapses tiers + fresh into one, forced
+    when ``base_threshold`` tiers are live, the bucket count or pp
+    modulus changes, or the spec collapses to a distinct snapshot.
+    Whole-table parquet reads keep seeing every row (tiers are plain
+    ``inc=_foldv*`` dirs) for non-graced tables; bucketed probes union
+    <= base_threshold exchange-free tier scans.  Crash-atomic by the
+    manifest flip; debris healed by heal_fold_debris.  Returns True on
+    commit."""
     # manifest keys are ABSOLUTE paths (review r12: a trailing slash or
     # relative spelling must not hide the folded base from readers)
-    specs = {os.path.abspath(tp): cols for tp, cols in specs.items()}
+    specs = {os.path.abspath(tp): _norm_spec(sp) for tp, sp in specs.items()}
     man = _fold_manifest(txn_root)
     folded: set[str] = set(man["folded"]) if man else set()
     tables = list(specs)
@@ -286,15 +327,39 @@ def fold_committed_incs(
         return False
     new_v = (man["version"] + 1) if man else 1
     new_tables: dict[str, list[dict]] = {}
-    for tp, bucket_cols in specs.items():
+    grace_tables: dict[str, list[dict]] = {}
+    for tp, spec in specs.items():
+        bucket_cols = spec.get("bucket_cols")
+        tbl_buckets = int(spec.get("n_buckets", n_buckets))
+        part = spec.get("partition")
+        collapse = spec.get("collapse_distinct")
+        if part and not bucket_cols:
+            raise ValueError("partition spec requires bucket_cols")
         prev_tiers = _entry_tiers(man["tables"].get(tp)) if man else []
-        major = len(prev_tiers) >= base_threshold
+        # a layout change (bucket count, pp modulus, partitioning
+        # added/removed) makes old tiers unusable under the new probe
+        # rules — collapse-and-rewrite them in ONE major fold
+        major = (
+            len(prev_tiers) >= base_threshold
+            or collapse is not None
+            or any(
+                e.get("table") and e.get("n_buckets") != tbl_buckets
+                for e in prev_tiers
+            )
+            or any(
+                e.get("pp_mod") != (part["mod"] if part else None)
+                for e in prev_tiers
+            )
+        )
         parts = []
         if major:
             for e in prev_tiers:
                 if e.get("table"):
                     _register_bucketed(spark, e)
-                    parts.append(spark.table(e["table"]))
+                    f = spark.table(e["table"])
+                    if e.get("pp_name"):
+                        f = f.drop(e["pp_name"])
+                    parts.append(f)
                 else:
                     parts.append(spark.read.parquet(e["path"]))
         dirs = _committed_paths(tp, fresh)
@@ -306,60 +371,117 @@ def fold_committed_incs(
         src = parts[0]
         for p in parts[1:]:
             src = src.unionByName(p)
-        vdir = os.path.join(tp, f"inc={FOLD_DIR_PREFIX}{new_v}")
-        if bucket_cols:
-            tname = _fold_table_name(tp, new_v)
-            spark.sql(f"DROP TABLE IF EXISTS {tname}")  # crashed-fold replay
-            (
-                # bucket-aligned repartition: one task per bucket -> one
-                # file per bucket (see fold_fuzzy_band_base)
-                src.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
-                .write.mode("overwrite")
-                .option("path", vdir)
-                .bucketBy(n_buckets, *bucket_cols)
-                .sortBy(*bucket_cols)
-                .saveAsTable(tname)
-            )
-            tier = {
-                "path": vdir,
-                "table": tname,
-                "bucket_cols": bucket_cols,
-                "n_buckets": n_buckets,
-                "schema": [[f.name, f.dataType.simpleString()] for f in src.schema.fields],
-            }
-        else:
-            src.write.mode("overwrite").parquet(vdir)
-            tier = {"path": vdir}
+        if collapse:
+            src = src.select(*collapse).distinct()
+        tier = _write_fold_tier(spark, tp, new_v, src, spec, tbl_buckets)
         new_tables[tp] = [tier] if major else prev_tiers + [tier]
+        if spec.get("gc_grace") and man is not None:
+            live = {e["path"] for e in new_tables[tp]}
+            graced = [e for e in prev_tiers if e["path"] not in live]
+            if graced:
+                grace_tables[tp] = graced
     manifest = {
         "version": new_v,
         "folded": sorted(folded | set(fresh)),
         "tables": new_tables,
     }
+    if grace_tables:
+        # graced tiers live IN the manifest so heal_fold_debris and GC
+        # resolve the one-cycle snapshot-lifetime contract from the
+        # single committed source of truth
+        manifest["grace"] = grace_tables
     _atomic_write_json(_fold_manifest_path(txn_root), manifest)  # THE commit
-    # GC: the folded delta dirs and the superseded fold dirs (tiers a
-    # MAJOR fold just collapsed) are dead — same immediate-GC contract
-    # as before tiering (callers are foreachBatch-serialized and
-    # re-resolve the manifest per increment)
+    # GC: the folded delta dirs are dead everywhere; superseded fold
+    # dirs (tiers a MAJOR fold just collapsed) die immediately unless
+    # graced — then they die when they leave the grace set at the NEXT
+    # fold.  Dir-driven table drops (the dir name encodes the version)
+    # so a graced tier's metastore table outlives exactly as long as
+    # its dir.  Callers are foreachBatch-serialized and re-resolve the
+    # manifest per increment.
     for tp in tables:
         for t in fresh:
             shutil.rmtree(os.path.join(tp, f"inc={t}"), ignore_errors=True)
-        live = {os.path.basename(e["path"]) for e in new_tables.get(tp, [])}
-        for d in os.listdir(tp) if os.path.isdir(tp) else []:
-            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d not in live:
-                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
-    if man is not None:
-        new_names = {
-            e["table"]
-            for tiers in new_tables.values()
-            for e in tiers
-            if e.get("table")
+        keep = {os.path.basename(e["path"]) for e in new_tables.get(tp, [])}
+        keep |= {
+            os.path.basename(e["path"])
+            for e in manifest.get("grace", {}).get(tp, [])
         }
-        for tp, prev in man["tables"].items():
-            for e in _entry_tiers(prev):
-                if e.get("table") and e["table"] not in new_names:
-                    spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+        for d in os.listdir(tp) if os.path.isdir(tp) else []:
+            if d.startswith(f"inc={FOLD_DIR_PREFIX}") and d not in keep:
+                v = d[len(f"inc={FOLD_DIR_PREFIX}"):]
+                if v.isdigit():
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {_fold_table_name(tp, int(v))}"
+                    )
+                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
     return True
+
+
+def _write_fold_tier(
+    spark: SparkSession,
+    tp: str,
+    new_v: int,
+    src: DataFrame,
+    spec: dict,
+    tbl_buckets: int,
+) -> dict:
+    """Write one fold tier under the spec's layout and return its
+    manifest entry.  Bucketed tiers repartition on the EXACT bucket key
+    before the bucketed write: DataFrame hash repartitioning and
+    bucket-id assignment use the same murmur3-pmod, so each task holds
+    exactly one bucket and the writer emits ONE file per (partition,
+    bucket) — without this, every input task writes its own file per
+    bucket it touches and the fold degenerates into tasks x buckets
+    tiny files (measured 3.6k files / ~21 s per fold at sf0.1, review
+    r12)."""
+    bucket_cols = spec.get("bucket_cols")
+    part = spec.get("partition")
+    vdir = os.path.join(tp, f"inc={FOLD_DIR_PREFIX}{new_v}")
+    if not bucket_cols:
+        src.write.mode("overwrite").parquet(vdir)
+        return {"path": vdir}
+    tname = _fold_table_name(tp, new_v)
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")  # crashed-fold replay heals
+    w = src
+    if part:
+        w = w.withColumn(
+            part["name"],
+            F.pmod(
+                md5_long(F.col(part["source_col"])), F.lit(int(part["mod"]))
+            ).cast("int"),
+        )
+    writer = (
+        w.repartition(tbl_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .option("path", vdir)
+    )
+    if part:
+        writer = writer.partitionBy(part["name"])
+    (
+        writer.bucketBy(tbl_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(tname)
+    )
+    tier = {
+        "path": vdir,
+        "table": tname,
+        "bucket_cols": list(bucket_cols),
+        "n_buckets": tbl_buckets,
+        # schema of the TABLE as written (includes any partition col)
+        "schema": [
+            [f.name, f.dataType.simpleString()]
+            for f in spark.table(tname).schema.fields
+        ],
+    }
+    if part:
+        tier.update(
+            {
+                "pp_mod": int(part["mod"]),
+                "pp_name": part["name"],
+                "pp_source": part["source_col"],
+            }
+        )
+    return tier
 
 
 def _maybe_fold(
@@ -1569,239 +1691,178 @@ def _fuzzy_pp_col(mod: int | None = None):
     return F.pmod(md5_long(F.col("band_val")), F.lit(mod)).cast("int")
 
 
-def _fuzzy_base_dir(index_path: str) -> str:
-    return os.path.join(index_path, "band_base")
+def _fuzzy_fold_specs(
+    corpus_path: str, bands_path: str, retired_path: str
+) -> dict:
+    """The fuzzy ingest's table specs for the GENERIC fold layer
+    (VERDICT r12 #4: one protocol for every cross-run ingest — the band
+    base's former parallel implementation, fold_fuzzy_band_base, folded
+    into fold_committed_incs's spec model):
+
+    - corpus: data-only (whole-dir reads must stay exact — no grace);
+    - bands: bucketed by the FULL probe join key (zero exchange above
+      the tier scans) and hash-prefix partitioned ``pp = md5(band_val)
+      % FUZZY_PP_MOD`` so the probe prunes its I/O to the batch's pp
+      dirs; graced one fold cycle for lazy pre-fold readers (the band
+      index is read ONLY through the manifest);
+    - retired: the distinct (band_idx, band_val) snapshot — tiny key
+      set, always collapsed, graced like the bands.
+
+    FUZZY_PP_MOD is read at call time so a deployment's modulus bump
+    reaches the spec; the per-tier recorded modulus + the layout-change
+    major-fold trigger make the bump safe over a persisted index
+    (ADVICE r12)."""
+    return {
+        corpus_path: None,
+        bands_path: {
+            "bucket_cols": ["band_idx", "band_val"],
+            "n_buckets": FUZZY_BASE_BUCKETS,
+            "partition": {
+                "name": "pp",
+                "source_col": "band_val",
+                "mod": FUZZY_PP_MOD,
+            },
+            "gc_grace": True,
+        },
+        retired_path: {
+            "collapse_distinct": ["band_idx", "band_val"],
+            "gc_grace": True,
+        },
+    }
 
 
-def _fuzzy_base_table_name(index_path: str, version: int) -> str:
-    """Deterministic metastore name per (index, version) — a crashed
-    fold's replay rebuilds the SAME table, and GC of superseded
-    versions can name them without a manifest."""
-    digest = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
-    return f"fzb_{digest}_v{version}"
-
-
-def _fuzzy_base_manifest(index_path: str) -> dict | None:
-    """The committed bucketed-base manifest (None before the first
-    fold): {version, folded tokens, table, path, n_buckets, schema,
-    retired snapshot path}.  The os.replace'd manifest file IS the
-    fold's commit point — a version dir without a manifest pointing at
-    it is crashed-fold debris that readers never consult."""
-    p = os.path.join(_fuzzy_base_dir(index_path), "_manifest.json")
-    try:
-        with open(p) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None
-
-
-def _man_bases(man: dict) -> list[dict]:
-    """The manifest's live base tiers, oldest -> newest, each carrying
-    the pp modulus it was WRITTEN under.  Pre-tiering manifests
-    (round-12 early) carried a single ``table``/``path`` pair, and
-    pre-r13 tier entries carried no per-tier ``pp_mod`` (only the
-    manifest-level field, overwritten at each fold — ADVICE r12);
-    normalize every layout to {table, path, pp_mod} entries, defaulting
-    a missing per-tier modulus to the manifest-level one."""
-    bases = man["bases"] if man.get("bases") else [
-        {"table": man["table"], "path": man["path"]}
-    ]
-    return [
-        b if b.get("pp_mod") else {**b, "pp_mod": man.get("pp_mod")}
-        for b in bases
-    ]
-
-
-def _register_fuzzy_base(spark: SparkSession, man: dict) -> None:
-    """Fuzzy-base flavor of :func:`_register_bucketed` (the band index
-    is always bucketed by its full join key) — registers EVERY live
-    base tier."""
-    for b in _man_bases(man):
-        _register_bucketed(
-            spark,
-            {**man, **b, "bucket_cols": ("band_idx", "band_val")},
-        )
-
-
-def fold_fuzzy_band_base(
+def _adopt_legacy_fuzzy_base(
     spark: SparkSession,
     index_path: str,
-    n_buckets: int = FUZZY_BASE_BUCKETS,
-    base_threshold: int = FUZZY_BASE_TIER_THRESHOLD,
-) -> bool:
-    """Fold the fuzzy band index's committed-but-unfolded ``inc=`` delta
-    dirs into the SIZE-TIERED bucketed base — the live-path
-    productionization of maintenance.compact_fuzzy_bands_to_bucketed
-    (VERDICT r11 #1: the bucketed base existed and was plan-tested but
-    the ingest never called it, so every increment re-read and
-    re-shuffled the ENTIRE band history).  After a fold the
-    per-increment probe reads the live base tiers (each bucketed —
-    zero exchange above its scan — and pp-pruned) ∪ recent deltas only.
+    corpus_path: str,
+) -> None:
+    """One-time migration of a pre-r13 fuzzy index (its band base lived
+    under ``band_base/v=<V>`` with its own ``band_base/_manifest.json``
+    protocol) onto the unified generic fold layer: read the legacy base
+    tiers + retired snapshot THROUGH the legacy manifest, rewrite them
+    as ordinary ``inc=_foldv`` tiers under the current spec (paying one
+    base-sized rewrite — the same cost the modulus-change major fold
+    pays), flip the GENERIC manifest, then delete the legacy manifest,
+    its metastore tables and the band_base dir.
 
-    Tiering (round-12, jobs.compact_scd2_log's minor/major shape): a
-    MINOR fold writes only the fresh deltas into a new tier, cost
-    O(fold_threshold batches); once ``base_threshold`` tiers are live
-    (or ``n_buckets`` changes), a MAJOR fold collapses tiers + fresh
-    into one.  Single-tier folding would rewrite the full base every
-    fold — O(N²/threshold) lifetime write I/O on a months-long stream;
-    tiered is O(N·base_threshold/threshold)-ish, and the probe unions
-    at most ``base_threshold`` exchange-free scans.
-
-    Crash-atomic by the manifest-flip protocol (compact_scd2_log's
-    class): the new tier writes to ``band_base/v=<V>`` under a
-    deterministic table name, the retired-key snapshot to
-    ``band_base/retired_v=<V>``, and the fold commits only when
-    ``_manifest.json`` is os.replace'd (fsync'd file + dir).  Readers
-    resolve the base THROUGH the manifest, so a crash at any point
-    leaves the previous consistent view and the replayed fold heals
-    (DROP + rewrite of the same not-yet-referenced version).  GC is
-    reference-based (live versions are a sparse set under tiering) and
-    keeps everything the PREVIOUS manifest references for one fold
-    cycle — a lazy DataFrame obtained from the pre-fold manifest stays
-    executable until the NEXT fold commits (the snapshot-lifetime
-    contract).
-
-    Returns True when a fold committed."""
-    man = _fuzzy_base_manifest(index_path)
-    folded = set(man["folded"]) if man else set()
+    Crash story: the generic-manifest flip is the migration's commit
+    point.  Before it, the written tier dirs are debris that
+    heal_fold_debris reclaims and the replayed adoption rewrites; after
+    it, a crash mid-cleanup leaves the legacy manifest/dir behind, and
+    the next call detects the already-adopted state (bands entry
+    present in the generic manifest) and just re-runs the cleanup."""
+    base_dir = os.path.join(index_path, "band_base")
+    legacy_p = os.path.join(base_dir, "_manifest.json")
     bands_path = os.path.join(index_path, "bands")
     retired_path = os.path.join(index_path, "retired")
-    # heal a predecessor's incomplete GC: committed-folded dirs on disk
-    for root in (bands_path, retired_path):
-        if not os.path.isdir(root):
-            continue
-        for name in os.listdir(root):
-            if name.startswith("inc=") and name[len("inc="):] in folded:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
-    committed = _committed_tokens(index_path)
-    fresh = [t for t in committed if t not in folded]
-    band_dirs = _committed_paths(bands_path, fresh)
-    if not band_dirs:
-        return False
+
+    def _cleanup(legacy_version_hint: int) -> None:
+        digest = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
+        for v in range(1, legacy_version_hint + 2):
+            spark.sql(f"DROP TABLE IF EXISTS fzb_{digest}_v{v}")
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+    if not os.path.exists(legacy_p):
+        if os.path.isdir(base_dir):
+            # crash after a previous adoption's flip, mid-cleanup
+            _cleanup(16)
+        return
+    with open(legacy_p) as fh:
+        legacy = json.load(fh)
+    man = _fold_manifest(index_path)
+    bands_key = os.path.abspath(bands_path)
+    if man is not None and man["tables"].get(bands_key):
+        _cleanup(legacy.get("version", 0))
+        return
+    specs = _fuzzy_fold_specs(corpus_path, bands_path, retired_path)
     new_v = (man["version"] + 1) if man else 1
-    base_dir = _fuzzy_base_dir(index_path)
-    vdir = os.path.join(base_dir, f"v={new_v}")
-    table = _fuzzy_base_table_name(index_path, new_v)
-    src = spark.read.parquet(*band_dirs)
-    # size-tiered (round-12, compact_scd2_log's minor/major shape): a
-    # MINOR fold writes only the fresh deltas into a NEW base tier —
-    # cost O(fold_threshold batches), not O(history) — and the probe
-    # unions the <= base_threshold tiers (each bucketed + pp-pruned).
-    # Once the tier count reaches ``base_threshold`` (or the bucket
-    # count changes), a MAJOR fold collapses all tiers + fresh deltas
-    # into one.  Lifetime write amplification drops from O(N^2/t)
-    # (single-tier: every fold rewrote the full base) to the tiered
-    # O(N * base_threshold / t)-ish bound, the same argument as the
-    # SCD2 log's tiering.
-    old_bases = _man_bases(man) if man else []
-    # a pp-modulus change (FUZZY_PP_MOD bumped between deployments)
-    # forces a MAJOR fold: tiers laid out under the old modulus cannot
-    # be pp-pruned with the new one, so collapse-and-rewrite brings the
-    # whole base onto the current layout in one fold (ADVICE r12)
-    major = man is not None and (
-        len(old_bases) >= base_threshold
-        or man.get("n_buckets") != n_buckets
-        or any(b["pp_mod"] != FUZZY_PP_MOD for b in old_bases)
-    )
-    new_tier = {"table": table, "path": vdir, "pp_mod": FUZZY_PP_MOD}
-    if major:
-        _register_fuzzy_base(spark, man)
-        for b in old_bases:
-            src = spark.table(b["table"]).drop("pp").unionByName(src)
-        bases_after = [new_tier]
-    else:
-        bases_after = old_bases + [new_tier]
-    spark.sql(f"DROP TABLE IF EXISTS {table}")  # crashed-fold replay heals
-    # repartition on the EXACT bucket key before the bucketed write:
-    # DataFrame hash repartitioning and bucket-id assignment use the
-    # same murmur3-pmod, so each task holds exactly one bucket and the
-    # writer emits ONE file per (pp, bucket) — without this, every
-    # input task writes its own file per (pp, bucket) it touches and
-    # the fold degenerates into tasks x pp x buckets tiny files
-    # (measured 3.6k files / ~21 s per fold at sf0.1, review r12)
-    (
-        src.withColumn("pp", _fuzzy_pp_col())
-        .repartition(n_buckets, F.col("band_idx"), F.col("band_val"))
-        .write.mode("overwrite")
-        .option("path", vdir)
-        .partitionBy("pp")
-        .bucketBy(n_buckets, "band_idx", "band_val")
-        .sortBy("band_idx", "band_val")
-        .saveAsTable(table)
-    )
-    # retired-key snapshot: previous snapshot ∪ fresh retired deltas
-    ret_parts = []
-    if man is not None and man.get("retired"):
-        ret_parts.append(spark.read.parquet(man["retired"]))
-    ret_dirs = _committed_paths(retired_path, fresh)
-    if ret_dirs:
-        ret_parts.append(spark.read.parquet(*ret_dirs))
-    retired_snap = None
-    if ret_parts:
-        out = ret_parts[0]
-        for part in ret_parts[1:]:
-            out = out.unionByName(part)
-        retired_snap = os.path.join(base_dir, f"retired_v={new_v}")
-        (
-            out.select("band_idx", "band_val")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(retired_snap)
+    # read the legacy tiers through their own registration protocol
+    bases = legacy["bases"] if legacy.get("bases") else [
+        {"table": legacy["table"], "path": legacy["path"]}
+    ]
+    frames = []
+    for b in bases:
+        _register_bucketed(
+            spark,
+            {
+                **legacy,
+                **b,
+                "bucket_cols": ("band_idx", "band_val"),
+                "pp_mod": b.get("pp_mod") or legacy.get("pp_mod"),
+            },
         )
+        frames.append(spark.table(b["table"]).drop("pp"))
+    src = frames[0]
+    for f in frames[1:]:
+        src = src.unionByName(f)
+    tier = _write_fold_tier(
+        spark,
+        bands_key,
+        new_v,
+        src,
+        _norm_spec(specs[bands_path]),
+        FUZZY_BASE_BUCKETS,
+    )
+    new_tables = dict(man["tables"]) if man else {}
+    new_tables[bands_key] = [tier]
+    # the legacy folded set covered ONLY the band/retired tables (the
+    # corpus folded through the generic manifest, in a separate flip —
+    # the crash window unification closes): corpus delta dirs for
+    # legacy-folded tokens may still be live data, so fold them into a
+    # corpus tier NOW or the merged folded set would mark them debris
+    corpus_key = os.path.abspath(corpus_path)
+    pending = sorted(
+        set(legacy["folded"]) - (set(man["folded"]) if man else set())
+    )
+    cdirs = _committed_paths(corpus_key, pending)
+    if cdirs:
+        ctier = _write_fold_tier(
+            spark, corpus_key, new_v, spark.read.parquet(*cdirs), {}, 1
+        )
+        new_tables[corpus_key] = (
+            _entry_tiers(man["tables"].get(corpus_key)) if man else []
+        ) + [ctier]
+    if legacy.get("retired"):
+        rsrc = (
+            spark.read.parquet(legacy["retired"])
+            .select("band_idx", "band_val")
+            .distinct()
+        )
+        rtier = _write_fold_tier(
+            spark,
+            os.path.abspath(retired_path),
+            new_v,
+            rsrc,
+            _norm_spec(specs[retired_path]),
+            FUZZY_BASE_BUCKETS,
+        )
+        new_tables[os.path.abspath(retired_path)] = [rtier]
     manifest = {
-        "version": new_v,
-        "folded": sorted(folded | set(fresh)),
-        # newest tier doubles as the legacy single-base fields so older
-        # readers (and the pp-pruning test's man["path"]) keep working
-        "table": table,
-        "path": vdir,
-        "bases": bases_after,
-        "n_buckets": n_buckets,
-        # schema of the TABLE as written (includes the pp partition col)
-        "schema": [
-            [f.name, f.dataType.simpleString()] for f in spark.table(table).schema.fields
-        ],
-        "pp_mod": FUZZY_PP_MOD,
-        "retired": retired_snap,
+        "version": max(new_v, legacy.get("version", 0)),
+        "folded": sorted(
+            (set(man["folded"]) if man else set()) | set(legacy["folded"])
+        ),
+        "tables": new_tables,
     }
-    _atomic_write_json(os.path.join(base_dir, "_manifest.json"), manifest)  # THE commit
-    # GC (all orders crash-safe — readers resolve through the manifest):
-    # the just-folded delta dirs are dead now ...
-    for root in (bands_path, retired_path):
-        for t in fresh:
-            shutil.rmtree(os.path.join(root, f"inc={t}"), ignore_errors=True)
-    # ... and version dirs neither the NEW manifest nor the PREVIOUS one
-    # references (the one-fold snapshot-lifetime grace for lazy
-    # readers); with tiering, live versions are a sparse SET, so GC is
-    # reference-based, never a version-range sweep
-    keep = {os.path.basename(b["path"]) for b in bases_after}
-    if man is not None:
-        keep |= {os.path.basename(b["path"]) for b in _man_bases(man)}
-        if man.get("retired"):
-            keep.add(os.path.basename(man["retired"]))
-    if retired_snap:
-        keep.add(os.path.basename(retired_snap))
-    for d in os.listdir(base_dir):
-        if not (d.startswith("v=") or d.startswith("retired_v=")):
-            continue
-        if d in keep:
-            continue
-        if d.startswith("v="):
-            v = int(d.split("=", 1)[1])
-            spark.sql(f"DROP TABLE IF EXISTS {_fuzzy_base_table_name(index_path, v)}")
-        shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
-    return True
+    _atomic_write_json(_fold_manifest_path(index_path), manifest)  # THE commit
+    _cleanup(legacy.get("version", 0))
 
 
 def _fuzzy_retired_keys(
     spark: SparkSession, index_path: str, delta_tokens: list[str], man: dict | None
 ) -> DataFrame | None:
-    """Retired (band_idx, band_val) keys = the manifest's snapshot ∪ the
-    uncompacted delta dirs, distinct; None when neither exists."""
+    """Retired (band_idx, band_val) keys = the manifest's snapshot
+    tier(s) ∪ the uncompacted delta dirs, distinct; None when neither
+    exists.  The snapshot is the collapse_distinct tier the unified
+    fold maintains under ``retired/inc=_foldv*``."""
+    retired_path = os.path.join(index_path, "retired")
+    retired_key = os.path.abspath(retired_path)
     parts = []
-    if man is not None and man.get("retired"):
-        parts.append(spark.read.parquet(man["retired"]))
-    retired_dirs = _committed_paths(os.path.join(index_path, "retired"), delta_tokens)
+    for e in _entry_tiers(man["tables"].get(retired_key)) if man else []:
+        parts.append(
+            spark.read.parquet(e["path"]).select("band_idx", "band_val")
+        )
+    retired_dirs = _committed_paths(retired_path, delta_tokens)
     if retired_dirs:
         parts.append(spark.read.parquet(*retired_dirs).select("band_idx", "band_val"))
     if not parts:
@@ -1836,13 +1897,14 @@ def _fuzzy_history_probe(
     it (ADVICE r12).  One driver-side collect per DISTINCT live
     modulus — ≤ 2 in practice (old + new), each ≤ that modulus many
     values."""
+    bands_key = os.path.abspath(os.path.join(index_path, "bands"))
     parts = []
     if man is not None:
-        _register_fuzzy_base(spark, man)
         pps_by_mod: dict[int, list] = {}
-        for b in _man_bases(man):
-            base = spark.table(b["table"])
-            mod = b.get("pp_mod")
+        for e in _entry_tiers(man["tables"].get(bands_key)):
+            _register_bucketed(spark, e)
+            base = spark.table(e["table"])
+            mod = e.get("pp_mod")
             if mod:
                 if mod not in pps_by_mod:
                     pps_by_mod[mod] = [
@@ -1855,7 +1917,10 @@ def _fuzzy_history_probe(
                     ]
                 if not pps_by_mod[mod]:
                     continue
-                base = base.where(F.col("pp").isin(pps_by_mod[mod])).drop("pp")
+                name = e.get("pp_name", "pp")
+                base = base.where(
+                    F.col(name).isin(pps_by_mod[mod])
+                ).drop(name)
             parts.append(
                 base.join(batch_keys, ["band_idx", "band_val"], "left_semi")
             )
@@ -1913,7 +1978,8 @@ def ingest_increment_fuzzy(
     on the batch's band keys, and the history side is BASE + DELTA
     (round-12, VERDICT r11 #1): every ``fold_threshold`` committed
     increments the delta dirs fold into a bucketed metastore base
-    (fold_fuzzy_band_base — manifest-flip atomic, superseded deltas
+    (fold_committed_incs with _fuzzy_fold_specs — manifest-flip
+    atomic, superseded deltas
     GC'd), so the probe reads the bucketed base (bucketBy the FULL join
     key ⇒ zero exchange above its scan) ∪ at most ``fold_threshold``
     recent delta dirs.  Neither the number of dirs read nor the
@@ -1952,7 +2018,8 @@ def ingest_increment_fuzzy(
     committed = _committed_tokens(index_path)
     if token in committed:
         return 0
-    heal_fold_debris(index_path, [corpus_path])
+    _adopt_legacy_fuzzy_base(spark, index_path, corpus_path)
+    heal_fold_debris(index_path, [corpus_path, bands_path, retired_path])
 
     if max_bucket is None:
         max_bucket = dedup.FUZZY_MAX_BUCKET
@@ -1983,7 +2050,7 @@ def ingest_increment_fuzzy(
     pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
     new_bands = dedup.fuzzy_band_table(pfx).persist()
     try:
-        man = _fuzzy_base_manifest(index_path)
+        man = _fold_manifest(index_path)
         base_folded = set(man["folded"]) if man else set()
         delta_tokens = [t for t in committed if t not in base_folded]
         # persist: retired feeds three anti-joins per increment (probe
@@ -2055,13 +2122,17 @@ def ingest_increment_fuzzy(
         )
         # base+delta maintenance (serialized with ingests by the
         # foreachBatch caller, compact_scd2_log's structural fencing):
-        # fold once enough uncompacted deltas accumulate — the band
-        # index into its bucketed base, the corpus through the generic
-        # fold (review r12: the corpus dir count must be bounded too;
-        # read-back goes through _live_table_dirs)
+        # fold once enough uncompacted deltas accumulate — corpus,
+        # band base and retired snapshot in ONE generic fold (one
+        # manifest, one folded set — VERDICT r12 #4 closed the
+        # crash window between the former two manifest flips)
         if fold_threshold is not None and len(delta_tokens) + 1 >= fold_threshold:
-            fold_fuzzy_band_base(spark, index_path, base_threshold=base_threshold)
-            fold_committed_incs(spark, index_path, {corpus_path: None})
+            fold_committed_incs(
+                spark,
+                index_path,
+                _fuzzy_fold_specs(corpus_path, bands_path, retired_path),
+                base_threshold=base_threshold,
+            )
         return n
     finally:
         new_bands.unpersist()

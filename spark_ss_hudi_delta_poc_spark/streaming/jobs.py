@@ -1149,9 +1149,10 @@ def stream_fuzzy_dedup_ingest(
     from .incremental import (
         _committed_paths,
         _committed_tokens,
-        _fuzzy_base_manifest,
+        _entry_tiers,
+        _fold_manifest,
         _live_table_dirs,
-        _register_fuzzy_base,
+        _register_bucketed,
         incremental_fuzzy_ingest,
     )
 
@@ -1170,13 +1171,15 @@ def stream_fuzzy_dedup_ingest(
     )
     q.awaitTermination()
     tokens = _committed_tokens(index)
-    man = _fuzzy_base_manifest(index)
-    assert man is not None, "fold_threshold=2 over 3 increments must have folded"
+    man = _fold_manifest(index)
+    bands_key = os.path.abspath(os.path.join(index, "bands"))
+    entries = _entry_tiers(man["tables"].get(bands_key)) if man else []
+    assert entries, "fold_threshold=2 over 3 increments must have folded"
     # max occupancy over the FULL index (all base tiers + unfolded deltas)
-    from .incremental import _man_bases
-
-    _register_fuzzy_base(spark, man)
-    tiers = [spark.table(b["table"]).drop("pp") for b in _man_bases(man)]
+    tiers = []
+    for e in entries:
+        _register_bucketed(spark, e)
+        tiers.append(spark.table(e["table"]).drop(e.get("pp_name", "pp")))
     bands = tiers[0]
     for t in tiers[1:]:
         bands = bands.unionByName(t)

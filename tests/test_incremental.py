@@ -667,7 +667,8 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     dropped."""
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
         _committed_tokens,
-        _fuzzy_base_manifest,
+        _entry_tiers,
+        _fold_manifest,
         _fuzzy_history_probe,
         ingest_increment_fuzzy,
     )
@@ -687,6 +688,7 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
         # near-dup of c1: must drop via a BASE tier (c1's inc dir folded)
         [(51, c1.replace("c001", "cXX1")), (52, mk("i001 rrr sss"))],
     ]
+    bands_dir = os.path.join(index, "bands")
     kept = []
     for i, rows in enumerate(incs, start=1):
         b = spark.createDataFrame(rows, DOC_SCHEMA)
@@ -695,9 +697,14 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
                 spark, b, corpus, index, increment_id=f"r{i}", fold_threshold=2
             )
         )
-        bands_dir = os.path.join(index, "bands")
         n_delta = (
-            len([d for d in os.listdir(bands_dir) if d.startswith("inc=")])
+            len(
+                [
+                    d
+                    for d in os.listdir(bands_dir)
+                    if d.startswith("inc=") and not d.startswith("inc=_foldv")
+                ]
+            )
             if os.path.isdir(bands_dir)
             else 0
         )
@@ -706,14 +713,16 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2, 11, 12, 22, 31, 32, 41, 52]
 
-    man = _fuzzy_base_manifest(index)
+    man = _fold_manifest(index)
     assert man is not None and man["version"] == 3
     assert sorted(man["folded"]) == [f"r{i}" for i in range(1, 7)]
     # three MINOR tiers live (below base_threshold=4, no major yet)
-    base_dir = os.path.join(index, "band_base")
-    vdirs = sorted(d for d in os.listdir(base_dir) if d.startswith("v="))
-    assert vdirs == ["v=1", "v=2", "v=3"]
-    assert [os.path.basename(b["path"]) for b in man["bases"]] == vdirs
+    tiers = _entry_tiers(man["tables"][os.path.abspath(bands_dir)])
+    vdirs = sorted(
+        d for d in os.listdir(bands_dir) if d.startswith("inc=_foldv")
+    )
+    assert vdirs == ["inc=_foldv1", "inc=_foldv2", "inc=_foldv3"]
+    assert [os.path.basename(e["path"]) for e in tiers] == vdirs
     # the probe for a hypothetical next batch reads ONLY live base tiers
     keys = spark.createDataFrame(
         [(0, a1[:12]), (1, "zzzzzzzzzzzz")], "band_idx int, band_val string"
@@ -725,13 +734,13 @@ def test_fuzzy_ingest_folds_base_and_probe_footprint_bounded(spark, tmp_path):
     files = probe.inputFiles()
     assert files, "probe listed no files"
     for f in files:
-        assert base_dir in f and "/bands/" not in f, (
+        assert "/inc=_foldv" in f and "/inc=r" not in f, (
             f"probe read outside the base tiers: {f}"
         )
     # tiers together hold every seen doc's bands (kept AND dropped):
     # 11 docs x 3
     n = sum(
-        spark.read.parquet(os.path.join(base_dir, v)).count() for v in vdirs
+        spark.read.parquet(os.path.join(bands_dir, v)).count() for v in vdirs
     )
     assert n == 33
 
@@ -742,7 +751,8 @@ def test_fuzzy_major_fold_collapses_tiers(spark, tmp_path):
     removes tiers neither the new nor the previous manifest references,
     and dedup behavior through the collapsed base is unchanged."""
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
-        _fuzzy_base_manifest,
+        _entry_tiers,
+        _fold_manifest,
         _fuzzy_history_probe,
         ingest_increment_fuzzy,
     )
@@ -759,22 +769,25 @@ def test_fuzzy_major_fold_collapses_tiers(spark, tmp_path):
             spark, b, corpus, index,
             increment_id=f"r{i}", fold_threshold=1, base_threshold=2,
         )
-    man = _fuzzy_base_manifest(index)
+    man = _fold_manifest(index)
     assert man is not None and sorted(man["folded"]) == ["r1", "r2", "r3", "r4"]
+    bands_dir = os.path.join(index, "bands")
+    tiers = _entry_tiers(man["tables"][os.path.abspath(bands_dir)])
     # folds: r1->v1(minor), r2->v2(minor), r3-> major(v3 = v1+v2+r3),
     # r4->v4(minor) => live tiers [v3, v4]
-    assert [os.path.basename(b["path"]) for b in man["bases"]] == ["v=3", "v=4"]
-    base_dir = os.path.join(index, "band_base")
+    assert [os.path.basename(e["path"]) for e in tiers] == [
+        "inc=_foldv3",
+        "inc=_foldv4",
+    ]
     vdirs = sorted(
-        (d for d in os.listdir(base_dir) if d.startswith("v=")),
-        key=lambda d: int(d.split("=")[1]),
+        (d for d in os.listdir(bands_dir) if d.startswith("inc=_foldv")),
+        key=lambda d: int(d.split("v")[-1]),
     )
-    # reference-based GC with the one-cycle grace: the major fold (v3)
-    # kept v1+v2 because its PREDECESSOR manifest referenced them; the
-    # next fold (v4) dropped both (neither the v4 manifest nor its
-    # predecessor references them) — live dirs are exactly the current
-    # manifest's tiers plus nothing stale
-    assert vdirs == ["v=3", "v=4"]
+    # gc_grace (the one-cycle snapshot-lifetime contract): the major
+    # fold (v3) kept v1+v2 in its manifest's grace set; the next fold
+    # (v4) rotated them out (neither live nor graced) — live dirs are
+    # exactly the current manifest's tiers plus nothing stale
+    assert vdirs == ["inc=_foldv3", "inc=_foldv4"]
     # all 4 docs' bands live across tiers; a near-dup of doc 1 (folded
     # through the MAJOR tier) is still dropped
     b5 = spark.createDataFrame([(5, a1.replace("a001", "aXX1"))], DOC_SCHEMA)
@@ -807,8 +820,11 @@ def test_fuzzy_pp_modulus_migration(spark, tmp_path, monkeypatch):
         inc.ingest_increment_fuzzy(
             spark, b, corpus, index, increment_id=f"r{i}", fold_threshold=1
         )
-    man = inc._fuzzy_base_manifest(index)
-    assert [t["pp_mod"] for t in inc._man_bases(man)] == [64, 64]
+    bands_key = os.path.abspath(os.path.join(index, "bands"))
+    man = inc._fold_manifest(index)
+    assert [
+        t["pp_mod"] for t in inc._entry_tiers(man["tables"][bands_key])
+    ] == [64, 64]
     # the deployment bumps the modulus (the r12 64->16 change, replayed)
     monkeypatch.setattr(inc, "FUZZY_PP_MOD", 16)
     # a near-dup of a1 (2 subs in band 1) must be dropped THROUGH the
@@ -826,8 +842,8 @@ def test_fuzzy_pp_modulus_migration(spark, tmp_path, monkeypatch):
     # the fold inside that increment was forced MAJOR by the modulus
     # change: one collapsed tier, laid out under the current modulus,
     # holding every seen doc's bands (4 docs x 3 bands)
-    man = inc._fuzzy_base_manifest(index)
-    tiers = inc._man_bases(man)
+    man = inc._fold_manifest(index)
+    tiers = inc._entry_tiers(man["tables"][bands_key])
     assert [t["pp_mod"] for t in tiers] == [16]
     assert spark.read.parquet(tiers[0]["path"]).count() == 12
     # and a near-dup of c1 still resolves through the rewritten base
@@ -849,7 +865,8 @@ def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
     input files ONLY under that value's pp dir, while other pp dirs
     exist on disk with real files."""
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
-        _fuzzy_base_manifest,
+        _entry_tiers,
+        _fold_manifest,
         _fuzzy_history_probe,
         _fuzzy_pp_col,
         ingest_increment_fuzzy,
@@ -866,10 +883,12 @@ def test_fuzzy_base_probe_prunes_pp_partition_dirs(spark, tmp_path):
     )
     assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1", fold_threshold=2) == 2
     assert ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2) == 2
-    man = _fuzzy_base_manifest(index)
-    assert man is not None and man.get("pp_mod")
+    man = _fold_manifest(index)
+    bands_key = os.path.abspath(os.path.join(index, "bands"))
+    tiers = _entry_tiers(man["tables"][bands_key]) if man else []
+    assert tiers and tiers[-1].get("pp_mod")
     # several distinct pp dirs exist (4 docs x 3 band values each)
-    vdir = man["path"]
+    vdir = tiers[-1]["path"]
     pp_dirs = {d for d in os.listdir(vdir) if d.startswith("pp=")}
     assert len(pp_dirs) > 1, f"need multiple pp dirs to prove pruning: {pp_dirs}"
 
@@ -899,7 +918,7 @@ def test_fuzzy_fold_crash_heals_at_next_increment(spark, tmp_path, monkeypatch):
 
     from spark_ss_hudi_delta_poc_spark.streaming import incremental
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
-        _fuzzy_base_manifest,
+        _fold_manifest,
         ingest_increment_fuzzy,
     )
 
@@ -925,7 +944,7 @@ def test_fuzzy_fold_crash_heals_at_next_increment(spark, tmp_path, monkeypatch):
         ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2)
     monkeypatch.setattr(incremental.os, "replace", real_replace)
     # the increment itself committed BEFORE the fold crashed
-    assert _fuzzy_base_manifest(index) is None
+    assert _fold_manifest(index) is None
     assert (
         ingest_increment_fuzzy(spark, b2, corpus, index, increment_id="r2", fold_threshold=2)
         == 0
@@ -939,7 +958,7 @@ def test_fuzzy_fold_crash_heals_at_next_increment(spark, tmp_path, monkeypatch):
         ingest_increment_fuzzy(spark, b3, corpus, index, increment_id="r3", fold_threshold=2)
         == 1
     )
-    man = _fuzzy_base_manifest(index)
+    man = _fold_manifest(index)
     assert man is not None and sorted(man["folded"]) == ["r1", "r2", "r3"]
     got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2, 4]
@@ -1723,3 +1742,89 @@ def test_ingest_increment_dsir_crash_replay_and_pruning(spark, tmp_path, monkeyp
     counts_incs = sorted(os.listdir(os.path.join(state, "counts")))
     assert counts_incs == ["inc=1"], counts_incs
     assert sorted(os.listdir(_commits_dir(state))) == ["0", "1"]
+
+
+def test_fuzzy_legacy_base_adoption(spark, tmp_path):
+    """A pre-r13 index (band base under band_base/v=N with its own
+    manifest protocol) is adopted onto the unified fold layer by the
+    first increment that touches it: the legacy tiers are rewritten as
+    ordinary inc=_foldv tiers under the CURRENT spec, the legacy folded
+    set joins the generic manifest, dedup through the adopted base
+    still works, and the band_base dir (incl. its metastore tables) is
+    cleaned up."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import spark_ss_hudi_delta_poc_spark.streaming.incremental as inc
+
+    corpus = os.path.join(tmp_path, "lc")
+    index = os.path.join(tmp_path, "li")
+    a1 = _p36("a001 bbb ccc")
+    # 1) a real committed increment, hand-folded into the LEGACY
+    # band_base layout exactly as pre-r13 code laid it out (pp_mod 64,
+    # the pre-r12 modulus, to exercise the stored-modulus handling too)
+    b1 = spark.createDataFrame([(1, a1)], DOC_SCHEMA)
+    assert (
+        inc.ingest_increment_fuzzy(
+            spark, b1, corpus, index, increment_id="r1", fold_threshold=None
+        )
+        == 1
+    )
+    bands_dir = os.path.join(index, "bands")
+    src = spark.read.parquet(os.path.join(bands_dir, "inc=r1"))
+    base_dir = os.path.join(index, "band_base")
+    vdir = os.path.join(base_dir, "v=1")
+    digest = hashlib.md5(os.path.abspath(index).encode()).hexdigest()[:12]
+    table = f"fzb_{digest}_v1"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        src.withColumn("pp", inc._fuzzy_pp_col(64))
+        .repartition(16, F.col("band_idx"), F.col("band_val"))
+        .write.mode("overwrite")
+        .option("path", vdir)
+        .partitionBy("pp")
+        .bucketBy(16, "band_idx", "band_val")
+        .sortBy("band_idx", "band_val")
+        .saveAsTable(table)
+    )
+    legacy = {
+        "version": 1,
+        "folded": ["r1"],
+        "table": table,
+        "path": vdir,
+        "bases": [{"table": table, "path": vdir, "pp_mod": 64}],
+        "n_buckets": 16,
+        "schema": [
+            [f.name, f.dataType.simpleString()]
+            for f in spark.table(table).schema.fields
+        ],
+        "pp_mod": 64,
+        "retired": None,
+    }
+    inc._atomic_write_json(os.path.join(base_dir, "_manifest.json"), legacy)
+    shutil.rmtree(os.path.join(bands_dir, "inc=r1"))
+    # 2) the next increment adopts the legacy base: a near-dup of the
+    # legacy-folded doc must still be dropped (through the rewritten
+    # tier), and the legacy protocol's artifacts are gone
+    b2 = spark.createDataFrame(
+        [(2, a1.replace("a001", "aXX1")), (3, _p36("b001 ddd eee"))],
+        DOC_SCHEMA,
+    )
+    assert (
+        inc.ingest_increment_fuzzy(
+            spark, b2, corpus, index, increment_id="r2", fold_threshold=None
+        )
+        == 1
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 3]
+    man = inc._fold_manifest(index)
+    tiers = inc._entry_tiers(man["tables"][os.path.abspath(bands_dir)])
+    # adoption rewrites onto the CURRENT layout (modulus 16), so no
+    # later modulus-triggered major fold is pending
+    assert len(tiers) == 1 and tiers[0]["pp_mod"] == inc.FUZZY_PP_MOD
+    assert "r1" in man["folded"]
+    assert not os.path.isdir(base_dir)
+    assert not spark.catalog.tableExists(table)
