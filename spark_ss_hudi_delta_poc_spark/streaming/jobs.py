@@ -1167,25 +1167,31 @@ def stream_fuzzy_dedup_ingest(
         index,
         os.path.join(work, "ckpt"),
         DOCUMENTS_SCHEMA,
-        fold_threshold=2,
+        fold_threshold=fold_threshold,
     )
     q.awaitTermination()
     tokens = _committed_tokens(index)
     man = _fold_manifest(index)
     bands_key = os.path.abspath(os.path.join(index, "bands"))
     entries = _entry_tiers(man["tables"].get(bands_key)) if man else []
-    assert entries, "fold_threshold=2 over 3 increments must have folded"
+    # at the gate cadence (threshold 2 over 3 increments) a fold MUST
+    # have fired; the production-cadence variant (threshold 16, the
+    # bench companion) legitimately runs fold-free
+    assert entries or fold_threshold > 3, (
+        f"fold_threshold={fold_threshold} over 3 increments must have folded"
+    )
     # max occupancy over the FULL index (all base tiers + unfolded deltas)
     tiers = []
     for e in entries:
         _register_bucketed(spark, e)
         tiers.append(spark.table(e["table"]).drop(e.get("pp_name", "pp")))
-    bands = tiers[0]
-    for t in tiers[1:]:
-        bands = bands.unionByName(t)
+    bands = None
+    for t in tiers:
+        bands = t if bands is None else bands.unionByName(t)
     delta = _committed_paths(os.path.join(index, "bands"), tokens)
     if delta:
-        bands = bands.unionByName(spark.read.parquet(*delta))
+        d = spark.read.parquet(*delta)
+        bands = d if bands is None else bands.unionByName(d)
     occ = (
         bands.groupBy("band_idx", "band_val")
         .count()
@@ -1269,7 +1275,9 @@ def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
 
 
-def stream_dsir_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dsir_recipe(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
     """Beyond-reference (round-13, VERDICT r12 #5): always-current DSIR
     importance-selection recipe over a growing corpus — documents
     stream in 3 marker-committed increments; each trigger merges the
@@ -1296,7 +1304,7 @@ def stream_dsir_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         os.path.join(work, "ckpt"),
         DOCUMENTS_SCHEMA,
-        fold_threshold=2,
+        fold_threshold=fold_threshold,
     )
     q.awaitTermination()
     return dsir_recipe_from_state(spark, state)
