@@ -112,12 +112,16 @@ HEADLINE = [
     "curation_dsir",
     "curation_unimax",
     "q106_stream_unimax",
-    # round-13 operator (VERDICT r12 #5): the DSIR cross-run streaming
-    # twin — per-trigger gram aggregate + counts merge + forced
-    # mid-stream feature fold + full recipe rematerialization — ONE new
-    # row, so BENCH_r13's total is 66 queries vs r12's 65 (compare
-    # shared rows / bench_ab, never raw totals across the boundary)
+    # round-13 operators: the DSIR cross-run streaming twin (VERDICT
+    # r12 #5 — per-trigger gram aggregate + counts merge + forced
+    # mid-stream feature fold + full recipe rematerialization), the
+    # T=2 temperature mixture and its streaming twin over q106's counts
+    # state — THREE new rows, so BENCH_r13's total is 68 queries vs
+    # r12's 65 (compare shared rows / bench_ab, never raw totals
+    # across the boundary)
     "q107_stream_dsir",
+    "curation_temperature",
+    "q108_stream_temperature",
 ]
 
 

@@ -1357,3 +1357,120 @@ def unimax_allocation_from_counts(
             " div source_tokens AS BIGINT)"
         ).alias("epochs_e6"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    strata_col: str = "source",
+    max_sources: int = UNIMAX_MAX_SOURCES,
+) -> DataFrame:
+    """Temperature-scaled source sampling (the mT5 / XLM-R multilingual
+    mixing rule — Xue et al. 2021, Conneau et al. 2020, public): sample
+    source ``s`` proportionally to ``p_s^(1/T)``, flattening the natural
+    size distribution so low-resource sources are seen more than their
+    share.  The UNCAPPED complement to :func:`unimax_allocation`: where
+    UniMax equalizes under an epoch cap, temperature sampling reshapes
+    by a power law and freely repeats small sources.
+
+    The registered recipe pins **T = 2** — exponent 1/2 — because
+    ``sqrt`` is the one power that is a correctly-rounded IEEE-754
+    primitive in BOTH engines (java.lang.Math.sqrt and C std::sqrt), so
+    the weight table is bit-identical to the DuckDB oracle; a general
+    ``pow(x, 1/T)`` is transcendental and NOT correctly rounded, which
+    the registry's determinism rules disallow in a hashed column.
+    Normalization needs no total-count pass: ``(n_s/N)^(1/2)`` shares
+    the ``N^(1/2)`` factor across sources, so weights reduce to
+    ``sqrt(n_s) / sum(sqrt(n_i))``.
+
+    Exact-arithmetic pipeline (the registry rule — no float ever sums):
+    ``pe9_s = floor(1e9 * sqrt(double(n_s)))`` is one deterministic
+    double expression per row, immediately floored to BIGINT; every sum
+    and division after is integer (DECIMAL(38,0) / HUGEINT).  The
+    budget splits as ``base_s = B * pe9_s div S`` with the ``B - sum
+    base`` remainder tokens going one each to the first sources in
+    (source_tokens ASC, source ASC) order — spends exactly B.
+
+    Scale: ONE corpus aggregate (groupBy source); everything after runs
+    on the <= max_sources catalog rows through the certified
+    orderBy+limit -> ordered-window shape (unimax_allocation's plan
+    class, including the truncation-detectable max_sources+1 guard).
+
+    Output: (source, source_tokens, weight_e9, alloc_tokens, epochs_e6).
+    """
+    per = (
+        docs.select(
+            F.col(strata_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    return temperature_mixture_from_counts(
+        per, budget_tokens, max_sources=max_sources
+    )
+
+
+def temperature_mixture_from_counts(
+    per: DataFrame,
+    budget_tokens: int,
+    max_sources: int = UNIMAX_MAX_SOURCES,
+) -> DataFrame:
+    """The T=2 allocation over an already-aggregated ``(source,
+    source_tokens)`` frame — shared by :func:`temperature_mixture` and
+    the streaming recipe (q108), which maintains the counts as
+    merge-associative state and recomputes the allocation per
+    increment.  Semantics and output exactly as documented there."""
+    budget = f"CAST('{int(budget_tokens)}' AS DECIMAL(38,0))"
+    # certified bounded-window input + truncation-detectable guard
+    # (unimax_allocation's max_sources+1 pattern)
+    top = per.orderBy(
+        F.col("source_tokens").asc(), F.col("source").asc()
+    ).limit(int(max_sources) + 1)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("source_tokens").asc(), F.col("source").asc()
+    )
+    ranked = top.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        # the ONLY float step: one pinned-order double expression,
+        # floored to BIGINT per row (sqrt and the 1e9 multiply are both
+        # correctly-rounded IEEE ops — bit-identical in the oracle)
+        F.expr(
+            "CAST(FLOOR(1e9 * SQRT(CAST(source_tokens AS DOUBLE))) AS BIGINT)"
+        ).alias("pe9"),
+    )
+    ranked = ranked.where(
+        F.assert_true(
+            F.col("n") <= F.lit(int(max_sources)),
+            F.lit(
+                f"temperature_mixture: source catalog exceeds max_sources="
+                f"{int(max_sources)}; raise the bound explicitly"
+            ),
+        ).isNull()
+    )
+    wall = Window.partitionBy(F.lit(1))
+    sized = ranked.withColumn("s_pe9", F.sum("pe9").over(wall)).withColumn(
+        "base",
+        F.expr(f"CAST({budget} * pe9 div s_pe9 AS BIGINT)"),
+    )
+    sized = sized.withColumn("dist", F.sum("base").over(wall))
+    return sized.select(
+        "source",
+        "source_tokens",
+        F.expr(
+            "CAST(CAST(pe9 AS DECIMAL(38,0)) * 1000000000 div s_pe9 AS BIGINT)"
+        ).alias("weight_e9"),
+        F.expr(
+            f"CAST(base + (CASE WHEN rn <= {budget} - dist THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("alloc_tokens"),
+        F.expr(
+            f"CAST(CAST(base + (CASE WHEN rn <= {budget} - dist THEN 1 ELSE 0"
+            " END) AS DECIMAL(38,0)) * 1000000 div source_tokens AS BIGINT)"
+        ).alias("epochs_e6"),
+    )

@@ -459,6 +459,12 @@ def curation_unimax_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def curation_temperature_q(spark: SparkSession, sf: str) -> DataFrame:
+    return curation.temperature_mixture(
+        load(spark, sf, "documents"), budget_tokens=UNIMAX_BUDGET
+    )
+
+
 def dedup_segments_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.segment_dedup(load(spark, sf, "documents"))
 
@@ -1849,6 +1855,48 @@ QUERIES = [
         "end-to-end, spends exactly min(budget, sum caps); one corpus "
         "aggregate, then windows over the bounded source catalog via "
         "the certified orderBy+limit shape",
+        tags=("llm", "curation"),
+    ),
+    Query(
+        "curation_temperature",
+        curation_temperature_q,
+        f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS source_tokens
+          FROM documents GROUP BY source
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER w AS rn,
+                 CAST(FLOOR(1e9 * SQRT(CAST(source_tokens AS DOUBLE)))
+                      AS BIGINT) AS pe9
+          FROM per
+          WINDOW w AS (ORDER BY source_tokens ASC, source ASC)
+        ),
+        sized AS (SELECT *, SUM(pe9) OVER () AS s_pe9 FROM ranked),
+        based AS (
+          SELECT *, CAST(CAST({UNIMAX_BUDGET} AS HUGEINT) * pe9 // s_pe9
+                         AS BIGINT) AS base
+          FROM sized
+        ),
+        d AS (SELECT *, SUM(base) OVER () AS dist FROM based)
+        SELECT source, source_tokens,
+               CAST(CAST(pe9 AS HUGEINT) * 1000000000 // s_pe9 AS BIGINT)
+                 AS weight_e9,
+               CAST(base + (CASE WHEN rn <= {UNIMAX_BUDGET} - dist
+                            THEN 1 ELSE 0 END) AS BIGINT) AS alloc_tokens,
+               CAST(CAST(base + (CASE WHEN rn <= {UNIMAX_BUDGET} - dist
+                                 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                    // source_tokens AS BIGINT) AS epochs_e6
+        FROM d
+        """,
+        doc="temperature-scaled source sampling (mT5/XLM-R mixing rule, "
+        "T=2): weights proportional to sqrt(source tokens) — the one "
+        "power that is a correctly-rounded IEEE primitive in both "
+        "engines, so the e9 fixed-point weight table hash-matches the "
+        "oracle; exact-integer budget split with a deterministic "
+        "remainder rule spends exactly B; one corpus aggregate, then "
+        "the certified orderBy+limit bounded-catalog window shape",
         tags=("llm", "curation"),
     ),
     Query(

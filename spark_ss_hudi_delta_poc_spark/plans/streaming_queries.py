@@ -15,6 +15,7 @@ from ..streaming.jobs import (
     stream_fuzzy_dedup_ingest,
     stream_unimax_recipe,
     stream_dsir_recipe,
+    stream_temperature_recipe,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -595,6 +596,24 @@ QUERIES.append(
         "rematerialized from state through the batch operator's shared "
         "scoring/rank cores — zero history rescans in maintenance; the "
         "final recipe must equal batch curation_dsir (same oracle, "
+        "same hash)",
+        tags=("streaming", "incremental", "curation"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q108_stream_temperature",
+        stream_temperature_recipe,
+        _oracle_of("curation_temperature"),
+        doc="always-current temperature mixing recipe (T=2, mT5/XLM-R): "
+        "documents stream in 3 marker-committed increments through the "
+        "SAME replace-state per-source count table as q106 (one "
+        "maintained state serves every counts-derived recipe) and the "
+        "sqrt-weighted exact-integer allocation is recomputed from the "
+        "catalog-sized counts alone — zero history rescans; the final "
+        "recipe must equal batch curation_temperature (same oracle, "
         "same hash)",
         tags=("streaming", "incremental", "curation"),
     )

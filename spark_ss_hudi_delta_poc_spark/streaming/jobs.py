@@ -1275,6 +1275,37 @@ def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
 
 
+def stream_temperature_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-13): always-current TEMPERATURE mixing
+    recipe (T=2, the mT5/XLM-R rule) over a growing corpus — the SAME
+    replace-state per-source token-count table q106 maintains serves
+    every counts-derived recipe: this twin streams documents in 3
+    marker-committed increments through ingest_increment_source_counts
+    and recomputes the temperature allocation from the counts alone
+    (operators/curation.temperature_mixture_from_counts — catalog-sized
+    input, constant in corpus length).  The final recipe must equal
+    batch curation_temperature, which is what the shared oracle
+    checks."""
+    from ..operators.curation import temperature_mixture_from_counts
+    from ..plans.llm_queries import UNIMAX_BUDGET
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import incremental_source_counts_ingest, latest_bottomk_dir
+
+    work = _workdir("qtemp")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_source_counts_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    counts = spark.read.parquet(latest_bottomk_dir(state))
+    return temperature_mixture_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
+
+
 def stream_dsir_recipe(
     spark: SparkSession, sf_dir: str, fold_threshold: int = 2
 ) -> DataFrame:

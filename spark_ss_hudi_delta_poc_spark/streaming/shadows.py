@@ -348,6 +348,32 @@ def _q106(spark, sf_dir):
     return {"ingest": unimax_allocation_from_counts(merged, UNIMAX_BUDGET)}
 
 
+def _q108(spark, sf_dir):
+    from ..operators.curation import temperature_mixture_from_counts
+    from ..plans.llm_queries import UNIMAX_BUDGET
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior identical to _q106 (same state layer); only
+    # the counts-derived recipe differs
+    batch_counts = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    state_counts = docs.select(
+        "source", F.lit(0).cast("long").alias("source_tokens")
+    ).limit(64)
+    merged = (
+        batch_counts.unionByName(state_counts)
+        .groupBy("source")
+        .agg(F.sum("source_tokens").alias("source_tokens"))
+    )
+    return {"ingest": temperature_mixture_from_counts(merged, UNIMAX_BUDGET)}
+
+
 def _q107(spark, sf_dir):
     from ..functions.hashing import md5_long
     from ..operators.curation import dsir_doc_feats, dsir_scores
@@ -412,4 +438,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q105_stream_bottomk_sample": _q105,
     "q106_stream_unimax": _q106,
     "q107_stream_dsir": _q107,
+    "q108_stream_temperature": _q108,
 }

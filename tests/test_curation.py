@@ -490,3 +490,58 @@ def test_unimax_source_cap_guard_raises(spark):
     with _pytest.raises(Exception) as ei:
         curation.unimax_allocation(over, budget_tokens=5, max_sources=4).collect()
     assert "max_sources" in str(ei.value)
+
+
+def test_temperature_mixture_properties(spark):
+    """T=2 temperature mixture: spends exactly B, weights are
+    sqrt-proportional (monotone in source size, flatter than raw
+    proportions), and the allocation matches an independent Python
+    reference of the same exact-integer spec."""
+    import math
+
+    rows = []
+    sizes = {"a": 4, "b": 16, "c": 64, "d": 1}
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, "x", s))
+            i += 1
+    docs = _src_docs(spark, rows)
+    B = 1001
+    got = {
+        r.source: (r.source_tokens, r.weight_e9, r.alloc_tokens)
+        for r in curation.temperature_mixture(docs, budget_tokens=B).collect()
+    }
+    assert sum(a for _, _, a in got.values()) == B
+    # python reference of the exact-integer spec
+    pe9 = {s: math.floor(1e9 * math.sqrt(float(n))) for s, n in sizes.items()}
+    S = sum(pe9.values())
+    base = {s: B * p // S for s, p in pe9.items()}
+    r = B - sum(base.values())
+    order = sorted(sizes, key=lambda s: (sizes[s], s))
+    want_alloc = {
+        s: base[s] + (1 if order.index(s) < r else 0) for s in sizes
+    }
+    for s, n in sizes.items():
+        assert got[s][0] == n
+        assert got[s][1] == pe9[s] * 10**9 // S
+        assert got[s][2] == want_alloc[s], s
+    # flatter than proportional: the smallest source's share of the
+    # budget exceeds its share of the tokens, the largest's is below
+    tot = sum(sizes.values())
+    assert got["d"][2] / B > sizes["d"] / tot
+    assert got["c"][2] / B < sizes["c"] / tot
+
+
+def test_temperature_mixture_cap_guard(spark):
+    """Same truncation-detectable guard class as unimax: exactly-at-cap
+    catalogs allocate, larger ones raise."""
+    import pytest as _pytest
+
+    at_cap = _src_docs(spark, [(i, "x", f"s{i}") for i in range(3)])
+    got = curation.temperature_mixture(at_cap, budget_tokens=9, max_sources=3).collect()
+    assert len(got) == 3 and sum(r.alloc_tokens for r in got) == 9
+    over = _src_docs(spark, [(i, "x", f"s{i}") for i in range(4)])
+    with _pytest.raises(Exception) as ei:
+        curation.temperature_mixture(over, budget_tokens=9, max_sources=3).collect()
+    assert "max_sources" in str(ei.value)

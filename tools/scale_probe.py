@@ -279,6 +279,12 @@ PROBE_OPS = [
     # append (fold-bounded dirs); the final recipe rematerialization is
     # corpus-linear like curation_dsir, so the ratio must track it
     "q107_stream_dsir",
+    # round-13: temperature mixture — one corpus groupBy(source), then
+    # the bounded-catalog window shape; must scale as a plain groupBy
+    "curation_temperature",
+    # round-13: its streaming twin over the q106 counts state — one
+    # batch aggregate + catalog-sized merge per increment
+    "q108_stream_temperature",
 ]
 
 
