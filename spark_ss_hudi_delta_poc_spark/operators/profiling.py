@@ -149,22 +149,48 @@ def category_drift(events: DataFrame, type_col: str = "event_type", ts_col: str 
     n_total, share_e9, chi2_cell.
     """
     ep = F.unix_timestamp(F.col(ts_col))
-    bounds = events.agg(
-        F.min(ep).alias("mn"), F.max(ep).alias("mx")
+    typed = events.select(F.col(type_col).alias("event_type"), ep.alias("ep"))
+    return _drift_panel(_drift_cells(typed, F.lit(1)))
+
+
+def category_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The SAME drift panel over an already-rolled-up (event_type, ep,
+    n) frame — the shared back of :func:`category_drift` and its
+    cross-run streaming twin (q109), whose maintained state is the
+    per-(type, floor-epoch-second) count table: that rollup is the
+    minimal sufficient statistic of the panel (the split boundary,
+    cells and margins are all functions of it), per-second counts are
+    merge-associative, and the state is bounded by the TIME domain
+    (types x distinct seconds) rather than the event rate."""
+    return _drift_panel(
+        _drift_cells(counts.select("event_type", "ep", "n"), F.col("n"))
     )
-    tagged = events.select(F.col(type_col).alias("event_type"), ep.alias("ep")).crossJoin(
-        F.broadcast(bounds)
-    )
-    cells = (
+
+
+def _drift_cells(typed: DataFrame, weight) -> DataFrame:
+    """(event_type, half, n_obs) cells from a (event_type, ep[, n])
+    frame: split at the integer midpoint of the ep range (2·ep ≤ mn+mx),
+    weight each row by ``weight`` (1 for raw events, the rollup count
+    for maintained state — identical cells either way)."""
+    bounds = typed.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx"))
+    tagged = typed.crossJoin(F.broadcast(bounds))
+    return (
         tagged.select(
             "event_type",
             F.when(F.col("ep") * 2 <= F.col("mn") + F.col("mx"), F.lit("ref"))
             .otherwise(F.lit("cur"))
             .alias("half"),
+            weight.alias("w"),
         )
         .groupBy("event_type", "half")
-        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .agg(F.sum("w").cast("long").alias("n_obs"))
     )
+
+
+def _drift_panel(cells: DataFrame) -> DataFrame:
+    """Margins + e9 shares + per-cell chi-square from the (event_type,
+    half, n_obs) cells — margins derive from the cells themselves,
+    never from a re-scan."""
     type_tot = cells.groupBy("event_type").agg(F.sum("n_obs").alias("n_type_total"))
     half_tot = cells.groupBy("half").agg(F.sum("n_obs").alias("n_half_total"))
     total = cells.agg(F.sum("n_obs").alias("n_total"))

@@ -16,6 +16,7 @@ from ..streaming.jobs import (
     stream_unimax_recipe,
     stream_dsir_recipe,
     stream_temperature_recipe,
+    stream_drift_monitor,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -39,6 +40,15 @@ from ..operators.curation import (
 )
 from ..functions.hashing import md5_long_sql_duckdb
 from .llm_queries import GOPHER_ORACLE, _oracle_of
+
+
+def _analytics_oracle(name: str) -> str:
+    from . import analytics_queries
+
+    for q in analytics_queries.QUERIES:
+        if q.name == name:
+            return q.oracle
+    raise KeyError(name)
 from .registry import Query
 
 QUERIES = [
@@ -616,5 +626,24 @@ QUERIES.append(
         "recipe must equal batch curation_temperature (same oracle, "
         "same hash)",
         tags=("streaming", "incremental", "curation"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q109_stream_drift",
+        stream_drift_monitor,
+        _analytics_oracle("monitor_category_drift"),
+        doc="always-current category-drift panel: events stream in 3 "
+        "marker-committed increments; each trigger merges the batch's "
+        "per-(event_type, floor-epoch-second) counts into a "
+        "replace-state table (the panel's minimal sufficient "
+        "statistic — merge-associative, bounded by the time domain "
+        "not the event rate) and the two-sample chi-square panel is "
+        "recomputed from the counts alone — zero history rescans; the "
+        "final panel must equal batch monitor_category_drift (same "
+        "oracle, same hash)",
+        tags=("streaming", "incremental", "monitor"),
     )
 )

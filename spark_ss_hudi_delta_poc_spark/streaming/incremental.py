@@ -2585,3 +2585,95 @@ def incremental_dsir_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_increment_drift_counts(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    increment_id: int | str | None = None,
+) -> int:
+    """Incremental DRIFT-MONITOR state over a growing event feed — the
+    q106 counts-state pattern on the (event_type, floor-epoch-second)
+    domain: per-second per-type counts are merge-associative, and they
+    are the minimal sufficient statistic of the category-drift panel
+    (operators/profiling.category_drift_from_counts recomputes the
+    split boundary, cells and margins from them exactly), so the
+    maintained panel equals the one-shot batch monitor at any
+    micro-batch split — which is what the q109 oracle checks.
+
+    Replace-state protocol, exactly :func:`ingest_increment_bottomk`'s
+    (complete table per increment, marker commit, superseded dirs + 
+    markers pruned).  State size is bounded by the TIME domain (types x
+    distinct seconds seen), not the event rate — a month-long feed is
+    ~2.6M seconds regardless of events/sec.  Returns the number of
+    (type, second) cells tracked after the increment."""
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    agg = (
+        batch.select(
+            F.col(type_col).alias("event_type"),
+            F.unix_timestamp(F.col(ts_col)).alias("ep"),
+        )
+        .groupBy("event_type", "ep")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    latest = latest_bottomk_dir(state_path)  # newest-committed, mode-agnostic
+    if latest:
+        agg = (
+            agg.unionByName(spark.read.parquet(latest))
+            .groupBy("event_type", "ep")
+            .agg(F.sum("n").alias("n"))
+        )
+    agg.write.mode("overwrite").parquet(os.path.join(state_path, f"inc={token}"))
+    _write_marker(state_path, token)
+    for t in committed:
+        shutil.rmtree(os.path.join(state_path, f"inc={t}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(_commits_dir(state_path), t))
+        except FileNotFoundError:
+            pass
+    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+
+
+def incremental_drift_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_drift_counts)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_drift_counts(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            type_col=type_col,
+            ts_col=ts_col,
+            increment_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1275,6 +1275,38 @@ def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
 
 
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (round-13): always-current category-drift panel
+    over a growing event feed — events stream in 3 marker-committed
+    increments; each trigger merges the batch's per-(event_type,
+    floor-epoch-second) counts into the replace-state count table
+    (incremental.ingest_increment_drift_counts — the minimal sufficient
+    statistic of the panel, merge-associative, bounded by the TIME
+    domain not the event rate), and the two-sample chi-square panel is
+    recomputed from the counts alone
+    (operators/profiling.category_drift_from_counts).  A feed-health
+    dashboard gets a continuously-correct drift panel without ever
+    rescanning history; the final panel must equal batch
+    monitor_category_drift, which is what the shared oracle checks."""
+    from ..operators.profiling import category_drift_from_counts
+    from ..schemas import EVENTS_SCHEMA
+    from .incremental import incremental_drift_ingest, latest_bottomk_dir
+
+    work = _workdir("qdrift")
+    staged = stage_table(spark, sf_dir, "events", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_drift_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        EVENTS_SCHEMA,
+    )
+    q.awaitTermination()
+    counts = spark.read.parquet(latest_bottomk_dir(state))
+    return category_drift_from_counts(counts)
+
+
 def stream_temperature_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (round-13): always-current TEMPERATURE mixing
     recipe (T=2, the mT5/XLM-R rule) over a growing corpus — the SAME

@@ -374,6 +374,32 @@ def _q108(spark, sf_dir):
     return {"ingest": temperature_mixture_from_counts(merged, UNIMAX_BUDGET)}
 
 
+def _q109(spark, sf_dir):
+    from ..operators.profiling import category_drift_from_counts
+
+    ev = _events(spark, sf_dir)
+    # per-trigger interior: |batch|-sized per-(type, second) aggregate
+    # merged with the scan-shaped previous state (q106's r13
+    # convention), then the drift panel over the time-domain-bounded
+    # counts alone
+    batch_counts = (
+        ev.select("event_type", F.unix_timestamp("ts").alias("ep"))
+        .groupBy("event_type", "ep")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    state_counts = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+        F.lit(0).cast("long").alias("n"),
+    ).limit(4096)
+    merged = (
+        batch_counts.unionByName(state_counts)
+        .groupBy("event_type", "ep")
+        .agg(F.sum("n").alias("n"))
+    )
+    return {"ingest": category_drift_from_counts(merged)}
+
+
 def _q107(spark, sf_dir):
     from ..functions.hashing import md5_long
     from ..operators.curation import dsir_doc_feats, dsir_scores
@@ -439,4 +465,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q106_stream_unimax": _q106,
     "q107_stream_dsir": _q107,
     "q108_stream_temperature": _q108,
+    "q109_stream_drift": _q109,
 }

@@ -1828,3 +1828,83 @@ def test_fuzzy_legacy_base_adoption(spark, tmp_path):
     assert "r1" in man["folded"]
     assert not os.path.isdir(base_dir)
     assert not spark.catalog.tableExists(table)
+
+
+def test_ingest_increment_drift_counts_equals_batch_at_any_split(
+    spark, tmp_path, monkeypatch
+):
+    """q109's invariance: per-(type, second) counts are the drift
+    panel's minimal sufficient statistic and merge-associative, so the
+    panel recomputed from maintained state equals the one-shot batch
+    category_drift at any micro-batch split; plus the replace-state
+    replay/crash/pruning contract."""
+    import datetime as dt
+
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.profiling import (
+        category_drift,
+        category_drift_from_counts,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_drift_counts,
+        latest_bottomk_dir,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (("click", "view", "purchase")[i % 3], t0 + dt.timedelta(seconds=7 * i))
+        for i in range(90)
+    ]
+    schema = "event_type string, ts timestamp"
+    events = spark.createDataFrame(rows, schema)
+    want = {tuple(r) for r in category_drift(events).collect()}
+    assert len(want) == 6  # 3 types x 2 halves
+    for tag, chunks in (
+        ("thirds", [rows[i::3] for i in range(3)]),
+        ("uneven", [rows[:70], rows[70:71], rows[71:]]),
+    ):
+        state = os.path.join(tmp_path, f"dc_{tag}")
+        for e, chunk in enumerate(chunks):
+            ingest_increment_drift_counts(
+                spark,
+                spark.createDataFrame(chunk, schema),
+                state,
+                increment_id=e,
+            )
+        counts = spark.read.parquet(latest_bottomk_dir(state))
+        got = {tuple(r) for r in category_drift_from_counts(counts).collect()}
+        assert got == want, tag
+
+    # crash before marker leaves the previous state live; replay heals;
+    # committed replay is a no-op; superseded states pruned
+    state = os.path.join(tmp_path, "dc_crash")
+    ingest_increment_drift_counts(
+        spark, spark.createDataFrame(rows[:45], schema), state, increment_id=0
+    )
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_drift_counts(
+            spark, spark.createDataFrame(rows[45:], schema), state, increment_id=1
+        )
+    assert latest_bottomk_dir(state).endswith("inc=0")
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    ingest_increment_drift_counts(
+        spark, spark.createDataFrame(rows[45:], schema), state, increment_id=1
+    )
+    counts = spark.read.parquet(latest_bottomk_dir(state))
+    assert {tuple(r) for r in category_drift_from_counts(counts).collect()} == want
+    assert (
+        ingest_increment_drift_counts(
+            spark, spark.createDataFrame(rows[45:], schema), state, increment_id=1
+        )
+        == 0
+    )
+    incs = [d for d in os.listdir(state) if d.startswith("inc=")]
+    assert incs == ["inc=1"], incs

@@ -201,6 +201,11 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # totals are an aggregate over the <=4096-row counts table); counts
     # pinned in test_q107_shadow_cross_sides_are_single_row.
     "q107_stream_dsir",
+    # round 13: the drift monitor's streaming twin inherits
+    # monitor_category_drift's exempted crosses exactly (1-row time
+    # bounds + 1-row total, branch-replicated); counts pinned in
+    # test_q109_shadow_cross_sides_are_single_row.
+    "q109_stream_drift",
 }
 
 
@@ -304,6 +309,21 @@ def test_q107_shadow_cross_sides_are_single_row(spark):
             assert re.search(r"Keys\s*:\s*\[\]", p), (
                 f"{stage}: cross side without a scalar aggregate"
             )
+
+
+def test_q109_shadow_cross_sides_are_single_row(spark):
+    """q109_stream_drift's shadow inherits monitor_category_drift's
+    exempted cross shape — the 1-row time-bounds and 1-row total
+    aggregates, branch-replicated into the margins exactly as the batch
+    monitor plans them (its pinned count is 5 too).  Pin the count and
+    that every cross side is a scalar aggregate."""
+    import re
+
+    plans = shadow_plans_of(spark, "q109_stream_drift")
+    p = plans["ingest"]
+    got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert got == 5, f"ingest: {got} nested-loop joins, expected 5"
+    assert len(re.findall(r"Keys\s*:\s*\[\]", p)) >= got
 
 
 def test_kmv_jaccard_cross_sides_are_source_bounded(spark):

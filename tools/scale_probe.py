@@ -285,6 +285,11 @@ PROBE_OPS = [
     # round-13: its streaming twin over the q106 counts state — one
     # batch aggregate + catalog-sized merge per increment
     "q108_stream_temperature",
+    # round-13: drift-monitor twin — per-increment cost is one batch
+    # (type, second) aggregate + a time-domain-sized merge; the panel
+    # recompute is counts-sized, so the ratio must track the batch
+    # monitor's (bounded-agg) class, never the event rate
+    "q109_stream_drift",
 ]
 
 
