@@ -1970,8 +1970,11 @@ QUERIES.append(
 )
 
 
-def _oracle_of(name: str) -> str:
-    for q in QUERIES:
+def _oracle_of(name: str, queries=None) -> str:
+    """Oracle SQL of a registered query — defaults to THIS module's
+    QUERIES; pass another module's list to reuse a cross-module oracle
+    (streaming twins share their batch operator's oracle verbatim)."""
+    for q in QUERIES if queries is None else queries:
         if q.name == name:
             return q.oracle
     raise KeyError(name)

@@ -49,7 +49,7 @@ class Query:
 #     q34_region_revenue, q11_datetime_battery, q08_epoch_roundtrip
 #     and q05_ts_roundtrip — the last r8 names in the window — into
 #     the round-14 queue.
-#   Slot 2: fresh row for q104_stream_fuzzy_ingest — its plan changed
+#   Slot 5: fresh row for q104_stream_fuzzy_ingest — its plan changed
 #     THIS round (VERDICT r12 #4: the band base + retired snapshot now
 #     fold through the unified generic fold layer — one manifest, one
 #     folded set — and the probe resolves tiers from the generic

@@ -40,16 +40,14 @@ from ..operators.curation import (
 )
 from ..functions.hashing import md5_long_sql_duckdb
 from .llm_queries import GOPHER_ORACLE, _oracle_of
+from .registry import Query
 
 
 def _analytics_oracle(name: str) -> str:
     from . import analytics_queries
 
-    for q in analytics_queries.QUERIES:
-        if q.name == name:
-            return q.oracle
-    raise KeyError(name)
-from .registry import Query
+    return _oracle_of(name, analytics_queries.QUERIES)
+
 
 QUERIES = [
     Query(

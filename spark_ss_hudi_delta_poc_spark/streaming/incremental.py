@@ -207,7 +207,9 @@ def _register_bucketed(spark: SparkSession, entry: dict) -> None:
         spark.sql(f"MSCK REPAIR TABLE {entry['table']}")
 
 
-def heal_fold_debris(txn_root: str, table_paths: list[str]) -> None:
+def heal_fold_debris(
+    txn_root: str, table_paths: list[str], spark: SparkSession | None = None
+) -> None:
     """Remove fold-layer debris the committed manifest does not own:
     (a) fold dirs (``inc=_foldv*``) the manifest does not reference —
     a crash between the fold write and the manifest flip, or a
@@ -239,6 +241,15 @@ def heal_fold_debris(txn_root: str, table_paths: list[str]) -> None:
         for d in os.listdir(tp):
             if d.startswith(f"inc={FOLD_DIR_PREFIX}"):
                 if d not in live:
+                    # drop the dir's metastore table WITH it (review
+                    # r13: the fold GC's table drops are dir-driven, so
+                    # a dir heal reclaims here could otherwise orphan
+                    # its fold_<digest>_v<k> table forever)
+                    v = d[len(f"inc={FOLD_DIR_PREFIX}"):]
+                    if spark is not None and v.isdigit():
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS {_fold_table_name(tp, int(v))}"
+                        )
                     shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
             elif d.startswith("inc=") and d[len("inc="):] in folded:
                 shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
@@ -320,7 +331,7 @@ def fold_committed_incs(
     man = _fold_manifest(txn_root)
     folded: set[str] = set(man["folded"]) if man else set()
     tables = list(specs)
-    heal_fold_debris(txn_root, tables)
+    heal_fold_debris(txn_root, tables, spark)
     committed = _committed_tokens(txn_root)
     fresh = [t for t in committed if t not in folded]
     if not any(_committed_paths(tp, fresh) for tp in tables):
@@ -571,7 +582,7 @@ def ingest_increment(
     committed = _committed_tokens(seen_path)
     if token in committed:
         return 0  # replayed increment: fully committed, nothing to do
-    heal_fold_debris(seen_path, [seen_path, corpus_path])
+    heal_fold_debris(seen_path, [seen_path, corpus_path], spark)
     # in-batch exact dedup first (keep min id per hash), then anti vs history
     keepers = (
         hashed.groupBy("_h")
@@ -689,7 +700,7 @@ def _ingest_neardup_inner(
     id_col: str,
     fold_threshold: int | None = FOLD_THRESHOLD,
 ) -> int:
-    heal_fold_debris(index_path, [buckets_path, shingles_path, corpus_path])
+    heal_fold_debris(index_path, [buckets_path, shingles_path, corpus_path], spark)
     # history = bucketed BASE + recent deltas (round-12, VERDICT r11 #3);
     # each side is probed SEPARATELY and the results unioned — a
     # base∪delta union before the join would erase the base's bucketed
@@ -878,7 +889,7 @@ def ingest_increment_segments(
     committed = _committed_tokens(segindex_path)
     if token in committed:
         return 0
-    heal_fold_debris(segindex_path, [segindex_path, corpus_path])
+    heal_fold_debris(segindex_path, [segindex_path, corpus_path], spark)
     batch_df = seg.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
     # df counts are additive, so the concat-fold (inc=_foldv dirs) needs
     # no probe change: history dirs = fold output + unfolded deltas
@@ -980,7 +991,7 @@ def ingest_increment_winnow(
     committed = _committed_tokens(fpindex_path)
     if token in committed:
         return 0
-    heal_fold_debris(fpindex_path, [fpindex_path, corpus_path])
+    heal_fold_debris(fpindex_path, [fpindex_path, corpus_path], spark)
     # history dirs = fold output + unfolded deltas; the probe is the
     # same distinct-fp semi-join either way (concat fold, no semantics
     # change — only the dir count is bounded)
@@ -1093,7 +1104,7 @@ def ingest_increment_embedding(
     committed = _committed_tokens(sigindex_path)
     if token in committed:
         return 0
-    heal_fold_debris(sigindex_path, [sigindex_path, corpus_path])
+    heal_fold_debris(sigindex_path, [sigindex_path, corpus_path], spark)
     # fold output + unfolded deltas (concat fold — probe unchanged)
     index_dirs = _live_table_dirs(sigindex_path, sigindex_path)
 
@@ -1243,7 +1254,7 @@ def ingest_increment_phash(
     committed = _committed_tokens(phindex_path)
     if token in committed:
         return 0
-    heal_fold_debris(phindex_path, [phindex_path, corpus_path])
+    heal_fold_debris(phindex_path, [phindex_path, corpus_path], spark)
     # fold output + unfolded deltas (concat fold — probe unchanged)
     index_dirs = _live_table_dirs(phindex_path, phindex_path)
 
@@ -1366,7 +1377,7 @@ def ingest_increment_contamination(
     committed = _committed_tokens(corpus_path)
     if token in committed:
         return 0
-    heal_fold_debris(corpus_path, [corpus_path])
+    heal_fold_debris(corpus_path, [corpus_path], spark)
     contaminated = (
         contamination_pairs(
             batch, eval_docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
@@ -1458,7 +1469,7 @@ def ingest_increment_hll(
     committed = _committed_tokens(sketch_path)
     if token in committed:
         return 0
-    heal_fold_debris(sketch_path, [sketch_path])
+    heal_fold_debris(sketch_path, [sketch_path], spark)
     regs = (
         hll_register_updates(batch.select(key_col), key_col)
         .groupBy("reg")
@@ -1566,7 +1577,7 @@ def ingest_increment_bloom(
             ).alias("pos"),
         )
 
-    heal_fold_debris(seen_path, [seen_path, bloom_path, corpus_path])
+    heal_fold_debris(seen_path, [seen_path, bloom_path, corpus_path], spark)
     # fold output + unfolded deltas (concat fold — both the set-bit
     # table and the exact anti-join side keep identical semantics)
     bloom_dirs = _live_table_dirs(seen_path, bloom_path)
@@ -1756,23 +1767,26 @@ def _adopt_legacy_fuzzy_base(
     bands_path = os.path.join(index_path, "bands")
     retired_path = os.path.join(index_path, "retired")
 
-    def _cleanup(legacy_version_hint: int) -> None:
+    def _cleanup() -> None:
+        # catalog-scan the legacy protocol's deterministic name prefix
+        # instead of guessing a version range (review r13: a hardcoded
+        # hint leaked fzb tables on indexes with more legacy folds)
         digest = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
-        for v in range(1, legacy_version_hint + 2):
-            spark.sql(f"DROP TABLE IF EXISTS fzb_{digest}_v{v}")
+        for r in spark.sql(f"SHOW TABLES LIKE 'fzb_{digest}_v*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
         shutil.rmtree(base_dir, ignore_errors=True)
 
     if not os.path.exists(legacy_p):
         if os.path.isdir(base_dir):
             # crash after a previous adoption's flip, mid-cleanup
-            _cleanup(16)
+            _cleanup()
         return
     with open(legacy_p) as fh:
         legacy = json.load(fh)
     man = _fold_manifest(index_path)
     bands_key = os.path.abspath(bands_path)
     if man is not None and man["tables"].get(bands_key):
-        _cleanup(legacy.get("version", 0))
+        _cleanup()
         return
     specs = _fuzzy_fold_specs(corpus_path, bands_path, retired_path)
     new_v = (man["version"] + 1) if man else 1
@@ -1845,7 +1859,7 @@ def _adopt_legacy_fuzzy_base(
         "tables": new_tables,
     }
     _atomic_write_json(_fold_manifest_path(index_path), manifest)  # THE commit
-    _cleanup(legacy.get("version", 0))
+    _cleanup()
 
 
 def _fuzzy_retired_keys(
@@ -2019,7 +2033,7 @@ def ingest_increment_fuzzy(
     if token in committed:
         return 0
     _adopt_legacy_fuzzy_base(spark, index_path, corpus_path)
-    heal_fold_debris(index_path, [corpus_path, bands_path, retired_path])
+    heal_fold_debris(index_path, [corpus_path, bands_path, retired_path], spark)
 
     if max_bucket is None:
         max_bucket = dedup.FUZZY_MAX_BUCKET
@@ -2473,7 +2487,7 @@ def ingest_increment_dsir(
         target_pred = F.col("lang") == "en"
     feats_path = os.path.join(state_path, "doc_feats")
     counts_path = os.path.join(state_path, "counts")
-    heal_fold_debris(state_path, [feats_path])
+    heal_fold_debris(state_path, [feats_path], spark)
     committed = _committed_tokens(state_path)
     if increment_id is not None:
         token = str(increment_id)
@@ -2504,9 +2518,14 @@ def ingest_increment_dsir(
             os.path.join(feats_path, f"inc={token}")
         )
         _write_marker(state_path, token)  # THE commit — both tables
-        # prune superseded counts states (markers stay — see docstring)
-        for t in committed:
-            shutil.rmtree(os.path.join(counts_path, f"inc={t}"), ignore_errors=True)
+        # prune superseded counts states (markers stay — see docstring).
+        # Prune from the DIR LISTING, not the full token history: only
+        # ~1 superseded dir ever exists, while the marker list grows for
+        # the fold protocol's sake (review r13: iterating every
+        # committed token was O(history) no-op rmtrees per increment)
+        for d in os.listdir(counts_path):
+            if d.startswith("inc=") and d != f"inc={token}":
+                shutil.rmtree(os.path.join(counts_path, d), ignore_errors=True)
         _maybe_fold(
             spark, state_path, {feats_path: ["doc_id"]}, committed, fold_threshold
         )
