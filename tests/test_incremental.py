@@ -1908,3 +1908,66 @@ def test_ingest_increment_drift_counts_equals_batch_at_any_split(
     )
     incs = [d for d in os.listdir(state) if d.startswith("inc=")]
     assert incs == ["inc=1"], incs
+
+
+def test_dsir_ingest_crash_sweep_every_commit_point(spark, tmp_path, monkeypatch):
+    """q107 durability at the fuzzy sweep's standard: EVERY os.replace
+    commit in a 4-increment DSIR run (increment markers + generic
+    fold-manifest flips — the counts/features writes themselves are
+    pre-commit) gets a crash injected at exactly that point in its own
+    fresh run; the crashed increment replays once and the stream runs
+    to completion.  The final recipe must equal the crash-free run's at
+    every injection point."""
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        dsir_recipe_from_state,
+        ingest_increment_dsir,
+    )
+
+    rows = [
+        (i, f"tok{i % 5} common tok{(i * 3) % 7} extra{i % 2}", "en" if i % 2 else "fr")
+        for i in range(24)
+    ]
+    incs = [rows[:8], rows[8:14], rows[14:20], rows[20:]]
+
+    real_replace = os.replace
+
+    def run(tag: str, inject_at: int | None):
+        state = os.path.join(tmp_path, f"{tag}_s")
+        calls = {"n": 0}
+        armed = {"on": inject_at is not None}
+
+        def wrapped(src, dst):
+            k = calls["n"]
+            calls["n"] += 1
+            if armed["on"] and k == inject_at:
+                armed["on"] = False  # single-shot: the process "died" once
+                raise RuntimeError("injected crash")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(incremental.os, "replace", wrapped)
+        try:
+            for i, chunk in enumerate(incs):
+                b = spark.createDataFrame(chunk, DSIR_DOC_SCHEMA)
+                try:
+                    ingest_increment_dsir(
+                        spark, b, state, increment_id=i, fold_threshold=2
+                    )
+                except RuntimeError as e:
+                    assert "injected crash" in str(e)
+                    ingest_increment_dsir(
+                        spark, b, state, increment_id=i, fold_threshold=2
+                    )
+        finally:
+            monkeypatch.setattr(incremental.os, "replace", real_replace)
+        got = sorted(
+            tuple(r) for r in dsir_recipe_from_state(spark, state).collect()
+        )
+        return got, calls["n"]
+
+    want, n_points = run("ref", None)
+    assert len(want) == 24
+    assert n_points >= 6, f"expected every commit instrumented, saw {n_points}"
+    for k in range(n_points):
+        got, _ = run(f"k{k}", k)
+        assert got == want, f"crash at commit point {k} changed the recipe"
