@@ -117,13 +117,14 @@ HEADLINE = [
     # mid-stream feature fold + full recipe rematerialization), the
     # T=2 temperature mixture and its streaming twin over q106's counts
     # state, and the drift monitor's streaming twin over per-second
-    # counts state — FOUR new rows, so BENCH_r13's total is 69 queries
-    # vs r12's 65 (compare shared rows / bench_ab, never raw totals
-    # across the boundary)
+    # counts state, and the always-current BM25 index — FIVE new rows,
+    # so BENCH_r13's total is 70 queries vs r12's 65 (compare shared
+    # rows / bench_ab, never raw totals across the boundary)
     "q107_stream_dsir",
     "curation_temperature",
     "q108_stream_temperature",
     "q109_stream_drift",
+    "q110_stream_bm25",
 ]
 
 

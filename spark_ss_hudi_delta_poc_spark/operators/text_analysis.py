@@ -294,21 +294,27 @@ def bm25_scored(
     doc's (doc_id, score_e9), unranked — exposed so the plan gates can
     pin its join strategy (doc_len must shuffle, never broadcast) and so
     callers needing more than top-k can consume the full scored set."""
+    tf = bm25_tf_table(docs, query_terms, text_col=text_col, id_col=id_col)
+    stats = bm25_corpus_stats(docs, text_col=text_col, id_col=id_col)
+    return bm25_score_from_parts(tf, stats, k1=k1, b=b)
+
+
+def bm25_tf_table(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, word, tf, dl) term-frequency postings for the query's
+    terms — the shared front of :func:`bm25_scored` and the cross-run
+    index twin (streaming/incremental.ingest_increment_bm25): tf and dl
+    are PER-DOC facts, so a batch's postings are final the increment
+    the doc arrives.  Only query-term hits survive into the shuffle."""
     from .partitioning import spread
 
     base = spread(docs)
-    # doc length = word count, computed map-side from the array size (the
-    # full-corpus explode+groupBy it replaces would be a second heavy
-    # shuffle; only query-term hits shuffle below)
-    doc_len = base.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words(F.col(text_col))).cast("long").alias("dl"),
-    )
-    stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_words")
-    )
     qt = [str(t) for t in query_terms]
-    tf = (
+    return (
         base.select(
             F.col(id_col).alias("doc_id"),
             F.size(words(F.col(text_col))).cast("long").alias("dl"),
@@ -320,6 +326,40 @@ def bm25_scored(
         # partial+final aggregate the tf count uses — no doc_id join
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
+
+
+def bm25_corpus_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """1-row (n_docs, total_words) — the BM25 normalizer's corpus facts,
+    merge-associative long sums (the streaming twin maintains them as
+    replace-state and they equal this one-shot aggregate at any split).
+    Doc length = word count, computed map-side from the array size (the
+    full-corpus explode+groupBy it replaces would be a second heavy
+    shuffle)."""
+    from .partitioning import spread
+
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words(F.col(text_col))).cast("long").alias("dl"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_words"))
+    )
+
+
+def bm25_score_from_parts(
+    tf: DataFrame,
+    stats: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score (doc_id, score_e9) from the postings + 1-row stats — the
+    shared back of :func:`bm25_scored` and the cross-run index twin.
+    df derives from the postings themselves (they are query-term-bounded
+    and tiny); the scoring expression is the documented engine-exact
+    shape."""
     dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nd = F.col("n_docs").cast("double")
     dfd = F.col("df").cast("double")

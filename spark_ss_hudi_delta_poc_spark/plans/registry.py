@@ -39,37 +39,38 @@ class Query:
 # external evidence, (b) fresh rows for plans materially changed since
 # their newest row, (c) then oldest-evidence-first (name order breaks
 # ties inside a cohort, matching the committed queue listing).
-#   Slots 1-4: FIRST rows for the round-13 operators (late-landing-
+#   Slots 1-5: FIRST rows for the round-13 operators (late-landing-
 #     operator rule, same-round evidence): q107_stream_dsir (the DSIR
 #     cross-run streaming twin, VERDICT r12 #5), curation_temperature
 #     (T=2 temperature-scaled source sampling, the mT5/XLM-R rule),
 #     q108_stream_temperature (its streaming twin over q106's counts
-#     state) and q109_stream_drift (the category-drift monitor's
-#     streaming twin over per-second counts state).  They displace
-#     q34_region_revenue, q11_datetime_battery, q08_epoch_roundtrip
-#     and q05_ts_roundtrip — the last r8 names in the window — into
-#     the round-14 queue.
-#   Slot 5: fresh row for q104_stream_fuzzy_ingest — its plan changed
+#     state), q109_stream_drift (the category-drift monitor's
+#     streaming twin over per-second counts state) and
+#     q110_stream_bm25 (the always-current BM25 keyword index).  They
+#     displace q34_region_revenue, q11_datetime_battery,
+#     q08_epoch_roundtrip, q05_ts_roundtrip and multimodal_phash_pairs
+#     — the last r8 names in the window — into the round-14 queue.
+#   Slot 6: fresh row for q104_stream_fuzzy_ingest — its plan changed
 #     THIS round (VERDICT r12 #4: the band base + retired snapshot now
 #     fold through the unified generic fold layer — one manifest, one
 #     folded set — and the probe resolves tiers from the generic
 #     manifest with per-tier pp moduli), so rule (b) gives it a fresh
 #     row; displaces q33_segment_topn into the round-14 queue.
-#   Slots 6-28: the 23 remaining r7-cohort rows, exactly the committed
+#   Slots 7-29: the 23 remaining r7-cohort rows, exactly the committed
 #     queue (q17_asof_join, q18_semi_anti and q20_sessionize were
 #     displaced from the round-12 window by the three round-12
 #     operators).  Evidence histogram max age drops to r8.
-#   Slots 29-50: the name-ordered oldest-r8 rows that fill the window.
+#   Slots 30-50: the name-ordered oldest-r8 rows that fill the window.
 # Further late-landing round-13 operators and rule-(b) fresh rows take
 # slots at the TOP of this window when they land, displacing the
 # newest-evidence tail rows (the last r8 names) into the round-14 queue
 # — same mechanics as rounds 11/12.
 #
 # Round-14 rotation queue (staged — VERDICT r12 #6): the remaining
-# r8-cohort rows (q05_ts_roundtrip, q08_epoch_roundtrip,
-# q11_datetime_battery, q33_segment_topn and q34_region_revenue —
-# displaced from this window by q104's fresh row and the four round-13
-# operators — q35_moving_agg, q36_resample_gapfill,
+# r8-cohort rows (multimodal_phash_pairs, q05_ts_roundtrip,
+# q08_epoch_roundtrip, q11_datetime_battery, q33_segment_topn and
+# q34_region_revenue — displaced from this window by q104's fresh row
+# and the five round-13 operators — q35_moving_agg, q36_resample_gapfill,
 # q37_rank_battery, q38_lag_lead, q43_collect_arrays, q45_histogram,
 # q47_quality_rules, q54_group_mode, q61_date_arith, q63_unpivot,
 # q74_zorder_values, q76_bit_aggregates, q92_stream_decontaminate,
@@ -80,11 +81,12 @@ class Query:
 # then r10 oldest-first (name order) to fill 50; any operator added in
 # round 14 takes a first-row slot ahead of the refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- FIRST rows for this round's new operators (4) ----------------------
+    # --- FIRST rows for this round's new operators (5) ----------------------
     "q107_stream_dsir",
     "curation_temperature",
     "q108_stream_temperature",
     "q109_stream_drift",
+    "q110_stream_bm25",
     # --- rule-(b) fresh row: plan materially changed this round (1) ---------
     "q104_stream_fuzzy_ingest",
     # --- r7 cohort refresh: the 23 remaining rows, committed queue (23) ----
@@ -111,7 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "text_fingerprint",
     "text_winnow_fingerprint",
-    # --- r8 cohort, oldest-evidence-next, name-ordered (22) ----------------
+    # --- r8 cohort, oldest-evidence-next, name-ordered (21) ----------------
     "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivf_q8_topk",
@@ -133,7 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     "graph_pagerank",
     "multimodal_phash_clusters",
-    "multimodal_phash_pairs",
 )
 
 

@@ -17,6 +17,7 @@ from ..streaming.jobs import (
     stream_dsir_recipe,
     stream_temperature_recipe,
     stream_drift_monitor,
+    stream_bm25_index,
     stream_curation_roundtrip,
     stream_decontaminate_ingest,
     stream_dup_rate,
@@ -643,5 +644,23 @@ QUERIES.append(
         "final panel must equal batch monitor_category_drift (same "
         "oracle, same hash)",
         tags=("streaming", "incremental", "monitor"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q110_stream_bm25",
+        stream_bm25_index,
+        _oracle_of("text_bm25_search"),
+        doc="always-current BM25 keyword index: documents stream in 3 "
+        "marker-committed increments; each trigger appends the batch's "
+        "query-term postings (tf/dl are per-doc facts, final on "
+        "arrival; volume query-term-bounded) to a fold-bounded table "
+        "and merges the 1-row corpus normalizer; the registered query "
+        "is answered from state through the batch operator's shared "
+        "scoring cores — zero history rescans; the final top-k must "
+        "equal batch text_bm25_search (same oracle, same hash)",
+        tags=("streaming", "incremental", "text"),
     )
 )

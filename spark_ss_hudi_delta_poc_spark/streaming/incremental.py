@@ -2696,3 +2696,154 @@ def incremental_drift_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+BM25_STATE_FOLD_THRESHOLD = 16
+
+
+def ingest_increment_bm25(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+    fold_threshold: int | None = BM25_STATE_FOLD_THRESHOLD,
+) -> int:
+    """Incremental BM25 INDEX maintenance over a growing corpus — the
+    q107 two-table shape on the keyword-retrieval primitive: tf and dl
+    are per-doc facts (final the increment the doc arrives), df and the
+    corpus normalizer derive from merge-associative sums, so the index
+    answers the registered query EXACTLY as a one-shot batch
+    bm25_search at any micro-batch split — which is what the q110
+    oracle checks.
+
+    TWO state tables under ONE marker per increment:
+
+    - ``postings/inc=<token>`` — THIS batch's (doc_id, word, tf, dl)
+      rows for the query's terms (operators/text_analysis.bm25_tf_table
+      — the identical tokenize/filter/aggregate the batch operator
+      runs).  Append-only; dir growth bounded by the generic fold layer
+      (_maybe_fold, bucket_cols=[doc_id]).  Postings volume is
+      query-term-bounded, not corpus-bounded.
+    - ``stats/inc=<token>`` — the COMPLETE merged 1-row (n_docs,
+      total_words) normalizer as of this increment.  Replace-state;
+      superseded dirs pruned, markers persist for the fold protocol
+      (ingest_increment_dsir's contract, including the crash story: the
+      marker commits both tables, pre-marker debris is overwritten by
+      the deterministic replay).
+
+    Per-increment cost: one |batch| scan + a query-term-bounded
+    postings append + a 1-row stats merge — never a corpus rescan.
+    Returns the number of postings rows added by this increment.
+    """
+    from ..operators.text_analysis import bm25_corpus_stats, bm25_tf_table
+
+    postings_path = os.path.join(state_path, "postings")
+    stats_path = os.path.join(state_path, "stats")
+    heal_fold_debris(state_path, [postings_path], spark)
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    st = bm25_corpus_stats(batch, text_col=text_col, id_col=id_col)
+    prev = _latest_committed_dir(stats_path, committed)
+    if prev:
+        st = (
+            st.unionByName(spark.read.parquet(prev))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_words").alias("total_words"),
+            )
+        )
+    st.write.mode("overwrite").parquet(os.path.join(stats_path, f"inc={token}"))
+    tf = bm25_tf_table(batch, query_terms, text_col=text_col, id_col=id_col)
+    tf.write.mode("overwrite").parquet(
+        os.path.join(postings_path, f"inc={token}")
+    )
+    _write_marker(state_path, token)  # THE commit — both tables
+    # prune superseded stats dirs from the listing (markers stay)
+    for d in os.listdir(stats_path):
+        if d.startswith("inc=") and d != f"inc={token}":
+            shutil.rmtree(os.path.join(stats_path, d), ignore_errors=True)
+    # count the committed postings BEFORE the fold may collapse this
+    # increment's dir into a tier
+    n = spark.read.parquet(os.path.join(postings_path, f"inc={token}")).count()
+    _maybe_fold(
+        spark, state_path, {postings_path: ["doc_id"]}, committed, fold_threshold
+    )
+    return n
+
+
+def bm25_from_state(
+    spark: SparkSession,
+    state_path: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Answer the indexed query from the maintained state alone: merged
+    postings from the fold layer's live dirs, the 1-row normalizer from
+    the latest committed stats, scored and ranked by the SAME shared
+    cores as the batch operator — so the result matches ``bm25_search``
+    on the union of all ingested batches, bit-exactly."""
+    from ..operators.partitioning import global_topk_with_rank
+    from ..operators.text_analysis import bm25_score_from_parts
+
+    postings_path = os.path.join(state_path, "postings")
+    stats_path = os.path.join(state_path, "stats")
+    committed = _committed_tokens(state_path)
+    latest = _latest_committed_dir(stats_path, committed)
+    dirs = _live_table_dirs(state_path, postings_path)
+    if latest is None or not dirs:
+        return spark.createDataFrame(
+            [], "doc_id long, score_e9 long, rank integer"
+        )
+    scored = bm25_score_from_parts(
+        spark.read.parquet(*dirs), spark.read.parquet(latest)
+    )
+    return global_topk_with_rank(
+        scored, [F.col("score_e9").desc(), F.col("doc_id").asc()], top_k
+    )
+
+
+def incremental_bm25_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_threshold: int | None = BM25_STATE_FOLD_THRESHOLD,
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_bm25)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_bm25(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            query_terms,
+            text_col=text_col,
+            id_col=id_col,
+            increment_id=batch_id,
+            fold_threshold=fold_threshold,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1275,6 +1275,40 @@ def stream_unimax_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation_from_counts(counts, budget_tokens=UNIMAX_BUDGET)
 
 
+def stream_bm25_index(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-13): always-current BM25 keyword index
+    over a growing corpus — documents stream in 3 marker-committed
+    increments; each trigger appends the batch's query-term postings
+    (tf/dl are per-doc facts, final on arrival) to the fold-bounded
+    postings table and merges the 1-row corpus normalizer
+    (incremental.ingest_increment_bm25).  The registered query is then
+    answered from the state alone through the batch operator's shared
+    scoring cores (bm25_from_state) — zero history rescans in
+    maintenance; the final top-k must equal batch text_bm25_search,
+    which is what the shared oracle checks.  fold_threshold=2 forces
+    the postings fold mid-stream (q104's audit-cadence discipline)."""
+    from ..plans.llm_queries import BM25_QUERY_TERMS
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import bm25_from_state, incremental_bm25_ingest
+
+    work = _workdir("qbm25")
+    staged = stage_table(spark, sf_dir, "documents", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_bm25_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+        BM25_QUERY_TERMS,
+        fold_threshold=fold_threshold,
+    )
+    q.awaitTermination()
+    return bm25_from_state(spark, state)
+
+
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (round-13): always-current category-drift panel
     over a growing event feed — events stream in 3 marker-committed

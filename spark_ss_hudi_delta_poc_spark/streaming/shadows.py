@@ -374,6 +374,37 @@ def _q108(spark, sf_dir):
     return {"ingest": temperature_mixture_from_counts(merged, UNIMAX_BUDGET)}
 
 
+def _q110(spark, sf_dir):
+    from ..operators.partitioning import global_topk_with_rank
+    from ..operators.text_analysis import (
+        bm25_corpus_stats,
+        bm25_score_from_parts,
+        bm25_tf_table,
+    )
+    from ..plans.llm_queries import BM25_QUERY_TERMS
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior: |batch|-sized postings aggregate + the
+    # 1-row normalizer merge against the scan-shaped previous state
+    tf = bm25_tf_table(docs, BM25_QUERY_TERMS)
+    batch_stats = bm25_corpus_stats(docs)
+    state_stats = docs.select(
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("total_words"),
+    ).limit(1)
+    merged = batch_stats.unionByName(state_stats).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_words").alias("total_words"),
+    )
+    # read-side answer: broadcast df/stats joins over the query-term-
+    # bounded postings, then the TakeOrdered top-k certificate
+    scored = bm25_score_from_parts(tf, merged)
+    answer = global_topk_with_rank(
+        scored, [F.col("score_e9").desc(), F.col("doc_id").asc()], 10
+    )
+    return {"ingest": merged, "answer": answer}
+
+
 def _q109(spark, sf_dir):
     from ..operators.profiling import category_drift_from_counts
 
@@ -466,4 +497,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q107_stream_dsir": _q107,
     "q108_stream_temperature": _q108,
     "q109_stream_drift": _q109,
+    "q110_stream_bm25": _q110,
 }

@@ -1971,3 +1971,91 @@ def test_dsir_ingest_crash_sweep_every_commit_point(spark, tmp_path, monkeypatch
     for k in range(n_points):
         got, _ = run(f"k{k}", k)
         assert got == want, f"crash at commit point {k} changed the recipe"
+
+
+def test_ingest_increment_bm25_equals_batch_at_any_split(spark, tmp_path, monkeypatch):
+    """q110's invariance: tf/dl are per-doc facts and the normalizer is
+    merge-associative, so the index's answer equals a one-shot batch
+    bm25_search at any micro-batch split (ids, e9 scores and ranks);
+    plus the two-table marker crash/replay contract and the fold bound
+    on postings dirs."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import bm25_search
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        bm25_from_state,
+        ingest_increment_bm25,
+    )
+
+    terms = ["spark", "join"]
+    rows = [
+        (i, f"w{i % 9} {'spark' if i % 2 else 'filler'} "
+            f"{'join ' * (i % 4)}tail{i % 5}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    want = sorted(tuple(r) for r in bm25_search(docs, terms, top_k=10).collect())
+    assert len(want) == 10
+    for tag, chunks in (
+        ("thirds", [rows[i::3] for i in range(3)]),
+        ("uneven", [rows[:30], rows[30:31], rows[31:]]),
+    ):
+        state = os.path.join(tmp_path, f"bm_{tag}")
+        for e, chunk in enumerate(chunks):
+            ingest_increment_bm25(
+                spark,
+                spark.createDataFrame(chunk, DOC_SCHEMA),
+                state,
+                terms,
+                increment_id=e,
+                fold_threshold=2,
+            )
+        got = sorted(tuple(r) for r in bm25_from_state(spark, state).collect())
+        assert got == want, tag
+        pd_ = os.path.join(state, "postings")
+        n_delta = len(
+            [
+                d
+                for d in os.listdir(pd_)
+                if d.startswith("inc=") and not d.startswith("inc=_foldv")
+            ]
+        )
+        assert n_delta < 3, f"{tag}: postings delta dirs not bounded: {n_delta}"
+
+    # crash before the marker leaves the previous answer live for BOTH
+    # tables; replay heals; committed replay is a no-op
+    state = os.path.join(tmp_path, "bm_crash")
+    ingest_increment_bm25(
+        spark, spark.createDataFrame(rows[:25], DOC_SCHEMA), state, terms,
+        increment_id=0,
+    )
+    ans1 = sorted(tuple(r) for r in bm25_from_state(spark, state).collect())
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_bm25(
+            spark, spark.createDataFrame(rows[25:], DOC_SCHEMA), state, terms,
+            increment_id=1,
+        )
+    assert sorted(tuple(r) for r in bm25_from_state(spark, state).collect()) == ans1
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    assert (
+        ingest_increment_bm25(
+            spark, spark.createDataFrame(rows[25:], DOC_SCHEMA), state, terms,
+            increment_id=1,
+        )
+        > 0
+    )
+    assert sorted(tuple(r) for r in bm25_from_state(spark, state).collect()) == want
+    assert (
+        ingest_increment_bm25(
+            spark, spark.createDataFrame(rows[25:], DOC_SCHEMA), state, terms,
+            increment_id=1,
+        )
+        == 0
+    )

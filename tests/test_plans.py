@@ -206,6 +206,10 @@ CROSS_JOIN_EXEMPT: set[str] = {
     # bounds + 1-row total, branch-replicated); counts pinned in
     # test_q109_shadow_cross_sides_are_single_row.
     "q109_stream_drift",
+    # round 13: the BM25 index twin's answer stage inherits
+    # text_bm25_search's exempted 1-row normalizer cross; counts pinned
+    # in test_q110_shadow_cross_sides_are_single_row.
+    "q110_stream_bm25",
 }
 
 
@@ -324,6 +328,25 @@ def test_q109_shadow_cross_sides_are_single_row(spark):
     got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
     assert got == 5, f"ingest: {got} nested-loop joins, expected 5"
     assert len(re.findall(r"Keys\s*:\s*\[\]", p)) >= got
+
+
+def test_q110_shadow_cross_sides_are_single_row(spark):
+    """q110_stream_bm25's shadow: the ingest stage's normalizer merge
+    has NO cross join; the answer stage inherits text_bm25_search's
+    exempted 1-row (n_docs, total_words) cross.  Pin both counts and
+    the scalar-aggregate certificate."""
+    import re
+
+    expected = {"ingest": 0, "answer": 1}
+    for stage, p in shadow_plans_of(spark, "q110_stream_bm25").items():
+        got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert got == expected[stage], (
+            f"{stage}: {got} nested-loop joins, expected {expected[stage]}"
+        )
+        if expected[stage]:
+            assert re.search(r"Keys\s*:\s*\[\]", p), (
+                f"{stage}: cross side without a scalar aggregate"
+            )
 
 
 def test_kmv_jaccard_cross_sides_are_source_bounded(spark):

@@ -290,6 +290,11 @@ PROBE_OPS = [
     # recompute is counts-sized, so the ratio must track the batch
     # monitor's (bounded-agg) class, never the event rate
     "q109_stream_drift",
+    # round-13: BM25 index twin — per-increment cost is one batch scan
+    # + a query-term-bounded postings append + a 1-row stats merge; the
+    # answer stage reads only the (tiny) postings, so the ratio must
+    # track text_bm25_search's scan-dominated class
+    "q110_stream_bm25",
 ]
 
 
