@@ -2751,22 +2751,41 @@ def ingest_increment_bm25(
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
-    st = bm25_corpus_stats(batch, text_col=text_col, id_col=id_col)
-    prev = _latest_committed_dir(stats_path, committed)
-    if prev:
-        st = (
-            st.unionByName(spark.read.parquet(prev))
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("total_words").alias("total_words"),
+    # term-set guard (review r13, the fuzzy id-order guard's class): an
+    # index is valid ONLY for the term set it was built with — postings
+    # of increments ingested under different terms would merge into
+    # df/score math that matches no batch bm25_search, silently.  Each
+    # marker pins its terms; a later mismatch raises instead.
+    terms = sorted(str(t) for t in query_terms)
+    for payload in _marker_payloads(state_path).values():
+        if payload.get("terms") is not None and payload["terms"] != terms:
+            raise ValueError(
+                f"ingest_increment_bm25: state at {state_path} was built "
+                f"for terms {payload['terms']}, got {terms} — one index "
+                f"per term set"
             )
+    # persist: the stats and postings writes are two actions over the
+    # same micro-batch — without this each trigger re-reads the source
+    batch = batch.persist()
+    try:
+        st = bm25_corpus_stats(batch, text_col=text_col, id_col=id_col)
+        prev = _latest_committed_dir(stats_path, committed)
+        if prev:
+            st = (
+                st.unionByName(spark.read.parquet(prev))
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("total_words").alias("total_words"),
+                )
+            )
+        st.write.mode("overwrite").parquet(os.path.join(stats_path, f"inc={token}"))
+        tf = bm25_tf_table(batch, query_terms, text_col=text_col, id_col=id_col)
+        tf.write.mode("overwrite").parquet(
+            os.path.join(postings_path, f"inc={token}")
         )
-    st.write.mode("overwrite").parquet(os.path.join(stats_path, f"inc={token}"))
-    tf = bm25_tf_table(batch, query_terms, text_col=text_col, id_col=id_col)
-    tf.write.mode("overwrite").parquet(
-        os.path.join(postings_path, f"inc={token}")
-    )
-    _write_marker(state_path, token)  # THE commit — both tables
+    finally:
+        batch.unpersist()
+    _write_marker(state_path, token, payload={"terms": terms})  # THE commit
     # prune superseded stats dirs from the listing (markers stay)
     for d in os.listdir(stats_path):
         if d.startswith("inc=") and d != f"inc={token}":

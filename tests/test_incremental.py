@@ -2059,3 +2059,27 @@ def test_ingest_increment_bm25_equals_batch_at_any_split(spark, tmp_path, monkey
         )
         == 0
     )
+
+
+def test_bm25_ingest_rejects_term_set_change(spark, tmp_path):
+    """Review r13: an index is valid only for the term set it was built
+    with — a later increment under different terms raises instead of
+    silently merging incomparable postings; same-set replays (any term
+    order) still work."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_bm25,
+    )
+
+    state = os.path.join(tmp_path, "bmts")
+    b1 = spark.createDataFrame([(1, "spark join spark")], DOC_SCHEMA)
+    assert ingest_increment_bm25(spark, b1, state, ["spark", "join"], increment_id=0) == 2
+    b2 = spark.createDataFrame([(2, "vector join")], DOC_SCHEMA)
+    # same set, different order: fine
+    assert ingest_increment_bm25(spark, b2, state, ["join", "spark"], increment_id=1) == 1
+    with pytest.raises(ValueError, match="one index per term set"):
+        ingest_increment_bm25(
+            spark, spark.createDataFrame([(3, "x")], DOC_SCHEMA), state,
+            ["vector"], increment_id=2,
+        )
