@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -153,6 +154,11 @@ def calibration_sec(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # clear the repo's own streaming scratch area first: staging/checkpoint
+    # debris accumulated across many prior runs measurably inflates the
+    # streaming rows' file-listing cost (round-13: 1.2 GB / 632 dirs of
+    # leftovers added ~20 s to the streaming subtotal)
+    shutil.rmtree("/tmp/spark_graft_stream", ignore_errors=True)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
