@@ -157,8 +157,12 @@ def main() -> None:
     # clear the repo's own streaming scratch area first: staging/checkpoint
     # debris accumulated across many prior runs measurably inflates the
     # streaming rows' file-listing cost (round-13: 1.2 GB / 632 dirs of
-    # leftovers added ~20 s to the streaming subtotal)
-    shutil.rmtree("/tmp/spark_graft_stream", ignore_errors=True)
+    # leftovers added ~20 s to the streaming subtotal).  Resolve the root
+    # through the SAME helper the jobs use — a hardcoded /tmp literal is a
+    # silent no-op under a non-default TMPDIR (ADVICE r13)
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_scratch_root
+
+    shutil.rmtree(stream_scratch_root(), ignore_errors=True)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -218,7 +222,19 @@ def main() -> None:
         result["errors"] = errors
         result["queries_failed"] = len(errors)
         result["partial_total"] = total
-    print(json.dumps(result))
+    # Truncation-proofing (VERDICT r13 #2): the driver records only a tail
+    # window of stdout, and BENCH_r13's tail lost the q01-q05 rows.  Two
+    # defenses: (a) persist the FULL report to an in-repo bench_full.json
+    # (the way bench_ab.json already is), (b) print the JSON compactly as
+    # the LAST line so the one line that matters is the one least likely
+    # to scroll out of the window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -549,6 +549,7 @@ def export_shards(
     salt: str = "e0",
     text_col: str = "text",
     id_col: str = "doc_id",
+    order: str = "hash",
 ) -> DataFrame:
     """The terminal pipeline step: write the curated corpus as
     size-balanced training shards + return the manifest.
@@ -561,6 +562,13 @@ def export_shards(
     by (bucket, shard) — a trainer reads one directory per shard — and
     the returned manifest (bucket, shard, n_docs, n_tokens) is what a
     data loader uses to plan epochs without listing files.
+
+    ``order`` picks the within-bucket packing order: ``"hash"``
+    (default, salted-hash — decorrelates shard content from crawl
+    order, right for a static corpus) or ``"id"`` (doc-id order — the
+    merge-associative order the INCREMENTAL exporter needs so sealed
+    shards never move; streaming/incremental.ingest_increment_shards
+    is its cross-run twin and must match this batch packing).
     """
     tok = F.size(words(F.col(text_col))).cast("long")
     h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
@@ -571,9 +579,14 @@ def export_shards(
         tok.alias("n_tokens"),
         h.alias("_ok"),
     )
+    order_keys = (
+        [F.col("doc_id").asc()]
+        if order == "id"
+        else [F.col("_ok").asc(), F.col("doc_id").asc()]
+    )
     w = (
         Window.partitionBy("bucket")
-        .orderBy(F.col("_ok").asc(), F.col("doc_id").asc())
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")

@@ -7,7 +7,9 @@ batch equivalence that replaces the reference's manual count reconciliation
 from __future__ import annotations
 
 from ..streaming.jobs import (
+    stream_ann_index,
     stream_ann_serving,
+    stream_shard_export,
     stream_late_data,
     stream_scd2_history,
     stream_bloom_dedup_ingest,
@@ -662,5 +664,67 @@ QUERIES.append(
         "scoring cores — zero history rescans; the final top-k must "
         "equal batch text_bm25_search (same oracle, same hash)",
         tags=("streaming", "incremental", "text"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q111_stream_ann_index",
+        stream_ann_index,
+        _oracle_of("ann_ivf_index_topk"),
+        doc="cross-run maintained ANN serving index: embeddings stream "
+        "in 3 id-ordered marker-committed increments; the seed "
+        "increment pins the centroid set (the batch build's "
+        "id < n_centroids training rule; every marker pins its digest "
+        "— a mismatched set raises instead of mixing geometries), each "
+        "increment assigns map-side against the pinned centroids "
+        "(bounded broadcast, no shuffle) and appends to the cluster-"
+        "partitioned inverted lists through the generic fold layer "
+        "(bucket_cols=[cluster], ppc dir partitioning), markers record "
+        "occupancy skew + retrain_due; nprobe serving partition-prunes "
+        "to exactly the probed clusters and must equal batch "
+        "ann_ivf_index_topk over the union corpus (same oracle, same "
+        "hash)",
+        tags=("streaming", "incremental", "similarity", "index"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q112_stream_shard_export",
+        stream_shard_export,
+        """
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS bucket,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        s AS (
+          SELECT bucket,
+                 CAST((SUM(n_tokens) OVER (PARTITION BY bucket
+                        ORDER BY doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // 512 AS BIGINT) AS shard,
+                 n_tokens
+          FROM t
+        )
+        SELECT bucket, shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM s GROUP BY bucket, shard
+        """,
+        doc="cross-run incremental training-shard export: documents "
+        "stream in 3 id-ordered marker-committed increments; each "
+        "trigger packs the batch into open/new shards using only the "
+        "n_buckets running token totals (replace-state — the packing's "
+        "entire history dependency under id order), appends additive "
+        "manifest deltas through the generic fold layer, and NEVER "
+        "rewrites a sealed shard (a trainer's cached shard s is "
+        "immutable); the served manifest must equal a one-shot "
+        "id-ordered batch packing (export_shards(order='id')) of the "
+        "union corpus — merge-associativity of the per-bucket cumsum "
+        "makes that exact at any id-ordered split",
+        tags=("streaming", "incremental", "curation", "export"),
     )
 )

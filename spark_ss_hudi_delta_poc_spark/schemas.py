@@ -18,6 +18,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     MapType,
@@ -184,6 +185,13 @@ DOCUMENTS_SCHEMA = StructType(
         StructField("lang", StringType()),
         StructField("source", StringType()),
         StructField("n_chars", LongType()),
+    ]
+)
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
     ]
 )
 

@@ -98,6 +98,16 @@ def _write_marker(txn_root: str, token: str, payload: dict | None = None) -> Non
     _atomic_write_json(os.path.join(_commits_dir(txn_root), token), payload or {})
 
 
+def _marker_payload(txn_root: str, token: str) -> dict:
+    """JSON payload of ONE committed marker (empty/legacy/garbled → {})."""
+    try:
+        with open(os.path.join(_commits_dir(txn_root), token)) as fh:
+            text = fh.read().strip()
+        return json.loads(text) if text else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _marker_payloads(txn_root: str) -> dict[str, dict]:
     """JSON payloads of committed markers (empty/legacy markers → {})."""
     out: dict[str, dict] = {}
@@ -208,7 +218,7 @@ def _register_bucketed(spark: SparkSession, entry: dict) -> None:
 
 
 def heal_fold_debris(
-    txn_root: str, table_paths: list[str], spark: SparkSession | None = None
+    txn_root: str, table_paths: list[str], spark: SparkSession
 ) -> None:
     """Remove fold-layer debris the committed manifest does not own:
     (a) fold dirs (``inc=_foldv*``) the manifest does not reference —
@@ -246,7 +256,7 @@ def heal_fold_debris(
                     # a dir heal reclaims here could otherwise orphan
                     # its fold_<digest>_v<k> table forever)
                     v = d[len(f"inc={FOLD_DIR_PREFIX}"):]
-                    if spark is not None and v.isdigit():
+                    if v.isdigit():
                         spark.sql(
                             f"DROP TABLE IF EXISTS {_fold_table_name(tp, int(v))}"
                         )
@@ -339,6 +349,20 @@ def fold_committed_incs(
     new_v = (man["version"] + 1) if man else 1
     new_tables: dict[str, list[dict]] = {}
     grace_tables: dict[str, list[dict]] = {}
+    if man:
+        # Carry forward tiers (and grace) of the root's OTHER tables —
+        # ones the manifest knows but this call's specs omit.  A
+        # multi-table root (e.g. the fuzzy corpus/bands/retired trio)
+        # folded with a partial spec map must never commit a manifest
+        # that forgets a sibling table: heal_fold_debris would then
+        # reclaim that table's tier dirs as unreferenced debris — data
+        # loss (ADVICE r13).  _adopt_legacy_fuzzy_base set the pattern.
+        for tp, entry in man["tables"].items():
+            if tp not in specs:
+                new_tables[tp] = _entry_tiers(entry)
+        for tp, graced in man.get("grace", {}).items():
+            if tp not in specs:
+                grace_tables[tp] = graced
     for tp, spec in specs.items():
         bucket_cols = spec.get("bucket_cols")
         tbl_buckets = int(spec.get("n_buckets", n_buckets))
@@ -2755,14 +2779,19 @@ def ingest_increment_bm25(
     # index is valid ONLY for the term set it was built with — postings
     # of increments ingested under different terms would merge into
     # df/score math that matches no batch bm25_search, silently.  Each
-    # marker pins its terms; a later mismatch raises instead.
+    # marker pins its terms; a later mismatch raises instead.  Only the
+    # NEWEST marker is read (ADVICE r13: scanning every marker was
+    # O(stream lifetime) driver I/O per trigger): every earlier marker
+    # was validated against its own predecessor at write time, so by
+    # induction one check covers the whole chain.
     terms = sorted(str(t) for t in query_terms)
-    for payload in _marker_payloads(state_path).values():
-        if payload.get("terms") is not None and payload["terms"] != terms:
+    if committed:
+        newest_tok = max(committed, key=lambda t: (len(t), t))
+        pinned = _marker_payload(state_path, newest_tok).get("terms")
+        if pinned is not None and pinned != terms:
             raise ValueError(
                 f"ingest_increment_bm25: state at {state_path} was built "
-                f"for terms {payload['terms']}, got {terms} — one index "
-                f"per term set"
+                f"for terms {pinned}, got {terms} — one index per term set"
             )
     # persist: the stats and postings writes are two actions over the
     # same micro-batch — without this each trigger re-reads the source
@@ -2856,6 +2885,562 @@ def incremental_bm25_ingest(
             query_terms,
             text_col=text_col,
             id_col=id_col,
+            increment_id=batch_id,
+            fold_threshold=fold_threshold,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- q111: cross-run maintained ANN serving index ----------------------------
+#
+# The ANN matrix (operators/similarity.py) is build-once / query-many:
+# build_ivf_index trains on a static corpus and ivf_index_topk serves it.
+# A growing-corpus pipeline needs the index MAINTAINED: new vectors join
+# the inverted lists per increment without ever rebuilding, and serving
+# stays partition-pruned to the probed clusters (reference parity target:
+# the streaming upsert loop of S3ToHudiOptStreamJob.scala:78-101 applied
+# to a vector index instead of a table).  q110's contract, applied:
+#
+# - ``centroids`` — pinned at index creation from the SEED increment
+#   (the vectors with id < n_centroids — build_ivf_index's deterministic
+#   training rule, so the maintained index equals a batch build over the
+#   union corpus).  Every marker pins the centroid-set digest; an
+#   increment arriving under a different set raises instead of silently
+#   mixing assignments from two geometries (q110's term-set guard class).
+# - ``lists/inc=<token>`` — the batch's vectors assigned map-side to the
+#   pinned centroids (bounded n_centroids-row broadcast inside a
+#   mapInPandas closure — no join, no shuffle), appended through the
+#   generic fold layer: bucket_cols=[cluster] + hash-prefix dir
+#   partitioning ppc = md5(cluster) % n_centroids, so folded tiers are
+#   cluster-partitioned on disk and nprobe serving partition-prunes to
+#   exactly the probed clusters' dirs.
+# - ``occupancy/inc=<token>`` — replace-state per-cluster vector counts
+#   (<= n_centroids rows, merge-associative sums).  Each marker records
+#   occupancy skew and a ``retrain_due`` flag (max occupancy > 
+#   ANN_RETRAIN_SKEW x the even share) — the operational signal that the
+#   pinned centroids have drifted from the data and an offline retrain
+#   (new centroid set + one amortized reassignment rebuild) is warranted.
+#   Retrain itself is a rebuild, not an increment: serving correctness
+#   never depends on it (IVF recall degrades gracefully with skew; the
+#   flag is the monitor).
+#
+# Per-increment cost: one |batch| map-side assignment + a bounded
+# occupancy merge — never a corpus rescan.  Serving reads ONLY the probed
+# clusters' partitions of <= threshold tiers + the unfolded deltas.
+
+ANN_STATE_FOLD_THRESHOLD = 16
+ANN_RETRAIN_SKEW = 4  # retrain_due when max occupancy > 4x the even share
+
+
+def _ann_pp_of(cluster: int, mod: int) -> int:
+    """Driver-side twin of the fold layer's pp column (pp =
+    md5_long(cluster) % mod; md5_long hashes the long's decimal string),
+    so serving can turn probed cluster ids into partition-dir literals
+    without a Spark job.  Bounded: called once per probed cluster."""
+    return int(hashlib.md5(str(int(cluster)).encode()).hexdigest()[:15], 16) % mod
+
+
+def _ann_centroid_digest(cent_rows) -> str:
+    """Deterministic digest of a centroid set (cid + quantized vector) —
+    pinned in every marker payload: inverted lists are valid ONLY for
+    the centroid set they were assigned under."""
+    blob = ";".join(
+        f"{r.cid}:{','.join(str(v) for v in r.qv_cent)}"
+        for r in sorted(cent_rows, key=lambda r: r.cid)
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _ann_load_centroids(spark: SparkSession, cent_path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(cent_path).collect()  # bounded: n_centroids
+    rows.sort(key=lambda r: r.cid)
+    ids = np.array([r.cid for r in rows], dtype=np.int64)
+    mat = np.array([r.qv_cent for r in rows], dtype=np.float64)
+    return rows, ids, mat
+
+
+def ingest_increment_ann(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    increment_id: int | str | None = None,
+    fold_threshold: int | None = ANN_STATE_FOLD_THRESHOLD,
+) -> int:
+    """One increment of cross-run ANN index maintenance (see the section
+    comment above).  Returns the number of vectors added."""
+    from ..functions.vector import quantize
+    from ..operators.similarity import _assign_clusters
+
+    lists_path = os.path.join(state_path, "lists")
+    occ_path = os.path.join(state_path, "occupancy")
+    cent_path = os.path.join(state_path, "centroids")
+    heal_fold_debris(state_path, [lists_path], spark)
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    if not committed:
+        # index creation: train (pin) the centroids from the seed
+        # increment — the id < n_centroids rule build_ivf_index uses, so
+        # the maintained index hash-matches a batch build on the union
+        # corpus.  A crash after this write replays deterministically
+        # (same batch -> same seed rows -> overwrite with same bytes).
+        cent_rows = (
+            batch.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("qv_cent"))
+            .collect()
+        )
+        if len(cent_rows) != n_centroids:
+            raise ValueError(
+                f"ingest_increment_ann: the seed increment must contain all "
+                f"{n_centroids} centroid vectors ({id_col} < {n_centroids}); "
+                f"got {len(cent_rows)} — id-ordered arrival "
+                f"(stage_id_ordered) guarantees this"
+            )
+        spark.createDataFrame(
+            [(int(r.cid), [int(v) for v in r.qv_cent]) for r in cent_rows],
+            "cid long, qv_cent array<long>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
+    else:
+        rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
+        newest_tok = max(committed, key=lambda t: (len(t), t))
+        pinned = _marker_payload(state_path, newest_tok).get("centroids")
+        if pinned is not None and pinned != _ann_centroid_digest(rows):
+            raise ValueError(
+                f"ingest_increment_ann: state at {state_path} was assigned "
+                f"under a different centroid set — retrain (rebuild) instead "
+                f"of mixing geometries"
+            )
+    digest = _ann_centroid_digest(rows)
+    # map-side assignment against the pinned centroids (bounded closure
+    # broadcast, no shuffle) — the exact core ivf_topk/build_ivf_index use
+    assigned = _assign_clusters(
+        batch, cent_ids, cent_mat, "neighbor_id", id_col, vec_col
+    )
+    # persist: lists write + occupancy merge + row count are three
+    # actions over the same assignment (K7's two-action discipline)
+    assigned = assigned.persist()
+    try:
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(lists_path, f"inc={token}")
+        )
+        occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+        prev = _latest_committed_dir(occ_path, committed)
+        if prev:
+            occ = (
+                occ.unionByName(spark.read.parquet(prev))
+                .groupBy("cluster")
+                .agg(F.sum("n_vectors").alias("n_vectors"))
+            )
+        occ.write.mode("overwrite").parquet(os.path.join(occ_path, f"inc={token}"))
+        n = assigned.count()
+    finally:
+        assigned.unpersist()
+    # occupancy skew -> retrain trigger, recorded in THE marker (bounded
+    # read-back: <= n_centroids rows)
+    occ_rows = spark.read.parquet(os.path.join(occ_path, f"inc={token}")).collect()
+    total = sum(r.n_vectors for r in occ_rows)
+    mx = max((r.n_vectors for r in occ_rows), default=0)
+    retrain_due = bool(mx * n_centroids > ANN_RETRAIN_SKEW * total)
+    _write_marker(
+        state_path,
+        token,
+        payload={
+            "centroids": digest,
+            "occ_max": int(mx),
+            "occ_total": int(total),
+            "retrain_due": retrain_due,
+        },
+    )
+    # prune superseded occupancy dirs from the listing (markers stay)
+    for d in os.listdir(occ_path):
+        if d.startswith("inc=") and d != f"inc={token}":
+            shutil.rmtree(os.path.join(occ_path, d), ignore_errors=True)
+    _maybe_fold(
+        spark,
+        state_path,
+        {
+            lists_path: {
+                "bucket_cols": ["cluster"],
+                "n_buckets": n_centroids,
+                "partition": {
+                    "name": "ppc",
+                    "source_col": "cluster",
+                    "mod": n_centroids,
+                },
+            }
+        },
+        committed,
+        fold_threshold,
+    )
+    return n
+
+
+def ann_from_state(
+    spark: SparkSession,
+    state_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from the maintained index alone: query-side centroid
+    assignment driver-side (|Q| x nprobe pairs — the query set is small
+    by contract, ivf_index_topk's shape), the lists side = manifest
+    tiers PARTITION-PRUNED to the probed clusters' ppc dirs (per-tier
+    stored modulus, the fuzzy probe's ADVICE-r12 rule) + the <=
+    threshold unfolded delta dirs, every part filtered to the probed
+    clusters before the broadcast join.  Matches batch ivf_index_topk
+    over the union corpus bit-exactly (same centroid rule, same
+    assignment and scoring cores)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_q, quantize
+
+    empty = "query_id long, neighbor_id long, cosine double, rank integer"
+    lists_key = os.path.abspath(os.path.join(state_path, "lists"))
+    cent_path = os.path.join(state_path, "centroids")
+    if not os.path.isdir(cent_path):
+        return spark.createDataFrame([], empty)
+    _, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
+    ).collect()
+    probe_pairs = []  # (query_id, cluster, qv) — |Q| x nprobe rows
+    for r in q_rows:
+        v = np.asarray(r.qv, dtype=np.float64)
+        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
+        order = np.lexsort((cent_ids, -cos))[:nprobe]
+        for c in cent_ids[order]:
+            probe_pairs.append((int(r.id), int(c), list(r.qv)))
+    probed = sorted({c for _, c, _ in probe_pairs})
+    man = _fold_manifest(state_path)
+    folded = set(man["folded"]) if man else set()
+    parts = []
+    for e in _entry_tiers(man["tables"].get(lists_key)) if man else []:
+        _register_bucketed(spark, e)
+        base = spark.table(e["table"])
+        mod = e.get("pp_mod")
+        if mod:
+            pps = sorted({_ann_pp_of(c, mod) for c in probed})
+            name = e.get("pp_name", "pp")
+            base = base.where(F.col(name).isin(pps)).drop(name)
+        parts.append(base.where(F.col("cluster").isin(probed)))
+    delta = _committed_paths(
+        lists_key, [t for t in _committed_tokens(state_path) if t not in folded]
+    )
+    if delta:
+        parts.append(
+            spark.read.parquet(*delta).where(F.col("cluster").isin(probed))
+        )
+    if not parts or not probe_pairs:
+        return spark.createDataFrame([], empty)
+    lists = parts[0]
+    for p in parts[1:]:
+        lists = lists.unionByName(p)
+    qdf = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster long, qv_q array<long>"
+    ).limit(len(probe_pairs))  # plan-level bound: |Q| x nprobe rows
+    scored = (
+        lists.join(F.broadcast(qdf), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def incremental_ann_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fold_threshold: int | None = ANN_STATE_FOLD_THRESHOLD,
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_ann)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_ann(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            n_centroids=n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            increment_id=batch_id,
+            fold_threshold=fold_threshold,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- q112: cross-run incremental training-shard export ----------------------
+#
+# curation.export_shards is one-shot: it packs the WHOLE corpus into
+# size-balanced shards in salted-hash order, so adding documents moves
+# every later offset and rewrites every shard.  A growing corpus needs
+# shard MAINTENANCE: new docs pack into open/new shards and previously
+# sealed shards are never rewritten — a trainer that already cached
+# shard s must never see it change (the q60 bucketed-matview
+# discipline, applied to the export artifact).
+#
+# The packing order that makes this possible is ID order: with
+# id-ordered arrival (stage_id_ordered's contract, the fuzzy ingest's
+# guard class — every history doc's id is below every later batch's),
+# the per-bucket token cumsum is MERGE-ASSOCIATIVE: a batch's shard
+# assignments depend on history only through the n_buckets running
+# token totals.  So the maintained manifest equals the one-shot batch
+# packing (ORDER BY doc_id) on the union corpus at ANY id-ordered
+# split — which is what the q112 oracle checks.  (The one-shot
+# operator's salted-hash order stays the right default for a STATIC
+# corpus — it decorrelates shard content from crawl order; an
+# append-only export trades that for sealed-shard stability.)
+#
+# State under one txn root, ONE marker per increment:
+# - ``data/inc=<token>/bucket=B/shard=S`` — the docs themselves,
+#   partitioned by (bucket, shard): a trainer reads one (B,S) glob; a
+#   sealed (B,S) never appears under a later token by construction
+#   (new docs' offsets start past every sealed shard's end).
+# - ``offsets/inc=<token>`` — replace-state per-bucket running token
+#   totals (n_buckets rows, the packing's entire history dependency).
+# - ``manifest/inc=<token>`` — ADDITIVE per-(bucket, shard) deltas;
+#   the served manifest is their groupBy-sum; dir growth bounded by
+#   the generic fold layer.
+# Marker payload pins (n_buckets, shard_tokens, max_id): a config
+# change raises (q110's guard class — shards packed under two
+# geometries are not one export), and max_id enforces id-ordered
+# arrival at runtime.
+
+SHARD_STATE_FOLD_THRESHOLD = 16
+
+
+def ingest_increment_shards(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    shard_tokens: int = 4096,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    increment_id: int | str | None = None,
+    fold_threshold: int | None = SHARD_STATE_FOLD_THRESHOLD,
+) -> int:
+    """One increment of cross-run shard export (see the section comment
+    above).  Returns the number of documents packed."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+
+    data_path = os.path.join(state_path, "data")
+    off_path = os.path.join(state_path, "offsets")
+    man_path = os.path.join(state_path, "manifest")
+    heal_fold_debris(state_path, [man_path], spark)
+    committed = _committed_tokens(state_path)
+    if increment_id is not None:
+        token = str(increment_id)
+    else:
+        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
+    if token in committed:
+        return 0
+    # config + id-order guards against the newest marker (ADVICE r13's
+    # newest-marker rule: each marker was checked against its
+    # predecessor, so one read covers the chain)
+    if committed:
+        newest_tok = max(committed, key=lambda t: (len(t), t))
+        pinned = _marker_payload(state_path, newest_tok)
+        if pinned.get("n_buckets") is not None and (
+            pinned["n_buckets"] != n_buckets
+            or pinned["shard_tokens"] != shard_tokens
+        ):
+            raise ValueError(
+                f"ingest_increment_shards: state at {state_path} was packed "
+                f"under (n_buckets={pinned['n_buckets']}, shard_tokens="
+                f"{pinned['shard_tokens']}), got ({n_buckets}, {shard_tokens})"
+                f" — one geometry per export"
+            )
+        max_seen = pinned.get("max_id")
+    else:
+        max_seen = None
+    b = batch.agg(
+        F.min(id_col).alias("mn"), F.max(id_col).alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]  # bounded: 1 row
+    if b.n == 0:
+        return 0
+    if max_seen is not None and b.mn <= max_seen:
+        raise ValueError(
+            f"ingest_increment_shards requires id-ordered arrival: batch min "
+            f"{id_col} {b.mn} <= already-packed max {max_seen} — sealed "
+            f"shards would move"
+        )
+    # previous running totals: n_buckets rows (zero rows on creation)
+    prev = _latest_committed_dir(off_path, committed)
+    if prev:
+        off = spark.read.parquet(prev)
+    else:
+        off = spark.createDataFrame([], "bucket long, next_offset long")
+    tok = F.size(words(F.col(text_col))).cast("long")
+    t = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # start = prior-history total (broadcast n_buckets rows) + within-
+    # batch prefix sum; shard containing the start offset wins —
+    # export_shards' packing rule in id order
+    start = (
+        F.coalesce(F.col("next_offset"), F.lit(0))
+        + F.sum("n_tokens").over(w)
+        - F.col("n_tokens")
+    )
+    sharded = (
+        t.join(F.broadcast(off), "bucket", "left")
+        .select(
+            "doc_id",
+            "text",
+            "bucket",
+            "n_tokens",
+            F.floor(start / F.lit(shard_tokens)).cast("long").alias("shard"),
+        )
+        .persist()  # three actions: data write, offsets, manifest delta
+    )
+    try:
+        sharded.write.mode("overwrite").partitionBy("bucket", "shard").parquet(
+            os.path.join(data_path, f"inc={token}")
+        )
+        new_off = (
+            sharded.groupBy("bucket")
+            .agg(F.sum("n_tokens").alias("add"))
+            .join(F.broadcast(off), "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.coalesce(F.col("next_offset"), F.lit(0))
+                    + F.coalesce(F.col("add"), F.lit(0))
+                ).alias("next_offset"),
+            )
+        )
+        new_off.write.mode("overwrite").parquet(os.path.join(off_path, f"inc={token}"))
+        (
+            sharded.groupBy("bucket", "shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(man_path, f"inc={token}"))
+        )
+    finally:
+        sharded.unpersist()
+    _write_marker(
+        state_path,
+        token,
+        payload={
+            "n_buckets": int(n_buckets),
+            "shard_tokens": int(shard_tokens),
+            "max_id": int(b.mx),
+        },
+    )
+    # prune superseded offsets dirs from the listing (markers stay)
+    for d in os.listdir(off_path):
+        if d.startswith("inc=") and d != f"inc={token}":
+            shutil.rmtree(os.path.join(off_path, d), ignore_errors=True)
+    _maybe_fold(spark, state_path, {man_path: None}, committed, fold_threshold)
+    return int(b.n)
+
+
+def shards_manifest_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The served manifest: groupBy-sum of the additive per-increment
+    deltas over the fold layer's live dirs — (bucket, shard, n_docs,
+    n_tokens), equal to a one-shot id-ordered batch packing of the
+    union corpus (the q112 oracle)."""
+    man_path = os.path.join(state_path, "manifest")
+    dirs = _live_table_dirs(state_path, man_path)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "bucket long, shard long, n_docs long, n_tokens long"
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("bucket", "shard")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+def incremental_shards_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint: str,
+    schema,
+    shard_tokens: int = 4096,
+    n_buckets: int = 8,
+    fold_threshold: int | None = SHARD_STATE_FOLD_THRESHOLD,
+):
+    """Streaming wrapper: file stream → foreachBatch(
+    ingest_increment_shards)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_increment_shards(
+            batch_df.sparkSession,
+            batch_df,
+            state_path,
+            shard_tokens=shard_tokens,
+            n_buckets=n_buckets,
             increment_id=batch_id,
             fold_threshold=fold_threshold,
         )

@@ -31,8 +31,16 @@ from ..sources.stream import read_file_stream, stage_as_files
 from ..tables import load
 
 
+def stream_scratch_root() -> str:
+    """The one scratch root every streaming job stages under — derived
+    from tempfile.gettempdir() so a non-default TMPDIR moves it, and
+    exported so bench.py's pre-timing clean targets the SAME directory
+    (ADVICE r13: a hardcoded /tmp path silently no-ops under TMPDIR)."""
+    return os.path.join(tempfile.gettempdir(), "spark_graft_stream")
+
+
 def _workdir(tag: str) -> str:
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
+    root = stream_scratch_root()
     # best-effort GC of staging left by PREVIOUS processes (>6h old) so
     # repeated runs don't accumulate temp copies of the staged tables
     try:
@@ -1307,6 +1315,82 @@ def stream_bm25_index(
     )
     q.awaitTermination()
     return bm25_from_state(spark, state)
+
+
+def stream_ann_index(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-14): cross-run MAINTAINED ANN serving
+    index — the build-once IVF index (build_ivf_index/ivf_index_topk)
+    turned into a growing-corpus pipeline: embeddings stream in 3
+    id-ordered marker-committed increments; the seed increment pins the
+    centroids (the id < n_centroids training rule the batch build
+    uses), every later increment assigns its vectors map-side against
+    the pinned set (bounded broadcast, no shuffle) and appends to the
+    cluster-partitioned inverted lists through the generic fold layer;
+    each marker records occupancy skew + a retrain_due flag
+    (incremental.ingest_increment_ann).  Serving reads ONLY the probed
+    clusters' partitions (incremental.ann_from_state) and must equal
+    batch ann_ivf_index_topk over the union corpus — the shared oracle.
+    fold_threshold=2 forces the lists fold mid-stream (q104's
+    audit-cadence discipline)."""
+    from ..plans.llm_queries import ANN_K, _ann_queries
+    from ..schemas import EMBEDDINGS_SCHEMA
+    from .incremental import ann_from_state, incremental_ann_ingest
+
+    work = _workdir("qann111")
+    staged = stage_id_ordered(spark, sf_dir, "embeddings", work, "vec_id", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_ann_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        EMBEDDINGS_SCHEMA,
+        fold_threshold=fold_threshold,
+    )
+    q.awaitTermination()
+    return ann_from_state(
+        spark, state, _ann_queries(load(spark, sf_dir, "embeddings")), k=ANN_K, nprobe=2
+    )
+
+
+def stream_shard_export(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-14): cross-run incremental training-shard
+    export — curation.export_shards turned into a growing-corpus
+    pipeline: documents stream in 3 id-ordered marker-committed
+    increments; each trigger packs the batch into open/new shards using
+    only the n_buckets running token totals (replace-state — the
+    packing's ENTIRE history dependency), appends additive manifest
+    deltas through the generic fold layer, and never rewrites a sealed
+    shard (incremental.ingest_increment_shards).  The served manifest
+    must equal a one-shot id-ordered batch packing of the union corpus
+    (export_shards(order="id")) — the q112 oracle.  fold_threshold=2
+    forces the manifest fold mid-stream (q104's audit-cadence
+    discipline)."""
+    from ..schemas import DOCUMENTS_SCHEMA
+    from .incremental import incremental_shards_ingest, shards_manifest_from_state
+
+    work = _workdir("qshard112")
+    staged = stage_id_ordered(spark, sf_dir, "documents", work, "doc_id", n_files=3)
+    state = os.path.join(work, "state")
+    # shard_tokens=512 (vs the batch exporter's 4096 default) so the
+    # registered row packs MULTIPLE shards per bucket at every test SF
+    # (~3.4k tokens/bucket at sf0.01) — sealing + open-shard handoff are
+    # exercised by the oracle row, not just by the unit tests
+    q = incremental_shards_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        DOCUMENTS_SCHEMA,
+        shard_tokens=512,
+        fold_threshold=fold_threshold,
+    )
+    q.awaitTermination()
+    return shards_manifest_from_state(spark, state)
 
 
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:

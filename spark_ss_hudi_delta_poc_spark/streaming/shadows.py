@@ -431,6 +431,73 @@ def _q109(spark, sf_dir):
     return {"ingest": category_drift_from_counts(merged)}
 
 
+def _q111(spark, sf_dir):
+    from ..operators.similarity import (
+        _assign_clusters,
+        _collect_centroids,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # per-trigger interior: one |batch| map-side assignment against the
+    # pinned-centroid closure broadcast (bounded: 16 rows) + the
+    # <= n_centroids-row occupancy merge
+    cent_ids, cent_mat = _collect_centroids(emb, 16, "vec_id", "embedding")
+    assigned = _assign_clusters(
+        emb, cent_ids, cent_mat, "neighbor_id", "vec_id", "embedding"
+    )
+    occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # read-side answer: probed-cluster lists scan + broadcast query join
+    # + per-query rank window — ivf_topk composes the same cores
+    # ann_from_state serves through (pp pruning adds no audited class)
+    queries = emb.where(F.col("vec_id") < 20).orderBy("vec_id").limit(20)
+    return {"ingest": occ, "answer": ivf_topk(emb, queries, k=5)}
+
+
+def _q112(spark, sf_dir):
+    from ..functions.text import words
+
+    docs = _docs(spark, sf_dir)
+    # per-trigger interior: one |batch| projection + the per-bucket
+    # cumsum window (partitioned — never global) + the n_buckets-row
+    # offsets broadcast + the per-(bucket, shard) delta aggregate
+    off = (
+        docs.groupBy((F.col("doc_id") % 8).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("next_offset"))
+        .limit(8)  # replace-state: n_buckets rows, certificate explicit
+    )
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("bucket"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("bucket")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    start = (
+        F.coalesce(F.col("next_offset"), F.lit(0))
+        + F.sum("n_tokens").over(w)
+        - F.col("n_tokens")
+    )
+    sharded = t.join(F.broadcast(off), "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.floor(start / F.lit(4096)).cast("long").alias("shard"),
+    )
+    delta = sharded.groupBy("bucket", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    # read-side answer: groupBy-sum of the additive manifest deltas
+    answer = delta.groupBy("bucket", "shard").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    return {"ingest": delta, "answer": answer}
+
+
 def _q107(spark, sf_dir):
     from ..functions.hashing import md5_long
     from ..operators.curation import dsir_doc_feats, dsir_scores
@@ -498,4 +565,6 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q108_stream_temperature": _q108,
     "q109_stream_drift": _q109,
     "q110_stream_bm25": _q110,
+    "q111_stream_ann_index": _q111,
+    "q112_stream_shard_export": _q112,
 }

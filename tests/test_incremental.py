@@ -2083,3 +2083,412 @@ def test_bm25_ingest_rejects_term_set_change(spark, tmp_path):
             spark, spark.createDataFrame([(3, "x")], DOC_SCHEMA), state,
             ["vector"], increment_id=2,
         )
+
+
+def test_partial_spec_fold_carries_sibling_tables_forward(spark, tmp_path):
+    """ADVICE r13 (medium): a multi-table root folded with a PARTIAL
+    spec map must carry the manifest's other tables forward — a
+    manifest rebuilt only from the call's specs would forget sibling
+    tables, and heal_fold_debris would then reclaim their tier dirs as
+    unreferenced debris (data loss).  Fold two tables under one
+    manifest, re-fold only one, and pin that the other's tier survives
+    the manifest flip AND a subsequent heal."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _fold_manifest,
+        _write_marker,
+        fold_committed_incs,
+        heal_fold_debris,
+    )
+
+    root = os.path.join(tmp_path, "proot")
+    ta = os.path.join(root, "ta")
+    tb = os.path.join(root, "tb")
+    spark.createDataFrame([(1, "a")], DOC_SCHEMA).write.parquet(
+        os.path.join(ta, "inc=t1")
+    )
+    spark.createDataFrame([(10, "b")], DOC_SCHEMA).write.parquet(
+        os.path.join(tb, "inc=t1")
+    )
+    _write_marker(root, "t1")
+    assert fold_committed_incs(spark, root, {ta: None, tb: None})
+    man = _fold_manifest(root)
+    assert set(man["tables"]) == {os.path.abspath(ta), os.path.abspath(tb)}
+    tb_tier = man["tables"][os.path.abspath(tb)][0]["path"]
+    # second increment touches table A only; fold with a PARTIAL spec
+    spark.createDataFrame([(2, "c")], DOC_SCHEMA).write.parquet(
+        os.path.join(ta, "inc=t2")
+    )
+    _write_marker(root, "t2")
+    assert fold_committed_incs(spark, root, {ta: None})
+    man2 = _fold_manifest(root)
+    # sibling table carried forward, tier unchanged
+    assert man2["tables"][os.path.abspath(tb)][0]["path"] == tb_tier
+    assert os.path.isdir(tb_tier)
+    # a heal over BOTH tables must not reclaim the carried tier
+    heal_fold_debris(root, [ta, tb], spark)
+    assert os.path.isdir(tb_tier)
+    assert sorted(r.doc_id for r in spark.read.parquet(tb).collect()) == [10]
+    assert sorted(r.doc_id for r in spark.read.parquet(ta).collect()) == [1, 2]
+
+
+# --- q111: cross-run maintained ANN index -----------------------------------
+
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _emb_rows(lo, hi, dim=8):
+    """Deterministic synthetic embeddings (no RNG — replayable)."""
+    return [
+        (i, [float(((i * 7 + j * 13) % 23) - 11) / 7.0 for j in range(dim)])
+        for i in range(lo, hi)
+    ]
+
+
+def _batch_ivf_answer(spark, rows, queries_df, tmp_path, tag):
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    path = os.path.join(tmp_path, f"ivf_{tag}")
+    build_ivf_index(emb, path)
+    return ivf_index_topk(spark, path, queries_df, k=5, nprobe=2)
+
+
+def test_ingest_increment_ann_equals_batch_at_any_split(spark, tmp_path):
+    """The maintained index answers exactly like a batch-built IVF index
+    over the union corpus, at ANY id-ordered micro-batch split — the
+    q111 oracle contract (same pinned-centroid rule, same assignment and
+    scoring cores)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ann_from_state,
+        ingest_increment_ann,
+    )
+
+    rows = _emb_rows(0, 100)
+    queries = spark.createDataFrame(rows[:20], EMB_SCHEMA)
+    want = sorted(
+        map(tuple, _batch_ivf_answer(spark, rows, queries, tmp_path, "b").collect())
+    )
+    for tag, cuts in (("one", [100]), ("three", [40, 70, 100])):
+        state = os.path.join(tmp_path, f"st_{tag}")
+        lo = 0
+        for i, hi in enumerate(cuts):
+            n = ingest_increment_ann(
+                spark,
+                spark.createDataFrame(rows[lo:hi], EMB_SCHEMA),
+                state,
+                increment_id=i,
+                fold_threshold=2,
+            )
+            assert n == hi - lo
+            lo = hi
+        got = sorted(map(tuple, ann_from_state(spark, state, queries).collect()))
+        assert got == want, f"split {tag} diverged from the batch-built index"
+
+
+def test_ingest_increment_ann_crash_replay_and_guards(spark, tmp_path, monkeypatch):
+    """Crash before the marker leaves the previous state live and the
+    replay completes; a committed replay is a no-op; the seed increment
+    must carry every centroid id; a centroid-set change raises (q110's
+    guard class) instead of mixing geometries."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ann_from_state,
+        ingest_increment_ann,
+    )
+
+    rows = _emb_rows(0, 60)
+    queries = spark.createDataFrame(rows[:5], EMB_SCHEMA)
+    state = os.path.join(tmp_path, "crash")
+    # seed increment lacking id 15 -> raises, nothing committed
+    bad_seed = [r for r in rows[:40] if r[0] != 15]
+    with pytest.raises(ValueError, match="seed increment must contain"):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(bad_seed, EMB_SCHEMA), state, increment_id=0
+        )
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows[:40], EMB_SCHEMA), state, increment_id=0
+    ) == 40
+    s1 = sorted(map(tuple, ann_from_state(spark, state, queries).collect()))
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(rows[40:], EMB_SCHEMA), state, increment_id=1
+        )
+    # uncommitted inc=1 is invisible: serving still answers from inc=0
+    assert sorted(map(tuple, ann_from_state(spark, state, queries).collect())) == s1
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows[40:], EMB_SCHEMA), state, increment_id=1
+    ) == 20
+    # committed replay: no-op
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows[40:], EMB_SCHEMA), state, increment_id=1
+    ) == 0
+    # centroid-set guard: tamper the persisted centroids -> next raises
+    import shutil as _sh
+
+    cent = os.path.join(state, "centroids")
+    _sh.rmtree(cent)
+    spark.createDataFrame(
+        [(i, [int(1000 + i)] * 8) for i in range(16)], "cid long, qv_cent array<long>"
+    ).coalesce(1).write.parquet(cent)
+    with pytest.raises(ValueError, match="different centroid set"):
+        ingest_increment_ann(
+            spark,
+            spark.createDataFrame(_emb_rows(100, 110), EMB_SCHEMA),
+            state,
+            increment_id=2,
+        )
+
+
+def test_ingest_increment_ann_occupancy_and_retrain_flag(spark, tmp_path):
+    """Every marker records merged occupancy (exact totals) and the
+    retrain_due skew flag: an increment that piles onto one cluster
+    (max occupancy > ANN_RETRAIN_SKEW x the even share) trips it."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _marker_payload,
+        ingest_increment_ann,
+    )
+
+    rows = _emb_rows(0, 20)
+    state = os.path.join(tmp_path, "occ")
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows, EMB_SCHEMA), state, increment_id=0
+    )
+    p0 = _marker_payload(state, "0")
+    assert p0["occ_total"] == 20 and p0["occ_max"] >= 2
+    # batch 2: 80 copies of vector 0's direction -> one cluster swallows
+    # them all, max > total/4 -> retrain_due
+    clones = [
+        (100 + i, [v * (1.0 + 0.001 * (i % 3)) for v in rows[0][1]])
+        for i in range(80)
+    ]
+    ingest_increment_ann(
+        spark, spark.createDataFrame(clones, EMB_SCHEMA), state, increment_id=1
+    )
+    p1 = _marker_payload(state, "1")
+    assert p1["occ_total"] == 100
+    assert p1["retrain_due"] is True
+    assert p1["centroids"] == p0["centroids"]
+
+
+def test_ann_serving_reads_only_probed_partitions(spark, tmp_path):
+    """Scale certificate: once the lists are folded into a ppc-
+    partitioned bucketed tier, serving one query at nprobe=1 reads ONLY
+    the probed cluster's ppc dirs — partition pruning does the
+    'inverted' part of IVF at the storage layer (ivf_index_topk's
+    discipline, maintained across increments)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _ann_pp_of,
+        ann_from_state,
+        ingest_increment_ann,
+    )
+
+    rows = _emb_rows(0, 100)
+    state = os.path.join(tmp_path, "prune")
+    for i, (lo, hi) in enumerate(((0, 50), (50, 100))):
+        ingest_increment_ann(
+            spark,
+            spark.createDataFrame(rows[lo:hi], EMB_SCHEMA),
+            state,
+            increment_id=i,
+            fold_threshold=1,  # fold every increment: serving reads tiers only
+        )
+    queries = spark.createDataFrame(rows[:1], EMB_SCHEMA)
+    served = ann_from_state(spark, state, queries, k=5, nprobe=1)
+    files = served.inputFiles()
+    list_files = [f for f in files if "/lists/" in f]
+    assert list_files, "serving must read the folded lists tiers"
+    pps = {
+        int(seg.split("=", 1)[1])
+        for f in list_files
+        for seg in f.split("/")
+        if seg.startswith("ppc=")
+    }
+    # nprobe=1 -> exactly one probed cluster -> exactly one ppc value
+    assert len(pps) == 1
+    # and the tier actually HAS other ppc dirs that were pruned away
+    import glob as _glob
+
+    all_pps = {
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(state, "lists", "inc=_foldv*", "ppc=*"))
+    }
+    assert len(all_pps) > 1
+    (only,) = pps
+    assert f"ppc={only}" in all_pps
+    # the pruned pp value is the driver-side twin of some probed cluster
+    assert only in {_ann_pp_of(c, 16) for c in range(16)}
+
+
+# --- q112: cross-run incremental shard export --------------------------------
+
+
+def _doc_rows(lo, hi):
+    return [(i, "w " * (3 + (i * 7) % 40) + f"doc{i}") for i in range(lo, hi)]
+
+
+def _batch_shard_manifest(spark, rows, tmp_path, tag):
+    from spark_ss_hudi_delta_poc_spark.operators.curation import export_shards
+
+    return export_shards(
+        spark.createDataFrame(rows, DOC_SCHEMA),
+        os.path.join(tmp_path, f"exp_{tag}"),
+        shard_tokens=64,
+        order="id",
+    )
+
+
+def test_ingest_increment_shards_equals_batch_at_any_split(spark, tmp_path):
+    """The maintained manifest equals a one-shot id-ordered batch
+    packing (export_shards(order='id')) of the union corpus at ANY
+    id-ordered split — the q112 oracle contract (the per-bucket token
+    cumsum is merge-associative under id order)."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_shards,
+        shards_manifest_from_state,
+    )
+
+    rows = _doc_rows(0, 90)
+    want = sorted(
+        map(tuple, _batch_shard_manifest(spark, rows, tmp_path, "b").collect())
+    )
+    for tag, cuts in (("one", [90]), ("three", [30, 60, 90])):
+        state = os.path.join(tmp_path, f"sh_{tag}")
+        lo = 0
+        for i, hi in enumerate(cuts):
+            n = ingest_increment_shards(
+                spark,
+                spark.createDataFrame(rows[lo:hi], DOC_SCHEMA),
+                state,
+                shard_tokens=64,
+                increment_id=i,
+                fold_threshold=2,
+            )
+            assert n == hi - lo
+            lo = hi
+        got = sorted(
+            map(tuple, shards_manifest_from_state(spark, state).collect())
+        )
+        assert got == want, f"split {tag} diverged from the batch packing"
+
+
+def test_ingest_increment_shards_seals_previous_shards(spark, tmp_path):
+    """Sealed-shard invariance: a (bucket, shard) dir written by an
+    earlier increment receives NEW files under a later token only if it
+    was the bucket's OPEN (last) shard — a trainer's cached sealed
+    shard is byte-stable (its files live under the earlier inc= token
+    and are never touched again)."""
+    import glob as _glob
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_shards,
+    )
+
+    rows = _doc_rows(0, 120)
+    state = os.path.join(tmp_path, "seal")
+    ingest_increment_shards(
+        spark,
+        spark.createDataFrame(rows[:60], DOC_SCHEMA),
+        state,
+        shard_tokens=64,
+        increment_id=0,
+    )
+    data = os.path.join(state, "data")
+
+    def shard_dirs(token):
+        out = {}
+        for p in _glob.glob(os.path.join(data, f"inc={token}", "bucket=*", "shard=*")):
+            parts = p.split(os.sep)
+            b = int(parts[-2].split("=")[1])
+            s = int(parts[-1].split("=")[1])
+            out.setdefault(b, set()).add(s)
+        return out
+
+    first = shard_dirs(0)
+    open_shards = {(b, max(ss)) for b, ss in first.items()}
+    sealed = {(b, s) for b, ss in first.items() for s in ss} - open_shards
+    assert sealed, "test needs at least one sealed shard after inc 0"
+    # snapshot every file of increment 0 (path, size, mtime)
+    snap = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in _glob.glob(os.path.join(data, "inc=0", "**", "*.parquet"), recursive=True)
+    }
+    ingest_increment_shards(
+        spark,
+        spark.createDataFrame(rows[60:], DOC_SCHEMA),
+        state,
+        shard_tokens=64,
+        increment_id=1,
+    )
+    second = shard_dirs(1)
+    touched = {(b, s) for b, ss in second.items() for s in ss}
+    assert not (touched & sealed), f"later increment wrote into sealed shards: {touched & sealed}"
+    # and increment 0's files are bit-stable
+    for f, (sz, mt) in snap.items():
+        assert os.path.getsize(f) == sz and os.path.getmtime(f) == mt, f
+
+
+def test_ingest_increment_shards_crash_replay_and_guards(spark, tmp_path, monkeypatch):
+    """Crash before the marker leaves the previous manifest live and the
+    replay completes; a committed replay is a no-op; out-of-id-order
+    arrival raises (sealed shards would move); a geometry change
+    (n_buckets / shard_tokens) raises (one geometry per export)."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_shards,
+        shards_manifest_from_state,
+    )
+
+    rows = _doc_rows(0, 60)
+    state = os.path.join(tmp_path, "shcrash")
+    assert ingest_increment_shards(
+        spark, spark.createDataFrame(rows[:30], DOC_SCHEMA), state,
+        shard_tokens=64, increment_id=0,
+    ) == 30
+    m1 = sorted(map(tuple, shards_manifest_from_state(spark, state).collect()))
+    real = incremental._write_marker
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(incremental, "_write_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment_shards(
+            spark, spark.createDataFrame(rows[30:], DOC_SCHEMA), state,
+            shard_tokens=64, increment_id=1,
+        )
+    assert sorted(
+        map(tuple, shards_manifest_from_state(spark, state).collect())
+    ) == m1
+    monkeypatch.setattr(incremental, "_write_marker", real)
+    assert ingest_increment_shards(
+        spark, spark.createDataFrame(rows[30:], DOC_SCHEMA), state,
+        shard_tokens=64, increment_id=1,
+    ) == 30
+    assert ingest_increment_shards(
+        spark, spark.createDataFrame(rows[30:], DOC_SCHEMA), state,
+        shard_tokens=64, increment_id=1,
+    ) == 0
+    with pytest.raises(ValueError, match="id-ordered arrival"):
+        ingest_increment_shards(
+            spark, spark.createDataFrame(_doc_rows(10, 20), DOC_SCHEMA), state,
+            shard_tokens=64, increment_id=2,
+        )
+    with pytest.raises(ValueError, match="one geometry per export"):
+        ingest_increment_shards(
+            spark, spark.createDataFrame(_doc_rows(100, 110), DOC_SCHEMA), state,
+            shard_tokens=128, increment_id=2,
+        )

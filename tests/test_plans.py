@@ -349,6 +349,20 @@ def test_q110_shadow_cross_sides_are_single_row(spark):
             )
 
 
+
+def test_q111_shadow_has_no_cross_join(spark):
+    """q111_stream_ann_index's interior is cross-free by design: the
+    per-trigger assignment is a closure-broadcast map stage (no join at
+    all) and serving is an equi-join against the bounded |Q| x nprobe
+    probe-pair broadcast.  Pin ZERO BroadcastNestedLoopJoin in both
+    shadow stages so a corpus-sized cross can never appear under the
+    streaming exemption."""
+    import re
+
+    for stage, p in shadow_plans_of(spark, "q111_stream_ann_index").items():
+        got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+        assert got == 0, f"{stage}: {got} nested-loop joins, expected 0"
+
 def test_kmv_jaccard_cross_sides_are_source_bounded(spark):
     """sketch_kmv_jaccard's pair stage (a.source < b.source) plans BNLJs
     whose build sides are per-SOURCE aggregates — bounded by the source

@@ -54,6 +54,25 @@ if __name__ == "__main__":
          lambda: jobs.stream_dsir_recipe(spark, sf, fold_threshold=2)),
         ("q107_stream_dsir", "production_fold_threshold_16",
          lambda: jobs.stream_dsir_recipe(spark, sf, fold_threshold=16)),
+        ("q110_stream_bm25", "audit_fold_threshold_2",
+         lambda: jobs.stream_bm25_index(spark, sf, fold_threshold=2)),
+        ("q110_stream_bm25", "production_fold_threshold_16",
+         lambda: jobs.stream_bm25_index(spark, sf, fold_threshold=16)),
+        ("q111_stream_ann_index", "audit_fold_threshold_2",
+         lambda: jobs.stream_ann_index(spark, sf, fold_threshold=2)),
+        ("q111_stream_ann_index", "production_fold_threshold_16",
+         lambda: jobs.stream_ann_index(spark, sf, fold_threshold=16)),
+        ("q112_stream_shard_export", "audit_fold_threshold_2",
+         lambda: jobs.stream_shard_export(spark, sf, fold_threshold=2)),
+        ("q112_stream_shard_export", "production_fold_threshold_16",
+         lambda: jobs.stream_shard_export(spark, sf, fold_threshold=16)),
+        # q108/q109 maintain pure replace-state (no append table, no
+        # fold knob): one cadence IS the production cadence — recorded
+        # once each so SCALE.md's table covers every streaming twin
+        ("q108_stream_temperature", "replace_state_single_cadence",
+         lambda: jobs.stream_temperature_recipe(spark, sf)),
+        ("q109_stream_drift", "replace_state_single_cadence",
+         lambda: jobs.stream_drift_monitor(spark, sf)),
     ]
     for name, cadence, fn in rows:
         print(json.dumps({"query": name, "cadence": cadence, "sec": timed(fn)}), flush=True)

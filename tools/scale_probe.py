@@ -295,6 +295,17 @@ PROBE_OPS = [
     # answer stage reads only the (tiny) postings, so the ratio must
     # track text_bm25_search's scan-dominated class
     "q110_stream_bm25",
+    # round-14: maintained ANN index — per-increment cost is one
+    # |batch| map-side centroid assignment (bounded closure broadcast)
+    # + a <=n_centroids occupancy merge; serving partition-prunes to
+    # the probed clusters, so the ratio must track ann_ivf_index_topk's
+    # lists-scan class, never the corpus
+    "q111_stream_ann_index",
+    # round-14: incremental shard export — per-increment cost is one
+    # |batch| projection + a per-bucket cumsum window + an n_buckets-row
+    # offsets broadcast; the manifest answer is a groupBy over
+    # fold-bounded additive deltas — linear, one shuffle class
+    "q112_stream_shard_export",
 ]
 
 
