@@ -126,6 +126,16 @@ HEADLINE = [
     "q108_stream_temperature",
     "q109_stream_drift",
     "q110_stream_bm25",
+    # round-14 operators: the maintained ANN index (seed-pinned
+    # centroids, map-side assignment, cluster-pruned serving), the
+    # incremental shard export (id-order packing, sealed shards
+    # immutable) and the index retrain path (kmeans rebuild +
+    # generation flip) — THREE new rows, so BENCH_r14's total is 73
+    # queries vs r13's 70 (compare shared rows / bench_ab, never raw
+    # totals across the boundary)
+    "q111_stream_ann_index",
+    "q112_stream_shard_export",
+    "q113_stream_ann_retrain",
 ]
 
 

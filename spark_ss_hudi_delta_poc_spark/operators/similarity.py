@@ -215,13 +215,15 @@ def _collect_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, vec
     return cent_ids, cent_mat
 
 
-def _assign_clusters(
-    df: DataFrame, cent_ids, cent_mat, out_id: str, id_col: str, vec_col: str
-) -> DataFrame:
-    """Nearest-centroid assignment as a pure map stage (mapInPandas, no
-    join, no shuffle): exact integer products in float64 → bit-identical
+def _assign_clusters_q(qdf: DataFrame, cent_ids, cent_mat, out_id: str) -> DataFrame:
+    """Nearest-centroid assignment over an ALREADY-QUANTIZED (id, qv)
+    frame — the shared kernel: a pure map stage (mapInPandas, no join,
+    no shuffle) with exact integer products in float64 → bit-identical
     to the oracle's list_dot_product; argmax tie-breaks (cosine desc,
-    cid asc) == ROW_NUMBER() ORDER BY cos DESC, cid ASC."""
+    cid asc) == ROW_NUMBER() ORDER BY cos DESC, cid ASC.  The q-variant
+    exists so the maintained index (streaming/incremental.py q111/q113)
+    can assign and RETRAIN from its own persisted qv state with the
+    identical kernel the batch operators run."""
     import numpy as np
     import pandas as pd
 
@@ -238,8 +240,21 @@ def _assign_clusters(
             )
             yield pd.DataFrame({out_id: pdf["id"], "qv": pdf["qv"], "cluster": best})
 
-    return df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).mapInPandas(
+    return qdf.mapInPandas(
         per_batch, schema=f"{out_id} long, qv array<long>, cluster long"
+    )
+
+
+def _assign_clusters(
+    df: DataFrame, cent_ids, cent_mat, out_id: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """:func:`_assign_clusters_q` over a raw-embedding frame (same plan:
+    one projection + the map stage)."""
+    return _assign_clusters_q(
+        df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")),
+        cent_ids,
+        cent_mat,
+        out_id,
     )
 
 
@@ -329,12 +344,27 @@ def kmeans_refine_centroids(
     only shrinks if a refined centroid attracts nothing).  The per-iter
     collect is bounded: n_centroids·dim rows.
     """
+    return kmeans_refine_centroids_q(
+        embeddings.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")),
+        n_centroids=n_centroids,
+        iters=iters,
+    )
+
+
+def kmeans_refine_centroids_q(qdf: DataFrame, n_centroids: int = 16, iters: int = 2):
+    """:func:`kmeans_refine_centroids` over an already-quantized
+    (id, qv) frame — the shared kernel (quantize is deterministic, so
+    refining from persisted qv state equals refining from the raw
+    corpus bit-exactly; q113's retrain depends on that)."""
     import numpy as np
     import pandas as pd
 
-    cent_ids, cent_mat = _collect_centroids(embeddings, n_centroids, id_col, vec_col)
+    cent_rows = qdf.where(F.col("id") < n_centroids).collect()
+    cent_rows.sort(key=lambda r: r.id)
+    cent_ids = np.array([r.id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r.qv for r in cent_rows], dtype=np.float64)
     for _ in range(iters):
-        assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
+        assigned = _assign_clusters_q(qdf, cent_ids, cent_mat, "vid")
 
         def partials(batches):
             sums: dict[int, "np.ndarray"] = {}

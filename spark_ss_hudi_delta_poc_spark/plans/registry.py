@@ -51,8 +51,9 @@ class Query:
 # rounds 11-13.
 #
 # Round-15 rotation queue (staged — VERDICT r13 pattern): the remaining
-# r10-cohort rows (privacy_k_anonymity and privacy_l_diversity —
-# displaced from this window by the q111/q112 first rows —
+# r10-cohort rows (multimodal_audio_pairs, privacy_k_anonymity and
+# privacy_l_diversity — displaced from this window by the
+# q111/q112/q113 first rows —
 # q01_count, q02_group_count, q03_distinct_count, q100_stream_scd2,
 # q101_salted_skew_join, q21_stream_session_window, q44_stream_static_join,
 # q51_returned_top_customers, q69_market_share, q70_waiting_suppliers,
@@ -69,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- FIRST rows for this round's new operators ---------------------------
     "q111_stream_ann_index",
     "q112_stream_shard_export",
+    "q113_stream_ann_retrain",
     # --- r8 cohort refresh: the 28 remaining rows, committed queue (28) ----
     "multimodal_phash_pairs",
     "q05_ts_roundtrip",
@@ -118,7 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "monitor_category_drift",
     "monitor_freshness",
     "monitor_value_outliers",
-    "multimodal_audio_pairs",
 )
 
 

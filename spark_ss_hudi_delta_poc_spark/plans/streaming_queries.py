@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..streaming.jobs import (
     stream_ann_index,
+    stream_ann_retrain,
     stream_ann_serving,
     stream_shard_export,
     stream_late_data,
@@ -726,5 +727,27 @@ QUERIES.append(
         "union corpus — merge-associativity of the per-bucket cumsum "
         "makes that exact at any id-ordered split",
         tags=("streaming", "incremental", "curation", "export"),
+    )
+)
+
+
+QUERIES.append(
+    Query(
+        "q113_stream_ann_retrain",
+        stream_ann_retrain,
+        _oracle_of("ann_ivf_kmeans_topk"),
+        doc="the maintained ANN index's retrain path: after the "
+        "3-increment ingest (q111's state), retrain_ann_index "
+        "Lloyd-refines a new centroid set over the index's OWN "
+        "persisted qv state (kmeans_refine_centroids_q — the identical "
+        "quantized-space kernel the batch operator runs), reassigns "
+        "every vector, folds the rebuilt lists to the bucketed ppc "
+        "layout, and commits via an atomic generation-pointer flip "
+        "(crash anywhere during the rebuild leaves the old index "
+        "serving; a replayed retrain overwrites the half-built "
+        "generation); serving from the new generation must equal batch "
+        "ann_ivf_kmeans_topk over the union corpus (same oracle, same "
+        "hash)",
+        tags=("streaming", "incremental", "similarity", "index"),
     )
 )

@@ -2982,11 +2982,12 @@ def ingest_increment_ann(
     from ..functions.vector import quantize
     from ..operators.similarity import _assign_clusters
 
-    lists_path = os.path.join(state_path, "lists")
-    occ_path = os.path.join(state_path, "occupancy")
-    cent_path = os.path.join(state_path, "centroids")
-    heal_fold_debris(state_path, [lists_path], spark)
-    committed = _committed_tokens(state_path)
+    root = _ann_root(state_path)  # post-retrain generations (q113)
+    lists_path = os.path.join(root, "lists")
+    occ_path = os.path.join(root, "occupancy")
+    cent_path = os.path.join(root, "centroids")
+    heal_fold_debris(root, [lists_path], spark)
+    committed = _committed_tokens(root)
     if increment_id is not None:
         token = str(increment_id)
     else:
@@ -3020,7 +3021,7 @@ def ingest_increment_ann(
     else:
         rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
         newest_tok = max(committed, key=lambda t: (len(t), t))
-        pinned = _marker_payload(state_path, newest_tok).get("centroids")
+        pinned = _marker_payload(root, newest_tok).get("centroids")
         if pinned is not None and pinned != _ann_centroid_digest(rows):
             raise ValueError(
                 f"ingest_increment_ann: state at {state_path} was assigned "
@@ -3059,7 +3060,7 @@ def ingest_increment_ann(
     mx = max((r.n_vectors for r in occ_rows), default=0)
     retrain_due = bool(mx * n_centroids > ANN_RETRAIN_SKEW * total)
     _write_marker(
-        state_path,
+        root,
         token,
         payload={
             "centroids": digest,
@@ -3073,21 +3074,7 @@ def ingest_increment_ann(
         if d.startswith("inc=") and d != f"inc={token}":
             shutil.rmtree(os.path.join(occ_path, d), ignore_errors=True)
     _maybe_fold(
-        spark,
-        state_path,
-        {
-            lists_path: {
-                "bucket_cols": ["cluster"],
-                "n_buckets": n_centroids,
-                "partition": {
-                    "name": "ppc",
-                    "source_col": "cluster",
-                    "mod": n_centroids,
-                },
-            }
-        },
-        committed,
-        fold_threshold,
+        spark, root, _ann_lists_spec(lists_path, n_centroids), committed, fold_threshold
     )
     return n
 
@@ -3117,8 +3104,9 @@ def ann_from_state(
     from ..functions.vector import cosine_q, quantize
 
     empty = "query_id long, neighbor_id long, cosine double, rank integer"
-    lists_key = os.path.abspath(os.path.join(state_path, "lists"))
-    cent_path = os.path.join(state_path, "centroids")
+    root = _ann_root(state_path)  # post-retrain generations (q113)
+    lists_key = os.path.abspath(os.path.join(root, "lists"))
+    cent_path = os.path.join(root, "centroids")
     if not os.path.isdir(cent_path):
         return spark.createDataFrame([], empty)
     _, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
@@ -3134,7 +3122,7 @@ def ann_from_state(
         for c in cent_ids[order]:
             probe_pairs.append((int(r.id), int(c), list(r.qv)))
     probed = sorted({c for _, c, _ in probe_pairs})
-    man = _fold_manifest(state_path)
+    man = _fold_manifest(root)
     folded = set(man["folded"]) if man else set()
     parts = []
     for e in _entry_tiers(man["tables"].get(lists_key)) if man else []:
@@ -3147,7 +3135,7 @@ def ann_from_state(
             base = base.where(F.col(name).isin(pps)).drop(name)
         parts.append(base.where(F.col("cluster").isin(probed)))
     delta = _committed_paths(
-        lists_key, [t for t in _committed_tokens(state_path) if t not in folded]
+        lists_key, [t for t in _committed_tokens(root) if t not in folded]
     )
     if delta:
         parts.append(
@@ -3451,3 +3439,160 @@ def incremental_shards_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- q113: ANN index retrain (the retrain_due answer) ------------------------
+#
+# q111's markers RECORD centroid drift (occupancy skew -> retrain_due);
+# retrain_ann_index is the amortized REBUILD that answers it: Lloyd-
+# refine a new centroid set over the index's own persisted qv state
+# (kmeans_refine_centroids_q — the identical quantized-space kernel the
+# batch operator runs, so the rebuilt index hash-matches batch
+# ann_ivf_kmeans_topk over the union corpus), reassign every vector,
+# and commit the new index as a GENERATION FLIP:
+#
+# - the new generation is built COMPLETE under ``gen=<n>/`` (centroids,
+#   lists staged + folded to the bucketed ppc layout, occupancy, its
+#   own marker chain pinning the new digest);
+# - ``_generation`` (atomic tmp+rename, the manifest-flip discipline)
+#   is THE commit — readers and ingests resolve their root through it,
+#   so a crash anywhere during the build leaves the OLD index serving
+#   and a replayed retrain overwrites the half-built generation
+#   deterministically;
+# - the superseded generation's dirs (and its fold tiers' metastore
+#   tables) are GC'd after the flip; a crash mid-GC leaves debris the
+#   NEXT retrain removes (heal-at-top, the fold layer's rule).
+#
+# Retrain is a rebuild, not an increment: it rescans the corpus ONCE
+# (that is what retraining means) and is amortized over the stream
+# life; between retrains every increment stays map-side against the
+# pinned set.  Post-retrain increments keep assigning against the
+# refined centroids (train-once serving, FAISS/IVF semantics).
+
+
+def _ann_root(state_path: str) -> str:
+    """Resolve the live generation root: ``state_path`` itself until the
+    first retrain, ``state_path/gen=<n>`` after (the ``_generation``
+    pointer file is flipped atomically by retrain_ann_index)."""
+    try:
+        with open(os.path.join(state_path, "_generation")) as fh:
+            return os.path.join(state_path, f"gen={fh.read().strip()}")
+    except FileNotFoundError:
+        return state_path
+
+
+def _ann_lists_spec(lists_path: str, n_centroids: int) -> dict:
+    return {
+        lists_path: {
+            "bucket_cols": ["cluster"],
+            "n_buckets": n_centroids,
+            "partition": {
+                "name": "ppc",
+                "source_col": "cluster",
+                "mod": n_centroids,
+            },
+        }
+    }
+
+
+def retrain_ann_index(
+    spark: SparkSession,
+    state_path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> str:
+    """Rebuild the maintained ANN index under Lloyd-refined centroids
+    (see the section comment above).  Returns the new generation root."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        _assign_clusters_q,
+        kmeans_refine_centroids_q,
+    )
+
+    old_root = _ann_root(state_path)
+    old_gen = (
+        int(os.path.basename(old_root).split("=", 1)[1])
+        if os.path.basename(old_root).startswith("gen=")
+        else 0
+    )
+    lists_old = os.path.join(old_root, "lists")
+    dirs = _live_table_dirs(old_root, lists_old)
+    if not dirs:
+        raise ValueError(f"retrain_ann_index: no index at {state_path}")
+    # per-dir reads: folded tiers carry ppc= partition dirs, deltas are
+    # flat — one multi-path read trips CONFLICTING_DIRECTORY_STRUCTURES
+    parts = [
+        spark.read.parquet(d).select(F.col("neighbor_id").alias("id"), "qv")
+        for d in dirs
+    ]
+    corpus_q = parts[0]
+    for p in parts[1:]:
+        corpus_q = corpus_q.unionByName(p)
+    cent_ids, cent_mat = kmeans_refine_centroids_q(
+        corpus_q, n_centroids=n_centroids, iters=iters
+    )
+    new_root = os.path.join(state_path, f"gen={old_gen + 1}")
+    shutil.rmtree(new_root, ignore_errors=True)  # crashed-retrain debris
+    lists_new = os.path.join(new_root, "lists")
+    occ_new = os.path.join(new_root, "occupancy")
+    spark.createDataFrame(
+        [(int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)],
+        "cid long, qv_cent array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(new_root, "centroids"))
+    assigned = _assign_clusters_q(corpus_q, cent_ids, cent_mat, "neighbor_id")
+    assigned = assigned.persist()
+    token = "000000000"
+    try:
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(lists_new, f"inc={token}")
+        )
+        occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+        occ.write.mode("overwrite").parquet(os.path.join(occ_new, f"inc={token}"))
+        occ_rows = occ.collect()  # bounded: <= n_centroids rows
+    finally:
+        assigned.unpersist()
+    cent_rows = spark.read.parquet(os.path.join(new_root, "centroids")).collect()
+    total = sum(r.n_vectors for r in occ_rows)
+    mx = max((r.n_vectors for r in occ_rows), default=0)
+    _write_marker(
+        new_root,
+        token,
+        payload={
+            "centroids": _ann_centroid_digest(cent_rows),
+            "occ_max": int(mx),
+            "occ_total": int(total),
+            "retrain_due": bool(mx * n_centroids > ANN_RETRAIN_SKEW * total),
+            "retrained_from_gen": old_gen,
+        },
+    )
+    # fold immediately: the new generation serves partition-pruned from
+    # its first read (one tier, bucketed + ppc dirs)
+    fold_committed_incs(
+        spark, new_root, _ann_lists_spec(lists_new, n_centroids)
+    )
+    # THE commit: atomic pointer flip (tmp + rename)
+    ptr = os.path.join(state_path, "_generation")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(old_gen + 1))
+    os.replace(tmp, ptr)
+    # post-flip GC of the superseded generation (drop its fold tables
+    # first — rmtree alone would orphan them in the metastore); a crash
+    # here leaves debris the next retrain's rmtree/GC removes
+    old_man = _fold_manifest(old_root)
+    if old_man:
+        for entry in old_man["tables"].values():
+            for e in _entry_tiers(entry):
+                if e.get("table"):
+                    spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+    if old_gen == 0:
+        for d in ("lists", "occupancy", "centroids", "_commits"):
+            shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+        try:
+            os.remove(_fold_manifest_path(state_path))
+        except FileNotFoundError:
+            pass
+    else:
+        shutil.rmtree(old_root, ignore_errors=True)
+    return new_root

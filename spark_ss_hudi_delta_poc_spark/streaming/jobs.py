@@ -1355,6 +1355,45 @@ def stream_ann_index(
     )
 
 
+def stream_ann_retrain(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-14): the maintained ANN index's RETRAIN
+    path — q111's markers record retrain_due; this job answers it:
+    after the 3-increment ingest, retrain_ann_index Lloyd-refines a new
+    centroid set over the index's own persisted qv state (the identical
+    quantized-space kernel batch ann_ivf_kmeans_topk runs), reassigns
+    every vector, and commits the rebuilt index as an atomic
+    generation-pointer flip (crash anywhere during the rebuild leaves
+    the old index serving).  Serving from the new generation must equal
+    batch ann_ivf_kmeans_topk over the union corpus — the shared
+    oracle."""
+    from ..plans.llm_queries import ANN_K, _ann_queries
+    from ..schemas import EMBEDDINGS_SCHEMA
+    from .incremental import (
+        ann_from_state,
+        incremental_ann_ingest,
+        retrain_ann_index,
+    )
+
+    work = _workdir("qann113")
+    staged = stage_id_ordered(spark, sf_dir, "embeddings", work, "vec_id", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_ann_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        EMBEDDINGS_SCHEMA,
+        fold_threshold=fold_threshold,
+    )
+    q.awaitTermination()
+    retrain_ann_index(spark, state)
+    return ann_from_state(
+        spark, state, _ann_queries(load(spark, sf_dir, "embeddings")), k=ANN_K, nprobe=1
+    )
+
+
 def stream_shard_export(
     spark: SparkSession, sf_dir: str, fold_threshold: int = 2
 ) -> DataFrame:

@@ -454,6 +454,18 @@ def _q111(spark, sf_dir):
     return {"ingest": occ, "answer": ivf_topk(emb, queries, k=5)}
 
 
+def _q113(spark, sf_dir):
+    from ..operators.similarity import ivf_kmeans_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    # retrain interior == the batch kmeans operator's whole graph: per-
+    # iteration map-side assignment + the bounded (centroids x dim)
+    # partial-sum shuffle, then the reassignment map stage and the
+    # probe join — ivf_kmeans_topk plans every one of those classes
+    queries = emb.where(F.col("vec_id") < 20).orderBy("vec_id").limit(20)
+    return {"retrain": ivf_kmeans_topk(emb, queries, k=5)}
+
+
 def _q112(spark, sf_dir):
     from ..functions.text import words
 
@@ -567,4 +579,5 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q110_stream_bm25": _q110,
     "q111_stream_ann_index": _q111,
     "q112_stream_shard_export": _q112,
+    "q113_stream_ann_retrain": _q113,
 }

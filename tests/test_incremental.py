@@ -2492,3 +2492,133 @@ def test_ingest_increment_shards_crash_replay_and_guards(spark, tmp_path, monkey
             spark, spark.createDataFrame(_doc_rows(100, 110), DOC_SCHEMA), state,
             shard_tokens=128, increment_id=2,
         )
+
+
+# --- q113: ANN index retrain --------------------------------------------------
+
+
+def test_retrain_ann_index_equals_batch_kmeans(spark, tmp_path):
+    """After retrain, serving (nprobe=1) equals batch ivf_kmeans_topk
+    over the union corpus — kmeans_refine_centroids_q over the index's
+    own qv state is the identical quantized-space kernel, so the
+    rebuild hash-matches the batch operator (the q113 oracle)."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ivf_kmeans_topk
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ann_from_state,
+        ingest_increment_ann,
+        retrain_ann_index,
+    )
+
+    rows = _emb_rows(0, 100)
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    queries = spark.createDataFrame(rows[:20], EMB_SCHEMA)
+    want = sorted(map(tuple, ivf_kmeans_topk(emb, queries, k=5).collect()))
+    state = os.path.join(tmp_path, "rt")
+    for i, (lo, hi) in enumerate(((0, 40), (40, 70), (70, 100))):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(rows[lo:hi], EMB_SCHEMA), state,
+            increment_id=i, fold_threshold=2,
+        )
+    new_root = retrain_ann_index(spark, state)
+    assert os.path.basename(new_root) == "gen=1"
+    got = sorted(
+        map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
+    )
+    assert got == want
+    # superseded generation GC'd: the pre-retrain root-level tables die
+    assert not os.path.isdir(os.path.join(state, "lists"))
+    assert not os.path.isdir(os.path.join(state, "centroids"))
+
+
+def test_retrain_ann_index_crash_leaves_old_index_serving(spark, tmp_path, monkeypatch):
+    """The generation-pointer flip is THE commit: a crash anywhere in
+    the rebuild (simulated at the post-marker fold) leaves the pointer
+    unflipped and the OLD index serving; the replayed retrain
+    overwrites the half-built generation and completes."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ivf_kmeans_topk
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ann_from_state,
+        ingest_increment_ann,
+        retrain_ann_index,
+    )
+
+    rows = _emb_rows(0, 60)
+    queries = spark.createDataFrame(rows[:5], EMB_SCHEMA)
+    state = os.path.join(tmp_path, "rtc")
+    for i, (lo, hi) in enumerate(((0, 30), (30, 60))):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(rows[lo:hi], EMB_SCHEMA), state,
+            increment_id=i,
+        )
+    before = sorted(map(tuple, ann_from_state(spark, state, queries).collect()))
+    real = incremental.fold_committed_incs
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-rebuild")
+
+    monkeypatch.setattr(incremental, "fold_committed_incs", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrain_ann_index(spark, state)
+    # pointer unflipped: the old generation still serves, unchanged
+    assert not os.path.exists(os.path.join(state, "_generation"))
+    assert sorted(map(tuple, ann_from_state(spark, state, queries).collect())) == before
+    monkeypatch.setattr(incremental, "fold_committed_incs", real)
+    retrain_ann_index(spark, state)
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    want = sorted(
+        map(tuple, ivf_kmeans_topk(emb, queries, k=5).collect())
+    )
+    assert sorted(
+        map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
+    ) == want
+
+
+def test_retrain_ann_index_then_ingest_continues(spark, tmp_path):
+    """Post-retrain increments assign against the REFINED centroid set
+    (train-once serving): the maintained answer equals the shared probe
+    kernel run with the retrain-time centroids over the union corpus,
+    and the new increments' markers pin the new digest."""
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        _ivf_probe,
+        kmeans_refine_centroids,
+    )
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _ann_root,
+        _marker_payload,
+        ann_from_state,
+        ingest_increment_ann,
+        retrain_ann_index,
+    )
+
+    rows = _emb_rows(0, 80)
+    later = _emb_rows(80, 120)
+    queries = spark.createDataFrame(rows[:10], EMB_SCHEMA)
+    state = os.path.join(tmp_path, "rti")
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows, EMB_SCHEMA), state, increment_id=0
+    )
+    retrain_ann_index(spark, state)
+    root = _ann_root(state)
+    digest = _marker_payload(root, "000000000")["centroids"]
+    ingest_increment_ann(
+        spark, spark.createDataFrame(later, EMB_SCHEMA), state, increment_id=1
+    )
+    assert _marker_payload(root, "1")["centroids"] == digest
+    # expected: the shared probe kernel with the retrain-time centroids
+    # (trained on the pre-retrain corpus) over the UNION corpus
+    cent_ids, cent_mat = kmeans_refine_centroids(
+        spark.createDataFrame(rows, EMB_SCHEMA)
+    )
+    union = spark.createDataFrame(rows + later, EMB_SCHEMA)
+    want = sorted(
+        map(tuple, _ivf_probe(union, queries, cent_ids, cent_mat, 5, "vec_id", "embedding").collect())
+    )
+    got = sorted(
+        map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
+    )
+    assert got == want

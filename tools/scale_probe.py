@@ -306,6 +306,11 @@ PROBE_OPS = [
     # offsets broadcast; the manifest answer is a groupBy over
     # fold-bounded additive deltas — linear, one shuffle class
     "q112_stream_shard_export",
+    # round-14: index retrain — per-iteration map-side assignment + the
+    # bounded (centroids x dim) partial-sum shuffle, then one corpus
+    # reassignment rewrite (a rebuild rescans the corpus ONCE by
+    # definition); must track ann_ivf_kmeans_topk's linear class
+    "q113_stream_ann_retrain",
 ]
 
 
