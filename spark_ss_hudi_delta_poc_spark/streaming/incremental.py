@@ -3596,3 +3596,26 @@ def retrain_ann_index(
     else:
         shutil.rmtree(old_root, ignore_errors=True)
     return new_root
+
+
+def read_shard(
+    spark: SparkSession, state_path: str, bucket: int, shard: int
+) -> DataFrame:
+    """The trainer-facing read path of the incremental export: one
+    (bucket, shard) slice of the maintained corpus.  A shard's files
+    live under ``data/inc=<token>/bucket=B/shard=S`` for the tokens
+    whose batches contributed to it — sealed shards stop accruing
+    tokens, so this listing is FROZEN for them (the byte-stability the
+    sealed-shard test pins).  Committed tokens only: a half-staged
+    crash increment is invisible here exactly as it is to the manifest."""
+    data_path = os.path.join(state_path, "data")
+    dirs = [
+        p
+        for t in _committed_tokens(state_path)
+        if os.path.isdir(p := os.path.join(
+            data_path, f"inc={t}", f"bucket={bucket}", f"shard={shard}"
+        ))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], "doc_id long, text string, n_tokens long")
+    return spark.read.parquet(*dirs).select("doc_id", "text", "n_tokens")

@@ -2622,3 +2622,45 @@ def test_retrain_ann_index_then_ingest_continues(spark, tmp_path):
         map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
     )
     assert got == want
+
+
+def test_read_shard_matches_manifest_and_is_stable(spark, tmp_path):
+    """read_shard returns exactly the manifest's (n_docs, n_tokens) for
+    every shard, and a sealed shard's content is IDENTICAL before and
+    after a later increment (the trainer-cache contract, read-path
+    view of the sealed-shard invariance)."""
+    from pyspark.sql import functions as F
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_shards,
+        read_shard,
+        shards_manifest_from_state,
+    )
+
+    rows = _doc_rows(0, 120)
+    state = os.path.join(tmp_path, "rs")
+    ingest_increment_shards(
+        spark, spark.createDataFrame(rows[:60], DOC_SCHEMA), state,
+        shard_tokens=64, increment_id=0,
+    )
+    man1 = {(r.bucket, r.shard): (r.n_docs, r.n_tokens)
+            for r in shards_manifest_from_state(spark, state).collect()}
+    sealed = [(b, s) for (b, s) in man1
+              if s < max(s2 for (b2, s2) in man1 if b2 == b)]
+    assert sealed
+    b0, s0 = sealed[0]
+    snap = sorted(map(tuple, read_shard(spark, state, b0, s0).collect()))
+    ingest_increment_shards(
+        spark, spark.createDataFrame(rows[60:], DOC_SCHEMA), state,
+        shard_tokens=64, increment_id=1,
+    )
+    # sealed shard: byte-identical read-back after the later increment
+    assert sorted(map(tuple, read_shard(spark, state, b0, s0).collect())) == snap
+    # every manifest row is exactly its shard's read-back aggregate
+    man2 = {(r.bucket, r.shard): (r.n_docs, r.n_tokens)
+            for r in shards_manifest_from_state(spark, state).collect()}
+    assert man2[(b0, s0)] == man1[(b0, s0)]
+    for (b, s), (nd, nt) in man2.items():
+        df = read_shard(spark, state, b, s)
+        agg = df.agg(F.count(F.lit(1)), F.sum("n_tokens")).collect()[0]
+        assert (agg[0], agg[1]) == (nd, nt), (b, s)
