@@ -1128,6 +1128,51 @@ def build_ivf_index(
     )
 
 
+def ivf_probe_pairs(cent_ids, cent_mat, q_rows, nprobe: int):
+    """Driver-side (query_id, cluster, qv) probe pairs — |Q| x nprobe
+    rows, the query-side nearest-centroid rule (cos desc, cid asc —
+    the same tie-break as :func:`_assign_clusters_q`).  Shared by the
+    persisted-index query path and the maintained index's serving
+    (streaming/incremental.ann_from_state), whose bit-exact parity
+    depends on the two never diverging (round-14 re-review)."""
+    import numpy as np
+
+    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
+    pairs = []
+    for r in q_rows:
+        v = np.asarray(r.qv, dtype=np.float64)
+        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
+        order = np.lexsort((cent_ids, -cos))[:nprobe]
+        for c in cent_ids[order]:
+            pairs.append((int(r.id), int(c), list(r.qv)))
+    return pairs
+
+
+def score_probed_lists(spark, lists: DataFrame, probe_pairs, k: int) -> DataFrame:
+    """The shared serving tail: broadcast the bounded probe-pair frame
+    into the (already cluster-filtered) lists scan, score exact cosine,
+    rank per query.  The ``.limit`` is the plan-level boundedness
+    certificate: |Q| x nprobe driver-local rows."""
+    qdf = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster long, qv_q array<long>"
+    ).limit(len(probe_pairs))
+    scored = (
+        lists.join(F.broadcast(qdf), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
 def ivf_index_topk(
     spark,
     path: str,
@@ -1157,16 +1202,9 @@ def ivf_index_topk(
     cent_rows.sort(key=lambda r: r.cid)
     cent_ids = np.array([r.cid for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r.qv_cent for r in cent_rows], dtype=np.float64)
-    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
-    probe_pairs = []  # (query_id, cluster, qv)
-    for r in q_rows:
-        v = np.asarray(r.qv, dtype=np.float64)
-        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
-        order = np.lexsort((cent_ids, -cos))[:nprobe]
-        for c in cent_ids[order]:
-            probe_pairs.append((int(r.id), int(c), list(r.qv)))
+    probe_pairs = ivf_probe_pairs(cent_ids, cent_mat, q_rows, nprobe)
     probed = sorted({c for _, c, _ in probe_pairs})
 
     # cluster is a partition DIRECTORY: inference returns int32 for the
@@ -1179,18 +1217,7 @@ def ivf_index_topk(
         .where(F.col("cluster").isin(probed))
         .withColumn("cluster", F.col("cluster").cast("long"))
     )
-    qdf = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster long, qv_q array<long>"
-    ).limit(len(probe_pairs))  # plan-level bound: |Q| x nprobe driver-local rows
-    scored = (
-        lists.join(F.broadcast(qdf), "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")).where(
-        F.col("rank") <= k
-    )
+    return score_probed_lists(spark, lists, probe_pairs, k)
 
 
 def ann_recall_report(

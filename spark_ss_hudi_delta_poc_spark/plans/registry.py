@@ -43,12 +43,14 @@ class Query:
 #     queue staged in round 13 (multimodal_phash_pairs ..
 #     text_source_divergence).  Evidence histogram max age drops from
 #     r8 to r10.
-#   Slots 29-50: the name-ordered oldest-r10 rows that fill the window
-#     (ann_ivfpq_topk .. privacy_l_diversity, 22 rows).
-# Late-landing round-14 operators (rule (a)) take slots at the TOP of
-# this window when they land, displacing the newest-evidence tail rows
-# (the last r10 names) into the round-15 queue — same mechanics as
-# rounds 11-13.
+#   Slots 29-50: the name-ordered oldest-r10 rows that fill the window.
+#     As STAGED this was ann_ivfpq_topk .. privacy_l_diversity (22
+#     rows); the three round-14 operators then took the top slots
+#     (rule (a)), displacing the three newest-evidence tail names
+#     (multimodal_audio_pairs, privacy_k_anonymity,
+#     privacy_l_diversity) into the round-15 queue — the committed
+#     window below carries the 19 remaining r10 rows, ending at
+#     monitor_value_outliers.  Same mechanics as rounds 11-13.
 #
 # Round-15 rotation queue (staged — VERDICT r13 pattern): the remaining
 # r10-cohort rows (multimodal_audio_pairs, privacy_k_anonymity and
@@ -100,7 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_ngram_lm_score",
     "text_ngram_novelty",
     "text_source_divergence",
-    # --- r10 cohort, oldest-evidence-next, name-ordered (22) ---------------
+    # --- r10 cohort, oldest-evidence-next, name-ordered (19) ---------------
     "ann_ivfpq_topk",
     "ann_pq_index_topk",
     "ann_pq_topk",

@@ -47,7 +47,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long, seeded_md5_long
+from ..functions.hashing import HEX_CHARS, md5_long, seeded_md5_long
 
 
 def _commits_dir(txn_root: str) -> str:
@@ -98,13 +98,24 @@ def _write_marker(txn_root: str, token: str, payload: dict | None = None) -> Non
     _atomic_write_json(os.path.join(_commits_dir(txn_root), token), payload or {})
 
 
-def _marker_payload(txn_root: str, token: str) -> dict:
-    """JSON payload of ONE committed marker (empty/legacy/garbled → {})."""
+def _marker_payload(txn_root: str, token: str, strict: bool = False) -> dict:
+    """JSON payload of ONE committed marker.  Empty/legacy markers →
+    {} always; an UNREADABLE or garbled marker is {} only when
+    ``strict`` is False — newest-marker GUARDS must pass strict=True,
+    because mapping a corrupt marker to {} silently disables the
+    term-set / centroid-digest / geometry check it anchors (round-14
+    re-review: the replaced every-marker scan degraded gracefully,
+    the single-marker read must fail loud instead)."""
     try:
         with open(os.path.join(_commits_dir(txn_root), token)) as fh:
             text = fh.read().strip()
         return json.loads(text) if text else {}
     except (OSError, ValueError):
+        if strict:
+            raise ValueError(
+                f"unreadable commit marker {token} at {txn_root} — refusing "
+                f"to skip the state guard it anchors"
+            )
         return {}
 
 
@@ -346,23 +357,27 @@ def fold_committed_incs(
     fresh = [t for t in committed if t not in folded]
     if not any(_committed_paths(tp, fresh) for tp in tables):
         return False
+    if man:
+        # A partial spec map over a multi-table root is REJECTED, not
+        # papered over (ADVICE r13 + round-14 re-review): the manifest
+        # rebuilt from the call's specs would forget sibling tables
+        # (heal_fold_debris reclaims their tiers as debris), and merely
+        # carrying their tiers forward is still lossy — "folded" is a
+        # GLOBAL token set, so a sibling's committed-but-unfolded
+        # inc=<token> delta would be marked folded without ever being
+        # folded into a tier: readers exclude it immediately and the
+        # next heal deletes it.  One root, one fold call, every table.
+        missing = [tp for tp in man["tables"] if tp not in specs]
+        if missing:
+            raise ValueError(
+                f"fold_committed_incs: specs must cover every table the "
+                f"manifest knows; missing {missing} — a partial-spec fold "
+                f"would orphan those tables' tiers and mark their pending "
+                f"deltas folded without folding them"
+            )
     new_v = (man["version"] + 1) if man else 1
     new_tables: dict[str, list[dict]] = {}
     grace_tables: dict[str, list[dict]] = {}
-    if man:
-        # Carry forward tiers (and grace) of the root's OTHER tables —
-        # ones the manifest knows but this call's specs omit.  A
-        # multi-table root (e.g. the fuzzy corpus/bands/retired trio)
-        # folded with a partial spec map must never commit a manifest
-        # that forgets a sibling table: heal_fold_debris would then
-        # reclaim that table's tier dirs as unreferenced debris — data
-        # loss (ADVICE r13).  _adopt_legacy_fuzzy_base set the pattern.
-        for tp, entry in man["tables"].items():
-            if tp not in specs:
-                new_tables[tp] = _entry_tiers(entry)
-        for tp, graced in man.get("grace", {}).items():
-            if tp not in specs:
-                grace_tables[tp] = graced
     for tp, spec in specs.items():
         bucket_cols = spec.get("bucket_cols")
         tbl_buckets = int(spec.get("n_buckets", n_buckets))
@@ -2787,7 +2802,7 @@ def ingest_increment_bm25(
     terms = sorted(str(t) for t in query_terms)
     if committed:
         newest_tok = max(committed, key=lambda t: (len(t), t))
-        pinned = _marker_payload(state_path, newest_tok).get("terms")
+        pinned = _marker_payload(state_path, newest_tok, strict=True).get("terms")
         if pinned is not None and pinned != terms:
             raise ValueError(
                 f"ingest_increment_bm25: state at {state_path} was built "
@@ -2942,8 +2957,14 @@ def _ann_pp_of(cluster: int, mod: int) -> int:
     """Driver-side twin of the fold layer's pp column (pp =
     md5_long(cluster) % mod; md5_long hashes the long's decimal string),
     so serving can turn probed cluster ids into partition-dir literals
-    without a Spark job.  Bounded: called once per probed cluster."""
-    return int(hashlib.md5(str(int(cluster)).encode()).hexdigest()[:15], 16) % mod
+    without a Spark job.  Bounded: called once per probed cluster.
+    HEX_CHARS is imported, not re-stated — the hash width has ONE owner
+    (functions/hashing.py), and a divergence here would silently prune
+    the wrong ppc partitions."""
+    return (
+        int(hashlib.md5(str(int(cluster)).encode()).hexdigest()[:HEX_CHARS], 16)
+        % mod
+    )
 
 
 def _ann_centroid_digest(cent_rows) -> str:
@@ -3018,16 +3039,30 @@ def ingest_increment_ann(
             "cid long, qv_cent array<long>",
         ).coalesce(1).write.mode("overwrite").parquet(cent_path)
         rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
+        max_seen = None
     else:
         rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
         newest_tok = max(committed, key=lambda t: (len(t), t))
-        pinned = _marker_payload(root, newest_tok).get("centroids")
+        pinned_payload = _marker_payload(root, newest_tok, strict=True)
+        pinned = pinned_payload.get("centroids")
         if pinned is not None and pinned != _ann_centroid_digest(rows):
             raise ValueError(
                 f"ingest_increment_ann: state at {state_path} was assigned "
                 f"under a different centroid set — retrain (rebuild) instead "
                 f"of mixing geometries"
             )
+        max_seen = pinned_payload.get("max_id")
+    # id-order guard (the fuzzy/shards guard class, round-14 re-review):
+    # index-vs-batch parity assumes every vector id arrives exactly once
+    # — a replayed source under a FRESH checkpoint (new batch-id tokens)
+    # would otherwise append duplicate list rows silently
+    b = batch.agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx")).collect()[0]
+    if max_seen is not None and b.mn is not None and b.mn <= max_seen:
+        raise ValueError(
+            f"ingest_increment_ann requires id-ordered arrival: batch min "
+            f"{id_col} {b.mn} <= already-indexed max {max_seen} — duplicate "
+            f"or replayed vectors would corrupt the inverted lists"
+        )
     digest = _ann_centroid_digest(rows)
     # map-side assignment against the pinned centroids (bounded closure
     # broadcast, no shuffle) — the exact core ivf_topk/build_ivf_index use
@@ -3049,13 +3084,21 @@ def ingest_increment_ann(
                 .groupBy("cluster")
                 .agg(F.sum("n_vectors").alias("n_vectors"))
             )
-        occ.write.mode("overwrite").parquet(os.path.join(occ_path, f"inc={token}"))
+        # collect once (<= n_centroids rows) while `assigned` is hot,
+        # then write the collected rows — the marker payload needs them
+        # anyway, and re-reading the just-written parquet per trigger
+        # was a wasted Spark job (round-14 re-review)
+        occ_rows = occ.collect()
+        spark.createDataFrame(
+            [(int(r.cluster), int(r.n_vectors)) for r in occ_rows],
+            "cluster long, n_vectors long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(occ_path, f"inc={token}")
+        )
         n = assigned.count()
     finally:
         assigned.unpersist()
-    # occupancy skew -> retrain trigger, recorded in THE marker (bounded
-    # read-back: <= n_centroids rows)
-    occ_rows = spark.read.parquet(os.path.join(occ_path, f"inc={token}")).collect()
+    # occupancy skew -> retrain trigger, recorded in THE marker
     total = sum(r.n_vectors for r in occ_rows)
     mx = max((r.n_vectors for r in occ_rows), default=0)
     retrain_due = bool(mx * n_centroids > ANN_RETRAIN_SKEW * total)
@@ -3067,6 +3110,7 @@ def ingest_increment_ann(
             "occ_max": int(mx),
             "occ_total": int(total),
             "retrain_due": retrain_due,
+            "max_id": int(b.mx) if b.mx is not None else max_seen,
         },
     )
     # prune superseded occupancy dirs from the listing (markers stay)
@@ -3097,11 +3141,8 @@ def ann_from_state(
     clusters before the broadcast join.  Matches batch ivf_index_topk
     over the union corpus bit-exactly (same centroid rule, same
     assignment and scoring cores)."""
-    import numpy as np
-
-    from pyspark.sql import Window
-
-    from ..functions.vector import cosine_q, quantize
+    from ..functions.vector import quantize
+    from ..operators.similarity import ivf_probe_pairs, score_probed_lists
 
     empty = "query_id long, neighbor_id long, cosine double, rank integer"
     root = _ann_root(state_path)  # post-retrain generations (q113)
@@ -3110,17 +3151,10 @@ def ann_from_state(
     if not os.path.isdir(cent_path):
         return spark.createDataFrame([], empty)
     _, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
-    cent_nsq = (cent_mat * cent_mat).sum(axis=1)
     q_rows = queries.select(
         F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
     ).collect()
-    probe_pairs = []  # (query_id, cluster, qv) — |Q| x nprobe rows
-    for r in q_rows:
-        v = np.asarray(r.qv, dtype=np.float64)
-        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
-        order = np.lexsort((cent_ids, -cos))[:nprobe]
-        for c in cent_ids[order]:
-            probe_pairs.append((int(r.id), int(c), list(r.qv)))
+    probe_pairs = ivf_probe_pairs(cent_ids, cent_mat, q_rows, nprobe)
     probed = sorted({c for _, c, _ in probe_pairs})
     man = _fold_manifest(root)
     folded = set(man["folded"]) if man else set()
@@ -3146,24 +3180,7 @@ def ann_from_state(
     lists = parts[0]
     for p in parts[1:]:
         lists = lists.unionByName(p)
-    qdf = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster long, qv_q array<long>"
-    ).limit(len(probe_pairs))  # plan-level bound: |Q| x nprobe rows
-    scored = (
-        lists.join(F.broadcast(qdf), "cluster")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_q(F.col("qv_q"), F.col("qv")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.select(
-        "query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank")
-    ).where(F.col("rank") <= k)
+    return score_probed_lists(spark, lists, probe_pairs, k)
 
 
 def incremental_ann_ingest(
@@ -3279,7 +3296,7 @@ def ingest_increment_shards(
     # predecessor, so one read covers the chain)
     if committed:
         newest_tok = max(committed, key=lambda t: (len(t), t))
-        pinned = _marker_payload(state_path, newest_tok)
+        pinned = _marker_payload(state_path, newest_tok, strict=True)
         if pinned.get("n_buckets") is not None and (
             pinned["n_buckets"] != n_buckets
             or pinned["shard_tokens"] != shard_tokens
@@ -3495,6 +3512,45 @@ def _ann_lists_spec(lists_path: str, n_centroids: int) -> dict:
     }
 
 
+def _ann_gc_stale_generations(
+    spark: SparkSession, state_path: str, current_root: str
+) -> None:
+    """Heal-at-top for the generation protocol (round-14 re-review: the
+    post-flip GC has a crash window, so the NEXT retrain must actually
+    remove what it left): delete every generation the pointer does not
+    own — crashed half-built generations AND a superseded generation
+    whose post-flip GC was interrupted — dropping each one's fold
+    tiers' metastore tables first (rmtree alone would orphan them).
+    When the pointer exists, the pre-generation root-level tables are
+    gen-0 debris and die the same way."""
+    current = os.path.abspath(current_root)
+    stale: list[str] = []
+    for d in os.listdir(state_path) if os.path.isdir(state_path) else []:
+        p = os.path.join(state_path, d)
+        if d.startswith("gen=") and os.path.abspath(p) != current:
+            stale.append(p)
+    if current != os.path.abspath(state_path) and os.path.isdir(
+        os.path.join(state_path, "_commits")
+    ):
+        stale.append(state_path)
+    for r in stale:
+        man = _fold_manifest(r)
+        if man:
+            for entry in man["tables"].values():
+                for e in _entry_tiers(entry):
+                    if e.get("table"):
+                        spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+        if os.path.abspath(r) == os.path.abspath(state_path):
+            for d in ("lists", "occupancy", "centroids", "_commits"):
+                shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
+            try:
+                os.remove(_fold_manifest_path(state_path))
+            except FileNotFoundError:
+                pass
+        else:
+            shutil.rmtree(r, ignore_errors=True)
+
+
 def retrain_ann_index(
     spark: SparkSession,
     state_path: str,
@@ -3511,6 +3567,7 @@ def retrain_ann_index(
     )
 
     old_root = _ann_root(state_path)
+    _ann_gc_stale_generations(spark, state_path, old_root)
     old_gen = (
         int(os.path.basename(old_root).split("=", 1)[1])
         if os.path.basename(old_root).startswith("gen=")
@@ -3555,6 +3612,9 @@ def retrain_ann_index(
     cent_rows = spark.read.parquet(os.path.join(new_root, "centroids")).collect()
     total = sum(r.n_vectors for r in occ_rows)
     mx = max((r.n_vectors for r in occ_rows), default=0)
+    # carry the id-order high-water mark across the generation flip so
+    # the duplicate/replay guard survives retrain (1-row aggregate)
+    mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
     _write_marker(
         new_root,
         token,
@@ -3564,6 +3624,7 @@ def retrain_ann_index(
             "occ_total": int(total),
             "retrain_due": bool(mx * n_centroids > ANN_RETRAIN_SKEW * total),
             "retrained_from_gen": old_gen,
+            "max_id": int(mx_id) if mx_id is not None else None,
         },
     )
     # fold immediately: the new generation serves partition-pruned from

@@ -2085,14 +2085,17 @@ def test_bm25_ingest_rejects_term_set_change(spark, tmp_path):
         )
 
 
-def test_partial_spec_fold_carries_sibling_tables_forward(spark, tmp_path):
-    """ADVICE r13 (medium): a multi-table root folded with a PARTIAL
-    spec map must carry the manifest's other tables forward — a
-    manifest rebuilt only from the call's specs would forget sibling
-    tables, and heal_fold_debris would then reclaim their tier dirs as
-    unreferenced debris (data loss).  Fold two tables under one
-    manifest, re-fold only one, and pin that the other's tier survives
-    the manifest flip AND a subsequent heal."""
+def test_partial_spec_fold_rejects_missing_sibling_tables(spark, tmp_path):
+    """ADVICE r13 (medium) + round-14 re-review: a multi-table root
+    folded with a PARTIAL spec map must be rejected, not papered over —
+    carrying sibling tiers forward is still lossy because "folded" is a
+    GLOBAL token set (a sibling's committed-but-unfolded delta would be
+    marked folded without ever being folded: readers exclude it, heal
+    deletes it).  Pin the raise, pin that nothing was damaged, and pin
+    the safe full-spec shape where one table simply has no fresh
+    deltas."""
+    import pytest
+
     from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
         _fold_manifest,
         _write_marker,
@@ -2114,21 +2117,37 @@ def test_partial_spec_fold_carries_sibling_tables_forward(spark, tmp_path):
     man = _fold_manifest(root)
     assert set(man["tables"]) == {os.path.abspath(ta), os.path.abspath(tb)}
     tb_tier = man["tables"][os.path.abspath(tb)][0]["path"]
-    # second increment touches table A only; fold with a PARTIAL spec
+    # second increment stages deltas under BOTH tables; a partial-spec
+    # fold must raise BEFORE committing anything
     spark.createDataFrame([(2, "c")], DOC_SCHEMA).write.parquet(
         os.path.join(ta, "inc=t2")
     )
+    spark.createDataFrame([(20, "d")], DOC_SCHEMA).write.parquet(
+        os.path.join(tb, "inc=t2")
+    )
     _write_marker(root, "t2")
-    assert fold_committed_incs(spark, root, {ta: None})
+    with pytest.raises(ValueError, match="every table the"):
+        fold_committed_incs(spark, root, {ta: None})
+    # nothing was damaged: manifest unchanged, tb's delta still live
     man2 = _fold_manifest(root)
-    # sibling table carried forward, tier unchanged
-    assert man2["tables"][os.path.abspath(tb)][0]["path"] == tb_tier
-    assert os.path.isdir(tb_tier)
-    # a heal over BOTH tables must not reclaim the carried tier
+    assert man2["version"] == man["version"]
+    assert os.path.isdir(os.path.join(tb, "inc=t2"))
     heal_fold_debris(root, [ta, tb], spark)
-    assert os.path.isdir(tb_tier)
-    assert sorted(r.doc_id for r in spark.read.parquet(tb).collect()) == [10]
+    assert os.path.isdir(os.path.join(tb, "inc=t2"))
+    # the FULL-spec fold commits both deltas; all rows intact
+    assert fold_committed_incs(spark, root, {ta: None, tb: None})
+    assert sorted(r.doc_id for r in spark.read.parquet(tb).collect()) == [10, 20]
     assert sorted(r.doc_id for r in spark.read.parquet(ta).collect()) == [1, 2]
+    # safe shape: a THIRD fold where only ta has fresh deltas still
+    # passes full specs; tb's tier survives untouched
+    spark.createDataFrame([(3, "e")], DOC_SCHEMA).write.parquet(
+        os.path.join(ta, "inc=t3")
+    )
+    _write_marker(root, "t3")
+    assert fold_committed_incs(spark, root, {ta: None, tb: None})
+    assert os.path.isdir(tb_tier) or spark.read.parquet(tb).count() == 2
+    assert sorted(r.doc_id for r in spark.read.parquet(tb).collect()) == [10, 20]
+
 
 
 # --- q111: cross-run maintained ANN index -----------------------------------
@@ -2664,3 +2683,77 @@ def test_read_shard_matches_manifest_and_is_stable(spark, tmp_path):
         df = read_shard(spark, state, b, s)
         agg = df.agg(F.count(F.lit(1)), F.sum("n_tokens")).collect()[0]
         assert (agg[0], agg[1]) == (nd, nt), (b, s)
+
+
+def test_ann_ingest_id_order_guard_and_strict_marker(spark, tmp_path):
+    """Round-14 re-review fixes: (a) a batch whose ids overlap the
+    already-indexed range raises (duplicate vectors would silently
+    corrupt the inverted lists — the shards guard class); (b) a
+    corrupted NEWEST marker disables no guard — the strict read
+    raises instead of treating garble as 'no payload'."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _commits_dir,
+        ingest_increment_ann,
+    )
+
+    rows = _emb_rows(0, 40)
+    state = os.path.join(tmp_path, "iog")
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows, EMB_SCHEMA), state, increment_id=0
+    ) == 40
+    with pytest.raises(ValueError, match="id-ordered arrival"):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(_emb_rows(30, 50), EMB_SCHEMA), state,
+            increment_id=1,
+        )
+    # corrupt the newest marker: the guard read must fail loud
+    with open(os.path.join(_commits_dir(state), "0"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="unreadable commit marker"):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(_emb_rows(40, 50), EMB_SCHEMA), state,
+            increment_id=1,
+        )
+
+
+def test_retrain_heals_interrupted_generation_gc(spark, tmp_path):
+    """Round-14 re-review: a crash between the pointer flip and the
+    old-generation GC leaves the superseded generation's dirs (and its
+    fold tables) on disk — the NEXT retrain's heal-at-top must remove
+    them.  Simulate the debris by re-creating gen-0 root-level tables
+    after a completed retrain, then retrain again and pin the heal."""
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ann_from_state,
+        ingest_increment_ann,
+        retrain_ann_index,
+    )
+
+    rows = _emb_rows(0, 60)
+    queries = spark.createDataFrame(rows[:5], EMB_SCHEMA)
+    state = os.path.join(tmp_path, "ggc")
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows, EMB_SCHEMA), state, increment_id=0
+    )
+    retrain_ann_index(spark, state)
+    # simulate interrupted old-gen GC: resurrect root-level debris and
+    # a half-built next generation
+    os.makedirs(os.path.join(state, "_commits"), exist_ok=True)
+    with open(os.path.join(state, "_commits", "zz"), "w") as fh:
+        fh.write("{}")
+    os.makedirs(os.path.join(state, "lists", "inc=zz"), exist_ok=True)
+    os.makedirs(os.path.join(state, "gen=99"), exist_ok=True)
+    before = sorted(
+        map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
+    )
+    new_root = retrain_ann_index(spark, state)
+    assert os.path.basename(new_root) == "gen=2"
+    assert not os.path.isdir(os.path.join(state, "lists"))
+    assert not os.path.isdir(os.path.join(state, "_commits"))
+    assert not os.path.isdir(os.path.join(state, "gen=99"))
+    assert not os.path.isdir(os.path.join(state, "gen=1"))
+    # the rebuilt index serves the same answer (same corpus, same rule)
+    assert sorted(
+        map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
+    ) == before
