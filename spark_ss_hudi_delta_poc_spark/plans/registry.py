@@ -33,95 +33,91 @@ class Query:
 # against their oracles; the rest ride on the in-repo gate
 # (tools/verify_local.py, all SFs).
 #
-# Round-14 rotation — VERDICT r13 #1, the committed round-14 queue
-# (the 28 remaining r8-cohort rows, then r10 oldest-first to fill 50).
+# Round-15 rotation — VERDICT r14 #1, the committed round-15 queue
+# (the full remaining r10 cohort, then r11 oldest-first to fill 50).
 # Rotation rule unchanged: (a) first rows for operators with ZERO
 # external evidence, (b) fresh rows for plans materially changed since
 # their newest row, (c) then oldest-evidence-first (name order breaks
 # ties inside a cohort, matching the committed queue listing).
-#   Slots 1-28: the full remaining r8 cohort, name-ordered, exactly the
-#     queue staged in round 13 (multimodal_phash_pairs ..
-#     text_source_divergence).  Evidence histogram max age drops from
-#     r8 to r10.
-#   Slots 29-50: the name-ordered oldest-r10 rows that fill the window.
-#     As STAGED this was ann_ivfpq_topk .. privacy_l_diversity (22
-#     rows); the three round-14 operators then took the top slots
-#     (rule (a)), displacing the three newest-evidence tail names
-#     (multimodal_audio_pairs, privacy_k_anonymity,
-#     privacy_l_diversity) into the round-15 queue — the committed
-#     window below carries the 19 remaining r10 rows, ending at
-#     monitor_value_outliers.  Same mechanics as rounds 11-13.
+#   Slots 1-31: the full remaining r10 cohort, name-ordered, exactly
+#     the queue staged in round 14 (multimodal_audio_pairs ..
+#     text_pmi_collocations, including the three rows the round-14
+#     operators displaced).  Evidence histogram max age drops from
+#     r10 to r11.
+#   Slots 32-50: the name-ordered oldest-r11 rows that fill the window
+#     (ann_lsh_topk .. q06_filter, 19 rows).  Any operator added in
+#     round 15 takes a first-row slot ahead of these (rule (a)),
+#     displacing the newest-evidence tail names into the round-16
+#     queue — same mechanics as rounds 11-14.
 #
-# Round-15 rotation queue (staged — VERDICT r13 pattern): the remaining
-# r10-cohort rows (multimodal_audio_pairs, privacy_k_anonymity and
-# privacy_l_diversity — displaced from this window by the
-# q111/q112/q113 first rows —
-# q01_count, q02_group_count, q03_distinct_count, q100_stream_scd2,
-# q101_salted_skew_join, q21_stream_session_window, q44_stream_static_join,
-# q51_returned_top_customers, q69_market_share, q70_waiting_suppliers,
-# q72_promo_revenue, q73_disjunctive_join, q81_small_qty_revenue,
-# q83_product_profit, q85_supplier_part_counts, q86_promo_part_suppliers,
-# q87_min_price_supplier, q93_zone_map_skipping, q94_stream_dup_rate,
-# q97_stream_bloom_ingest, q98_stream_late_data, q99_group_heavy_hitters,
-# scd2_as_of, scd2_history, sketch_hll_by_type, sketch_kmv_jaccard,
-# text_langid_confusion, text_pmi_collocations, plus any rows displaced
-# from this window by round-14 operators), then r11 oldest-first (name
-# order) to fill 50; any operator added in round 15 takes a first-row
-# slot ahead of the refresh rows.
+# Round-16 rotation queue (staged): the remaining r11-cohort rows
+# (q04_dup_having and q06_filter — displaced from this window by the
+# q114/q115 first rows — then q07_explode_flatten, q09_json_roundtrip,
+# q102_salted_distinct_agg, q103_stream_scd2_compacting,
+# q105_stream_bottomk_sample, q10_stream_global_agg, q12_stream_roundtrip,
+# q19_stream_windowed_agg, q22_stream_dedup, q27_approx_distinct,
+# q31_stream_stream_join, q32_upsert_snapshot, q39_conditional_battery,
+# q40_array_battery, q41_hash_split, q42_profile_table, q46_edit_distance,
+# q60_stream_materialized_latest, q64_conditional_distinct, q65_string_agg,
+# q77_array_output, q79_custorder_distribution, q80_top_supplier,
+# q82_large_volume_customers, q84_important_parts, q88_range_join,
+# q89_heavy_hitters, q91_stream_ann_serving, text_quality_score,
+# text_rare_token_stats), then r12 oldest-first (name order) to fill 50;
+# any operator added in round 16 takes a first-row slot ahead of the
+# refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- FIRST rows for this round's new operators ---------------------------
-    "q111_stream_ann_index",
-    "q112_stream_shard_export",
-    "q113_stream_ann_retrain",
-    # --- r8 cohort refresh: the 28 remaining rows, committed queue (28) ----
-    "multimodal_phash_pairs",
-    "q05_ts_roundtrip",
-    "q08_epoch_roundtrip",
-    "q11_datetime_battery",
-    "q33_segment_topn",
-    "q34_region_revenue",
-    "q35_moving_agg",
-    "q36_resample_gapfill",
-    "q37_rank_battery",
-    "q38_lag_lead",
-    "q43_collect_arrays",
-    "q45_histogram",
-    "q47_quality_rules",
-    "q54_group_mode",
-    "q61_date_arith",
-    "q63_unpivot",
-    "q74_zorder_values",
-    "q76_bit_aggregates",
-    "q92_stream_decontaminate",
-    "q95_stream_hll_distinct",
-    "q96_stream_hll_ingest",
-    "sketch_bloom_filter",
-    "sketch_cms_topk",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "text_ngram_lm_score",
-    "text_ngram_novelty",
-    "text_source_divergence",
-    # --- r10 cohort, oldest-evidence-next, name-ordered (19) ---------------
-    "ann_ivfpq_topk",
-    "ann_pq_index_topk",
-    "ann_pq_topk",
-    "ann_rerank_topk",
-    "bloom_join_reduction",
-    "corpus_bpe_pair_counts",
-    "corpus_dedup_report",
-    "curation_ccnet_buckets",
-    "curation_contamination_report",
-    "curation_sample_exact_n",
-    "dedup_minhash_histogram",
-    "dedup_winnow_pairs",
-    "embedding_centroid_confusion",
-    "embedding_norm_stats",
-    "embedding_top_direction",
-    "graph_triangles",
-    "monitor_category_drift",
-    "monitor_freshness",
-    "monitor_value_outliers",
+    # --- r10 cohort refresh: the 31 remaining rows, committed queue (31) ---
+    "multimodal_audio_pairs",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "q01_count",
+    "q02_group_count",
+    "q03_distinct_count",
+    "q100_stream_scd2",
+    "q101_salted_skew_join",
+    "q21_stream_session_window",
+    "q44_stream_static_join",
+    "q51_returned_top_customers",
+    "q69_market_share",
+    "q70_waiting_suppliers",
+    "q72_promo_revenue",
+    "q73_disjunctive_join",
+    "q81_small_qty_revenue",
+    "q83_product_profit",
+    "q85_supplier_part_counts",
+    "q86_promo_part_suppliers",
+    "q87_min_price_supplier",
+    "q93_zone_map_skipping",
+    "q94_stream_dup_rate",
+    "q97_stream_bloom_ingest",
+    "q98_stream_late_data",
+    "q99_group_heavy_hitters",
+    "scd2_as_of",
+    "scd2_history",
+    "sketch_hll_by_type",
+    "sketch_kmv_jaccard",
+    "text_langid_confusion",
+    "text_pmi_collocations",
+    # --- r11 cohort, oldest-evidence-next, name-ordered (19) ---------------
+    "ann_lsh_topk",
+    "corpus_pipeline",
+    "curation_repetition",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_fuzzy_edit",
+    "dedup_fuzzy_recall",
+    "dedup_keep_best",
+    "dedup_kept_corpus",
+    "dedup_minhash_recall",
+    "dedup_normalized",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_knn_graph",
+    "monitor_schema_drift",
+    "monitor_seasonal_anomaly",
+    "privacy_t_closeness",
+    "q04_dup_having",
+    "q06_filter",
 )
 
 
