@@ -136,6 +136,12 @@ HEADLINE = [
     "q111_stream_ann_index",
     "q112_stream_shard_export",
     "q113_stream_ann_retrain",
+    # round-15: stream query serving against the maintained index and
+    # the auto-retrain path — TWO new rows, so BENCH_r15's total is 75
+    # queries vs r14's 73 (compare shared rows / bench_ab, never raw
+    # totals across the boundary)
+    "q114_stream_ann_query_serving",
+    "q115_stream_ann_autoretrain",
 ]
 
 
@@ -152,6 +158,45 @@ def calibration_sec(spark) -> float:
         .collect()
     )
     job()  # untimed warmup (JIT)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def io_calibration_sec(spark) -> float:
+    """Fixed-work I/O-BOUND box-speed probe (VERDICT r14 #5): the CPU
+    calibration row over-corrects I/O-bound queries when box drift is
+    CPU contention (r14's raw 0.887 vs normalized 1.424 straddle), so
+    the bracket needs a second, I/O-side instrument.  A pinned synthetic
+    parquet set (64 files, deterministic content, written UNTIMED into
+    the bench scratch root each run) is scanned and aggregated — file
+    listing + footer reads + parquet decode, the cost class the
+    streaming/staging rows are dominated by.  No repo change can affect
+    it; min-of-3 after one warmup, the same discipline as the CPU row."""
+    from spark_ss_hudi_delta_poc_spark.streaming.jobs import stream_scratch_root
+
+    root = os.path.join(stream_scratch_root(), "io_calibration")
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        spark.range(0, 20_000_000, 1, 64)
+        .selectExpr(
+            "id",
+            "pmod(id * 2654435761, 1000003) as v",
+            "cast(id % 97 as string) as s",
+        )
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    job = lambda: (
+        spark.read.parquet(root)
+        .selectExpr("sum(v) as sv", "count(distinct s) as cs")
+        .collect()
+    )
+    job()  # untimed warmup
     best = None
     for _ in range(3):
         t0 = time.time()
@@ -182,6 +227,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     calib = calibration_sec(spark)
     print(f"# __calibration__: {calib}s (fixed work, box-speed probe)", file=sys.stderr)
+    io_calib = io_calibration_sec(spark)
+    print(
+        f"# __io_calibration__: {io_calib}s (fixed parquet scan, I/O-side probe)",
+        file=sys.stderr,
+    )
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -226,6 +276,11 @@ def main() -> None:
         # round-over-round totals by the calibration ratio to separate
         # machine-load drift from plan regressions (VERDICT r12 #3)
         "calibration_sec": calib,
+        # the I/O-side twin (VERDICT r14 #5): CPU + I/O calibration
+        # ratios BRACKET box drift — when raw and normalized shared
+        # ratios straddle 1.0, attribute per-query with plans, citing
+        # whichever instrument matches the row's cost class
+        "io_calibration_sec": io_calib,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

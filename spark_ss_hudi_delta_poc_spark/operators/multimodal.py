@@ -9,11 +9,16 @@ Design (the part that must be REAL at 100 TB):
 - decode/resize/frame-sample are per-row pure functions → map-only stage,
   no shuffle, linear scale-out.
 
-The actual codec step is STUBBED (no image/audio libs in this container):
-``decode_image``/``decode_audio`` raise NotImplementedError, and the
-pipeline runs with ``fake_decode`` — a deterministic MD5-derived feature
-extractor whose outputs the DuckDB oracle reproduces exactly, so the whole
-Arrow/mapInPandas plumbing is still oracle-verified end-to-end.
+Codec status (VERDICT r14 #6 narrowed the stub): UNCOMPRESSED formats
+decode for real — ``decode_image`` parses 24-bit BMP and ``decode_audio``
+parses 16-bit PCM WAV with pure numpy (no external libs; pytest drives
+them over hand-built fixtures through the same mapInPandas plumbing).
+COMPRESSED formats (png/jpeg/mp3/...) still raise NotImplementedError —
+those need real codec libraries this container doesn't ship.  The
+registered oracle rows keep ``fake_decode`` — a deterministic MD5-derived
+feature extractor whose outputs the DuckDB oracle reproduces exactly, so
+the Arrow/mapInPandas plumbing stays oracle-verified end-to-end at every
+SF while the real decoders are pinned by unit vectors.
 """
 
 from __future__ import annotations

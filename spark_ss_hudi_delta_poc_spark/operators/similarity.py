@@ -1141,7 +1141,13 @@ def ivf_probe_pairs(cent_ids, cent_mat, q_rows, nprobe: int):
     pairs = []
     for r in q_rows:
         v = np.asarray(r.qv, dtype=np.float64)
-        cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (cent_mat @ v) / np.sqrt(cent_nsq * (v @ v))
+        # zero-norm query (ADVICE r14): cosine is undefined → pin it to
+        # 0.0 so the lexsort degrades to the cid-ascending tie-break,
+        # the same order the oracle's ROW_NUMBER(... cos DESC, cid ASC)
+        # produces when every cosine ties — never a NaN-order lottery
+        cos = np.where(np.isfinite(cos), cos, 0.0)
         order = np.lexsort((cent_ids, -cos))[:nprobe]
         for c in cent_ids[order]:
             pairs.append((int(r.id), int(c), list(r.qv)))

@@ -44,11 +44,14 @@ class Query:
 #     text_pmi_collocations, including the three rows the round-14
 #     operators displaced).  Evidence histogram max age drops from
 #     r10 to r11.
-#   Slots 32-50: the name-ordered oldest-r11 rows that fill the window
-#     (ann_lsh_topk .. q06_filter, 19 rows).  Any operator added in
-#     round 15 takes a first-row slot ahead of these (rule (a)),
-#     displacing the newest-evidence tail names into the round-16
-#     queue — same mechanics as rounds 11-14.
+#   Slots 32-50 as STAGED: the name-ordered oldest-r11 rows that fill
+#     the window (ann_lsh_topk .. q06_filter, 19 rows).  The two
+#     round-15 operators (q114_stream_ann_query_serving,
+#     q115_stream_ann_autoretrain) then took the top slots (rule (a)),
+#     displacing the two newest-evidence tail names (q04_dup_having,
+#     q06_filter) into the round-16 queue — the committed window below
+#     carries the 17 remaining r11 rows, ending at privacy_t_closeness.
+#     Same mechanics as rounds 11-14.
 #
 # Round-16 rotation queue (staged): the remaining r11-cohort rows
 # (q04_dup_having and q06_filter — displaced from this window by the
@@ -66,6 +69,9 @@ class Query:
 # any operator added in round 16 takes a first-row slot ahead of the
 # refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- FIRST rows for this round's new operators ---------------------------
+    "q114_stream_ann_query_serving",
+    "q115_stream_ann_autoretrain",
     # --- r10 cohort refresh: the 31 remaining rows, committed queue (31) ---
     "multimodal_audio_pairs",
     "privacy_k_anonymity",
@@ -116,8 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "monitor_schema_drift",
     "monitor_seasonal_anomaly",
     "privacy_t_closeness",
-    "q04_dup_having",
-    "q06_filter",
 )
 
 

@@ -63,6 +63,29 @@ def _committed_tokens(txn_root: str) -> list[str]:
     return sorted(t for t in os.listdir(d) if not t.endswith(".tmp"))
 
 
+def _token_key(t: str) -> tuple:
+    """Chain-order key for commit tokens.  All-digit tokens sort
+    NUMERICALLY — the two digit styles (unpadded stream batch ids '0',
+    '1', ... and 9-digit zero-padded auto/retrain tokens '000000000')
+    coexist in one state after a retrain generation flip, and (len, lex)
+    order pinned the padded retrain token above every later unpadded
+    batch id, freezing the id-order guard's high-water mark at its
+    retrain-time value (ADVICE r14 medium: a replayed post-retrain batch
+    then passed the guard and silently double-inserted).  Content-hash
+    tokens (``<count>x<hex>`` — a source either always or never uses
+    them, so they never mix with numeric tokens in one chain) keep the
+    legacy (len, lex) order."""
+    return (int(t), t) if t.isdigit() else (len(t), t)
+
+
+def _newest_committed_token(committed: list[str]) -> str | None:
+    """The newest committed token under ``_token_key`` — the ONE marker
+    the per-trigger guards read (the ADVICE-r13 rule: every earlier
+    marker was validated against its own predecessor at write time, so
+    by induction one read covers the chain)."""
+    return max(committed, key=_token_key) if committed else None
+
+
 def _fsync_dir(path: str) -> None:
     """fsync a DIRECTORY so a just-created/renamed entry survives power
     loss, not only process crash (POSIX: the rename itself is atomic,
@@ -2045,9 +2068,11 @@ def ingest_increment_fuzzy(
 
     Id-order guard (round-12, ADVICE r11): the drop rule's batch-oracle
     equivalence REQUIRES id-ordered arrival, so each increment commits
-    its max ``id_col`` as a high-watermark in the marker payload and a
-    later increment whose min id does not exceed every committed
-    watermark raises ValueError instead of silently diverging.
+    the RUNNING max ``id_col`` as a high-watermark in its marker payload
+    and a later increment whose min id does not exceed the newest
+    committed watermark raises ValueError instead of silently
+    diverging.  Only the newest marker is read per trigger (VERDICT r14
+    #2 — the bm25/ann/shards newest-marker rule backported).
 
     Cap-semantics caveat (documented divergence, the fixed-grid class):
     the batch oracle's mega-bucket cap is evaluated on FINAL corpus
@@ -2078,17 +2103,28 @@ def ingest_increment_fuzzy(
         max_bucket = dedup.FUZZY_MAX_BUCKET
 
     # id-order runtime guard: one tiny agg over the batch, compared to
-    # the committed markers' high-watermarks (legacy empty markers have
-    # no watermark and are skipped — backward compatible)
+    # the NEWEST committed marker's high-watermark only (ADVICE r13 /
+    # VERDICT r14 #2 — scanning every marker was O(stream-lifetime)
+    # driver I/O per trigger; each marker carries the running max
+    # carried FORWARD from its predecessor, so by induction one read
+    # covers the chain).  A legacy chain whose newest marker predates
+    # the watermark payload falls back to the one-time full scan.
     idrow = batch.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
-    marks = [
-        p["max_id"]
-        for p in _marker_payloads(index_path).values()
-        if p.get("max_id") is not None
-    ]
-    high_watermark = max(marks) if marks else None
+    newest_tok = _newest_committed_token(committed)
+    high_watermark = (
+        _marker_payload(index_path, newest_tok, strict=True).get("max_id")
+        if newest_tok is not None
+        else None
+    )
+    if newest_tok is not None and high_watermark is None:
+        marks = [
+            p["max_id"]
+            for p in _marker_payloads(index_path).values()
+            if p.get("max_id") is not None
+        ]
+        high_watermark = max(marks) if marks else None
     if (
         idrow.lo is not None
         and high_watermark is not None
@@ -2167,11 +2203,13 @@ def ingest_increment_fuzzy(
         finally:
             survivors.unpersist()
         # single commit point for all three tables; the payload carries
-        # the id high-watermark for the next increment's order guard
+        # the RUNNING id high-watermark (batch max, or the carried-
+        # forward previous mark for an empty batch) so the next
+        # increment's guard needs only this one marker
         _write_marker(
             index_path,
             token,
-            payload={"max_id": idrow.hi},
+            payload={"max_id": idrow.hi if idrow.hi is not None else high_watermark},
         )
         # base+delta maintenance (serialized with ingests by the
         # foreachBatch caller, compact_scd2_log's structural fencing):
@@ -2279,7 +2317,7 @@ def ingest_increment_bottomk(
         # next in sequence after the newest surviving token (committed
         # markers are pruned with their superseded dirs, so a count
         # would reset and collide; both modes are decimal ints)
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -2311,7 +2349,7 @@ def latest_bottomk_dir(state_path: str) -> str | None:
     tokens = _committed_tokens(state_path)
     if not tokens:
         return None
-    newest = max(tokens, key=lambda t: (len(t), t))
+    newest = max(tokens, key=_token_key)
     p = os.path.join(state_path, f"inc={newest}")
     return p if os.path.isdir(p) else None
 
@@ -2384,7 +2422,7 @@ def ingest_increment_source_counts(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -2465,7 +2503,7 @@ def _latest_committed_dir(table_path: str, tokens: list[str]) -> str | None:
     the current version of a replace-state table whose markers must
     OUTLIVE superseded dirs because a sibling append-only table shares
     them."""
-    for t in sorted(tokens, key=lambda t: (len(t), t), reverse=True):
+    for t in sorted(tokens, key=_token_key, reverse=True):
         p = os.path.join(table_path, f"inc={t}")
         if os.path.isdir(p):
             return p
@@ -2531,7 +2569,7 @@ def ingest_increment_dsir(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -2672,7 +2710,7 @@ def ingest_increment_drift_counts(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -2786,7 +2824,7 @@ def ingest_increment_bm25(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -2801,7 +2839,7 @@ def ingest_increment_bm25(
     # induction one check covers the whole chain.
     terms = sorted(str(t) for t in query_terms)
     if committed:
-        newest_tok = max(committed, key=lambda t: (len(t), t))
+        newest_tok = _newest_committed_token(committed)
         pinned = _marker_payload(state_path, newest_tok, strict=True).get("terms")
         if pinned is not None and pinned != terms:
             raise ValueError(
@@ -2997,9 +3035,13 @@ def ingest_increment_ann(
     vec_col: str = "embedding",
     increment_id: int | str | None = None,
     fold_threshold: int | None = ANN_STATE_FOLD_THRESHOLD,
+    retrain_skew: float = ANN_RETRAIN_SKEW,
 ) -> int:
     """One increment of cross-run ANN index maintenance (see the section
-    comment above).  Returns the number of vectors added."""
+    comment above).  Returns the number of vectors added.
+    ``retrain_skew`` is the occupancy-skew threshold behind the marker's
+    ``retrain_due`` flag (VERDICT r14 #3 made it a parameter so the
+    auto-retrain hook can run at a forced audit cadence)."""
     from ..functions.vector import quantize
     from ..operators.similarity import _assign_clusters
 
@@ -3012,7 +3054,7 @@ def ingest_increment_ann(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -3042,7 +3084,7 @@ def ingest_increment_ann(
         max_seen = None
     else:
         rows, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
-        newest_tok = max(committed, key=lambda t: (len(t), t))
+        newest_tok = _newest_committed_token(committed)
         pinned_payload = _marker_payload(root, newest_tok, strict=True)
         pinned = pinned_payload.get("centroids")
         if pinned is not None and pinned != _ann_centroid_digest(rows):
@@ -3055,8 +3097,22 @@ def ingest_increment_ann(
     # id-order guard (the fuzzy/shards guard class, round-14 re-review):
     # index-vs-batch parity assumes every vector id arrives exactly once
     # — a replayed source under a FRESH checkpoint (new batch-id tokens)
-    # would otherwise append duplicate list rows silently
-    b = batch.agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx")).collect()[0]
+    # would otherwise append duplicate list rows silently.  The same
+    # 1-row aggregate also compares count vs count-distinct (ADVICE
+    # r14): the min-vs-high-water check is blind to duplicate ids
+    # WITHIN one increment, which double-insert just as silently.
+    b = batch.agg(
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).collect()[0]
+    if b.n != b.nd:
+        raise ValueError(
+            f"ingest_increment_ann: batch carries duplicate {id_col} values "
+            f"({b.n} rows, {b.nd} distinct) — every vector id must arrive "
+            f"exactly once or the inverted lists double-insert"
+        )
     if max_seen is not None and b.mn is not None and b.mn <= max_seen:
         raise ValueError(
             f"ingest_increment_ann requires id-ordered arrival: batch min "
@@ -3101,7 +3157,7 @@ def ingest_increment_ann(
     # occupancy skew -> retrain trigger, recorded in THE marker
     total = sum(r.n_vectors for r in occ_rows)
     mx = max((r.n_vectors for r in occ_rows), default=0)
-    retrain_due = bool(mx * n_centroids > ANN_RETRAIN_SKEW * total)
+    retrain_due = bool(mx * n_centroids > retrain_skew * total)
     _write_marker(
         root,
         token,
@@ -3193,9 +3249,17 @@ def incremental_ann_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fold_threshold: int | None = ANN_STATE_FOLD_THRESHOLD,
+    auto_retrain: bool = False,
+    retrain_skew: float = ANN_RETRAIN_SKEW,
+    retrain_iters: int = 2,
 ):
     """Streaming wrapper: file stream → foreachBatch(
-    ingest_increment_ann)."""
+    ingest_increment_ann).  With ``auto_retrain=True`` the foreachBatch
+    tail consumes the marker's ``retrain_due`` flag through
+    :func:`maintain_ann_index` — the index Lloyd-retrains itself behind
+    the atomic generation flip whenever ingest skew crosses
+    ``retrain_skew``, serially with the ingests (foreachBatch is the
+    fence, compact_scd2_log's argument)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -3212,7 +3276,16 @@ def incremental_ann_ingest(
             vec_col=vec_col,
             increment_id=batch_id,
             fold_threshold=fold_threshold,
+            retrain_skew=retrain_skew,
         )
+        if auto_retrain:
+            maintain_ann_index(
+                batch_df.sparkSession,
+                state_path,
+                n_centroids=n_centroids,
+                iters=retrain_iters,
+                retrain_skew=retrain_skew,
+            )
 
     return (
         stream.writeStream.foreachBatch(_ingest)
@@ -3287,7 +3360,7 @@ def ingest_increment_shards(
     if increment_id is not None:
         token = str(increment_id)
     else:
-        newest = max(committed, key=lambda t: (len(t), t)) if committed else None
+        newest = _newest_committed_token(committed)
         token = f"{(int(newest) if newest is not None else -1) + 1:09d}"
     if token in committed:
         return 0
@@ -3295,7 +3368,7 @@ def ingest_increment_shards(
     # newest-marker rule: each marker was checked against its
     # predecessor, so one read covers the chain)
     if committed:
-        newest_tok = max(committed, key=lambda t: (len(t), t))
+        newest_tok = _newest_committed_token(committed)
         pinned = _marker_payload(state_path, newest_tok, strict=True)
         if pinned.get("n_buckets") is not None and (
             pinned["n_buckets"] != n_buckets
@@ -3311,10 +3384,20 @@ def ingest_increment_shards(
     else:
         max_seen = None
     b = batch.agg(
-        F.min(id_col).alias("mn"), F.max(id_col).alias("mx"), F.count(F.lit(1)).alias("n")
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
     ).collect()[0]  # bounded: 1 row
     if b.n == 0:
         return 0
+    if b.n != b.nd:
+        raise ValueError(
+            f"ingest_increment_shards: batch carries duplicate {id_col} "
+            f"values ({b.n} rows, {b.nd} distinct) — every document must "
+            f"arrive exactly once or shards double-pack (ADVICE r14's ANN "
+            f"guard class)"
+        )
     if max_seen is not None and b.mn <= max_seen:
         raise ValueError(
             f"ingest_increment_shards requires id-ordered arrival: batch min "
@@ -3556,9 +3639,21 @@ def retrain_ann_index(
     state_path: str,
     n_centroids: int = 16,
     iters: int = 2,
+    retrain_skew: float = ANN_RETRAIN_SKEW,
 ) -> str:
     """Rebuild the maintained ANN index under Lloyd-refined centroids
-    (see the section comment above).  Returns the new generation root."""
+    (see the section comment above).  Returns the new generation root.
+
+    The new generation's ``_commits`` carries, besides the rebuilt data's
+    own ``000000000`` marker, one ABSORBED marker per token committed in
+    the superseded generation (all with the identical post-retrain
+    payload).  That closes the auto-retrain crash window (VERDICT r14
+    #3): a stream that crashed AFTER the generation flip but BEFORE its
+    foreachBatch checkpoint commit replays its last batch against the
+    new generation — the absorbed marker makes the replay the usual
+    token no-op instead of an id-order ValueError (the vectors are
+    already in the rebuilt lists), and the guards' newest-marker read
+    still lands on a full payload."""
     import numpy as np
 
     from ..operators.similarity import (
@@ -3615,18 +3710,22 @@ def retrain_ann_index(
     # carry the id-order high-water mark across the generation flip so
     # the duplicate/replay guard survives retrain (1-row aggregate)
     mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
-    _write_marker(
-        new_root,
-        token,
-        payload={
-            "centroids": _ann_centroid_digest(cent_rows),
-            "occ_max": int(mx),
-            "occ_total": int(total),
-            "retrain_due": bool(mx * n_centroids > ANN_RETRAIN_SKEW * total),
-            "retrained_from_gen": old_gen,
-            "max_id": int(mx_id) if mx_id is not None else None,
-        },
-    )
+    payload = {
+        "centroids": _ann_centroid_digest(cent_rows),
+        "occ_max": int(mx),
+        "occ_total": int(total),
+        "retrain_due": bool(mx * n_centroids > retrain_skew * total),
+        "retrained_from_gen": old_gen,
+        "max_id": int(mx_id) if mx_id is not None else None,
+    }
+    _write_marker(new_root, token, payload)
+    # absorbed markers: every token the superseded generation committed
+    # replays as a no-op against the new one (see docstring); bounded by
+    # the increment count, identical payload everywhere so the
+    # newest-marker guards read the same truth whichever token wins
+    for t in _committed_tokens(old_root):
+        if t != token:
+            _write_marker(new_root, t, payload)
     # fold immediately: the new generation serves partition-pruned from
     # its first read (one tier, bucketed + ppc dirs)
     fold_committed_incs(
@@ -3657,6 +3756,42 @@ def retrain_ann_index(
     else:
         shutil.rmtree(old_root, ignore_errors=True)
     return new_root
+
+
+def maintain_ann_index(
+    spark: SparkSession,
+    state_path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    retrain_skew: float = ANN_RETRAIN_SKEW,
+) -> str | None:
+    """Consume the retrain trigger the ingest records (VERDICT r14 #3 —
+    q111 wrote ``retrain_due`` into every marker but nothing fired on
+    it): read the NEWEST committed marker of the live generation and,
+    when it says ``retrain_due``, run :func:`retrain_ann_index`.
+    Returns the new generation root, or None when no retrain was due.
+
+    Crash-safe at every point: (a) a crash between the ingest's marker
+    and this hook replays as a no-op ingest and the flag is still set,
+    so the retrain fires on the replayed trigger; (b) a crash inside
+    the rebuild leaves the old generation serving (pointer untouched);
+    (c) a crash after the pointer flip replays against the absorbed
+    markers (no-op) and at worst re-runs an idempotent retrain.  Called
+    serially from the foreachBatch tail (incremental_ann_ingest
+    ``auto_retrain=True``) or explicitly by an operator."""
+    root = _ann_root(state_path)
+    newest = _newest_committed_token(_committed_tokens(root))
+    if newest is None:
+        return None
+    if not _marker_payload(root, newest, strict=True).get("retrain_due"):
+        return None
+    return retrain_ann_index(
+        spark,
+        state_path,
+        n_centroids=n_centroids,
+        iters=iters,
+        retrain_skew=retrain_skew,
+    )
 
 
 def read_shard(

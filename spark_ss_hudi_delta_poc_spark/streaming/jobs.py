@@ -1394,6 +1394,129 @@ def stream_ann_retrain(
     )
 
 
+ANN_SERVE_QUERY_CUTS = (0, 7, 14, 20)  # query-stream stages over vec_id < 20
+
+
+def stream_ann_query_serving(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-15, VERDICT r14 #4): STREAM QUERY SERVING
+    against the MAINTAINED ANN index — the production composition of
+    q91 (static-corpus serving) and q111 (index maintenance): query
+    vectors stream in 3 micro-batches (the fixed ANN query set split by
+    the ANN_SERVE_QUERY_CUTS vec_id ranges) and each trigger FIRST lands
+    the next id-ordered corpus increment in the maintained index
+    (ingest_increment_ann — map-side assignment, fold-bounded
+    cluster-partitioned lists), then answers ITS batch's queries from
+    the index state alone (ann_from_state, nprobe=2, probed-partition
+    pruned), appending to a per-trigger answer log (overwrite-mode
+    ``inc=<batch_id>`` dirs — a replayed trigger no-ops the ingest and
+    rewrites byte-identical answers).  Each answer must equal batch
+    ann_ivf_index_topk over exactly the corpus prefix visible at its
+    trigger — the union-at-every-split contract, which the oracle checks
+    with the same quantile_cont cut points the staging uses (verified
+    bit-identical to Spark's percentile at every test SF).
+    fold_threshold=2 forces the lists fold mid-stream, so serving reads
+    folded tiers AND unfolded deltas across the stages."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from ..plans.llm_queries import ANN_K, _ann_queries
+    from ..schemas import EMBEDDINGS_SCHEMA
+    from .incremental import ann_from_state, ingest_increment_ann
+
+    work = _workdir("qann114")
+    staged = stage_id_ordered(spark, sf_dir, "embeddings", work, "vec_id", n_files=3)
+    corpus_files = sorted(_glob.glob(os.path.join(staged, "p*.parquet")))
+    assert len(corpus_files) == 3, corpus_files
+    # stage the QUERY stream: the fixed bounded query set, split into 3
+    # files by vec_id range, ascending mtimes (stage_id_ordered's rule)
+    queries = _ann_queries(load(spark, sf_dir, "embeddings"))
+    qdir = os.path.join(work, "qstream")
+    os.makedirs(qdir, exist_ok=True)
+    cuts = ANN_SERVE_QUERY_CUTS
+    for i in range(3):
+        part = queries.where(
+            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+        )
+        tmp = os.path.join(work, f"qtmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in _glob.glob(os.path.join(tmp, "part-*.parquet")):
+            dst = os.path.join(qdir, f"q{i}.parquet")
+            _shutil.move(f, dst)
+            mt = 1_000_000_000.0 + i * 1000
+            os.utime(dst, (mt, mt))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    state = os.path.join(work, "state")
+    ans = os.path.join(work, "answers")
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        # the corpus increment that lands BEFORE this batch's queries
+        # are answered; a replayed trigger is a committed-token no-op
+        inc = sp.read.parquet(corpus_files[batch_id])
+        ingest_increment_ann(
+            sp, inc, state, increment_id=batch_id, fold_threshold=fold_threshold
+        )
+        ann_from_state(sp, state, batch_df, k=ANN_K, nprobe=2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ans, f"inc={batch_id}"))
+
+    q = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+        .writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(ans, "inc=0"))
+    for b in (1, 2):
+        out = out.unionByName(spark.read.parquet(os.path.join(ans, f"inc={b}")))
+    return out
+
+
+def stream_ann_autoretrain(
+    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+) -> DataFrame:
+    """Beyond-reference (round-15, VERDICT r14 #3): the AUTO-retrain
+    path — q113's retrain fired by the recorded trigger instead of a
+    caller: embeddings stream through incremental_ann_ingest with
+    ``auto_retrain=True`` and ``retrain_skew=0`` (the forced audit
+    cadence, q103/q104's posture — every increment's marker says
+    retrain_due, so the foreachBatch tail Lloyd-retrains behind the
+    atomic generation flip after EVERY trigger; production cadence
+    keeps the default skew threshold and retrains only on real
+    occupancy drift).  Intermediate generations are oracle-invisible:
+    every retrain re-seeds from the id < n_centroids rule over the full
+    preserved qv state, so serving from the final generation must equal
+    batch ann_ivf_kmeans_topk over the union corpus — the q113 oracle,
+    now reached with zero manual retrain calls."""
+    from ..plans.llm_queries import ANN_K, _ann_queries
+    from ..schemas import EMBEDDINGS_SCHEMA
+    from .incremental import ann_from_state, incremental_ann_ingest
+
+    work = _workdir("qann115")
+    staged = stage_id_ordered(spark, sf_dir, "embeddings", work, "vec_id", n_files=3)
+    state = os.path.join(work, "state")
+    q = incremental_ann_ingest(
+        spark,
+        staged,
+        state,
+        os.path.join(work, "ckpt"),
+        EMBEDDINGS_SCHEMA,
+        fold_threshold=fold_threshold,
+        auto_retrain=True,
+        retrain_skew=0.0,
+    )
+    q.awaitTermination()
+    return ann_from_state(
+        spark, state, _ann_queries(load(spark, sf_dir, "embeddings")), k=ANN_K, nprobe=1
+    )
+
+
 def stream_shard_export(
     spark: SparkSession, sf_dir: str, fold_threshold: int = 2
 ) -> DataFrame:

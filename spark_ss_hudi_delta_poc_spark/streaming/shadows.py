@@ -466,6 +466,48 @@ def _q113(spark, sf_dir):
     return {"retrain": ivf_kmeans_topk(emb, queries, k=5)}
 
 
+def _q114(spark, sf_dir):
+    # per-trigger interior = q111's ingest (map-side assignment against
+    # the bounded pinned-centroid closure + <= n_centroids occupancy
+    # merge) PLUS the serving probe join answered inside the same
+    # trigger — the identical plan classes _q111 builds, with the query
+    # side trigger-bounded (one stage's <= 7-row slice)
+    from ..operators.similarity import (
+        _assign_clusters,
+        _collect_centroids,
+        ivf_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids, cent_mat = _collect_centroids(emb, 16, "vec_id", "embedding")
+    assigned = _assign_clusters(
+        emb, cent_ids, cent_mat, "neighbor_id", "vec_id", "embedding"
+    )
+    occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    queries = emb.where(F.col("vec_id") < 7).orderBy("vec_id").limit(7)
+    return {"ingest": occ, "answer": ivf_topk(emb, queries, k=5)}
+
+
+def _q115(spark, sf_dir):
+    # auto-retrain trigger = q111's per-trigger ingest interior + q113's
+    # retrain interior fired from the foreachBatch tail — the union of
+    # both shadows' plan classes
+    from ..operators.similarity import (
+        _assign_clusters,
+        _collect_centroids,
+        ivf_kmeans_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids, cent_mat = _collect_centroids(emb, 16, "vec_id", "embedding")
+    assigned = _assign_clusters(
+        emb, cent_ids, cent_mat, "neighbor_id", "vec_id", "embedding"
+    )
+    occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    queries = emb.where(F.col("vec_id") < 20).orderBy("vec_id").limit(20)
+    return {"ingest": occ, "retrain": ivf_kmeans_topk(emb, queries, k=5)}
+
+
 def _q112(spark, sf_dir):
     from ..functions.text import words
 
@@ -580,4 +622,6 @@ STREAM_SHADOWS: dict[str, ShadowFn] = {
     "q111_stream_ann_index": _q111,
     "q112_stream_shard_export": _q112,
     "q113_stream_ann_retrain": _q113,
+    "q114_stream_ann_query_serving": _q114,
+    "q115_stream_ann_autoretrain": _q115,
 }

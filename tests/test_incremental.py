@@ -2757,3 +2757,292 @@ def test_retrain_heals_interrupted_generation_gc(spark, tmp_path):
     assert sorted(
         map(tuple, ann_from_state(spark, state, queries, k=5, nprobe=1).collect())
     ) == before
+
+
+def test_ann_post_retrain_guard_advances_across_increments(spark, tmp_path):
+    """ADVICE r14 (medium): newest-marker selection must order the
+    retrain generation's 9-digit padded token ('000000000') BELOW later
+    unpadded stream batch-id tokens NUMERICALLY — under the old
+    (len, lex) order the guard kept reading the retrain marker after the
+    first post-retrain increment, max_id never advanced, and a replayed
+    or overlapping batch (fresh checkpoint re-delivering already-indexed
+    ids above the retrain-time high-water mark) silently double-inserted.
+    Two post-retrain increments, then an overlapping batch under a fresh
+    token must RAISE."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _ann_root,
+        _marker_payload,
+        ingest_increment_ann,
+        retrain_ann_index,
+    )
+
+    state = os.path.join(tmp_path, "prg")
+    ingest_increment_ann(
+        spark, spark.createDataFrame(_emb_rows(0, 60), EMB_SCHEMA), state,
+        increment_id=0,
+    )
+    retrain_ann_index(spark, state)
+    root = _ann_root(state)
+    ingest_increment_ann(
+        spark, spark.createDataFrame(_emb_rows(60, 80), EMB_SCHEMA), state,
+        increment_id=1,
+    )
+    # SECOND post-retrain increment — the case the old ordering broke
+    ingest_increment_ann(
+        spark, spark.createDataFrame(_emb_rows(80, 100), EMB_SCHEMA), state,
+        increment_id=2,
+    )
+    assert _marker_payload(root, "2")["max_id"] == 99
+    with pytest.raises(ValueError, match="id-ordered arrival"):
+        ingest_increment_ann(
+            spark, spark.createDataFrame(_emb_rows(80, 100), EMB_SCHEMA),
+            state, increment_id=3,
+        )
+
+
+def test_ann_and_shards_reject_within_batch_duplicate_ids(spark, tmp_path):
+    """ADVICE r14 (low): the min-vs-high-water guard is blind to
+    duplicate ids WITHIN one increment — the same 1-row aggregate now
+    compares count vs count-distinct and raises before anything is
+    staged."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        ingest_increment_ann,
+        ingest_increment_shards,
+    )
+
+    dup_emb = spark.createDataFrame(
+        _emb_rows(0, 40) + _emb_rows(30, 35), EMB_SCHEMA
+    )
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        ingest_increment_ann(
+            spark, dup_emb, os.path.join(tmp_path, "da"), increment_id=0
+        )
+    dup_doc = spark.createDataFrame(
+        _doc_rows(0, 20) + _doc_rows(10, 12), DOC_SCHEMA
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        ingest_increment_shards(
+            spark, dup_doc, os.path.join(tmp_path, "ds"),
+            shard_tokens=64, increment_id=0,
+        )
+
+
+def test_ivf_probe_pairs_zero_norm_query_is_deterministic():
+    """ADVICE r14 (low): a zero-norm query vector's cosines are
+    undefined (0/0) — the probe must degrade to the cid-ascending
+    tie-break (the oracle's ORDER BY cos DESC, cid ASC with every
+    cosine tied), never a NaN-order lottery."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import (
+        ivf_probe_pairs,
+    )
+
+    cent_ids = np.array([3, 1, 7, 5], dtype=np.int64)
+    cent_mat = np.array(
+        [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [-1.0, 0.0]], dtype=np.float64
+    )
+    q = [SimpleNamespace(id=42, qv=[0, 0])]
+    pairs = ivf_probe_pairs(cent_ids, cent_mat, q, nprobe=2)
+    assert [(p[0], p[1]) for p in pairs] == [(42, 1), (42, 3)]
+    # and a normal query is unaffected
+    qn = [SimpleNamespace(id=7, qv=[2, 0])]
+    pairs_n = ivf_probe_pairs(cent_ids, cent_mat, qn, nprobe=1)
+    assert [(p[0], p[1]) for p in pairs_n] == [(7, 3)]
+
+
+def test_fuzzy_guard_carries_watermark_through_empty_increment(spark, tmp_path):
+    """VERDICT r14 #2 (newest-marker backport): the fuzzy guard now
+    reads ONLY the newest committed marker, so the marker payload must
+    carry the RUNNING high-water mark — an empty increment inherits its
+    predecessor's mark instead of erasing it, and an out-of-order batch
+    after the empty increment still raises.  A legacy chain whose
+    newest marker predates the watermark payload falls back to the
+    one-time full scan."""
+    import json
+
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _commits_dir,
+        _marker_payload,
+        ingest_increment_fuzzy,
+    )
+
+    corpus = os.path.join(tmp_path, "wc")
+    index = os.path.join(tmp_path, "wi")
+    b1 = spark.createDataFrame([(5, _p36("a001 bbb ccc"))], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, b1, corpus, index, increment_id="r1") == 1
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    assert ingest_increment_fuzzy(spark, empty, corpus, index, increment_id="r2") == 0
+    assert _marker_payload(index, "r2")["max_id"] == 5
+    late = spark.createDataFrame([(4, _p36("b001 ddd eee"))], DOC_SCHEMA)
+    with pytest.raises(ValueError, match="id-ordered"):
+        ingest_increment_fuzzy(spark, late, corpus, index, increment_id="r3")
+    # legacy fallback: blank the newest marker's payload (pre-watermark
+    # era) — the guard must still find the older mark via the full scan
+    with open(os.path.join(_commits_dir(index), "r2"), "w") as fh:
+        json.dump({}, fh)
+    with pytest.raises(ValueError, match="id-ordered"):
+        ingest_increment_fuzzy(spark, late, corpus, index, increment_id="r3")
+
+
+def test_maintain_ann_index_fires_and_survives_every_crash_point(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 #3: the recorded retrain_due trigger is actually
+    CONSUMED — maintain_ann_index retrains when the newest marker says
+    so — and the auto-flip is crash-safe at each point: (a) crash
+    between the ingest's marker and the hook → the replayed trigger
+    no-ops the ingest and still fires the retrain; (b) crash inside the
+    rebuild → the old generation keeps serving, the re-run completes;
+    (c) crash after the pointer flip, before the stream's checkpoint
+    commit → the replayed batch is a token NO-OP against the new
+    generation's absorbed markers (NOT an id-order ValueError), and a
+    re-fired maintain is idempotent."""
+    import pytest
+
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ivf_kmeans_topk
+    from spark_ss_hudi_delta_poc_spark.streaming import incremental
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _ann_root,
+        ann_from_state,
+        ingest_increment_ann,
+        maintain_ann_index,
+    )
+
+    rows = _emb_rows(0, 90)
+    queries = spark.createDataFrame(rows[:5], EMB_SCHEMA)
+    state = os.path.join(tmp_path, "mnt")
+
+    def kmeans_want(upto):
+        emb = spark.createDataFrame(rows[:upto], EMB_SCHEMA)
+        return sorted(
+            map(tuple, ivf_kmeans_topk(emb, queries, k=5).collect())
+        )
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ann_from_state(spark, state, queries, k=5, nprobe=1).collect(),
+            )
+        )
+
+    # trigger recorded (retrain_skew=0 forces it) and consumed
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows[:30], EMB_SCHEMA), state,
+        increment_id=0, retrain_skew=0.0,
+    )
+    assert maintain_ann_index(spark, state, retrain_skew=0.0) is not None
+    assert os.path.basename(_ann_root(state)) == "gen=1"
+    assert serve() == kmeans_want(30)
+    # no trigger -> no retrain (flag honestly read, not assumed): a
+    # default-skew state on the even synthetic corpus is never due
+    calm = os.path.join(tmp_path, "calm")
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows[:30], EMB_SCHEMA), calm,
+        increment_id=0,
+    )
+    assert maintain_ann_index(spark, calm) is None
+
+    # (a) ingest committed, hook never ran: replay no-ops, hook fires
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows[30:60], EMB_SCHEMA), state,
+        increment_id=1, retrain_skew=0.0,
+    )
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows[30:60], EMB_SCHEMA), state,
+        increment_id=1, retrain_skew=0.0,
+    ) == 0
+    # (b) crash inside the rebuild: old generation keeps serving
+    before = serve()
+    real = incremental.fold_committed_incs
+    monkeypatch.setattr(
+        incremental, "fold_committed_incs",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        maintain_ann_index(spark, state, retrain_skew=0.0)
+    assert os.path.basename(_ann_root(state)) == "gen=1"
+    assert serve() == before
+    monkeypatch.setattr(incremental, "fold_committed_incs", real)
+    assert maintain_ann_index(spark, state, retrain_skew=0.0) is not None
+    assert os.path.basename(_ann_root(state)) == "gen=2"
+    assert serve() == kmeans_want(60)
+
+    # (c) flip happened, stream checkpoint didn't: the replayed batch is
+    # a no-op against the absorbed markers, then maintain is idempotent
+    assert ingest_increment_ann(
+        spark, spark.createDataFrame(rows[30:60], EMB_SCHEMA), state,
+        increment_id=1, retrain_skew=0.0,
+    ) == 0
+    maintain_ann_index(spark, state, retrain_skew=0.0)  # re-fire: idempotent
+    assert serve() == kmeans_want(60)
+
+    # stream continues: new vectors land in the retrained generation
+    ingest_increment_ann(
+        spark, spark.createDataFrame(rows[60:90], EMB_SCHEMA), state,
+        increment_id=2, retrain_skew=0.0,
+    )
+    assert maintain_ann_index(spark, state, retrain_skew=0.0) is not None
+    assert serve() == kmeans_want(90)
+
+
+def test_auto_retrain_streaming_wrapper(spark, tmp_path):
+    """incremental_ann_ingest(auto_retrain=True): the foreachBatch tail
+    consumes retrain_due mid-stream (forced cadence retrain_skew=0), and
+    final serving equals batch ivf_kmeans_topk over the union corpus —
+    the intermediate generations are oracle-invisible because every
+    retrain re-seeds from the id < n_centroids rule over the full
+    preserved qv state."""
+    from spark_ss_hudi_delta_poc_spark.operators.similarity import ivf_kmeans_topk
+    from spark_ss_hudi_delta_poc_spark.streaming.incremental import (
+        _ann_root,
+        ann_from_state,
+        incremental_ann_ingest,
+    )
+
+    rows = _emb_rows(0, 90)
+    src = os.path.join(tmp_path, "src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((0, 30), (30, 60), (60, 90))):
+        spark.createDataFrame(rows[lo:hi], EMB_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp_path, f"tmp{i}"))
+        import glob as _glob
+        import shutil as _shutil
+
+        for f in _glob.glob(os.path.join(tmp_path, f"tmp{i}", "part-*.parquet")):
+            dst = os.path.join(src, f"f{i}.parquet")
+            _shutil.move(f, dst)
+            os.utime(dst, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
+    state = os.path.join(tmp_path, "state")
+    q = incremental_ann_ingest(
+        spark,
+        src,
+        state,
+        os.path.join(tmp_path, "ckpt"),
+        "vec_id long, embedding array<float>",
+        auto_retrain=True,
+        retrain_skew=0.0,
+    )
+    q.awaitTermination()
+    # one retrain per increment at the forced cadence
+    assert os.path.basename(_ann_root(state)) == "gen=3"
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    queries = spark.createDataFrame(rows[:10], EMB_SCHEMA)
+    want = sorted(map(tuple, ivf_kmeans_topk(emb, queries, k=5).collect()))
+    got = sorted(
+        map(
+            tuple,
+            ann_from_state(spark, state, queries, k=5, nprobe=1).collect(),
+        )
+    )
+    assert got == want

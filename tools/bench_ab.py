@@ -94,6 +94,11 @@ def main() -> int:
     cal_ratio = (
         round(med(h_cal) / med(b_cal), 3) if b_cal and h_cal else None
     )
+    # the I/O-side instrument (VERDICT r14 #5): present on both sides
+    # only once the base ref also carries io_calibration_sec (r15+)
+    b_io = [r["io_calibration_sec"] for r in base_runs if r.get("io_calibration_sec")]
+    h_io = [r["io_calibration_sec"] for r in head_runs if r.get("io_calibration_sec")]
+    io_ratio = round(med(h_io) / med(b_io), 3) if b_io and h_io else None
     shared = sorted(set(bq) & set(hq))
     base_shared = sum(bq[k] for k in shared)
     head_shared = sum(hq[k] for k in shared)
@@ -122,10 +127,21 @@ def main() -> int:
         "shared_ratio": round(head_shared / base_shared, 3) if base_shared else None,
         # box-drift separation (None until both sides' bench.py carries
         # the calibration row — first cross-round A/B with it: r13→r14)
+        # the two instruments BRACKET box drift: cpu_ for CPU-bound
+        # rows, io_ for file-listing/parquet-decode-bound rows.  When
+        # the raw and either normalized ratio straddle 1.0, attribute
+        # per-query with plans, citing the instrument that matches the
+        # row's cost class (SCALE.md's r14 straddle rule, instrumented)
         "calibration_ratio": cal_ratio,
+        "io_calibration_ratio": io_ratio,
         "drift_normalized_shared_ratio": (
             round(head_shared / base_shared / cal_ratio, 3)
             if base_shared and cal_ratio
+            else None
+        ),
+        "io_normalized_shared_ratio": (
+            round(head_shared / base_shared / io_ratio, 3)
+            if base_shared and io_ratio
             else None
         ),
         "only_in_head": sorted(set(hq) - set(bq)),
