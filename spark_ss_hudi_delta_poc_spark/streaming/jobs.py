@@ -1479,7 +1479,10 @@ def stream_ann_query_serving(
 
 
 def stream_ann_autoretrain(
-    spark: SparkSession, sf_dir: str, fold_threshold: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    fold_threshold: int = 2,
+    retrain_skew: float = 0.0,
 ) -> DataFrame:
     """Beyond-reference (round-15, VERDICT r14 #3): the AUTO-retrain
     path — q113's retrain fired by the recorded trigger instead of a
@@ -1509,7 +1512,7 @@ def stream_ann_autoretrain(
         EMBEDDINGS_SCHEMA,
         fold_threshold=fold_threshold,
         auto_retrain=True,
-        retrain_skew=0.0,
+        retrain_skew=retrain_skew,
     )
     q.awaitTermination()
     return ann_from_state(

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_ss_hudi_delta_poc_spark.session import get_spark  # noqa: E402
+from spark_ss_hudi_delta_poc_spark.streaming import incremental  # noqa: E402
 from spark_ss_hudi_delta_poc_spark.streaming import jobs  # noqa: E402
 
 
@@ -66,6 +67,19 @@ if __name__ == "__main__":
          lambda: jobs.stream_shard_export(spark, sf, fold_threshold=2)),
         ("q112_stream_shard_export", "production_fold_threshold_16",
          lambda: jobs.stream_shard_export(spark, sf, fold_threshold=16)),
+        ("q114_stream_ann_query_serving", "audit_fold_threshold_2",
+         lambda: jobs.stream_ann_query_serving(spark, sf, fold_threshold=2)),
+        ("q114_stream_ann_query_serving", "production_fold_threshold_16",
+         lambda: jobs.stream_ann_query_serving(spark, sf, fold_threshold=16)),
+        # q115's cadence knob is the retrain-skew threshold, not the
+        # fold: audit = retrain after EVERY increment (skew 0); the
+        # production threshold never fires on the even synthetic corpus,
+        # so that row records the retrain-free ingest floor
+        ("q115_stream_ann_autoretrain", "audit_retrain_every_increment",
+         lambda: jobs.stream_ann_autoretrain(spark, sf, retrain_skew=0.0)),
+        ("q115_stream_ann_autoretrain", "production_skew_retrain_free",
+         lambda: jobs.stream_ann_autoretrain(
+             spark, sf, retrain_skew=incremental.ANN_RETRAIN_SKEW)),
         # q108/q109 maintain pure replace-state (no append table, no
         # fold knob): one cadence IS the production cadence — recorded
         # once each so SCALE.md's table covers every streaming twin
@@ -74,5 +88,8 @@ if __name__ == "__main__":
         ("q109_stream_drift", "replace_state_single_cadence",
          lambda: jobs.stream_drift_monitor(spark, sf)),
     ]
+    only = set(sys.argv[2:])  # optional query-name subset for new rows
     for name, cadence, fn in rows:
+        if only and name not in only:
+            continue
         print(json.dumps({"query": name, "cadence": cadence, "sec": timed(fn)}), flush=True)

@@ -311,6 +311,16 @@ PROBE_OPS = [
     # reassignment rewrite (a rebuild rescans the corpus ONCE by
     # definition); must track ann_ivf_kmeans_topk's linear class
     "q113_stream_ann_retrain",
+    # round-15: stream query serving against the maintained index —
+    # per-trigger cost is one corpus-increment assignment (q111's
+    # class) + one probed-cluster-pruned answer over the batch's
+    # bounded query slice; must track q111's staging-dominated class
+    "q114_stream_ann_query_serving",
+    # round-15: auto-retrain — q113's rebuild fired from the
+    # foreachBatch tail after EVERY increment (forced cadence), so the
+    # probe bounds the worst case: increments x one-corpus-rescan
+    # retrains; must stay within the linear band like q113
+    "q115_stream_ann_autoretrain",
 ]
 
 
