@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
+from ..functions.localframe import local_df
 
 
 def _mg_update(counters: dict, values, capacity: int) -> dict:
@@ -328,7 +329,7 @@ def grouped_heavy_hitters(
     cand = proj.mapInPandas(mg_partition, schema=proj.schema).collect()
     candidates = list({(r.g, r.k) for r in cand})
     totals = df.groupBy(F.col(group_col).alias("g")).agg(F.count(F.lit(1)).alias("n_group"))
-    cand_df = df.sparkSession.createDataFrame(candidates, proj.schema).limit(
+    cand_df = local_df(df.sparkSession, candidates, proj.schema).limit(
         len(candidates)
     )  # plan-level bound: <= partitions x capacity driver-local rows
     counted = (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_q, quantize
+from ..functions.localframe import local_df
 
 LSH_PLANES = 8
 DIM = 64
@@ -65,7 +66,8 @@ def brute_force_topk(
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
     if not q_rows:  # empty query batch: empty result, not a numpy axis error
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
@@ -143,7 +145,8 @@ def lsh_topk(
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q")).collect()
     if not q_rows:  # empty query batch: empty result, not a numpy axis error
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine double, rank int"
         )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
@@ -483,13 +486,15 @@ def ivf_quantized_topk(
     )
     q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     if not q_rows:
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine_q8 double, rank int"
         )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_raw = np.array([r.v for r in q_rows], dtype=np.float64)
     qi, qq8, qcl = rep_rows(q_ids, q_raw)
-    qdf = queries.sparkSession.createDataFrame(
+    qdf = local_df(
+        queries.sparkSession,
         [(int(i), [int(x) for x in v], int(c)) for i, v, c in zip(qi, qq8, qcl)],
         "query_id long, qv8_q array<long>, cluster long",
     ).limit(len(q_rows))  # plan-level bound: |Q| driver-local rows
@@ -602,7 +607,8 @@ def embedding_prototypicality(
     )
     assigned = _assign_clusters(embeddings, cent_ids, cent_mat, "vid", id_col, vec_col)
     spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(c), [int(x) for x in row]) for c, row in zip(cent_ids, cent_mat)],
         "cluster long, qvc array<long>",
     ).limit(len(cent_ids))  # plan-level bound: n_centroids driver-local rows
@@ -1018,7 +1024,8 @@ def quantized_topk(
 
     q_rows = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     if not q_rows:  # empty query batch: empty result, not a numpy axis error
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine_q8 double, rank int"
         )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
@@ -1159,8 +1166,8 @@ def score_probed_lists(spark, lists: DataFrame, probe_pairs, k: int) -> DataFram
     into the (already cluster-filtered) lists scan, score exact cosine,
     rank per query.  The ``.limit`` is the plan-level boundedness
     certificate: |Q| x nprobe driver-local rows."""
-    qdf = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster long, qv_q array<long>"
+    qdf = local_df(
+        spark, probe_pairs, "query_id long, cluster long, qv_q array<long>"
     ).limit(len(probe_pairs))
     scored = (
         lists.join(F.broadcast(qdf), "cluster")
@@ -1276,8 +1283,8 @@ def ann_recall_report(
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("matched"))
     )
-    names = embeddings.sparkSession.createDataFrame(
-        [(n,) for n, _ in methods], "method string"
+    names = local_df(
+        embeddings.sparkSession, [(n,) for n, _ in methods], "method string"
     )
     denom = F.lit(None).cast("double") if total == 0 else F.lit(float(total))
     m0 = F.coalesce(F.col("matched"), F.lit(0)).cast("long")
@@ -1557,7 +1564,8 @@ def pq_topk(
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
     if not q_rows:
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine_pq double, rank int"
         )
     codes_df = pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col)
@@ -1648,7 +1656,7 @@ def build_pq_index(
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    spark.createDataFrame(cb_rows, "s int, code long, cv array<long>").write.mode(
+    local_df(spark, cb_rows, "s int, code long, cv array<long>").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codebooks"))
     pq_encode(embeddings, books, code_ids, id_col=id_col, vec_col=vec_col).write.mode(
@@ -1684,7 +1692,8 @@ def pq_index_topk(
     )
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
     if not q_rows:
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [], "query_id long, neighbor_id long, cosine_pq double, rank int"
         )
     codes_df = spark.read.parquet(os.path.join(path, "codes"))
@@ -1786,8 +1795,8 @@ def embedding_top_direction(
     if v[0] < 0:
         v = [-c for c in v]
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
-        [(p, int(c)) for p, c in enumerate(v)], "pos int, component long"
+    return local_df(
+        spark, [(p, int(c)) for p, c in enumerate(v)], "pos int, component long"
     )
 
 
@@ -1849,7 +1858,8 @@ def ivfpq_topk(
 
     q_rows = queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv")).collect()
     if not q_rows:
-        return queries.sparkSession.createDataFrame(
+        return local_df(
+            queries.sparkSession,
             [], "query_id long, neighbor_id long, cosine_pq double, rank int"
         )
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)

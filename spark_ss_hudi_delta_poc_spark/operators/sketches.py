@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, seeded_md5_long
+from ..functions.localframe import local_df
 
 # --- HyperLogLog --------------------------------------------------------------
 HLL_P = 10  # 2^10 = 1024 registers → ~3.25% standard error
@@ -114,7 +115,7 @@ def hll_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
     )
     lc_rows = hll_linear_counting_table()
     lc = F.broadcast(
-        regs.sparkSession.createDataFrame(lc_rows, "v long, lc_est double").limit(len(lc_rows))
+        local_df(regs.sparkSession, lc_rows, "v long, lc_est double").limit(len(lc_rows))
     )
     base = (
         sketch.crossJoin(F.broadcast(exact))
@@ -566,7 +567,7 @@ def hll_distinct_by(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     )
     lc_rows = hll_linear_counting_table()
     lc = F.broadcast(
-        df.sparkSession.createDataFrame(lc_rows, "v long, lc_est double").limit(len(lc_rows))
+        local_df(df.sparkSession, lc_rows, "v long, lc_est double").limit(len(lc_rows))
     )
     base = (
         sketch.join(exact, "g")

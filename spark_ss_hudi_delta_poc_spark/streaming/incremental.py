@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_CHARS, md5_long, seeded_md5_long
+from ..functions.localframe import local_df
 
 
 def _commits_dir(txn_root: str) -> str:
@@ -2637,8 +2638,8 @@ def dsir_recipe_from_state(
     latest = _latest_committed_dir(counts_path, committed)
     dirs = _live_table_dirs(state_path, feats_path)
     if latest is None or not dirs:
-        return spark.createDataFrame(
-            [], "doc_id long, n_grams long, score_e9 long, keep boolean"
+        return local_df(
+            spark, [], "doc_id long, n_grams long, score_e9 long, keep boolean"
         )
     counts = spark.read.parquet(latest)
     totals = counts.agg(F.sum("ct_r").alias("n_r"), F.sum("ct_t").alias("n_t"))
@@ -2900,8 +2901,8 @@ def bm25_from_state(
     latest = _latest_committed_dir(stats_path, committed)
     dirs = _live_table_dirs(state_path, postings_path)
     if latest is None or not dirs:
-        return spark.createDataFrame(
-            [], "doc_id long, score_e9 long, rank integer"
+        return local_df(
+            spark, [], "doc_id long, score_e9 long, rank integer"
         )
     scored = bm25_score_from_parts(
         spark.read.parquet(*dirs), spark.read.parquet(latest)
@@ -3076,7 +3077,8 @@ def ingest_increment_ann(
                 f"got {len(cent_rows)} — id-ordered arrival "
                 f"(stage_id_ordered) guarantees this"
             )
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(int(r.cid), [int(v) for v in r.qv_cent]) for r in cent_rows],
             "cid long, qv_cent array<long>",
         ).coalesce(1).write.mode("overwrite").parquet(cent_path)
@@ -3145,13 +3147,18 @@ def ingest_increment_ann(
         # anyway, and re-reading the just-written parquet per trigger
         # was a wasted Spark job (round-14 re-review)
         occ_rows = occ.collect()
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(int(r.cluster), int(r.n_vectors)) for r in occ_rows],
             "cluster long, n_vectors long",
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(occ_path, f"inc={token}")
         )
-        n = assigned.count()
+        # the assignment is strictly 1:1 (mapInPandas yields one row per
+        # input row), so the guard aggregate's count IS the row count —
+        # a separate assigned.count() job was a wasted per-trigger action
+        # (round-15 optimization, guide §1.2)
+        n = int(b.n)
     finally:
         assigned.unpersist()
     # occupancy skew -> retrain trigger, recorded in THE marker
@@ -3205,7 +3212,7 @@ def ann_from_state(
     lists_key = os.path.abspath(os.path.join(root, "lists"))
     cent_path = os.path.join(root, "centroids")
     if not os.path.isdir(cent_path):
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     _, cent_ids, cent_mat = _ann_load_centroids(spark, cent_path)
     q_rows = queries.select(
         F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
@@ -3232,7 +3239,7 @@ def ann_from_state(
             spark.read.parquet(*delta).where(F.col("cluster").isin(probed))
         )
     if not parts or not probe_pairs:
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     lists = parts[0]
     for p in parts[1:]:
         lists = lists.unionByName(p)
@@ -3409,7 +3416,7 @@ def ingest_increment_shards(
     if prev:
         off = spark.read.parquet(prev)
     else:
-        off = spark.createDataFrame([], "bucket long, next_offset long")
+        off = local_df(spark, [], "bucket long, next_offset long")
     tok = F.size(words(F.col(text_col))).cast("long")
     t = batch.select(
         F.col(id_col).alias("doc_id"),
@@ -3494,8 +3501,8 @@ def shards_manifest_from_state(spark: SparkSession, state_path: str) -> DataFram
     man_path = os.path.join(state_path, "manifest")
     dirs = _live_table_dirs(state_path, man_path)
     if not dirs:
-        return spark.createDataFrame(
-            [], "bucket long, shard long, n_docs long, n_tokens long"
+        return local_df(
+            spark, [], "bucket long, shard long, n_docs long, n_tokens long"
         )
     return (
         spark.read.parquet(*dirs)
@@ -3688,7 +3695,8 @@ def retrain_ann_index(
     shutil.rmtree(new_root, ignore_errors=True)  # crashed-retrain debris
     lists_new = os.path.join(new_root, "lists")
     occ_new = os.path.join(new_root, "occupancy")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)],
         "cid long, qv_cent array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(new_root, "centroids"))
@@ -3813,5 +3821,5 @@ def read_shard(
         ))
     ]
     if not dirs:
-        return spark.createDataFrame([], "doc_id long, text string, n_tokens long")
+        return local_df(spark, [], "doc_id long, text string, n_tokens long")
     return spark.read.parquet(*dirs).select("doc_id", "text", "n_tokens")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS_SCHEMA, LINEITEM_SCHEMA
+from ..functions.localframe import local_df
 from ..sources.sinks import read_back, write_stream
 from ..sources.stream import read_file_stream, stage_as_files
 from ..tables import load
@@ -213,7 +214,7 @@ def segment_dim(spark: SparkSession) -> DataFrame:
     scan) the broadcast gate requires — driver-local literal data, but
     the plan should prove the bound, not ask the auditor to trust it."""
     rows = [(i, lab) for i, lab in enumerate(SEGMENT_LABELS)]
-    return spark.createDataFrame(rows, "seg_idx long, segment string").limit(
+    return local_df(spark, rows, "seg_idx long, segment string").limit(
         len(SEGMENT_LABELS)
     )
 
@@ -623,7 +624,7 @@ def read_matview_state(spark: SparkSession, state_dir: str) -> DataFrame:
     read_scd2_history's guard)."""
     paths = _current_bucket_paths(state_dir)
     if not paths:
-        return spark.createDataFrame([], MATVIEW_STATE_SCHEMA)
+        return local_df(spark, [], MATVIEW_STATE_SCHEMA)
     return (
         spark.read.option("basePath", state_dir)
         .schema(MATVIEW_STATE_SCHEMA + ", bkt int, v int")
@@ -2026,7 +2027,7 @@ def read_scd2_history(spark: SparkSession, hist_dir: str) -> DataFrame:
     interrupted swap's orphan version dirs are never visible."""
     paths = _current_bucket_paths(hist_dir)
     if not paths:
-        return spark.createDataFrame([], SCD2_HIST_SCHEMA)
+        return local_df(spark, [], SCD2_HIST_SCHEMA)
     return (
         spark.read.option("basePath", hist_dir)
         .schema(SCD2_HIST_SCHEMA + ", bkt int, v int")
