@@ -1041,19 +1041,22 @@ def dsir_importance_filter(
     doc_feats = dsir_doc_feats(
         docs, target_pred, n_buckets=n_buckets, text_col=text_col, id_col=id_col
     )
-    ct_r = doc_feats.groupBy("feat_bucket").agg(F.sum("c").alias("ct_r"))
-    ct_t = (
-        doc_feats.where(F.col("_is_target"))
-        .groupBy("feat_bucket")
-        .agg(F.sum("c").alias("ct_t"))
+    # ONE bucket aggregate yields both count columns (ct_t null on
+    # raw-only buckets, exactly like the old ct_r left-join ct_t — the
+    # ratio's coalesce(ct_t, 0) + 1 is unchanged), and the totals come
+    # from the <= n_buckets-row counts table instead of a third
+    # corpus-sized pass: sum-of-partial-sums is the same integer.
+    # (Round-15 optimization, guide §2.4: the old shape ran the
+    # corpus-sized gram aggregate in FOUR plan branches with zero
+    # exchange reuse in the static plan.)
+    counts = doc_feats.groupBy("feat_bucket").agg(
+        F.sum("c").alias("ct_r"),
+        F.sum(F.when(F.col("_is_target"), F.col("c"))).alias("ct_t"),
     )
-    totals = doc_feats.agg(
-        F.sum("c").alias("n_r"),
-        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))).alias("n_t"),
+    totals = counts.agg(
+        F.sum("ct_r").alias("n_r"),
+        F.coalesce(F.sum("ct_t"), F.lit(0)).alias("n_t"),
     )
-    # every doc bucket appears in ct_r (raw spans all docs): left join +
-    # coalesce covers raw-only buckets
-    counts = ct_r.join(ct_t, "feat_bucket", "left")
     scored = dsir_scores(doc_feats, counts, totals, n_buckets)
     if threshold_e9 is not None:
         return scored.select(

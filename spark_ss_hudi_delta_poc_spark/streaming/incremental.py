@@ -51,6 +51,21 @@ from ..functions.hashing import HEX_CHARS, md5_long, seeded_md5_long
 from ..functions.localframe import local_df
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a just-written parquet dir from its file FOOTERS —
+    driver-side metadata, identical to a Spark count over the dir but
+    with no job at all (round-15 optimization, guide §1.2: the ingests
+    were re-reading what they had just written only to count it)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root_, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root_, f)).metadata.num_rows
+    return total
+
+
 def _commits_dir(txn_root: str) -> str:
     return os.path.join(txn_root, "_commits")
 
@@ -1540,7 +1555,7 @@ def ingest_increment_hll(
     )
     regs.write.mode("overwrite").parquet(os.path.join(sketch_path, f"inc={token}"))
     _write_marker(sketch_path, token)
-    n_regs = spark.read.parquet(os.path.join(sketch_path, f"inc={token}")).count()
+    n_regs = _parquet_rows(os.path.join(sketch_path, f"inc={token}"))
     # max-merge is idempotent AND associative, so the concat fold is
     # semantics-free here too; it bounds the register-dir count
     _maybe_fold(spark, sketch_path, {sketch_path: None}, committed, fold_threshold)
@@ -2341,7 +2356,7 @@ def ingest_increment_bottomk(
             os.remove(os.path.join(_commits_dir(state_path), t))
         except FileNotFoundError:
             pass
-    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+    return _parquet_rows(os.path.join(state_path, f"inc={token}"))
 
 
 def latest_bottomk_dir(state_path: str) -> str | None:
@@ -2452,7 +2467,7 @@ def ingest_increment_source_counts(
             os.remove(os.path.join(_commits_dir(state_path), t))
         except FileNotFoundError:
             pass
-    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+    return _parquet_rows(os.path.join(state_path, f"inc={token}"))
 
 
 def incremental_source_counts_ingest(
@@ -2607,9 +2622,7 @@ def ingest_increment_dsir(
         _maybe_fold(
             spark, state_path, {feats_path: ["doc_id"]}, committed, fold_threshold
         )
-        return spark.read.parquet(
-            os.path.join(counts_path, f"inc={token}")
-        ).count()
+        return _parquet_rows(os.path.join(counts_path, f"inc={token}"))
     finally:
         feats.unpersist()
 
@@ -2738,7 +2751,7 @@ def ingest_increment_drift_counts(
             os.remove(os.path.join(_commits_dir(state_path), t))
         except FileNotFoundError:
             pass
-    return spark.read.parquet(os.path.join(state_path, f"inc={token}")).count()
+    return _parquet_rows(os.path.join(state_path, f"inc={token}"))
 
 
 def incremental_drift_ingest(
@@ -2875,7 +2888,7 @@ def ingest_increment_bm25(
             shutil.rmtree(os.path.join(stats_path, d), ignore_errors=True)
     # count the committed postings BEFORE the fold may collapse this
     # increment's dir into a tier
-    n = spark.read.parquet(os.path.join(postings_path, f"inc={token}")).count()
+    n = _parquet_rows(os.path.join(postings_path, f"inc={token}"))
     _maybe_fold(
         spark, state_path, {postings_path: ["doc_id"]}, committed, fold_threshold
     )
@@ -3691,14 +3704,30 @@ def retrain_ann_index(
     cent_ids, cent_mat = kmeans_refine_centroids_q(
         corpus_q, n_centroids=n_centroids, iters=iters
     )
+    # the id-order high-water mark to carry across the generation flip:
+    # the superseded generation's newest marker already pins it (the
+    # corpus being rebuilt IS everything ever ingested), so read the
+    # one marker instead of running a corpus-sized max aggregate per
+    # retrain; legacy states without the field fall back to the agg
+    # (round-15 optimization, guide §1.2)
+    old_committed = _committed_tokens(old_root)
+    old_newest = _newest_committed_token(old_committed)
+    mx_id = (
+        _marker_payload(old_root, old_newest).get("max_id")
+        if old_newest is not None
+        else None
+    )
+    if mx_id is None:
+        mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
     new_root = os.path.join(state_path, f"gen={old_gen + 1}")
     shutil.rmtree(new_root, ignore_errors=True)  # crashed-retrain debris
     lists_new = os.path.join(new_root, "lists")
     occ_new = os.path.join(new_root, "occupancy")
+    cent_pairs = [
+        (int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)
+    ]
     local_df(
-        spark,
-        [(int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)],
-        "cid long, qv_cent array<long>",
+        spark, cent_pairs, "cid long, qv_cent array<long>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(new_root, "centroids"))
     assigned = _assign_clusters_q(corpus_q, cent_ids, cent_mat, "neighbor_id")
     assigned = assigned.persist()
@@ -3707,17 +3736,32 @@ def retrain_ann_index(
         assigned.write.mode("overwrite").parquet(
             os.path.join(lists_new, f"inc={token}")
         )
-        occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
-        occ.write.mode("overwrite").parquet(os.path.join(occ_new, f"inc={token}"))
-        occ_rows = occ.collect()  # bounded: <= n_centroids rows
+        # collect the bounded occupancy once, then write the collected
+        # rows as a local relation — the write-then-collect pair ran the
+        # groupBy twice (separate actions share no exchange), and the
+        # ingest path already persists occupancy from collected rows
+        occ_rows = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .collect()
+        )  # bounded: <= n_centroids rows
+        local_df(
+            spark,
+            [(int(r.cluster), int(r.n_vectors)) for r in occ_rows],
+            "cluster long, n_vectors long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(occ_new, f"inc={token}")
+        )
     finally:
         assigned.unpersist()
-    cent_rows = spark.read.parquet(os.path.join(new_root, "centroids")).collect()
+    # digest the in-memory centroid set — re-reading the parquet we just
+    # wrote was one more job for rows already on the driver
+    from collections import namedtuple
+
+    _CR = namedtuple("_CR", "cid qv_cent")
+    cent_rows = [_CR(c, qv) for c, qv in cent_pairs]
     total = sum(r.n_vectors for r in occ_rows)
     mx = max((r.n_vectors for r in occ_rows), default=0)
-    # carry the id-order high-water mark across the generation flip so
-    # the duplicate/replay guard survives retrain (1-row aggregate)
-    mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
     payload = {
         "centroids": _ann_centroid_digest(cent_rows),
         "occ_max": int(mx),
