@@ -27,6 +27,17 @@ _COMMON_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # stopping at defaultParallelism (Spark's own config reference
+    # recommends false): with the default true, every tiny shuffle still
+    # fans out to #cores tasks, so fixed per-task overhead dominates the
+    # thousands of small per-trigger shuffles in the cross-run ingest
+    # chains.  With false, partition count derives from DATA SIZE
+    # (advisory target) at every scale — a KB-sized aggregate coalesces
+    # to 1 task locally, a 100 TB shuffle still gets bytes/advisory
+    # partitions on the cluster.  Scale-adaptive by construction, not a
+    # local[32] constant (round-15 optimization, guide §2.2/§9).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The reference disables dynamic allocation on every job
