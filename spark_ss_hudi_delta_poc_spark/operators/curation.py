@@ -1160,26 +1160,31 @@ def dsir_rank_keep(
     ASC; k = ceil(N*num/den)) — boundary found with two TakeOrdered
     passes, keep decision a map-only literal comparison.  Shared by the
     batch filter and the streaming twin's final materialization."""
-    # rank rule: cache the doc-level scores only for the build-time
-    # boundary probe (count + two TakeOrdered passes), then release —
-    # the returned frame keeps the un-cached lineage, so nothing leaks
-    # into executor storage after the builder returns (review r12)
-    cached = scored.persist()
-    try:
-        n = cached.count()
-        if n == 0:
-            return scored.withColumn("keep", F.lit(False))
-        k = max(1, (n * keep_num + keep_den - 1) // keep_den)
-        boundary = (
-            cached.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .orderBy(F.col("score_e9").asc(), F.col("doc_id").desc())
-            .limit(1)
-            .collect()[0]
-        )
-    finally:
-        cached.unpersist()
-    return scored.select(
+    # rank rule: materialize the doc-level scores ONCE via
+    # localCheckpoint(eager=True) and derive the boundary probe AND the
+    # returned frame from the checkpoint (round-15 optimization, guide
+    # §1.2): the former persist/unpersist hygiene released the cache
+    # before the caller evaluated the returned frame, so the whole
+    # corpus-sized gram pipeline ran TWICE — once for the boundary
+    # probe, once for the caller's materialization.  The checkpointed
+    # rows are narrow doc-level metadata (doc_id, n_grams, score_e9 —
+    # the §8 lightweight-proxy shape, never the corpus), and the
+    # checkpoint is owned by the returned DataFrame: the ContextCleaner
+    # reclaims it when the frame goes out of scope, so nothing strands
+    # in executor storage (the minhash_lsh_pairs precedent, review r12).
+    cached = scored.localCheckpoint(eager=True)
+    n = cached.count()
+    if n == 0:
+        return cached.withColumn("keep", F.lit(False))
+    k = max(1, (n * keep_num + keep_den - 1) // keep_den)
+    boundary = (
+        cached.orderBy(F.col("score_e9").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .orderBy(F.col("score_e9").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    return cached.select(
         "doc_id",
         "n_grams",
         "score_e9",

@@ -367,16 +367,34 @@ def kmeans_refine_centroids_q(qdf: DataFrame, n_centroids: int = 16, iters: int 
     cent_ids = np.array([r.id for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r.qv for r in cent_rows], dtype=np.float64)
     for _ in range(iters):
-        assigned = _assign_clusters_q(qdf, cent_ids, cent_mat, "vid")
+        # assignment + per-partition partial sums FUSED into one Python
+        # stage (round-15 optimization, guide §4.1): the former
+        # _assign_clusters_q -> partials chain ran TWO mapInPandas
+        # evaluations back to back, so every (id, qv) row crossed the
+        # JVM/Python boundary twice per Lloyd iteration — once to gain a
+        # cluster column, once to be summed.  The fused function assigns
+        # and accumulates in the same numpy pass; the partial sums per
+        # partition are identical exact-integer values (assignment
+        # formula unchanged, sums commute), so the shuffled
+        # (cluster, pos, s, n) rows and the refined centroids are
+        # bit-identical.
+        c_ids, c_mat = cent_ids, cent_mat
+        c_nsq = (c_mat * c_mat).sum(axis=1)
 
-        def partials(batches):
+        def assign_partials(batches):
             sums: dict[int, "np.ndarray"] = {}
             counts: dict[int, int] = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
-                cl = pdf["cluster"].to_numpy(dtype=np.int64)
-                mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+                v_nsq = (v * v).sum(axis=1)
+                cos = (v @ c_mat.T) / np.sqrt(v_nsq[:, None] * c_nsq[None, :])
+                cl = np.array(
+                    [c_ids[np.lexsort((c_ids, -row))[0]] for row in cos],
+                    dtype=np.int64,
+                )
+                mat = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
                 for c in np.unique(cl):
                     m = cl == c
                     c = int(c)
@@ -392,7 +410,7 @@ def kmeans_refine_centroids_q(qdf: DataFrame, n_centroids: int = 16, iters: int 
             yield pd.DataFrame(rows)
 
         means = (
-            assigned.mapInPandas(partials, "cluster long, pos int, s long, n long")
+            qdf.mapInPandas(assign_partials, "cluster long, pos int, s long, n long")
             .groupBy("cluster", "pos")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select("cluster", "pos", F.expr("s div n").alias("cv"))

@@ -3701,6 +3701,26 @@ def retrain_ann_index(
     corpus_q = parts[0]
     for p in parts[1:]:
         corpus_q = corpus_q.unionByName(p)
+    # size the scan parallelism from the state's BYTES, not its file
+    # count (round-15 optimization, guide §2.2/§6.1): the tiered state
+    # is many small files (one per bucket per tier), and Spark's split
+    # packing gives tiny files one task each — so every Lloyd pass's
+    # mapInPandas paid one Python-runner handshake per file (measured:
+    # 17-task stages with executorRunTime ~20x executorCpuTime over a
+    # ~3 MB state).  coalesce to ceil(bytes / 32 MB) merges the scan
+    # partitions without a shuffle; on a corpus where the state is
+    # actually large the target exceeds the scan's own partition count
+    # and coalesce is a no-op, so the rule is scale-adaptive by
+    # construction.
+    state_bytes = 0
+    for d in dirs:
+        for base, _, files in os.walk(d):
+            state_bytes += sum(
+                os.path.getsize(os.path.join(base, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    corpus_q = corpus_q.coalesce(max(1, -(-state_bytes // (32 << 20))))
     cent_ids, cent_mat = kmeans_refine_centroids_q(
         corpus_q, n_centroids=n_centroids, iters=iters
     )

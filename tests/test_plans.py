@@ -278,11 +278,12 @@ def test_sketch_cross_joins_are_single_row(spark):
         # + classes x 1-row above-t totals
         "privacy_t_closeness": 3,
         "monitor_seasonal_anomaly": 1,  # daily ledger x 1-row day bounds
-        # bucket ratios x 1-row (n_r, n_t) totals — appears ONCE: the
-        # returned frame keeps the un-cached scored lineage (the r12
-        # boundary-probe hygiene released the persist, so the ratios
-        # branch is no longer replicated into a cached twin)
-        "curation_dsir": 1,
+        # round-15 optimization: dsir_rank_keep now localCheckpoints the
+        # doc-level scores (one pipeline execution instead of two), so
+        # the REGISTERED frame's plan is a checkpoint scan — the interior
+        # bucket-ratios x 1-row totals cross is pinned separately by
+        # test_dsir_interior_cross_is_single_row below
+        "curation_dsir": 0,
     }
     for name, n_bnlj in expected.items():
         p = plan_of(spark, name)
@@ -292,6 +293,34 @@ def test_sketch_cross_joins_are_single_row(spark):
         # explain prints `Keys: []` for partial+final of every scalar agg
         scalar_aggs = len(re.findall(r"Keys\s*:\s*\[\]", p))
         assert scalar_aggs >= n_bnlj, f"{name}: cross side without a scalar aggregate"
+
+
+def test_dsir_interior_cross_is_single_row(spark):
+    """curation_dsir's INTERIOR plan (the lineage dsir_rank_keep now
+    materializes once into a localCheckpoint — round-15 optimization)
+    still carries exactly one BNLJ whose cross side is the 1-row
+    (n_r, n_t) totals aggregate.  The registered frame's plan became a
+    checkpoint scan, so this pins the shape the checkpoint executes —
+    a corpus-sized cross sneaking into the scoring pipeline must still
+    fail loudly.  threshold_e9 mode returns the same scored lineage
+    WITHOUT the rank rule, i.e. the exact pre-checkpoint plan."""
+    import contextlib
+    import io
+    import re
+
+    from spark_ss_hudi_delta_poc_spark.operators.curation import (
+        dsir_importance_filter,
+    )
+    from spark_ss_hudi_delta_poc_spark.tables import load
+
+    df = dsir_importance_filter(load(spark, SF, "documents"), threshold_e9=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    got = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert got == 1, f"dsir interior: {got} nested-loop joins, expected 1"
+    assert re.search(r"Keys\s*:\s*\[\]", p), "cross side without a scalar aggregate"
 
 
 def test_q107_shadow_cross_sides_are_single_row(spark):
