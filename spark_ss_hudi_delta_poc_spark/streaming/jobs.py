@@ -114,9 +114,23 @@ def stage_time_ordered_halves(
     window whose end the FINAL watermark (max event ms - delay) passed
     — so the sink holds precisely the windows with
     ``window_end <= max_event_time - delay``, regardless of corpus.
+
+    Staging is deterministic per (sf_dir, table, ts_col) — same rows,
+    same split rule, same pinned mtimes — so it is memoized like
+    stage_table (round-15 optimization, guide §1.2): without the cache
+    every warm run of a time-ordered streaming query re-ran the
+    bounds aggregate and both half writes just to recreate byte-
+    identical staging; the ``work`` parameter is kept for signature
+    compatibility but staging lands in its own cached dir.
     """
     import glob as _glob
     import shutil as _shutil
+
+    key = ("time_halves", sf_dir, table, ts_col)
+    cached = _STAGING_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = _workdir(f"stage-th-{table}")
 
     df = load(spark, sf_dir, table)
     ep = F.unix_timestamp(F.col(ts_col))
@@ -135,6 +149,7 @@ def stage_time_ordered_halves(
             _shutil.move(f, dst)
             os.utime(dst, (mtime, mtime))
         _shutil.rmtree(tmp, ignore_errors=True)
+    _STAGING_CACHE[key] = staged
     return staged
 
 
@@ -833,8 +848,16 @@ def stream_ann_serving(
     )
     corpus = load(spark, sf_dir, "embeddings")
     work = _workdir("qann")
-    queries = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < query_max_id)
-    staged = stage_as_files(queries, work, n_files=3)
+    # deterministic per (sf_dir, query_max_id): memoized like the other
+    # staging scaffolding (round-15 optimization, guide §1.2)
+    skey = ("q91_queries", sf_dir, query_max_id)
+    staged = _STAGING_CACHE.get(skey)
+    if not (staged and os.path.isdir(staged)):
+        queries = load(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < query_max_id
+        )
+        staged = stage_as_files(queries, work, n_files=3)
+        _STAGING_CACHE[skey] = staged
     stream = read_file_stream(spark, staged, "parquet", emb_schema, max_files_per_trigger=1)
     out_dir = os.path.join(work, "answers")
 
@@ -1103,9 +1126,24 @@ def stage_id_ordered(
     plan gates ban); split EVENNESS is irrelevant to correctness, only
     the id ordering across files matters.  Test staging scaffolding
     (like stage_time_ordered_halves' coalesce(1)); a production feed is
-    id-ordered by its upstream sequencing, not by re-sorting."""
+    id-ordered by its upstream sequencing, not by re-sorting.
+
+    Staging is deterministic per (sf_dir, table, id_col, n_files) —
+    exact-percentile cuts over the same rows, pinned mtimes — so it is
+    memoized like stage_table (round-15 optimization, guide §1.2): the
+    six id-ordered ingest chains re-ran the percentile aggregate and
+    n_files coalesce(1) writes on EVERY warm invocation only to
+    recreate byte-identical staging.  The ``work`` parameter is kept
+    for signature compatibility but staging lands in its own cached
+    dir."""
     import glob as _glob
     import shutil as _shutil
+
+    key = ("id_ordered", sf_dir, table, id_col, n_files)
+    cached = _STAGING_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = _workdir(f"stage-id-{table}")
 
     df = load(spark, sf_dir, table)
     fr = [i / n_files for i in range(1, n_files)]
@@ -1126,6 +1164,7 @@ def stage_id_ordered(
             mt = 1_000_000_000.0 + i * 1000
             os.utime(dst, (mt, mt))
         _shutil.rmtree(tmp, ignore_errors=True)
+    _STAGING_CACHE[key] = staged
     return staged
 
 
@@ -1431,23 +1470,30 @@ def stream_ann_query_serving(
     corpus_files = sorted(_glob.glob(os.path.join(staged, "p*.parquet")))
     assert len(corpus_files) == 3, corpus_files
     # stage the QUERY stream: the fixed bounded query set, split into 3
-    # files by vec_id range, ascending mtimes (stage_id_ordered's rule)
-    queries = _ann_queries(load(spark, sf_dir, "embeddings"))
-    qdir = os.path.join(work, "qstream")
-    os.makedirs(qdir, exist_ok=True)
-    cuts = ANN_SERVE_QUERY_CUTS
-    for i in range(3):
-        part = queries.where(
-            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
-        )
-        tmp = os.path.join(work, f"qtmp{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for f in _glob.glob(os.path.join(tmp, "part-*.parquet")):
-            dst = os.path.join(qdir, f"q{i}.parquet")
-            _shutil.move(f, dst)
-            mt = 1_000_000_000.0 + i * 1000
-            os.utime(dst, (mt, mt))
-        _shutil.rmtree(tmp, ignore_errors=True)
+    # files by vec_id range, ascending mtimes (stage_id_ordered's rule).
+    # Deterministic per sf_dir (fixed query set, fixed cuts, pinned
+    # mtimes) — memoized like the other staging helpers (round-15
+    # optimization, guide §1.2).
+    qkey = ("q114_qstream", sf_dir)
+    qdir = _STAGING_CACHE.get(qkey)
+    if not (qdir and os.path.isdir(qdir)):
+        queries = _ann_queries(load(spark, sf_dir, "embeddings"))
+        qdir = os.path.join(work, "qstream")
+        os.makedirs(qdir, exist_ok=True)
+        cuts = ANN_SERVE_QUERY_CUTS
+        for i in range(3):
+            part = queries.where(
+                (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+            )
+            tmp = os.path.join(work, f"qtmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in _glob.glob(os.path.join(tmp, "part-*.parquet")):
+                dst = os.path.join(qdir, f"q{i}.parquet")
+                _shutil.move(f, dst)
+                mt = 1_000_000_000.0 + i * 1000
+                os.utime(dst, (mt, mt))
+            _shutil.rmtree(tmp, ignore_errors=True)
+        _STAGING_CACHE[qkey] = qdir
     state = os.path.join(work, "state")
     ans = os.path.join(work, "answers")
 
