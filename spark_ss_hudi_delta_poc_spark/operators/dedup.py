@@ -698,8 +698,16 @@ def minhash_recall_report(
 
     Returns a single row (matched, total, recall).
     """
-    exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n, max_shingle_df=max_shingle_df).select(
-        "doc_id_a", "doc_id_b"
+    # materialize the ground truth ONCE via an eager localCheckpoint
+    # (round-15 optimization, guide §1.2 — the fuzzy_recall_report
+    # precedent): `total` and the broadcast semi-join are separate
+    # actions, so without it the full shingle-Jaccard pipeline ran
+    # TWICE.  The checkpointed rows are the bounded true near-dup pair
+    # set, never the corpus.
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=threshold, n=n, max_shingle_df=max_shingle_df)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
     )
     total = exact.count()  # bounded: the true near-dup pair set
     lsh = minhash_lsh_pairs(docs, threshold=threshold, n=n).select("doc_id_a", "doc_id_b")

@@ -1277,8 +1277,16 @@ def ann_recall_report(
     A degenerate empty exact set (no queries) reports recall NULL, not a
     division blow-up, identically in both engines (NULLIF in the oracle).
     """
-    exact = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
-        "query_id", "neighbor_id"
+    # materialize the exact baseline ONCE via an eager localCheckpoint
+    # (round-15 optimization, guide §1.2 — the fuzzy_recall_report /
+    # dsir_rank_keep precedent): `total` and the broadcast semi-join are
+    # separate actions, so without it the brute-force corpus pass ran
+    # TWICE.  The checkpointed rows are the bounded |queries|·k top-k
+    # set, never the corpus.
+    exact = (
+        brute_force_topk(embeddings, queries, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     total = exact.count()  # bounded scalar: |queries| * k
     methods = [
