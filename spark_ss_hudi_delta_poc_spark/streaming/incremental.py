@@ -3403,27 +3403,6 @@ def ingest_increment_shards(
         max_seen = pinned.get("max_id")
     else:
         max_seen = None
-    b = batch.agg(
-        F.min(id_col).alias("mn"),
-        F.max(id_col).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-    ).collect()[0]  # bounded: 1 row
-    if b.n == 0:
-        return 0
-    if b.n != b.nd:
-        raise ValueError(
-            f"ingest_increment_shards: batch carries duplicate {id_col} "
-            f"values ({b.n} rows, {b.nd} distinct) — every document must "
-            f"arrive exactly once or shards double-pack (ADVICE r14's ANN "
-            f"guard class)"
-        )
-    if max_seen is not None and b.mn <= max_seen:
-        raise ValueError(
-            f"ingest_increment_shards requires id-ordered arrival: batch min "
-            f"{id_col} {b.mn} <= already-packed max {max_seen} — sealed "
-            f"shards would move"
-        )
     # previous running totals: n_buckets rows (zero rows on creation)
     prev = _latest_committed_dir(off_path, committed)
     if prev:
@@ -3459,9 +3438,37 @@ def ingest_increment_shards(
             "n_tokens",
             F.floor(start / F.lit(shard_tokens)).cast("long").alias("shard"),
         )
-        .persist()  # three actions: data write, offsets, manifest delta
+        .persist()  # four actions: guard agg, data write, offsets, manifest
     )
     try:
+        # guard aggregate SERVED FROM the persisted frame (round-15
+        # optimization, guide §1.2): running it on `batch` before the
+        # persist cost one extra full batch scan per trigger — the same
+        # rows flow 1:1 into `sharded`, so min/max/count/count_distinct
+        # of doc_id are identical, this first action is what materializes
+        # the cache, and both guards still fire BEFORE any write (the
+        # finally unpersists on raise, state untouched).
+        b = sharded.agg(
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("doc_id")).alias("nd"),
+        ).collect()[0]  # bounded: 1 row
+        if b.n == 0:
+            return 0
+        if b.n != b.nd:
+            raise ValueError(
+                f"ingest_increment_shards: batch carries duplicate {id_col} "
+                f"values ({b.n} rows, {b.nd} distinct) — every document must "
+                f"arrive exactly once or shards double-pack (ADVICE r14's ANN "
+                f"guard class)"
+            )
+        if max_seen is not None and b.mn <= max_seen:
+            raise ValueError(
+                f"ingest_increment_shards requires id-ordered arrival: batch min "
+                f"{id_col} {b.mn} <= already-packed max {max_seen} — sealed "
+                f"shards would move"
+            )
         sharded.write.mode("overwrite").partitionBy("bucket", "shard").parquet(
             os.path.join(data_path, f"inc={token}")
         )
