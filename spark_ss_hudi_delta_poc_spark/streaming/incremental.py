@@ -3109,41 +3109,48 @@ def ingest_increment_ann(
                 f"of mixing geometries"
             )
         max_seen = pinned_payload.get("max_id")
-    # id-order guard (the fuzzy/shards guard class, round-14 re-review):
-    # index-vs-batch parity assumes every vector id arrives exactly once
-    # — a replayed source under a FRESH checkpoint (new batch-id tokens)
-    # would otherwise append duplicate list rows silently.  The same
-    # 1-row aggregate also compares count vs count-distinct (ADVICE
-    # r14): the min-vs-high-water check is blind to duplicate ids
-    # WITHIN one increment, which double-insert just as silently.
-    b = batch.agg(
-        F.min(id_col).alias("mn"),
-        F.max(id_col).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(id_col)).alias("nd"),
-    ).collect()[0]
-    if b.n != b.nd:
-        raise ValueError(
-            f"ingest_increment_ann: batch carries duplicate {id_col} values "
-            f"({b.n} rows, {b.nd} distinct) — every vector id must arrive "
-            f"exactly once or the inverted lists double-insert"
-        )
-    if max_seen is not None and b.mn is not None and b.mn <= max_seen:
-        raise ValueError(
-            f"ingest_increment_ann requires id-ordered arrival: batch min "
-            f"{id_col} {b.mn} <= already-indexed max {max_seen} — duplicate "
-            f"or replayed vectors would corrupt the inverted lists"
-        )
     digest = _ann_centroid_digest(rows)
     # map-side assignment against the pinned centroids (bounded closure
     # broadcast, no shuffle) — the exact core ivf_topk/build_ivf_index use
     assigned = _assign_clusters(
         batch, cent_ids, cent_mat, "neighbor_id", id_col, vec_col
     )
-    # persist: lists write + occupancy merge + row count are three
+    # persist: guard agg + lists write + occupancy merge are three
     # actions over the same assignment (K7's two-action discipline)
     assigned = assigned.persist()
     try:
+        # id-order guard (the fuzzy/shards guard class, round-14
+        # re-review): index-vs-batch parity assumes every vector id
+        # arrives exactly once — a replayed source under a FRESH
+        # checkpoint (new batch-id tokens) would otherwise append
+        # duplicate list rows silently.  The same 1-row aggregate also
+        # compares count vs count-distinct (ADVICE r14): the
+        # min-vs-high-water check is blind to duplicate ids WITHIN one
+        # increment, which double-insert just as silently.  Served FROM
+        # the persisted assignment (round-15 optimization, guide §1.2):
+        # the assignment is strictly 1:1 with the batch, so the id
+        # min/max/count/count-distinct are identical, this first action
+        # materializes the cache instead of paying a separate full
+        # batch scan, and both guards still fire BEFORE any write (the
+        # finally unpersists on raise, state untouched).
+        b = assigned.agg(
+            F.min("neighbor_id").alias("mn"),
+            F.max("neighbor_id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("neighbor_id")).alias("nd"),
+        ).collect()[0]
+        if b.n != b.nd:
+            raise ValueError(
+                f"ingest_increment_ann: batch carries duplicate {id_col} values "
+                f"({b.n} rows, {b.nd} distinct) — every vector id must arrive "
+                f"exactly once or the inverted lists double-insert"
+            )
+        if max_seen is not None and b.mn is not None and b.mn <= max_seen:
+            raise ValueError(
+                f"ingest_increment_ann requires id-ordered arrival: batch min "
+                f"{id_col} {b.mn} <= already-indexed max {max_seen} — duplicate "
+                f"or replayed vectors would corrupt the inverted lists"
+            )
         assigned.write.mode("overwrite").parquet(
             os.path.join(lists_path, f"inc={token}")
         )
