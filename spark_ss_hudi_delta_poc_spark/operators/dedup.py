@@ -710,6 +710,11 @@ def minhash_recall_report(
         .localCheckpoint(eager=True)
     )
     total = exact.count()  # bounded: the true near-dup pair set
+    # re-state the bound ON the checkpointed plan: a checkpoint scan
+    # alone is an uncertified ExistingRDD to the broadcast gate
+    # (fuzzy_recall_report's certificate shape); limit(total) over a
+    # frame with exactly `total` rows keeps every row
+    exact = exact.limit(total)
     lsh = minhash_lsh_pairs(docs, threshold=threshold, n=n).select("doc_id_a", "doc_id_b")
     matched = lsh.join(F.broadcast(exact), ["doc_id_a", "doc_id_b"], "left_semi")
     # empty ground truth → recall NULL on both engines (oracle: NULLIF),

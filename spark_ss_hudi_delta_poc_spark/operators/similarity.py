@@ -1289,6 +1289,11 @@ def ann_recall_report(
         .localCheckpoint(eager=True)
     )
     total = exact.count()  # bounded scalar: |queries| * k
+    # re-state the bound ON the checkpointed plan: a checkpoint scan
+    # alone is an uncertified ExistingRDD to the broadcast gate
+    # (fuzzy_recall_report's certificate shape); limit(total) over a
+    # frame with exactly `total` rows keeps every row
+    exact = exact.limit(total)
     methods = [
         ("lsh", lsh_topk(embeddings, queries, k, id_col, vec_col)),
         ("lsh_x4", lsh_topk(embeddings, queries, k, id_col, vec_col, n_tables=4)),
