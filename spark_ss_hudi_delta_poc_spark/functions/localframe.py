@@ -21,7 +21,7 @@ falls back to the classic path, so behavior is never worse than before.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import DataType, StructType
+from pyspark.sql.types import StructType
 
 
 def _as_struct(spark: SparkSession, schema: str | StructType) -> StructType:
@@ -42,7 +42,16 @@ def local_df(
     lists, built through Arrow so the result is a LocalTableScan (no
     Python-RDD scan, no per-task Python handshake).  Intended for
     bounded metadata frames (centroids, occupancy, offsets, sketches);
-    falls back to the classic builder on any Arrow conversion failure."""
+    falls back to the classic builder on any Arrow conversion failure.
+
+    Timezone caveat (ADVICE r15): the fallback only catches HARD Arrow
+    conversion errors — naive datetime values would convert on BOTH
+    paths but under different timezone interpretations (Arrow: session
+    timezone; classic: OS-local), so they could silently differ on a
+    box whose OS tz is not the session's UTC.  This helper is therefore
+    for TZ-INSENSITIVE metadata schemas only (ints/strings/arrays/
+    bools); no call site passes timestamps, and new ones must either
+    keep that rule or normalize datetimes to UTC explicitly first."""
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema

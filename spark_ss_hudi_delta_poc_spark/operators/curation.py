@@ -1159,7 +1159,18 @@ def dsir_rank_keep(
     """The deterministic top-fraction keep rule (score_e9 DESC, doc_id
     ASC; k = ceil(N*num/den)) — boundary found with two TakeOrdered
     passes, keep decision a map-only literal comparison.  Shared by the
-    batch filter and the streaming twin's final materialization."""
+    batch filter and the streaming twin's final materialization.
+
+    Cluster caveat (ADVICE r15): the returned frame is backed by
+    ``localCheckpoint`` blocks — UNREPLICATED executor storage.  On a
+    real cluster an executor loss after return makes the frame
+    unrecoverable (the checkpoint truncates lineage), and the blocks
+    stay pinned while the frame is referenced.  This is the repo's
+    deliberate local-mode trade-off (fuzzy_recall_report /
+    minhash-recall precedent); a cluster deployment that must survive
+    executor loss should swap the localCheckpoint for reliable
+    checkpointing or persist-with-lineage at the cost of one extra
+    pipeline execution."""
     # rank rule: materialize the doc-level scores ONCE via
     # localCheckpoint(eager=True) and derive the boundary probe AND the
     # returned frame from the checkpoint (round-15 optimization, guide

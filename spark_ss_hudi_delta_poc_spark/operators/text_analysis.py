@@ -328,6 +328,67 @@ def bm25_tf_table(
     )
 
 
+def bm25_doc_projection(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dl, mw): per-doc word count + the query-term matches,
+    from ONE tokenize pass — the shared narrow front of the cross-run
+    index's stats and tf aggregates (streaming/incremental.
+    ingest_increment_bm25), which otherwise tokenized the same
+    micro-batch twice per trigger (round-16 optimization, guide
+    §1.2/§4.1).  Equivalence with the batch operator's two fronts:
+
+    - stats: one row per input doc with ``dl = size(words(text))`` —
+      aggregating (count, sum(dl)) here equals :func:`bm25_corpus_stats`
+      exactly (same tokenizer, same cast, projection preserves rows);
+    - tf: ``mw = filter(words(text), w -> w IN query_terms)`` exploded
+      yields the identical (doc_id, word) multiset that
+      :func:`bm25_tf_table`'s explode-then-isin produces, so
+      groupBy(doc_id, word).agg(count, max(dl)) is row-identical
+      (pinned by tests/test_operators.py::test_bm25_doc_projection_*).
+    """
+    from .partitioning import spread
+
+    qt = [str(t) for t in query_terms]
+    warr = words(F.col(text_col))
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(warr).cast("long").alias("dl"),
+        F.filter(warr, lambda w: w.isin(qt)).alias("mw"),
+    )
+
+
+def bm25_tf_from_projection(sel: DataFrame, query_terms: list[str]) -> DataFrame:
+    """:func:`bm25_tf_table` computed from the shared projection — the
+    identical (doc_id, word, tf, dl) rows (same groupBy over the same
+    (doc_id, word) multiset; see :func:`bm25_doc_projection`).
+
+    The trailing ``isin`` filter is a row-level NO-OP (every exploded
+    word already matched inside the array filter) but it re-states the
+    literal ``word IN (...)`` domain bound AS A PLAN NODE, so the df
+    aggregate downstream keeps its smallness certificate for the
+    broadcast gate — the lambda inside the array filter is invisible to
+    the plan audit (test_broadcasts_are_bounded_anywhere)."""
+    qt = [str(t) for t in query_terms]
+    return (
+        sel.select("doc_id", "dl", F.explode("mw").alias("word"))
+        .where(F.col("word").isin(qt))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def bm25_stats_from_projection(sel: DataFrame) -> DataFrame:
+    """:func:`bm25_corpus_stats` computed from the shared projection —
+    the identical 1-row (n_docs, total_words) aggregate."""
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_words")
+    )
+
+
 def bm25_corpus_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -53,75 +53,75 @@ class Query:
 #     carries the 17 remaining r11 rows, ending at privacy_t_closeness.
 #     Same mechanics as rounds 11-14.
 #
-# Round-16 rotation queue (staged): the remaining r11-cohort rows
-# (q04_dup_having and q06_filter — displaced from this window by the
-# q114/q115 first rows — then q07_explode_flatten, q09_json_roundtrip,
-# q102_salted_distinct_agg, q103_stream_scd2_compacting,
-# q105_stream_bottomk_sample, q10_stream_global_agg, q12_stream_roundtrip,
-# q19_stream_windowed_agg, q22_stream_dedup, q27_approx_distinct,
-# q31_stream_stream_join, q32_upsert_snapshot, q39_conditional_battery,
-# q40_array_battery, q41_hash_split, q42_profile_table, q46_edit_distance,
-# q60_stream_materialized_latest, q64_conditional_distinct, q65_string_agg,
-# q77_array_output, q79_custorder_distribution, q80_top_supplier,
-# q82_large_volume_customers, q84_important_parts, q88_range_join,
-# q89_heavy_hitters, q91_stream_ann_serving, text_quality_score,
-# text_rare_token_stats), then r12 oldest-first (name order) to fill 50;
-# any operator added in round 16 takes a first-row slot ahead of the
-# refresh rows.
+# Round-16 window (optimization round 2 of 2) — no new operators, so
+# rule (a) contributes nothing and rule (b) leads: FRESH rows for every
+# plan the round-15/-16 optimizers materially changed (VERDICT r15 #8
+# named q111, q113, curation_dsir, q107, ann_recall_report, q104, q110 —
+# the r15-touched rows its sample missed; round 16 adds its own touched
+# rows q103/q100/q60 (bucketed-write repartition pinning), q110 (fused
+# tokenize), ann_recall_report (shared corpus materialization), q113/
+# q115 (retrain corpus persist), q104 (probe persisted)).  Then rule
+# (c): the r11 cohort (evidence-oldest, name-ordered; q103/q60 already
+# seated by rule (b)), then r12 oldest-first (name order) to fill 50.
+#
+# Round-17 rotation queue (staged): the remaining r12-cohort rows in
+# name order (corpus_ngram_stats onward minus those seated below), then
+# r13 oldest-first; any operator added in round 17 takes a first-row
+# slot ahead of the refresh rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- FIRST rows for this round's new operators ---------------------------
-    "q114_stream_ann_query_serving",
+    # --- rule (b): materially-changed plans, fresh evidence (11) -----------
+    "q103_stream_scd2_compacting",
+    "q104_stream_fuzzy_ingest",
+    "q110_stream_bm25",
+    "ann_recall_report",
+    "q111_stream_ann_index",
+    "q113_stream_ann_retrain",
     "q115_stream_ann_autoretrain",
-    # --- r10 cohort refresh: the 31 remaining rows, committed queue (31) ---
-    "multimodal_audio_pairs",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "q01_count",
-    "q02_group_count",
-    "q03_distinct_count",
+    "curation_dsir",
+    "q107_stream_dsir",
     "q100_stream_scd2",
-    "q101_salted_skew_join",
-    "q21_stream_session_window",
-    "q44_stream_static_join",
-    "q51_returned_top_customers",
-    "q69_market_share",
-    "q70_waiting_suppliers",
-    "q72_promo_revenue",
-    "q73_disjunctive_join",
-    "q81_small_qty_revenue",
-    "q83_product_profit",
-    "q85_supplier_part_counts",
-    "q86_promo_part_suppliers",
-    "q87_min_price_supplier",
-    "q93_zone_map_skipping",
-    "q94_stream_dup_rate",
-    "q97_stream_bloom_ingest",
-    "q98_stream_late_data",
-    "q99_group_heavy_hitters",
-    "scd2_as_of",
-    "scd2_history",
-    "sketch_hll_by_type",
-    "sketch_kmv_jaccard",
-    "text_langid_confusion",
-    "text_pmi_collocations",
-    # --- r11 cohort, oldest-evidence-next, name-ordered (19) ---------------
-    "ann_lsh_topk",
-    "corpus_pipeline",
-    "curation_repetition",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_fuzzy_edit",
-    "dedup_fuzzy_recall",
-    "dedup_keep_best",
-    "dedup_kept_corpus",
-    "dedup_minhash_recall",
-    "dedup_normalized",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_knn_graph",
-    "monitor_schema_drift",
-    "monitor_seasonal_anomaly",
-    "privacy_t_closeness",
+    "q60_stream_materialized_latest",
+    # --- rule (c): r11 cohort remainder, name-ordered (30) -----------------
+    "q04_dup_having",
+    "q06_filter",
+    "q07_explode_flatten",
+    "q09_json_roundtrip",
+    "q102_salted_distinct_agg",
+    "q105_stream_bottomk_sample",
+    "q10_stream_global_agg",
+    "q12_stream_roundtrip",
+    "q19_stream_windowed_agg",
+    "q22_stream_dedup",
+    "q27_approx_distinct",
+    "q31_stream_stream_join",
+    "q32_upsert_snapshot",
+    "q39_conditional_battery",
+    "q40_array_battery",
+    "q41_hash_split",
+    "q42_profile_table",
+    "q46_edit_distance",
+    "q64_conditional_distinct",
+    "q65_string_agg",
+    "q77_array_output",
+    "q79_custorder_distribution",
+    "q80_top_supplier",
+    "q82_large_volume_customers",
+    "q84_important_parts",
+    "q88_range_join",
+    "q89_heavy_hitters",
+    "q91_stream_ann_serving",
+    "text_quality_score",
+    "text_rare_token_stats",
+    # --- rule (c): r12 cohort, oldest-next, name-ordered (9) ---------------
+    "ann_ivf_index_topk",
+    "ann_lsh_multitable_topk",
+    "corpus_ngram_stats",
+    "corpus_vocab_stats",
+    "curation_export_shards",
+    "curation_filter_report",
+    "curation_gopher_rules",
+    "curation_length_trim",
+    "curation_model_filter",
 )
 
 

@@ -72,6 +72,14 @@ def get_spark(
         builder = builder.master(f"local[{cores}]")
         builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     conf = dict(_COMMON_CONF)
+    # One-config A/B knob (VERDICT r15 #5): flip AQE's parallelismFirst
+    # from the environment so the coalescing policy can be measured in
+    # isolation (tools/bench_ab-style replay with ONLY this changed).
+    # The default stays the scale-adaptive "false" documented above.
+    conf["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = os.environ.get(
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST",
+        conf["spark.sql.adaptive.coalescePartitions.parallelismFirst"],
+    )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if profile != "local":
         # Spill-aware sizing for the 100 TB case: 256 MB input splits keep

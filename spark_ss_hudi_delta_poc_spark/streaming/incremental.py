@@ -55,14 +55,29 @@ def _parquet_rows(path: str) -> int:
     """Row count of a just-written parquet dir from its file FOOTERS —
     driver-side metadata, identical to a Spark count over the dir but
     with no job at all (round-15 optimization, guide §1.2: the ingests
-    were re-reading what they had just written only to count it)."""
+    were re-reading what they had just written only to count it).
+
+    Loud on a missing/empty dir (ADVICE r15): the spark.read.count()
+    this replaced raised AnalysisException when the dir vanished, so a
+    fold/commit bug that removes a just-written increment must keep
+    failing loudly, not report "0 rows ingested".  (Spark CAN write a
+    legitimately empty dir — zero-row frames still emit one part file
+    with a footer — so zero .parquet files under an existing dir is
+    equally a protocol violation here.)"""
     import pyarrow.parquet as pq
 
     total = 0
+    seen = 0
     for root_, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
+                seen += 1
                 total += pq.ParquetFile(os.path.join(root_, f)).metadata.num_rows
+    if seen == 0:
+        raise FileNotFoundError(
+            f"_parquet_rows: no parquet files under just-written {path!r} — "
+            "the increment dir was removed or never materialized"
+        )
     return total
 
 
@@ -2154,6 +2169,7 @@ def ingest_increment_fuzzy(
 
     pfx = dedup.fuzzy_prefix_table(batch, text_col=text_col, id_col=id_col)
     new_bands = dedup.fuzzy_band_table(pfx).persist()
+    allb = new_bands  # rebound below once the history probe is attached
     try:
         man = _fold_manifest(index_path)
         base_folded = set(man["folded"]) if man else set()
@@ -2177,7 +2193,14 @@ def ingest_increment_fuzzy(
         # the BATCH's band keys — the only history rows read are those
         # sharing a band key with the batch
         probe = _fuzzy_history_probe(spark, index_path, delta_tokens, man, batch_keys)
-        allb = new_bands if probe is None else new_bands.unionByName(probe)
+        # persist the (batch ∪ matching-history) band surface: it feeds
+        # TWO actions per trigger — the pair/survivor path and the
+        # newly_retired occupancy aggregate below — and without the cache
+        # the second action re-ran the whole history probe (bucketed-base
+        # scan + pp pruning + semi-join) per trigger (round-16
+        # optimization, guide §1.2).  Bounded: batch bands + only the
+        # history rows sharing a band key with the batch.
+        allb = new_bands if probe is None else new_bands.unionByName(probe).persist()
         pairs = dedup.fuzzy_pairs_from_bands(
             allb, max_dist=max_dist, max_bucket=max_bucket, retired=retired
         )
@@ -2242,6 +2265,8 @@ def ingest_increment_fuzzy(
             )
         return n
     finally:
+        if allb is not new_bands:
+            allb.unpersist()
         new_bands.unpersist()
         if retired is not None:
             retired.unpersist()
@@ -2829,8 +2854,6 @@ def ingest_increment_bm25(
     postings append + a 1-row stats merge — never a corpus rescan.
     Returns the number of postings rows added by this increment.
     """
-    from ..operators.text_analysis import bm25_corpus_stats, bm25_tf_table
-
     postings_path = os.path.join(state_path, "postings")
     stats_path = os.path.join(state_path, "stats")
     heal_fold_debris(state_path, [postings_path], spark)
@@ -2860,11 +2883,26 @@ def ingest_increment_bm25(
                 f"ingest_increment_bm25: state at {state_path} was built "
                 f"for terms {pinned}, got {terms} — one index per term set"
             )
-    # persist: the stats and postings writes are two actions over the
-    # same micro-batch — without this each trigger re-reads the source
-    batch = batch.persist()
+    # ONE tokenize per trigger (round-16 optimization, guide §1.2/§4.1):
+    # the stats and postings writes are two actions, and each previously
+    # re-tokenized the persisted micro-batch (bm25_corpus_stats +
+    # bm25_tf_table both start from words(text)).  The shared narrow
+    # projection (doc_id, dl, matched-words) tokenizes once at cache
+    # materialization and DROPS the text column, so the cached frame is
+    # also far smaller than the raw batch it replaces; both aggregates
+    # below are row-identical to the batch operator's two fronts (see
+    # bm25_doc_projection's docstring + the equivalence tests).
+    from ..operators.text_analysis import (
+        bm25_doc_projection,
+        bm25_stats_from_projection,
+        bm25_tf_from_projection,
+    )
+
+    sel = bm25_doc_projection(
+        batch, query_terms, text_col=text_col, id_col=id_col
+    ).persist()
     try:
-        st = bm25_corpus_stats(batch, text_col=text_col, id_col=id_col)
+        st = bm25_stats_from_projection(sel)
         prev = _latest_committed_dir(stats_path, committed)
         if prev:
             st = (
@@ -2875,12 +2913,12 @@ def ingest_increment_bm25(
                 )
             )
         st.write.mode("overwrite").parquet(os.path.join(stats_path, f"inc={token}"))
-        tf = bm25_tf_table(batch, query_terms, text_col=text_col, id_col=id_col)
+        tf = bm25_tf_from_projection(sel, query_terms)
         tf.write.mode("overwrite").parquet(
             os.path.join(postings_path, f"inc={token}")
         )
     finally:
-        batch.unpersist()
+        sel.unpersist()
     _write_marker(state_path, token, payload={"terms": terms})  # THE commit
     # prune superseded stats dirs from the listing (markers stay)
     for d in os.listdir(stats_path):
@@ -3735,59 +3773,74 @@ def retrain_ann_index(
                 if f.endswith(".parquet")
             )
     corpus_q = corpus_q.coalesce(max(1, -(-state_bytes // (32 << 20))))
-    cent_ids, cent_mat = kmeans_refine_centroids_q(
-        corpus_q, n_centroids=n_centroids, iters=iters
-    )
-    # the id-order high-water mark to carry across the generation flip:
-    # the superseded generation's newest marker already pins it (the
-    # corpus being rebuilt IS everything ever ingested), so read the
-    # one marker instead of running a corpus-sized max aggregate per
-    # retrain; legacy states without the field fall back to the agg
-    # (round-15 optimization, guide §1.2)
-    old_committed = _committed_tokens(old_root)
-    old_newest = _newest_committed_token(old_committed)
-    mx_id = (
-        _marker_payload(old_root, old_newest).get("max_id")
-        if old_newest is not None
-        else None
-    )
-    if mx_id is None:
-        mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
-    new_root = os.path.join(state_path, f"gen={old_gen + 1}")
-    shutil.rmtree(new_root, ignore_errors=True)  # crashed-retrain debris
-    lists_new = os.path.join(new_root, "lists")
-    occ_new = os.path.join(new_root, "occupancy")
-    cent_pairs = [
-        (int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)
-    ]
-    local_df(
-        spark, cent_pairs, "cid long, qv_cent array<long>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(new_root, "centroids"))
-    assigned = _assign_clusters_q(corpus_q, cent_ids, cent_mat, "neighbor_id")
-    assigned = assigned.persist()
-    token = "000000000"
+    # persist the narrow (id, qv) projection across the retrain's FOUR
+    # passes (round-16 optimization, guide §5 / VERDICT r15 #7): the
+    # centroid-seed collect, each Lloyd iteration's fused
+    # assign+partial-sum pass, and the final reassignment each re-read
+    # the tiered state from disk (1 + iters + 1 scans per retrain; q115
+    # retrains after EVERY increment).  MEMORY_AND_DISK: on a corpus
+    # where the state outgrows executor storage the blocks spill — a
+    # local materialization, never a recompute-from-nothing.  Explicit
+    # unpersist once the reassignment is written.
+    corpus_q = corpus_q.persist()
     try:
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(lists_new, f"inc={token}")
+        cent_ids, cent_mat = kmeans_refine_centroids_q(
+            corpus_q, n_centroids=n_centroids, iters=iters
         )
-        # collect the bounded occupancy once, then write the collected
-        # rows as a local relation — the write-then-collect pair ran the
-        # groupBy twice (separate actions share no exchange), and the
-        # ingest path already persists occupancy from collected rows
-        occ_rows = (
-            assigned.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n_vectors"))
-            .collect()
-        )  # bounded: <= n_centroids rows
+        # the id-order high-water mark to carry across the generation flip:
+        # the superseded generation's newest marker already pins it (the
+        # corpus being rebuilt IS everything ever ingested), so read the
+        # one marker instead of running a corpus-sized max aggregate per
+        # retrain; legacy states without the field fall back to the agg
+        # (round-15 optimization, guide §1.2)
+        old_committed = _committed_tokens(old_root)
+        old_newest = _newest_committed_token(old_committed)
+        mx_id = (
+            _marker_payload(old_root, old_newest).get("max_id")
+            if old_newest is not None
+            else None
+        )
+        if mx_id is None:
+            mx_id = corpus_q.agg(F.max("id").alias("m")).collect()[0].m
+        new_root = os.path.join(state_path, f"gen={old_gen + 1}")
+        shutil.rmtree(new_root, ignore_errors=True)  # crashed-retrain debris
+        lists_new = os.path.join(new_root, "lists")
+        occ_new = os.path.join(new_root, "occupancy")
+        cent_pairs = [
+            (int(c), [int(v) for v in row]) for c, row in zip(cent_ids, cent_mat)
+        ]
         local_df(
-            spark,
-            [(int(r.cluster), int(r.n_vectors)) for r in occ_rows],
-            "cluster long, n_vectors long",
+            spark, cent_pairs, "cid long, qv_cent array<long>"
         ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(occ_new, f"inc={token}")
+            os.path.join(new_root, "centroids")
         )
+        assigned = _assign_clusters_q(corpus_q, cent_ids, cent_mat, "neighbor_id")
+        assigned = assigned.persist()
+        token = "000000000"
+        try:
+            assigned.write.mode("overwrite").parquet(
+                os.path.join(lists_new, f"inc={token}")
+            )
+            # collect the bounded occupancy once, then write the collected
+            # rows as a local relation — the write-then-collect pair ran the
+            # groupBy twice (separate actions share no exchange), and the
+            # ingest path already persists occupancy from collected rows
+            occ_rows = (
+                assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n_vectors"))
+                .collect()
+            )  # bounded: <= n_centroids rows
+            local_df(
+                spark,
+                [(int(r.cluster), int(r.n_vectors)) for r in occ_rows],
+                "cluster long, n_vectors long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(occ_new, f"inc={token}")
+            )
+        finally:
+            assigned.unpersist()
     finally:
-        assigned.unpersist()
+        corpus_q.unpersist()
     # digest the in-memory centroid set — re-reading the parquet we just
     # wrote was one more job for rows already on the driver
     from collections import namedtuple

@@ -50,9 +50,26 @@ def _workdir(tag: str) -> str:
 
         cutoff = _time.time() - 6 * 3600
         if os.path.isdir(root):
+            # Dirs backing memoized staging are exempt (ADVICE r15): an
+            # already-started file stream may still be reading them, and
+            # the cache-validity check (os.path.isdir) runs only at the
+            # stage_* call entry.  Their mtime is also refreshed here so
+            # a CONCURRENT process's own 6h sweep (which cannot see this
+            # process's cache) keeps treating them as live.
+            keep: set[str] = set()
+            for c in _STAGING_CACHE.values():
+                rel = os.path.relpath(c, root)
+                if not rel.startswith(".."):
+                    keep.add(rel.split(os.sep, 1)[0])
+            now = _time.time()
+            for name in keep:
+                try:
+                    os.utime(os.path.join(root, name), (now, now))
+                except OSError:
+                    pass
             for name in os.listdir(root):
                 p = os.path.join(root, name)
-                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                if name not in keep and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
@@ -513,10 +530,20 @@ def _swap_touched_buckets(
     shutil.rmtree(staging, ignore_errors=True)
     # co-locate each bucket into one task before the partitioned write:
     # without this every shuffle task writes its own file per bkt dir it
-    # touches (tasks x buckets tiny files per swap, review r12)
-    merged.repartition(F.col("bkt")).write.mode("overwrite").partitionBy(
-        "bkt"
-    ).parquet(staging)
+    # touches (tasks x buckets tiny files per swap, review r12).  The
+    # partition count is pinned EXPLICITLY to the touched-bucket count
+    # (round-16, guide §2.2/§6.2): a bare repartition(col) is
+    # REPARTITION_BY_COL, which AQE's size-based coalescing (r15's
+    # parallelismFirst=false) collapsed to ONE task for small swaps —
+    # serializing the whole merged snapshot's parquet encode behind a
+    # single core (plans/r16/q103_aqe_executed_before.txt execution 4:
+    # Exchange hashpartitioning(bkt, 32) -> AQEShuffleRead coalesced ->
+    # WriteFiles).  len(touched_bkts) is a DATA-layout parameter (the
+    # merge's designed one-task-per-touched-bucket write footprint), not
+    # a core count, so the rule is the same at any scale.
+    merged.repartition(max(1, len(touched_bkts)), F.col("bkt")).write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(staging)
     os.makedirs(target_dir, exist_ok=True)
     manifest = _read_bucket_manifest(target_dir)
     new_manifest = dict(manifest)
@@ -1903,8 +1930,12 @@ def compact_scd2_log(
         .parquet(*src)
         .withColumn("epoch", F.lit(cand).cast("long"))
         # one task per bucket -> one folded file per (bkt, epoch) dir
-        # instead of one per (input split, bkt) — review r12
-        .repartition(F.col("bkt"))
+        # instead of one per (input split, bkt) — review r12.  Explicit
+        # count: AQE coalesced the bare REPARTITION_BY_COL to one task
+        # on small folds, serializing the fold's parquet encode (same
+        # fix as _swap_touched_buckets, round-16; the count is the log's
+        # bucket layout, not a core count)
+        .repartition(max(1, len(all_bkts)), F.col("bkt"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt", "epoch")
@@ -2004,8 +2035,12 @@ def scd2_apply_batch(
         b.withColumn("bkt", (F.col("user_id") % n_buckets).cast("int"))
         .withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
         # one task per bucket -> one log file per (bkt, epoch) dir per
-        # batch instead of one per (source task, bkt) — review r12
-        .repartition(F.col("bkt"))
+        # batch instead of one per (source task, bkt) — review r12.
+        # Explicit count: AQE coalesced the bare REPARTITION_BY_COL to
+        # one task on small batches, serializing the log write's parquet
+        # encode (same fix as _swap_touched_buckets, round-16; n_buckets
+        # is the table's bucket layout, not a core count)
+        .repartition(n_buckets, F.col("bkt"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt", "epoch")

@@ -377,17 +377,21 @@ def _q108(spark, sf_dir):
 def _q110(spark, sf_dir):
     from ..operators.partitioning import global_topk_with_rank
     from ..operators.text_analysis import (
-        bm25_corpus_stats,
+        bm25_doc_projection,
         bm25_score_from_parts,
-        bm25_tf_table,
+        bm25_stats_from_projection,
+        bm25_tf_from_projection,
     )
     from ..plans.llm_queries import BM25_QUERY_TERMS
 
     docs = _docs(spark, sf_dir)
-    # per-trigger interior: |batch|-sized postings aggregate + the
-    # 1-row normalizer merge against the scan-shaped previous state
-    tf = bm25_tf_table(docs, BM25_QUERY_TERMS)
-    batch_stats = bm25_corpus_stats(docs)
+    # per-trigger interior (round-16 fused-tokenize shape, the plan the
+    # live ingest runs): ONE tokenize projection feeds the |batch|-sized
+    # postings aggregate AND the 1-row normalizer merge against the
+    # scan-shaped previous state
+    sel = bm25_doc_projection(docs, BM25_QUERY_TERMS)
+    tf = bm25_tf_from_projection(sel, BM25_QUERY_TERMS)
+    batch_stats = bm25_stats_from_projection(sel)
     state_stats = docs.select(
         F.lit(0).cast("long").alias("n_docs"),
         F.lit(0).cast("long").alias("total_words"),

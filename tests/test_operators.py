@@ -392,6 +392,44 @@ def test_bm25_search_ranking(spark):
     assert all(r.score_e9 > 0 for r in out)
 
 
+def test_bm25_doc_projection_matches_two_pass_fronts(spark):
+    """The fused single-tokenize projection (round-16: the cross-run
+    bm25 ingest's one-pass front) must reproduce bm25_tf_table and
+    bm25_corpus_stats row-for-row — including docs with no query term,
+    empty text, and repeated terms."""
+    from spark_ss_hudi_delta_poc_spark.operators.text_analysis import (
+        bm25_corpus_stats,
+        bm25_doc_projection,
+        bm25_stats_from_projection,
+        bm25_tf_from_projection,
+        bm25_tf_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler words here and more filler"),
+            (2, "spark appears once in otherwise unrelated text body"),
+            (3, "no relevant terms in this document at all body text"),
+            (4, ""),
+            (5, "join, JOIN! Spark-join punctuation;cases"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "join", "rareword"]
+    sel = bm25_doc_projection(docs, terms)
+    got_tf = {
+        (r.doc_id, r.word): (r.tf, r.dl)
+        for r in bm25_tf_from_projection(sel, terms).collect()
+    }
+    want_tf = {
+        (r.doc_id, r.word): (r.tf, r.dl) for r in bm25_tf_table(docs, terms).collect()
+    }
+    assert got_tf == want_tf and len(want_tf) > 0
+    got_st = bm25_stats_from_projection(sel).collect()[0]
+    want_st = bm25_corpus_stats(docs).collect()[0]
+    assert (got_st.n_docs, got_st.total_words) == (want_st.n_docs, want_st.total_words)
+
+
 def test_lsh_auto_planes_sizing(spark):
     """n_planes='auto' applies the documented occupancy rule: 10^9
     vectors -> 22 planes; small corpora floor at 4; auto on a tiny

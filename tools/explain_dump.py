@@ -1,5 +1,6 @@
 """Dump `.explain("formatted")` for every headline bench query into
-plans/r15/<query>_<tag>.txt — the optimization round's plan evidence.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r16) — the
+optimization round's plan evidence.
 
 Batch queries are explained directly; streaming queries are explained via
 their committed batch SHADOW (streaming/shadows.py), the same graphs the
@@ -36,7 +37,11 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     names = sys.argv[3:] or HEADLINE
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
